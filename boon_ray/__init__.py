@@ -1,0 +1,31 @@
+"""boon_ray — a Ray-Data-native schema + constraint validation engine.
+
+Re-expresses the JSON Schema keyword semantics of the reference validator
+(santhosh-tekuri/boon, drafts 2020-12 / 2019-09 / 7 / 6 / 4) as a
+driver-compiled, picklable constraint spec evaluated inside
+``ray.data.Dataset.map_batches`` actor pools over Arrow batches, and adds
+the table-level checks the reference lacks (column stats, key uniqueness,
+referential integrity, distribution drift) plus large-scale training-data
+operators (dedup families, similarity search, text analysis).
+
+Layers:
+  - ``boon_ray.compiler`` / ``boon_ray.evaluator``: compile-once /
+    validate-many JSON Schema engine (driver compiles, workers evaluate).
+  - ``boon_ray.stages``: Ray Data batch stages (validation actor pool,
+    stats, uniqueness, referential, drift, dedup, text, similarity).
+  - ``boon_ray.sources``: corpus synthesis + readers.
+  - ``boon_ray.pipelines``: end-to-end pipelines (flagship validation).
+"""
+
+from boon_ray.compiler import Compiler, CompileError, compile_schema
+from boon_ray.evaluator import ValidationError, validate
+
+__all__ = [
+    "Compiler",
+    "CompileError",
+    "compile_schema",
+    "ValidationError",
+    "validate",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,713 @@
+"""Schema -> CompiledSpec compiler (compile once, validate many).
+
+Re-expresses the reference's worklist compiler
+(/root/reference/src/compiler.rs:198-317, 937-985): every subschema
+location becomes one integer-indexed ``SchemaNode`` in a flat list;
+cross-references ($ref / $recursiveRef / $dynamicRef / anchors) are
+integer pointers resolved at compile time. The resulting
+``CompiledSpec`` is a plain picklable object designed to be broadcast
+once (``ray.put``) and evaluated inside map_batches actors; regexes are
+stored as pattern strings and compiled lazily per worker process.
+
+Resource / anchor model follows draft.rs:239-385 and root.rs:90-128:
+``$id`` creates nested resources with their own base URI; anchors
+(``$id: "#name"`` pre-2019, ``$anchor`` / ``$dynamicAnchor`` after) are
+collected per resource; JSON-Pointer fragments are percent-decoded
+(util.rs:271-296).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+from dataclasses import dataclass, field
+from typing import Any, Optional, Union
+
+from boon_ray import draft as drafts
+from boon_ray import json_util as ju
+from boon_ray.draft import (
+    DRAFT4, DRAFT6, DRAFT7, DRAFT2019, DRAFT2020, KEYWORD_VOCAB,
+)
+from boon_ray.ecma import EcmaError, compile_ecma
+
+
+class CompileError(Exception):
+    """Schema compilation failure (mirrors CompileError, compiler.rs)."""
+
+    def __init__(self, message: str, location: str = ""):
+        self.location = location
+        super().__init__(f"{message}" + (f" at {location}" if location else ""))
+
+
+@dataclass
+class SchemaNode:
+    """One compiled subschema. A struct-of-options like the reference's
+    ``Schema`` (lib.rs:198-268); None/empty means keyword absent."""
+
+    idx: int = -1
+    loc: str = ""            # absolute url#/json/pointer (error reporting)
+    draft: int = DRAFT2020
+    res: int = 0             # resource id into CompiledSpec.resources
+    boolean: Optional[bool] = None
+
+    # type-agnostic
+    types: Optional[tuple] = None
+    enum: Optional[list] = None
+    enum_scalar: bool = False          # all enum values scalar -> fast path
+    const_set: bool = False
+    const: Any = None
+    format: Optional[str] = None
+    ref: Optional[int] = None
+    ref_exclusive: bool = False        # pre-2019: $ref short-circuits siblings
+    recursive_ref: Optional[int] = None
+    recursive_anchor: bool = False
+    dynamic_ref: Optional[int] = None
+    dynamic_ref_anchor: Optional[str] = None
+    dynamic_anchor: Optional[str] = None
+    not_: Optional[int] = None
+    all_of: tuple = ()
+    any_of: tuple = ()
+    one_of: tuple = ()
+    if_: Optional[int] = None
+    then_: Optional[int] = None
+    else_: Optional[int] = None
+
+    # object
+    min_properties: Optional[int] = None
+    max_properties: Optional[int] = None
+    required: tuple = ()
+    properties: dict = field(default_factory=dict)       # name -> idx
+    pattern_properties: tuple = ()                        # ((pattern, idx), ...)
+    additional_properties: Union[None, bool, int] = None
+    property_names: Optional[int] = None
+    dependent_required: dict = field(default_factory=dict)
+    dependent_schemas: dict = field(default_factory=dict)
+    dependencies: dict = field(default_factory=dict)      # name -> tuple | idx
+    unevaluated_properties: Optional[int] = None
+
+    # array
+    min_items: Optional[int] = None
+    max_items: Optional[int] = None
+    unique_items: bool = False
+    items_all: Optional[int] = None      # single-schema `items` (any draft)
+    items_tuple: Optional[tuple] = None  # tuple `items` (<=2019)
+    additional_items: Union[None, bool, int] = None
+    prefix_items: tuple = ()             # 2020
+    contains: Optional[int] = None
+    min_contains: Optional[int] = None
+    max_contains: Optional[int] = None
+    unevaluated_items: Optional[int] = None
+
+    # string
+    min_length: Optional[int] = None
+    max_length: Optional[int] = None
+    pattern: Optional[str] = None
+    content_encoding: Optional[str] = None
+    content_media_type: Optional[str] = None
+    content_schema: Optional[int] = None
+
+    # number
+    minimum: Optional[float] = None
+    maximum: Optional[float] = None
+    exclusive_minimum: Optional[float] = None
+    exclusive_maximum: Optional[float] = None
+    multiple_of: Optional[float] = None
+
+
+@dataclass
+class ResourceInfo:
+    """Runtime info for one schema resource ($id scope)."""
+
+    root_idx: int = -1
+    recursive_anchor: bool = False
+    dynamic_anchors: dict = field(default_factory=dict)  # name -> node idx
+
+
+@dataclass
+class CompiledSpec:
+    """Flat compiled schema registry; picklable, broadcast to workers."""
+
+    nodes: list = field(default_factory=list)
+    resources: list = field(default_factory=list)
+    root: int = 0
+    formats_enabled: bool = False
+    content_enabled: bool = False
+    custom_formats: dict = field(default_factory=dict)
+    has_uneval: bool = False  # any unevaluated* anywhere -> track annotations
+
+    def node(self, idx: int) -> SchemaNode:
+        return self.nodes[idx]
+
+
+# ------------------------------------------------------------------ roots
+
+@dataclass
+class _Resource:
+    ptr: str
+    url: str                      # absolute base URI of this resource
+    anchors: dict = field(default_factory=dict)          # name -> ptr
+    dynamic: dict = field(default_factory=dict)          # name -> ptr
+    recursive: bool = False
+
+
+@dataclass
+class _Root:
+    url: str
+    doc: Any
+    draft: int
+    resources: dict = field(default_factory=dict)        # ptr -> _Resource
+    vocabs: Optional[set] = None                         # None = all enabled
+
+    def resource_of(self, ptr: str) -> _Resource:
+        """Deepest resource whose ptr prefixes `ptr`."""
+        best = self.resources[""]
+        for rptr, res in self.resources.items():
+            if rptr and (ptr == rptr or ptr.startswith(rptr + "/")):
+                if len(rptr) > len(best.ptr):
+                    best = res
+        return best
+
+    def has_vocab(self, kw: str) -> bool:
+        if self.draft < DRAFT2019 or self.vocabs is None:
+            return True
+        v = KEYWORD_VOCAB.get(kw)
+        return v is None or v in self.vocabs
+
+
+def _split_fragment(url: str) -> tuple[str, Optional[str]]:
+    if "#" in url:
+        u, f = url.split("#", 1)
+        return u, urllib.parse.unquote(f)
+    return url, None
+
+
+# --------------------------------------------------------------- compiler
+
+class Compiler:
+    """Compile schema documents into a CompiledSpec.
+
+    Driver-side, once per job (SURVEY.md §2.2): ``add_resource`` seeds
+    documents (like Compiler::add_resource, compiler.rs:182-186), then
+    ``compile(loc)`` flattens the reachable subschema graph.
+    """
+
+    def __init__(
+        self,
+        default_draft: int = DRAFT2020,
+        formats_enabled: bool = False,
+        content_enabled: bool = False,
+    ):
+        if default_draft not in drafts.ALL_DRAFTS:
+            raise CompileError(f"unknown draft {default_draft}")
+        self.default_draft = default_draft
+        self.formats_enabled = formats_enabled
+        self.content_enabled = content_enabled
+        self.docs: dict[str, Any] = {}
+        self.roots: dict[str, _Root] = {}
+        self.res_by_url: dict[str, tuple[str, str]] = {}  # url -> (doc_url, ptr)
+        self.custom_formats: dict[str, Any] = {}
+
+    # -- registration -------------------------------------------------
+    def add_resource(self, url: str, doc: Any) -> None:
+        u, _ = _split_fragment(url)
+        self.docs[u] = doc
+
+    def register_format(self, name: str, fn) -> None:
+        """Custom format (compiler.rs:146-150); cannot override `regex`.
+
+        `fn` must be a module-level picklable callable value -> err|None.
+        """
+        if name == "regex":
+            raise CompileError("cannot override the 'regex' format")
+        self.custom_formats[name] = fn
+
+    # -- loading ------------------------------------------------------
+    def _load_doc(self, url: str) -> Any:
+        if url in self.docs:
+            return self.docs[url]
+        parsed = urllib.parse.urlparse(url)
+        if parsed.scheme == "file":
+            path = urllib.parse.unquote(parsed.path)
+            if os.path.exists(path):
+                with open(path) as f:
+                    doc = json.load(f)
+                self.docs[url] = doc
+                return doc
+        raise CompileError(f"unresolvable schema resource {url!r}")
+
+    def _detect_draft(self, doc: Any, seen: Optional[set] = None) -> int:
+        """Resolve the $schema chain with cycle detection
+        (loader.rs:140-174)."""
+        if not isinstance(doc, dict):
+            return self.default_draft
+        s = doc.get("$schema")
+        if not isinstance(s, str):
+            return self.default_draft
+        su, _ = _split_fragment(s)
+        if s in drafts.SCHEMA_URLS:
+            return drafts.SCHEMA_URLS[s]
+        if su in drafts.SCHEMA_URLS:
+            return drafts.SCHEMA_URLS[su]
+        seen = seen or set()
+        if su in seen:
+            raise CompileError(f"$schema cycle through {su!r}")
+        seen.add(su)
+        try:
+            meta = self._load_doc(su)
+        except CompileError:
+            return self.default_draft
+        return self._detect_draft(meta, seen)
+
+    def _root(self, url: str) -> _Root:
+        if url in self.roots:
+            return self.roots[url]
+        doc = self._load_doc(url)
+        dr = self._detect_draft(doc)
+        root = _Root(url=url, doc=doc, draft=dr)
+        root.resources[""] = _Resource(ptr="", url=url)
+        self.res_by_url.setdefault(url, (url, ""))
+        self._collect(root, doc, "", root.resources[""])
+        # custom metaschema vocabularies (draft.rs:202-235)
+        if dr >= DRAFT2019 and isinstance(doc, dict):
+            s = doc.get("$schema")
+            if isinstance(s, str):
+                su, _ = _split_fragment(s)
+                if su not in drafts.SCHEMA_URLS and su in self.docs:
+                    meta = self.docs[su]
+                    if isinstance(meta, dict) and isinstance(meta.get("$vocabulary"), dict):
+                        vocabs = set()
+                        for vurl, _req in meta["$vocabulary"].items():
+                            vocabs.add(vurl.rstrip("/").rsplit("/", 1)[-1])
+                        root.vocabs = vocabs
+        self.roots[url] = root
+        return root
+
+    def _collect(self, root: _Root, v: Any, ptr: str, res: _Resource) -> None:
+        """Walk subschema positions collecting $id resources and anchors
+        (draft.rs:300-385)."""
+        if not isinstance(v, dict):
+            return
+        dr = root.draft
+        idkw = drafts.id_keyword(dr)
+        idv = v.get(idkw)
+        if isinstance(idv, str) and idv:
+            if drafts.id_allows_fragment_anchor(dr) and idv.startswith("#"):
+                name = idv[1:]
+                if name in res.anchors:
+                    raise CompileError(
+                        f"duplicate anchor {name!r} in {res.url}", ptr)
+                res.anchors[name] = ptr
+            else:
+                base, frag = _split_fragment(
+                    urllib.parse.urljoin(res.url, idv))
+                if dr >= DRAFT2019 and frag:
+                    raise CompileError(
+                        f"$id must not carry a fragment: {idv!r}", ptr)
+                new_res = _Resource(ptr=ptr, url=base)
+                if frag:  # <=7: $id with url+fragment: anchor in new res
+                    new_res.anchors[frag] = ptr
+                root.resources[ptr] = new_res
+                if base in self.res_by_url and self.res_by_url[base] != (root.url, ptr):
+                    raise CompileError(f"duplicate $id {base!r}", ptr)
+                self.res_by_url[base] = (root.url, ptr)
+                res = new_res
+        if dr >= DRAFT2019:
+            a = v.get("$anchor")
+            if isinstance(a, str):
+                if a in res.anchors:
+                    raise CompileError(
+                        f"duplicate anchor {a!r} in {res.url}", ptr)
+                res.anchors[a] = ptr
+            if dr >= DRAFT2020:
+                da = v.get("$dynamicAnchor")
+                if isinstance(da, str):
+                    res.dynamic[da] = ptr
+                    res.anchors.setdefault(da, ptr)
+            if v.get("$recursiveAnchor") is True and ptr == res.ptr:
+                res.recursive = True
+
+        sub1, sublist, submap = drafts.subschema_positions(dr)
+        for kw, val in v.items():
+            kptr = ju.join_pointer(ptr, kw)
+            if kw in sub1 and isinstance(val, (dict, bool)):
+                self._collect(root, val, kptr, res)
+            elif kw == "items":
+                if isinstance(val, list) and dr <= DRAFT2019:
+                    for i, sv in enumerate(val):
+                        self._collect(root, sv, ju.join_pointer(kptr, i), res)
+                else:
+                    self._collect(root, val, kptr, res)
+            elif kw in sublist and isinstance(val, list):
+                for i, sv in enumerate(val):
+                    self._collect(root, sv, ju.join_pointer(kptr, i), res)
+            elif kw in submap and isinstance(val, dict):
+                for name, sv in val.items():
+                    self._collect(root, sv, ju.join_pointer(kptr, name), res)
+            elif kw == "dependencies" and isinstance(val, dict):
+                for name, sv in val.items():
+                    if isinstance(sv, (dict, bool)):
+                        self._collect(root, sv, ju.join_pointer(kptr, name), res)
+
+    # -- compile ------------------------------------------------------
+    def compile(self, loc: str, doc: Any = None) -> CompiledSpec:
+        """Compile the schema at `loc` ("url" or "url#/ptr" or
+        "url#anchor"); `doc` optionally registers the document first."""
+        if doc is not None:
+            self.add_resource(loc, doc)
+        url, frag = _split_fragment(loc)
+        root = self._root(url)
+        ptr = ""
+        if frag:
+            if frag.startswith("/") or frag == "":
+                ptr = frag
+            else:
+                res = root.resources[""]
+                if frag not in res.anchors:
+                    raise CompileError(f"anchor {frag!r} not found in {url}")
+                ptr = res.anchors[frag]
+
+        spec = CompiledSpec(
+            formats_enabled=self.formats_enabled,
+            content_enabled=self.content_enabled,
+            custom_formats=dict(self.custom_formats),
+        )
+        state = _CompileState(self, spec)
+        spec.root = state.enqueue(url, ptr)
+        state.run()
+        return spec
+
+
+class _CompileState:
+    """Worklist compile loop (compiler.rs:214-243, 937-985)."""
+
+    def __init__(self, compiler: Compiler, spec: CompiledSpec):
+        self.c = compiler
+        self.spec = spec
+        self.index: dict[tuple[str, str], int] = {}
+        self.queue: list[tuple[str, str]] = []
+        self.res_index: dict[tuple[str, str], int] = {}  # (doc_url, res_ptr) -> rid
+
+    def enqueue(self, doc_url: str, ptr: str) -> int:
+        key = (doc_url, ptr)
+        if key in self.index:
+            return self.index[key]
+        idx = len(self.spec.nodes)
+        self.index[key] = idx
+        self.spec.nodes.append(None)  # placeholder
+        self.queue.append(key)
+        return idx
+
+    def resource_id(self, root: _Root, res: _Resource) -> int:
+        key = (root.url, res.ptr)
+        if key in self.res_index:
+            return self.res_index[key]
+        rid = len(self.spec.resources)
+        self.res_index[key] = rid
+        info = ResourceInfo(recursive_anchor=res.recursive)
+        self.spec.resources.append(info)
+        info.root_idx = self.enqueue(root.url, res.ptr)
+        for name, aptr in res.dynamic.items():
+            info.dynamic_anchors[name] = self.enqueue(root.url, aptr)
+        return rid
+
+    def run(self) -> None:
+        while self.queue:
+            doc_url, ptr = self.queue.pop(0)
+            idx = self.index[(doc_url, ptr)]
+            root = self.c._root(doc_url)
+            try:
+                value = ju.pointer_lookup(root.doc, ptr)
+            except (KeyError, IndexError, ValueError):
+                raise CompileError(
+                    f"json pointer {ptr!r} not found in {doc_url}")
+            self.spec.nodes[idx] = self.compile_value(root, ptr, value, idx)
+
+    # .. ref resolution ..............................................
+    def resolve_ref(self, root: _Root, base_url: str, ref: str,
+                    at: str) -> tuple[str, str]:
+        """-> (doc_url, ptr) of the target location."""
+        absolute = urllib.parse.urljoin(base_url, ref)
+        url, frag = _split_fragment(absolute)
+        if url in self.c.res_by_url:
+            doc_url, res_ptr = self.c.res_by_url[url]
+        else:
+            try:
+                self.c._root(url)
+            except CompileError:
+                raise CompileError(f"unresolved $ref {ref!r}", at)
+            doc_url, res_ptr = url, ""
+        target_root = self.c._root(doc_url)
+        if frag is None or frag == "":
+            return doc_url, res_ptr
+        if frag.startswith("/"):
+            return doc_url, res_ptr + frag
+        res = target_root.resources.get(res_ptr)
+        if res is None or frag not in res.anchors:
+            raise CompileError(
+                f"anchor {frag!r} not found in {url}", at)
+        return doc_url, res.anchors[frag]
+
+    # .. keyword extraction ..........................................
+    def compile_value(self, root: _Root, ptr: str, v: Any,
+                      idx: int) -> SchemaNode:
+        loc = f"{root.url}#{ptr}"
+        node = SchemaNode(idx=idx, loc=loc, draft=root.draft)
+        res = root.resource_of(ptr)
+        node.res = self.resource_id(root, res)
+        if isinstance(v, bool):
+            node.boolean = v
+            return node
+        if not isinstance(v, dict):
+            raise CompileError(f"schema must be object or boolean", loc)
+
+        dr = root.draft
+        base_url = res.url
+
+        def sub(kw: str, value: Any = None, token: Any = None) -> int:
+            p = ju.join_pointer(ptr, kw)
+            if token is not None:
+                p = ju.join_pointer(p, token)
+            return self.enqueue(root.url, p)
+
+        def has(kw: str) -> bool:
+            return kw in v and root.has_vocab(kw)
+
+        def num(kw: str):
+            x = v[kw]
+            if isinstance(x, bool) or not isinstance(x, (int, float)):
+                raise CompileError(f"{kw} must be a number", loc)
+            return x
+
+        def nonneg_int(kw: str) -> int:
+            x = v[kw]
+            if isinstance(x, bool) or not isinstance(x, int) or x < 0:
+                raise CompileError(f"{kw} must be a non-negative integer", loc)
+            return x
+
+        # $ref ---------------------------------------------------------
+        if has("$ref") and isinstance(v["$ref"], str):
+            tgt = self.resolve_ref(root, base_url, v["$ref"], loc)
+            node.ref = self.enqueue(*tgt)
+            if dr < DRAFT2019:
+                # pre-2019 $ref short-circuits siblings
+                # (validator.rs:149-155, compiler.rs:349-355)
+                node.ref_exclusive = True
+                return node
+
+        if dr >= DRAFT2019 and has("$recursiveRef") and v["$recursiveRef"] == "#":
+            node.recursive_ref = self.enqueue(root.url, res.ptr)
+            node.recursive_anchor = res.recursive
+        if dr >= DRAFT2020 and has("$dynamicRef") and isinstance(v["$dynamicRef"], str):
+            tgt_doc, tgt_ptr = self.resolve_ref(root, base_url, v["$dynamicRef"], loc)
+            node.dynamic_ref = self.enqueue(tgt_doc, tgt_ptr)
+            _, frag = _split_fragment(
+                urllib.parse.urljoin(base_url, v["$dynamicRef"]))
+            if frag and not frag.startswith("/"):
+                # dynamic only if the lexical target resource declares a
+                # matching $dynamicAnchor (2020 spec; compiler.rs:601-619)
+                turl, tres_ptr = self.c.res_by_url.get(
+                    _split_fragment(urllib.parse.urljoin(base_url, v["$dynamicRef"]))[0],
+                    (tgt_doc, ""))
+                troot = self.c._root(turl)
+                tres = troot.resources.get(tres_ptr)
+                if tres is not None and frag in tres.dynamic:
+                    node.dynamic_ref_anchor = frag
+        if dr >= DRAFT2020 and has("$dynamicAnchor") and isinstance(v["$dynamicAnchor"], str):
+            node.dynamic_anchor = v["$dynamicAnchor"]
+
+        # type-agnostic ------------------------------------------------
+        if has("type"):
+            t = v["type"]
+            tl = [t] if isinstance(t, str) else t
+            if not isinstance(tl, list) or not all(
+                    isinstance(x, str) and x in ju.ALL_TYPES for x in tl):
+                raise CompileError(f"invalid type {t!r}", loc)
+            node.types = tuple(tl)
+        if has("enum"):
+            if not isinstance(v["enum"], list):
+                raise CompileError("enum must be an array", loc)
+            node.enum = v["enum"]
+            node.enum_scalar = all(
+                not isinstance(x, (dict, list)) for x in v["enum"])
+        if has("const"):
+            node.const_set = True
+            node.const = v["const"]
+        if has("format") and isinstance(v["format"], str):
+            node.format = v["format"]
+
+        # combinators --------------------------------------------------
+        for kw, attr in (("allOf", "all_of"), ("anyOf", "any_of"),
+                         ("oneOf", "one_of")):
+            if has(kw):
+                if not isinstance(v[kw], list) or not v[kw]:
+                    raise CompileError(f"{kw} must be a non-empty array", loc)
+                setattr(node, attr,
+                        tuple(sub(kw, token=i) for i in range(len(v[kw]))))
+        if has("not"):
+            node.not_ = sub("not")
+        if dr >= DRAFT7:
+            if has("if"):
+                # literal-bool `if` skips compiling the dead branch
+                # (compiler.rs:521-531)
+                ifv = v["if"]
+                node.if_ = sub("if")
+                if has("then") and ifv is not False:
+                    node.then_ = sub("then")
+                if has("else") and ifv is not True:
+                    node.else_ = sub("else")
+
+        # object -------------------------------------------------------
+        if has("minProperties"):
+            node.min_properties = nonneg_int("minProperties")
+        if has("maxProperties"):
+            node.max_properties = nonneg_int("maxProperties")
+        if has("required"):
+            r = v["required"]
+            if not isinstance(r, list) or not all(isinstance(x, str) for x in r):
+                raise CompileError("required must be an array of strings", loc)
+            node.required = tuple(r)
+        if has("properties") and isinstance(v["properties"], dict):
+            node.properties = {
+                name: sub("properties", token=name) for name in v["properties"]}
+        if has("patternProperties") and isinstance(v["patternProperties"], dict):
+            pp = []
+            for pat in v["patternProperties"]:
+                try:
+                    compile_ecma(pat)
+                except EcmaError as e:
+                    raise CompileError(str(e), loc)
+                pp.append((pat, sub("patternProperties", token=pat)))
+            node.pattern_properties = tuple(pp)
+        if has("additionalProperties"):
+            ap = v["additionalProperties"]
+            node.additional_properties = (
+                ap if isinstance(ap, bool) else sub("additionalProperties"))
+        if dr >= DRAFT6 and has("propertyNames"):
+            node.property_names = sub("propertyNames")
+        if dr <= DRAFT7 and has("dependencies") and isinstance(v["dependencies"], dict):
+            deps = {}
+            for name, d in v["dependencies"].items():
+                if isinstance(d, list):
+                    deps[name] = tuple(d)
+                else:
+                    deps[name] = sub("dependencies", token=name)
+            node.dependencies = deps
+        if dr >= DRAFT2019:
+            if has("dependentRequired") and isinstance(v["dependentRequired"], dict):
+                node.dependent_required = {
+                    k: tuple(x) for k, x in v["dependentRequired"].items()}
+            if has("dependentSchemas") and isinstance(v["dependentSchemas"], dict):
+                node.dependent_schemas = {
+                    name: sub("dependentSchemas", token=name)
+                    for name in v["dependentSchemas"]}
+            if has("unevaluatedProperties"):
+                node.unevaluated_properties = sub("unevaluatedProperties")
+                self.spec.has_uneval = True
+            if has("unevaluatedItems"):
+                node.unevaluated_items = sub("unevaluatedItems")
+                self.spec.has_uneval = True
+
+        # array --------------------------------------------------------
+        if has("minItems"):
+            node.min_items = nonneg_int("minItems")
+        if has("maxItems"):
+            node.max_items = nonneg_int("maxItems")
+        if has("uniqueItems"):
+            node.unique_items = v["uniqueItems"] is True
+        if has("items"):
+            it = v["items"]
+            if isinstance(it, list) and dr <= DRAFT2019:
+                node.items_tuple = tuple(
+                    sub("items", token=i) for i in range(len(it)))
+                if has("additionalItems"):
+                    ai = v["additionalItems"]
+                    node.additional_items = (
+                        ai if isinstance(ai, bool) else sub("additionalItems"))
+            elif isinstance(it, list):
+                raise CompileError("array-form items invalid in 2020-12", loc)
+            else:
+                node.items_all = sub("items")
+        if dr >= DRAFT2020 and has("prefixItems"):
+            if not isinstance(v["prefixItems"], list):
+                raise CompileError("prefixItems must be an array", loc)
+            node.prefix_items = tuple(
+                sub("prefixItems", token=i) for i in range(len(v["prefixItems"])))
+        if dr >= DRAFT6 and has("contains"):
+            node.contains = sub("contains")
+            if dr >= DRAFT2019:
+                if has("minContains"):
+                    node.min_contains = nonneg_int("minContains")
+                if has("maxContains"):
+                    node.max_contains = nonneg_int("maxContains")
+
+        # string -------------------------------------------------------
+        if has("minLength"):
+            node.min_length = nonneg_int("minLength")
+        if has("maxLength"):
+            node.max_length = nonneg_int("maxLength")
+        if has("pattern"):
+            if not isinstance(v["pattern"], str):
+                raise CompileError("pattern must be a string", loc)
+            try:
+                compile_ecma(v["pattern"])
+            except EcmaError as e:
+                raise CompileError(str(e), loc)
+            node.pattern = v["pattern"]
+        if dr >= DRAFT7:
+            if has("contentEncoding") and isinstance(v["contentEncoding"], str):
+                node.content_encoding = v["contentEncoding"]
+            if has("contentMediaType") and isinstance(v["contentMediaType"], str):
+                node.content_media_type = v["contentMediaType"]
+            if dr >= DRAFT2019 and has("contentSchema") and node.content_media_type:
+                node.content_schema = sub("contentSchema")
+
+        # number -------------------------------------------------------
+        if has("multipleOf"):
+            m = num("multipleOf")
+            if m <= 0:
+                raise CompileError("multipleOf must be > 0", loc)
+            node.multiple_of = float(m)
+        if dr == DRAFT4:
+            # boolean-form exclusive bounds normalized at compile
+            # (compiler.rs:449-465)
+            if has("minimum"):
+                mn = float(num("minimum"))
+                if v.get("exclusiveMinimum") is True:
+                    node.exclusive_minimum = mn
+                else:
+                    node.minimum = mn
+            if has("maximum"):
+                mx = float(num("maximum"))
+                if v.get("exclusiveMaximum") is True:
+                    node.exclusive_maximum = mx
+                else:
+                    node.maximum = mx
+        else:
+            if has("minimum"):
+                node.minimum = float(num("minimum"))
+            if has("maximum"):
+                node.maximum = float(num("maximum"))
+            if has("exclusiveMinimum"):
+                node.exclusive_minimum = float(num("exclusiveMinimum"))
+            if has("exclusiveMaximum"):
+                node.exclusive_maximum = float(num("exclusiveMaximum"))
+
+        return node
+
+
+def compile_schema(
+    schema: Any,
+    default_draft: int = DRAFT2020,
+    resources: Optional[dict[str, Any]] = None,
+    formats_enabled: bool = False,
+    content_enabled: bool = False,
+    url: str = "http://boon-ray.local/schema.json",
+) -> CompiledSpec:
+    """One-call convenience: compile an in-memory schema document."""
+    c = Compiler(default_draft=default_draft,
+                 formats_enabled=formats_enabled,
+                 content_enabled=content_enabled)
+    for u, doc in (resources or {}).items():
+        c.add_resource(u, doc)
+    return c.compile(url, schema)

@@ -1,0 +1,135 @@
+"""Per-draft keyword tables and dialect detection.
+
+Mirrors the reference's draft model (/root/reference/src/draft.rs:16-117):
+drafts 4 / 6 / 7 / 2019-09 / 2020-12 differ in which keywords exist,
+where subschemas live (for resource/anchor collection and compilation),
+how ``$id`` / anchors are spelled, and whether ``$ref`` short-circuits
+sibling keywords (pre-2019 it does, validator.rs:149-155).
+"""
+
+from __future__ import annotations
+
+DRAFT4 = 4
+DRAFT6 = 6
+DRAFT7 = 7
+DRAFT2019 = 2019
+DRAFT2020 = 2020
+
+ALL_DRAFTS = (DRAFT4, DRAFT6, DRAFT7, DRAFT2019, DRAFT2020)
+LATEST = DRAFT2020
+
+# $schema URL -> draft number (with and without trailing '#')
+SCHEMA_URLS: dict[str, int] = {}
+for _url, _d in [
+    ("http://json-schema.org/draft-04/schema", DRAFT4),
+    ("http://json-schema.org/draft-06/schema", DRAFT6),
+    ("http://json-schema.org/draft-07/schema", DRAFT7),
+    ("https://json-schema.org/draft/2019-09/schema", DRAFT2019),
+    ("https://json-schema.org/draft/2020-12/schema", DRAFT2020),
+]:
+    SCHEMA_URLS[_url] = _d
+    SCHEMA_URLS[_url + "#"] = _d
+
+META_URLS: dict[int, str] = {
+    DRAFT4: "http://json-schema.org/draft-04/schema",
+    DRAFT6: "http://json-schema.org/draft-06/schema",
+    DRAFT7: "http://json-schema.org/draft-07/schema",
+    DRAFT2019: "https://json-schema.org/draft/2019-09/schema",
+    DRAFT2020: "https://json-schema.org/draft/2020-12/schema",
+}
+
+
+def id_keyword(draft: int) -> str:
+    """draft-4 spells ``$id`` as ``id`` (draft.rs:16-40)."""
+    return "id" if draft == DRAFT4 else "$id"
+
+
+def id_allows_fragment_anchor(draft: int) -> bool:
+    """Pre-2019, ``$id: "#name"`` defines an anchor; 2019+ forbids
+    fragments in ``$id`` (anchors move to ``$anchor``)."""
+    return draft <= DRAFT7
+
+
+# --- subschema positions, per draft ---------------------------------
+# value IS a schema
+_SUB_SCHEMA_4 = {
+    "additionalProperties", "additionalItems", "not",
+}
+_SUB_SCHEMA_6 = _SUB_SCHEMA_4 | {"propertyNames", "contains"}
+_SUB_SCHEMA_7 = _SUB_SCHEMA_6 | {"if", "then", "else"}
+_SUB_SCHEMA_2019 = _SUB_SCHEMA_7 | {
+    "unevaluatedProperties", "unevaluatedItems", "contentSchema",
+}
+_SUB_SCHEMA_2020 = _SUB_SCHEMA_2019
+
+# value is a schema OR an array of schemas (the `items` dual form <=2019)
+_SUB_SCHEMA_OR_LIST = {"items"}
+
+# value is an array of schemas
+_SUB_LIST_4 = {"allOf", "anyOf", "oneOf"}
+_SUB_LIST_2020 = _SUB_LIST_4 | {"prefixItems"}
+
+# value is a map name -> schema
+_SUB_MAP_4 = {"definitions", "properties", "patternProperties"}
+_SUB_MAP_2019 = _SUB_MAP_4 | {"$defs", "dependentSchemas"}
+
+# `dependencies` entries may be schemas (schema-valued) or string arrays
+
+
+def subschema_positions(draft: int) -> tuple[set, set, set]:
+    """(schema-valued, list-of-schema-valued, map-of-schema-valued)."""
+    if draft == DRAFT4:
+        return _SUB_SCHEMA_4, _SUB_LIST_4, _SUB_MAP_4
+    if draft == DRAFT6:
+        return _SUB_SCHEMA_6, _SUB_LIST_4, _SUB_MAP_4
+    if draft == DRAFT7:
+        return _SUB_SCHEMA_7, _SUB_LIST_4, _SUB_MAP_4
+    if draft == DRAFT2019:
+        return _SUB_SCHEMA_2019, _SUB_LIST_4, _SUB_MAP_2019
+    return _SUB_SCHEMA_2020, _SUB_LIST_2020, _SUB_MAP_2019
+
+
+# --- vocabulary gating (2019+) --------------------------------------
+# keyword -> vocabulary suffix; a 2019+ metaschema with $vocabulary may
+# disable groups of keywords (draft.rs:202-235, root.rs:16-24).
+VOCAB_APPLICATOR = "applicator"
+VOCAB_VALIDATION = "validation"
+VOCAB_UNEVALUATED = "unevaluated"  # 2020 splits unevaluated out
+VOCAB_FORMAT = "format-annotation"
+VOCAB_CONTENT = "content"
+
+KEYWORD_VOCAB = {
+    **{k: VOCAB_APPLICATOR for k in (
+        "properties", "patternProperties", "additionalProperties",
+        "propertyNames", "dependentSchemas", "items", "prefixItems",
+        "additionalItems", "contains", "allOf", "anyOf", "oneOf",
+        "not", "if", "then", "else",
+    )},
+    **{k: VOCAB_VALIDATION for k in (
+        "type", "enum", "const", "multipleOf", "maximum",
+        "exclusiveMaximum", "minimum", "exclusiveMinimum", "maxLength",
+        "minLength", "pattern", "maxItems", "minItems", "uniqueItems",
+        "maxContains", "minContains", "maxProperties", "minProperties",
+        "required", "dependentRequired",
+    )},
+    "unevaluatedProperties": VOCAB_UNEVALUATED,
+    "unevaluatedItems": VOCAB_UNEVALUATED,
+    "format": VOCAB_FORMAT,
+    "contentEncoding": VOCAB_CONTENT,
+    "contentMediaType": VOCAB_CONTENT,
+    "contentSchema": VOCAB_CONTENT,
+}
+
+
+def detect_draft(doc, default: int) -> int:
+    """Draft from a document's ``$schema`` (loader.rs:140-174).
+
+    Unknown ``$schema`` URLs fall back to the default (custom
+    metaschema chains are resolved by the Compiler which can load the
+    metaschema document; this helper only handles the well-known URLs).
+    """
+    if isinstance(doc, dict):
+        s = doc.get("$schema")
+        if isinstance(s, str) and s in SCHEMA_URLS:
+            return SCHEMA_URLS[s]
+    return default

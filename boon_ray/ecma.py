@@ -1,0 +1,119 @@
+"""ECMA-262 regex dialect -> Python ``re`` translation.
+
+The JSON Schema spec requires ECMA-262 regex semantics for ``pattern`` /
+``patternProperties`` / ``format: regex``. The reference translates the
+dialect to its host engine (/root/reference/src/ecma.rs:8-153); we do the
+same for Python ``re``:
+
+- ``\\d``/``\\D``/``\\w``/``\\W``/``\\s``/``\\S`` become explicit ASCII /
+  ECMA whitespace classes (Python's are Unicode-aware by default).
+- ``\\cX`` control escapes become the corresponding control character.
+- ``\\a`` is rejected (not a valid ECMA escape; Python would accept it).
+- an unescaped ``$`` outside a character class becomes ``\\Z`` (ECMA ``$``
+  without the m flag matches only at end of input; Python's ``$`` also
+  matches before a trailing newline).
+
+``pattern`` uses unanchored *search* semantics (validator.rs:470-474).
+"""
+
+from __future__ import annotations
+
+import re
+
+# ECMA \s: WhiteSpace + LineTerminator productions.
+_ECMA_SPACE = "\\t\\n\\x0b\\f\\r \\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff"
+
+_CLASS_MAP = {
+    "d": "[0-9]",
+    "D": "[^0-9]",
+    "w": "[A-Za-z0-9_]",
+    "W": "[^A-Za-z0-9_]",
+    "s": f"[{_ECMA_SPACE}]",
+    "S": f"[^{_ECMA_SPACE}]",
+}
+
+_CLASS_MAP_IN_CLASS = {
+    "d": "0-9",
+    "w": "A-Za-z0-9_",
+    "s": _ECMA_SPACE,
+}
+
+# escapes valid in ECMA that pass through unchanged to Python
+_PASSTHROUGH = set("^$\\.*+?()[]{}|/bBnrtvf0123456789xukpPA" "Z")
+
+
+class EcmaError(ValueError):
+    """Raised for a regex invalid under the ECMA dialect."""
+
+
+def convert(pattern: str) -> str:
+    """Translate an ECMA-262 pattern into Python ``re`` syntax."""
+    out: list[str] = []
+    i = 0
+    n = len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            if i + 1 >= n:
+                raise EcmaError(f"dangling backslash in {pattern!r}")
+            e = pattern[i + 1]
+            if e == "c":
+                # \cX control escape -> literal control char
+                if i + 2 >= n or not pattern[i + 2].isalpha():
+                    raise EcmaError(f"invalid \\c escape in {pattern!r}")
+                ctrl = chr(ord(pattern[i + 2].upper()) - ord("A") + 1)
+                out.append(re.escape(ctrl))
+                i += 3
+                continue
+            if e == "a":
+                # ECMA has no \a (bell); reject like the reference does
+                raise EcmaError(f"invalid escape \\a in {pattern!r}")
+            if e in _CLASS_MAP:
+                if in_class:
+                    if e in _CLASS_MAP_IN_CLASS:
+                        out.append(_CLASS_MAP_IN_CLASS[e])
+                    else:
+                        # negated class inside a class can't be expanded
+                        out.append("\\" + e)
+                else:
+                    out.append(_CLASS_MAP[e])
+                i += 2
+                continue
+            out.append("\\" + e)
+            i += 2
+            continue
+        if c == "[" and not in_class:
+            in_class = True
+            out.append(c)
+            # leading ^ / ] handled naturally by the scanner below
+            i += 1
+            continue
+        if c == "]" and in_class:
+            in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "$" and not in_class:
+            out.append(r"\Z")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def compile_ecma(pattern: str) -> re.Pattern:
+    """Convert + compile; raises EcmaError on an invalid pattern."""
+    try:
+        return re.compile(convert(pattern))
+    except re.error as e:
+        raise EcmaError(f"invalid regex {pattern!r}: {e}") from e
+
+
+def is_valid_ecma(pattern: str) -> bool:
+    try:
+        compile_ecma(pattern)
+        return True
+    except EcmaError:
+        return False

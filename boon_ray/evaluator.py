@@ -1,0 +1,616 @@
+"""Per-document recursive schema evaluator.
+
+Mirrors the reference's validation engine
+(/root/reference/src/validator.rs:95-185): keywords are applied in the
+same order (boolean-schema -> cycle-check -> type -> const -> enum ->
+format -> $ref -> type-specific -> dynamic refs / conditionals /
+combinators -> unevaluated*), with:
+
+- ref-cycle detection producing a *validation error*, not a hang
+  (validator.rs:107-115, 999-1011),
+- annotation ("evaluated") tracking for unevaluatedProperties/Items
+  merged across $ref / allOf / anyOf / oneOf / if-then-else siblings —
+  only successful branches contribute (validator.rs:930-968; anyOf must
+  scan all branches while tracking, validator.rs:697-700),
+- dynamic-scope resolution for $recursiveRef / $dynamicRef
+  (validator.rs:619-652),
+- numeric semantics: whole floats are integers, 2 == 2.0 in
+  const/enum/uniqueItems (util.rs:300-307, 348-388),
+- char-count string lengths (validator.rs:454-467).
+
+Mutable state is strictly per-document (scope chain, location stack,
+evaluated sets, error list — validator.rs:83-92), which is what makes
+per-row evaluation embarrassingly parallel inside map_batches actors.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import json
+import math as _math
+import re
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from boon_ray import json_util as ju
+from boon_ray.compiler import CompiledSpec, SchemaNode
+from boon_ray.draft import DRAFT2019, DRAFT2020
+from boon_ray.ecma import compile_ecma
+from boon_ray.formats import FORMATS
+
+# process-level regex cache: CompiledSpec ships pattern strings; each
+# worker compiles once (SURVEY.md §2.2 "regexes re-compiled lazily per
+# worker")
+_REGEX_CACHE: dict[str, re.Pattern] = {}
+
+
+def _regex(pattern: str) -> re.Pattern:
+    r = _REGEX_CACHE.get(pattern)
+    if r is None:
+        r = compile_ecma(pattern)
+        _REGEX_CACHE[pattern] = r
+    return r
+
+
+@dataclass
+class Unit:
+    """One node of the error tree (≈ boon's ErrorKind + locations;
+    output.rs:38-86 'output unit' shape)."""
+
+    keyword: str          # keyword token(s), e.g. "type", "properties/foo"
+    abs_loc: str          # absoluteKeywordLocation
+    inst_loc: str         # instanceLocation (JSON Pointer)
+    error: str
+    children: list = field(default_factory=list)
+
+
+class ValidationError(Exception):
+    """Validation failure carrying the full error tree."""
+
+    def __init__(self, unit: Unit):
+        self.unit = unit
+        super().__init__(self._summary(unit))
+
+    @staticmethod
+    def _summary(unit: Unit) -> str:
+        leaves = []
+
+        def walk(u: Unit, depth: int = 0):
+            if u.error and not u.children:
+                leaves.append(f"at {u.inst_loc or '/'}: {u.error}")
+            for c in u.children:
+                walk(c, depth + 1)
+
+        walk(unit)
+        head = "validation failed"
+        return head + (": " + "; ".join(leaves[:5]) if leaves else "")
+
+    def flag_output(self) -> dict:
+        """{"valid": false} (output.rs:33-35)."""
+        return {"valid": False}
+
+    def basic_output(self) -> dict:
+        """Flat list of output units (output.rs:38-86)."""
+        units = []
+
+        def walk(u: Unit, kw_prefix: str):
+            kw = kw_prefix
+            if u.keyword:
+                kw = kw_prefix + "/" + u.keyword
+            entry = {
+                "valid": False,
+                "keywordLocation": kw,
+                "absoluteKeywordLocation": u.abs_loc,
+                "instanceLocation": u.inst_loc,
+            }
+            if u.error:
+                entry["error"] = u.error
+            units.append(entry)
+            for c in u.children:
+                walk(c, kw)
+
+        for c in self.unit.children:
+            walk(c, "")
+        return {"valid": False, "errors": units}
+
+    def detailed_output(self) -> dict:
+        """Hierarchical output tree (output.rs:89-137)."""
+
+        def conv(u: Unit, kw_prefix: str) -> dict:
+            kw = kw_prefix + ("/" + u.keyword if u.keyword else "")
+            d = {
+                "valid": False,
+                "keywordLocation": kw,
+                "absoluteKeywordLocation": u.abs_loc,
+                "instanceLocation": u.inst_loc,
+            }
+            if u.error and not u.children:
+                d["error"] = u.error
+            if u.children:
+                d["errors"] = [conv(c, kw) for c in u.children]
+            return d
+
+        return conv(self.unit, "")
+
+
+class _Evaluated:
+    """Annotation state for unevaluatedProperties/Items
+    (boon's Uneval, validator.rs:930-968, inverted: we track the
+    *evaluated* set; merging successful branches = set union)."""
+
+    __slots__ = ("props", "items", "all_props", "all_items")
+
+    def __init__(self):
+        self.props: set = set()
+        self.items: set = set()
+        self.all_props = False
+        self.all_items = False
+
+    def merge(self, other: "_Evaluated") -> None:
+        self.props |= other.props
+        self.items |= other.items
+        self.all_props |= other.all_props
+        self.all_items |= other.all_items
+
+
+_EMPTY_EV = _Evaluated()
+
+
+class Evaluator:
+    """Evaluate documents against one CompiledSpec. Stateless between
+    calls; safe to share within a worker process."""
+
+    def __init__(self, spec: CompiledSpec):
+        self.spec = spec
+
+    # public ----------------------------------------------------------
+    def validate(self, value: Any, idx: Optional[int] = None) -> None:
+        errs = self.errors(value, idx)
+        if errs is not None:
+            raise ValidationError(errs)
+
+    def is_valid(self, value: Any, idx: Optional[int] = None) -> bool:
+        return self.errors(value, idx) is None
+
+    def errors(self, value: Any, idx: Optional[int] = None) -> Optional[Unit]:
+        root = self.spec.root if idx is None else idx
+        errs, _ = self._eval(root, value, "", ())
+        if not errs:
+            return None
+        node = self.spec.node(root)
+        return Unit("", node.loc, "", "validation failed", errs)
+
+    # core ------------------------------------------------------------
+    def _eval(self, idx: int, v: Any, vloc: str,
+              scope: tuple) -> tuple[list, _Evaluated]:
+        spec = self.spec
+        node: SchemaNode = spec.node(idx)
+        ev = _Evaluated()
+
+        def err(kw: str, msg: str, children: list = ()) -> Unit:
+            return Unit(kw, f"{node.loc}/{kw}" if kw else node.loc,
+                        vloc, msg, list(children))
+
+        # boolean schema (validator.rs:100-105)
+        if node.boolean is not None:
+            if node.boolean:
+                return [], ev
+            return [err("", "false schema never matches")], ev
+
+        # ref-cycle guard (validator.rs:107-115)
+        key = (idx, vloc)
+        if key in scope:
+            return [err("", f"infinite loop: schema {node.loc} revisited "
+                            f"for the same value")], ev
+        scope = scope + (key,)
+
+        errs: list = []
+
+        def apply_inplace(child_idx: int, kw: str) -> tuple[bool, _Evaluated]:
+            """Apply a subschema to the SAME value (boon's
+            _validate_self, validator.rs:814-843). Returns (ok, child_ev);
+            on failure appends a wrapped error unit."""
+            cerrs, cev = self._eval(child_idx, v, vloc, scope)
+            if cerrs:
+                errs.append(err(kw, "subschema failed", cerrs))
+                return False, cev
+            return True, cev
+
+        def eval_child(child_idx: int, cv: Any, token: Any,
+                       kw: str) -> bool:
+            """Apply a subschema to a CHILD value (boon's validate_val,
+            validator.rs:787-812)."""
+            cloc = ju.join_pointer(vloc, token)
+            cerrs, _ = self._eval(child_idx, cv, cloc, scope)
+            if cerrs:
+                u = Unit(kw, f"{node.loc}/{kw}", cloc, "", cerrs)
+                errs.append(u)
+                return False
+            return True
+
+        # type (validator.rs:117-125)
+        if node.types is not None:
+            if not any(ju.matches_type(v, t) for t in node.types):
+                want = " or ".join(node.types)
+                errs.append(err("type", f"want {want}, got {ju.type_of(v)}"))
+
+        # const (validator.rs:127-132)
+        if node.const_set and not ju.equals(v, node.const):
+            errs.append(err("const", f"value must be {json.dumps(node.const)}"))
+
+        # enum (validator.rs:134-139) with scalar fast path
+        if node.enum is not None:
+            if not any(ju.equals(v, e) for e in node.enum):
+                errs.append(err("enum", "value not in enum"))
+
+        # format (validator.rs:141-146; non-strings pass inside the fn)
+        if node.format is not None and spec.formats_enabled:
+            fn = spec.custom_formats.get(node.format) or FORMATS.get(node.format)
+            if fn is not None:
+                m = fn(v)
+                if m is not None:
+                    errs.append(err(
+                        "format", f"{json.dumps(v) if isinstance(v, str) else v!r}"
+                                  f" is not a valid {node.format}: {m}"))
+
+        # $ref (validator.rs:149-155); pre-2019 short-circuits siblings
+        if node.ref is not None:
+            ok, cev = apply_inplace(node.ref, "$ref")
+            if ok:
+                ev.merge(cev)
+            if node.ref_exclusive:
+                return errs, ev
+
+        # $recursiveRef (validator.rs:579-584, 619-634)
+        if node.recursive_ref is not None:
+            target = node.recursive_ref
+            if node.recursive_anchor:
+                for sidx, _ in scope:
+                    sres = spec.resources[spec.node(sidx).res]
+                    if sres.recursive_anchor:
+                        target = sres.root_idx
+                        break
+            ok, cev = apply_inplace(target, "$recursiveRef")
+            if ok:
+                ev.merge(cev)
+
+        # $dynamicRef (validator.rs:587-598, 636-652)
+        if node.dynamic_ref is not None:
+            target = node.dynamic_ref
+            name = node.dynamic_ref_anchor
+            if name is not None:
+                for sidx, _ in scope:
+                    sres = spec.resources[spec.node(sidx).res]
+                    hit = sres.dynamic_anchors.get(name)
+                    if hit is not None:
+                        target = hit
+                        break
+            ok, cev = apply_inplace(target, "$dynamicRef")
+            if ok:
+                ev.merge(cev)
+
+        t = ju.type_of(v)
+
+        # object keywords (validator.rs:188-331)
+        if t == ju.TYPE_OBJECT:
+            n = len(v)
+            if node.min_properties is not None and n < node.min_properties:
+                errs.append(err("minProperties",
+                                f"minimum {node.min_properties} properties "
+                                f"required, got {n}"))
+            if node.max_properties is not None and n > node.max_properties:
+                errs.append(err("maxProperties",
+                                f"maximum {node.max_properties} properties "
+                                f"allowed, got {n}"))
+            if node.required:
+                missing = [k for k in node.required if k not in v]
+                if missing:
+                    errs.append(err(
+                        "required",
+                        f"missing properties {', '.join(map(repr, missing))}"))
+            for name, deps in node.dependencies.items():
+                if name in v:
+                    if isinstance(deps, tuple):
+                        missing = [k for k in deps if k not in v]
+                        if missing:
+                            errs.append(err(
+                                f"dependencies/{name}",
+                                f"properties {', '.join(map(repr, missing))} "
+                                f"required when {name!r} is present"))
+                    else:
+                        ok, cev = apply_inplace(deps, f"dependencies/{name}")
+                        if ok:
+                            ev.merge(cev)
+            for name, req in node.dependent_required.items():
+                if name in v:
+                    missing = [k for k in req if k not in v]
+                    if missing:
+                        errs.append(err(
+                            f"dependentRequired/{name}",
+                            f"properties {', '.join(map(repr, missing))} "
+                            f"required when {name!r} is present"))
+            for name, didx in node.dependent_schemas.items():
+                if name in v:
+                    ok, cev = apply_inplace(didx, f"dependentSchemas/{name}")
+                    if ok:
+                        ev.merge(cev)
+            if node.properties:
+                for k, pidx in node.properties.items():
+                    if k in v:
+                        ev.props.add(k)
+                        eval_child(pidx, v[k], k,
+                                   f"properties/{ju.escape_pointer_token(k)}")
+            covered: set = set()
+            if node.properties:
+                covered.update(k for k in v if k in node.properties)
+            if node.pattern_properties:
+                for pat, pidx in node.pattern_properties:
+                    r = _regex(pat)
+                    for k in v:
+                        if r.search(k):
+                            ev.props.add(k)
+                            covered.add(k)
+                            eval_child(
+                                pidx, v[k], k,
+                                f"patternProperties/{ju.escape_pointer_token(pat)}")
+            if node.additional_properties is not None:
+                # applies to keys not named in properties and not matched
+                # by patternProperties of THIS schema (validator.rs:262-284)
+                extra = [k for k in v if k not in covered]
+                if node.additional_properties is False:
+                    if extra:
+                        errs.append(err(
+                            "additionalProperties",
+                            f"additional properties "
+                            f"{', '.join(map(repr, extra))} not allowed"))
+                elif node.additional_properties is True:
+                    pass
+                else:
+                    for k in extra:
+                        eval_child(node.additional_properties, v[k], k,
+                                   "additionalProperties")
+                ev.all_props = True
+            if node.property_names is not None:
+                for k in v:
+                    cerrs, _ = self._eval(node.property_names, k,
+                                          vloc, scope)
+                    if cerrs:
+                        errs.append(Unit(
+                            "propertyNames", f"{node.loc}/propertyNames",
+                            ju.join_pointer(vloc, k),
+                            f"property name {k!r} invalid", cerrs))
+
+        # array keywords (validator.rs:333-447)
+        elif t == ju.TYPE_ARRAY:
+            n = len(v)
+            if node.min_items is not None and n < node.min_items:
+                errs.append(err("minItems",
+                                f"minimum {node.min_items} items required, "
+                                f"got {n}"))
+            if node.max_items is not None and n > node.max_items:
+                errs.append(err("maxItems",
+                                f"maximum {node.max_items} items allowed, "
+                                f"got {n}"))
+            if node.unique_items:
+                dup = ju.find_duplicate(v)
+                if dup is not None:
+                    errs.append(err(
+                        "uniqueItems",
+                        f"items at {dup[0]} and {dup[1]} are equal"))
+            if node.items_tuple is not None:
+                npre = len(node.items_tuple)
+                for i, iidx in enumerate(node.items_tuple):
+                    if i < n:
+                        ev.items.add(i)
+                        eval_child(iidx, v[i], i, f"items/{i}")
+                if node.additional_items is not None:
+                    if n > npre:
+                        if node.additional_items is False:
+                            errs.append(err(
+                                "additionalItems",
+                                f"only {npre} items allowed, got {n}"))
+                        elif node.additional_items is not True:
+                            for i in range(npre, n):
+                                eval_child(node.additional_items, v[i], i,
+                                           "additionalItems")
+                    ev.all_items = True
+            elif node.items_all is not None and node.draft < DRAFT2020:
+                for i, item in enumerate(v):
+                    eval_child(node.items_all, item, i, "items")
+                ev.all_items = True
+            if node.prefix_items:
+                for i, iidx in enumerate(node.prefix_items):
+                    if i < n:
+                        ev.items.add(i)
+                        eval_child(iidx, v[i], i, f"prefixItems/{i}")
+            if node.items_all is not None and node.draft >= DRAFT2020:
+                start = len(node.prefix_items)
+                for i in range(start, n):
+                    eval_child(node.items_all, v[i], i, "items")
+                ev.all_items = True
+            if node.contains is not None:
+                matched = []
+                for i, item in enumerate(v):
+                    cerrs, _ = self._eval(node.contains, item,
+                                          ju.join_pointer(vloc, i), scope)
+                    if not cerrs:
+                        matched.append(i)
+                if node.draft >= DRAFT2020:
+                    ev.items.update(matched)
+                mn = node.min_contains if node.min_contains is not None else 1
+                if len(matched) < mn:
+                    errs.append(err(
+                        "contains" if node.min_contains is None
+                        else "minContains",
+                        f"minimum {mn} items required to match contains "
+                        f"schema, got {len(matched)}"))
+                if node.max_contains is not None and len(matched) > node.max_contains:
+                    errs.append(err(
+                        "maxContains",
+                        f"maximum {node.max_contains} items allowed to match "
+                        f"contains schema, got {len(matched)}"))
+
+        # string keywords (validator.rs:449-514)
+        elif t == ju.TYPE_STRING:
+            if node.min_length is not None or node.max_length is not None:
+                n = len(v)  # Python str len = Unicode scalar count
+                if node.min_length is not None and n < node.min_length:
+                    errs.append(err("minLength",
+                                    f"minimum {node.min_length} characters "
+                                    f"required, got {n}"))
+                if node.max_length is not None and n > node.max_length:
+                    errs.append(err("maxLength",
+                                    f"maximum {node.max_length} characters "
+                                    f"allowed, got {n}"))
+            if node.pattern is not None:
+                if not _regex(node.pattern).search(v):
+                    errs.append(err("pattern",
+                                    f"{v!r} does not match pattern "
+                                    f"{node.pattern!r}"))
+            if spec.content_enabled:
+                decoded: Any = v
+                decode_ok = True
+                if node.content_encoding is not None:
+                    if node.content_encoding == "base64":
+                        try:
+                            decoded = base64.b64decode(v, validate=True)
+                        except (binascii.Error, ValueError):
+                            decode_ok = False
+                            errs.append(err(
+                                "contentEncoding",
+                                f"value is not valid base64"))
+                if decode_ok and node.content_media_type is not None:
+                    if node.content_media_type == "application/json":
+                        raw = decoded if isinstance(decoded, (str, bytes)) else v
+                        try:
+                            parsed = json.loads(raw)
+                        except (ValueError, UnicodeDecodeError):
+                            parsed = None
+                            errs.append(err(
+                                "contentMediaType",
+                                "value is not valid application/json"))
+                        else:
+                            if node.content_schema is not None:
+                                cerrs, _ = self._eval(
+                                    node.content_schema, parsed, vloc, scope)
+                                if cerrs:
+                                    errs.append(err("contentSchema",
+                                                    "content does not match "
+                                                    "contentSchema", cerrs))
+
+        # number keywords (validator.rs:516-563); f64 comparisons
+        elif t in (ju.TYPE_NUMBER, ju.TYPE_INTEGER):
+            try:
+                f = float(v)
+            except OverflowError:
+                f = float("inf") if v > 0 else float("-inf")
+            if node.minimum is not None and f < node.minimum:
+                errs.append(err("minimum",
+                                f"must be >= {node.minimum}, got {v}"))
+            if node.maximum is not None and f > node.maximum:
+                errs.append(err("maximum",
+                                f"must be <= {node.maximum}, got {v}"))
+            if node.exclusive_minimum is not None and f <= node.exclusive_minimum:
+                errs.append(err("exclusiveMinimum",
+                                f"must be > {node.exclusive_minimum}, got {v}"))
+            if node.exclusive_maximum is not None and f >= node.exclusive_maximum:
+                errs.append(err("exclusiveMaximum",
+                                f"must be < {node.exclusive_maximum}, got {v}"))
+            if node.multiple_of is not None:
+                # f64 fract semantics (validator.rs:556-563): quotient
+                # must be a whole number; huge quotients have no
+                # fractional part in f64 and therefore pass
+                q = f / node.multiple_of
+                if _math.isfinite(q) and q != _math.floor(q):
+                    errs.append(err("multipleOf",
+                                    f"{v} is not a multiple of "
+                                    f"{node.multiple_of}"))
+
+        # combinators (validator.rs:667-744)
+        if node.not_ is not None:
+            cerrs, _ = self._eval(node.not_, v, vloc, scope)
+            if not cerrs:
+                errs.append(err("not", "not failed: subschema matched"))
+        if node.all_of:
+            for i, cidx in enumerate(node.all_of):
+                ok, cev = apply_inplace(cidx, f"allOf/{i}")
+                if ok:
+                    ev.merge(cev)
+        if node.any_of:
+            # scan ALL branches: uneval annotations come from every
+            # successful branch (validator.rs:697-700)
+            matched = False
+            branch_errs: list = []
+            for i, cidx in enumerate(node.any_of):
+                cerrs, cev = self._eval(cidx, v, vloc, scope)
+                if cerrs:
+                    branch_errs.append(err(f"anyOf/{i}", "subschema failed",
+                                           cerrs))
+                else:
+                    matched = True
+                    ev.merge(cev)
+                    if not spec.has_uneval:
+                        break
+            if not matched:
+                errs.append(err("anyOf", "no anyOf branch matched",
+                                branch_errs))
+        if node.one_of:
+            matches = []
+            branch_errs = []
+            for i, cidx in enumerate(node.one_of):
+                cerrs, cev = self._eval(cidx, v, vloc, scope)
+                if cerrs:
+                    branch_errs.append(err(f"oneOf/{i}", "subschema failed",
+                                           cerrs))
+                else:
+                    matches.append((i, cev))
+                    if len(matches) > 1 and not spec.has_uneval:
+                        break
+            if not matches:
+                errs.append(err("oneOf", "no oneOf branch matched",
+                                branch_errs))
+            elif len(matches) > 1:
+                errs.append(err(
+                    "oneOf",
+                    f"oneOf branches {matches[0][0]} and {matches[1][0]} "
+                    f"both matched"))
+            else:
+                ev.merge(matches[0][1])
+        if node.if_ is not None:
+            cerrs, cev = self._eval(node.if_, v, vloc, scope)
+            if not cerrs:
+                ev.merge(cev)
+                if node.then_ is not None:
+                    ok, tev = apply_inplace(node.then_, "then")
+                    if ok:
+                        ev.merge(tev)
+            else:
+                if node.else_ is not None:
+                    ok, eev = apply_inplace(node.else_, "else")
+                    if ok:
+                        ev.merge(eev)
+
+        # unevaluated* (validator.rs:761-781): run last, over the merged
+        # annotation state
+        if node.unevaluated_properties is not None and t == ju.TYPE_OBJECT:
+            if not ev.all_props:
+                for k in v:
+                    if k not in ev.props:
+                        eval_child(node.unevaluated_properties, v[k], k,
+                                   "unevaluatedProperties")
+                ev.all_props = True
+        if node.unevaluated_items is not None and t == ju.TYPE_ARRAY:
+            if not ev.all_items:
+                for i, item in enumerate(v):
+                    if i not in ev.items:
+                        eval_child(node.unevaluated_items, item, i,
+                                   "unevaluatedItems")
+                ev.all_items = True
+
+        return errs, ev
+
+
+def validate(value: Any, spec: CompiledSpec) -> None:
+    """Module-level convenience: raise ValidationError on failure."""
+    Evaluator(spec).validate(value)

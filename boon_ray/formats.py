@@ -1,0 +1,473 @@
+"""Built-in ``format`` validators.
+
+Mirrors the reference's registry (/root/reference/src/formats.rs:24-48):
+every validator takes a parsed JSON value and returns an error string or
+None; **non-string values always pass** (each reference fn starts with
+``let Value::String(s) = v else { return Ok(()) }``). All automata here
+are module-level compiled regexes so actor workers pay compilation once
+per process (import time), matching the actor-pool design in SURVEY.md.
+
+Semantics per format follow the RFCs cited in the JSON Schema spec:
+date/time/date-time/duration RFC 3339 (leap-second only at 23:59:60
+after offset normalization, formats.rs:126-204), hostname RFC 1123 LDH
+rules (formats.rs:323-365), email RFC 5321-ish local parts with quoted
+strings and [IP] domains (formats.rs:581-657), json-pointer RFC 6901,
+uuid RFC 4122 shape, uri/uri-reference RFC 3986, iri RFC 3987,
+uri-template RFC 6570 brace balancing (formats.rs:809-838).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+import unicodedata
+from typing import Any, Callable, Optional
+
+from boon_ray.ecma import is_valid_ecma
+
+FormatFn = Callable[[Any], Optional[str]]
+
+
+def _strings_only(fn: Callable[[str], Optional[str]]) -> FormatFn:
+    def wrapped(v: Any) -> Optional[str]:
+        if not isinstance(v, str):
+            return None
+        return fn(v)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
+# ---------------------------------------------------------------- regex
+
+@_strings_only
+def check_regex(s: str) -> Optional[str]:
+    if not is_valid_ecma(s):
+        return "not a valid ECMA-262 regex"
+    return None
+
+
+# ------------------------------------------------------------- ip addrs
+
+@_strings_only
+def check_ipv4(s: str) -> Optional[str]:
+    try:
+        ipaddress.IPv4Address(s)
+        return None
+    except ValueError:
+        return "not an IPv4 address"
+
+
+@_strings_only
+def check_ipv6(s: str) -> Optional[str]:
+    if "%" in s:
+        return "zone id not allowed"
+    try:
+        ipaddress.IPv6Address(s)
+        return None
+    except ValueError:
+        return "not an IPv6 address"
+
+
+# ------------------------------------------------------- date/time/etc
+
+_DATE_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
+_DAYS = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+
+
+def _valid_date(y: int, m: int, d: int) -> bool:
+    if not 1 <= m <= 12 or d < 1:
+        return False
+    max_d = _DAYS[m - 1]
+    if m == 2 and (y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)):
+        max_d = 29
+    return d <= max_d
+
+
+@_strings_only
+def check_date(s: str) -> Optional[str]:
+    m = _DATE_RE.match(s)
+    if not m or not _valid_date(int(m[1]), int(m[2]), int(m[3])):
+        return "not an RFC 3339 full-date"
+    return None
+
+
+_TIME_RE = re.compile(
+    r"^(\d{2}):(\d{2}):(\d{2})(\.\d+)?([zZ]|[+-]\d{2}:\d{2})$"
+)
+
+
+@_strings_only
+def check_time(s: str) -> Optional[str]:
+    m = _TIME_RE.match(s)
+    if not m:
+        return "not an RFC 3339 time"
+    h, mi, sec = int(m[1]), int(m[2]), int(m[3])
+    off = m[5]
+    if h > 23 or mi > 59 or sec > 60:
+        return "not an RFC 3339 time"
+    if off not in ("z", "Z"):
+        oh, om = int(off[1:3]), int(off[4:6])
+        if oh > 23 or om > 59:
+            return "invalid timezone offset"
+    if sec == 60:
+        # leap second: only valid when the time normalizes to 23:59:60 UTC
+        # (formats.rs:126-204 applies the offset before the check)
+        if off in ("z", "Z"):
+            uh, um = h, mi
+        else:
+            sign = -1 if off[0] == "+" else 1
+            total = h * 60 + mi + sign * (int(off[1:3]) * 60 + int(off[4:6]))
+            total %= 24 * 60
+            uh, um = divmod(total, 60)
+        if (uh, um) != (23, 59):
+            return "leap second only allowed at 23:59:60 UTC"
+    return None
+
+
+@_strings_only
+def check_date_time(s: str) -> Optional[str]:
+    for sep in ("T", "t"):
+        if sep in s:
+            date_part, _, time_part = s.partition(sep)
+            if check_date.__wrapped__(date_part) is None and check_time.__wrapped__(time_part) is None:  # type: ignore[attr-defined]
+                return None
+            return "not an RFC 3339 date-time"
+    return "not an RFC 3339 date-time"
+
+
+_DUR_WEEK = re.compile(r"^\d+W$")
+_DUR_DATE = re.compile(r"^(\d+Y)?(\d+M)?(\d+D)?$")
+_DUR_TIME = re.compile(r"^(\d+H)?(\d+M)?(\d+S)?$")
+
+
+@_strings_only
+def check_duration(s: str) -> Optional[str]:
+    # RFC 3339 appendix A: dur = "P" (dur-date [T dur-time] / T dur-time / dur-week)
+    if not s.startswith("P") or s == "P":
+        return "not an RFC 3339 duration"
+    body = s[1:]
+    if _DUR_WEEK.match(body):
+        return None
+    date_part, t, time_part = body.partition("T")
+    if t and not time_part:
+        return "not an RFC 3339 duration"
+    if date_part:
+        m = _DUR_DATE.match(date_part)
+        if not m or not any(m.groups()):
+            return "not an RFC 3339 duration"
+    elif not t:
+        return "not an RFC 3339 duration"
+    if t:
+        m = _DUR_TIME.match(time_part)
+        if not m or not any(m.groups()):
+            return "not an RFC 3339 duration"
+    return None
+
+
+@_strings_only
+def check_period(s: str) -> Optional[str]:
+    # <start>/<end>: each a date-time or duration; at least one date-time
+    # (formats.rs:291-321)
+    parts = s.split("/")
+    if len(parts) != 2:
+        return "not an RFC 3339 period"
+    a, b = parts
+    a_dt = check_date_time.__wrapped__(a) is None  # type: ignore[attr-defined]
+    b_dt = check_date_time.__wrapped__(b) is None  # type: ignore[attr-defined]
+    a_du = check_duration.__wrapped__(a) is None  # type: ignore[attr-defined]
+    b_du = check_duration.__wrapped__(b) is None  # type: ignore[attr-defined]
+    if (a_dt and (b_dt or b_du)) or (a_du and b_dt):
+        return None
+    return "not an RFC 3339 period"
+
+
+# ------------------------------------------------------------ hostnames
+
+_LABEL_RE = re.compile(r"^[A-Za-z0-9]([A-Za-z0-9-]*[A-Za-z0-9])?$")
+
+
+def _hostname_error(s: str) -> Optional[str]:
+    if len(s) > 253:
+        return "hostname longer than 253 characters"
+    if s.endswith("."):
+        s = s[:-1]
+    if not s:
+        return "empty hostname"
+    for label in s.split("."):
+        if not 1 <= len(label) <= 63:
+            return "hostname label length not in 1..63"
+        if not _LABEL_RE.match(label):
+            return "hostname label must be letters/digits/hyphen, not hyphen-edged"
+    return None
+
+
+@_strings_only
+def check_hostname(s: str) -> Optional[str]:
+    return _hostname_error(s)
+
+
+def _idn_label_to_ascii(label: str) -> Optional[str]:
+    """IDNA-ish to-ASCII for one label; None if invalid."""
+    if label.isascii():
+        return label
+    # contextual rules (RFC 5892 appendix A subset; formats.rs:367-579)
+    for i, ch in enumerate(label):
+        cp = ord(ch)
+        if cp == 0x00B7:  # MIDDLE DOT: must sit between two 'l'
+            if i == 0 or i + 1 >= len(label) or label[i - 1] != "l" or label[i + 1] != "l":
+                return None
+        elif cp == 0x0375:  # GREEK LOWER NUMERAL SIGN (KERAIA): Greek follows
+            if i + 1 >= len(label) or not ("Ͱ" <= label[i + 1] <= "Ͽ" or "ἀ" <= label[i + 1] <= "῿"):
+                return None
+        elif cp in (0x05F3, 0x05F4):  # HEBREW GERESH/GERSHAYIM: Hebrew precedes
+            if i == 0 or not ("֐" <= label[i - 1] <= "׿"):
+                return None
+        elif cp in (0x200C, 0x200D):  # ZWNJ/ZWJ: need preceding virama
+            if i == 0 or unicodedata.combining(label[i - 1]) != 9:
+                return None
+    # Arabic-Indic and extended Arabic-Indic digits must not mix
+    has_ai = any("٠" <= c <= "٩" for c in label)
+    has_eai = any("۰" <= c <= "۹" for c in label)
+    if has_ai and has_eai:
+        return None
+    try:
+        if unicodedata.normalize("NFC", label) != label:
+            return None
+        return "xn--" + label.encode("punycode").decode("ascii")
+    except UnicodeError:
+        return None
+
+
+@_strings_only
+def check_idn_hostname(s: str) -> Optional[str]:
+    if s.endswith("."):
+        s = s[:-1]
+    if not s:
+        return "empty hostname"
+    ascii_labels = []
+    for label in s.split("."):
+        a = _idn_label_to_ascii(label)
+        if a is None:
+            return "invalid IDN label"
+        ascii_labels.append(a)
+    return _hostname_error(".".join(ascii_labels))
+
+
+# ---------------------------------------------------------------- email
+
+_ATEXT = set("!#$%&'*+-/=?^_`{|}~" "abcdefghijklmnopqrstuvwxyz" "ABCDEFGHIJKLMNOPQRSTUVWXYZ" "0123456789")
+
+
+def _email_error(s: str, idn: bool) -> Optional[str]:
+    at = s.rfind("@")
+    if at <= 0 or at == len(s) - 1:
+        return "email must have non-empty local part and domain"
+    local, domain = s[:at], s[at + 1 :]
+    # local part: quoted-string or dot-atom (formats.rs:581-657)
+    if local.startswith('"') and local.endswith('"') and len(local) >= 2:
+        body = local[1:-1]
+        i = 0
+        while i < len(body):
+            c = body[i]
+            if c == "\\":
+                # only \" and \\ escapes allowed (formats.rs:581-657)
+                if i + 1 >= len(body) or body[i + 1] not in ('"', "\\"):
+                    return "invalid backslash escape in quoted local part"
+                i += 2
+                continue
+            if c == '"':
+                return "unescaped quote in quoted local part"
+            i += 1
+    else:
+        if local.startswith(".") or local.endswith(".") or ".." in local:
+            return "invalid dot placement in local part"
+        for c in local:
+            if c in _ATEXT or c == ".":
+                continue
+            if idn and not c.isascii():
+                continue
+            return f"invalid character {c!r} in local part"
+    # domain: [ip] literal or hostname
+    if domain.startswith("[") and domain.endswith("]"):
+        lit = domain[1:-1]
+        if lit.startswith("IPv6:"):
+            return check_ipv6.__wrapped__(lit[5:])  # type: ignore[attr-defined]
+        return check_ipv4.__wrapped__(lit)  # type: ignore[attr-defined]
+    if idn:
+        return check_idn_hostname.__wrapped__(domain)  # type: ignore[attr-defined]
+    return _hostname_error(domain)
+
+
+@_strings_only
+def check_email(s: str) -> Optional[str]:
+    return _email_error(s, idn=False)
+
+
+@_strings_only
+def check_idn_email(s: str) -> Optional[str]:
+    return _email_error(s, idn=True)
+
+
+# ------------------------------------------------------- json pointers
+
+_JP_RE = re.compile(r"^(/([^~/]|~[01])*)*$")
+
+
+@_strings_only
+def check_json_pointer(s: str) -> Optional[str]:
+    if not _JP_RE.match(s):
+        return "not an RFC 6901 JSON Pointer"
+    return None
+
+
+_RJP_PREFIX = re.compile(r"^(0|[1-9][0-9]*)")
+
+
+@_strings_only
+def check_relative_json_pointer(s: str) -> Optional[str]:
+    m = _RJP_PREFIX.match(s)
+    if not m:
+        return "not a relative JSON Pointer"
+    rest = s[m.end() :]
+    if rest == "#":
+        return None
+    return check_json_pointer.__wrapped__(rest)  # type: ignore[attr-defined]
+
+
+# ----------------------------------------------------------------- uuid
+
+_UUID_RE = re.compile(
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+@_strings_only
+def check_uuid(s: str) -> Optional[str]:
+    if not _UUID_RE.match(s):
+        return "not an RFC 4122 UUID"
+    return None
+
+
+# ------------------------------------------------------------- uri/iri
+
+# RFC 3986 component grammar, assembled into full-match regexes.
+_PCT = r"%[0-9A-Fa-f]{2}"
+_UNRESERVED = r"[A-Za-z0-9\-._~]"
+_SUBDELIMS = r"[!$&'()*+,;=]"
+_IUNRESERVED = r"[A-Za-z0-9\-._~\u00a0-\uffef\U00010000-\U000efffd]"
+
+
+def _uri_regexes(unreserved: str) -> tuple[re.Pattern, re.Pattern]:
+    pchar = f"(?:{unreserved}|{_PCT}|{_SUBDELIMS}|[:@])"
+    seg = f"{pchar}*"
+    seg_nz = f"{pchar}+"
+    reg_name = f"(?:{unreserved}|{_PCT}|{_SUBDELIMS})*"
+    dec_octet = r"(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9][0-9]|[0-9])"
+    ipv4 = f"{dec_octet}(?:\\.{dec_octet}){{3}}"
+    h16 = r"[0-9A-Fa-f]{1,4}"
+    ls32 = f"(?:{h16}:{h16}|{ipv4})"
+    ipv6 = (
+        f"(?:(?:{h16}:){{6}}{ls32}"
+        f"|::(?:{h16}:){{5}}{ls32}"
+        f"|(?:{h16})?::(?:{h16}:){{4}}{ls32}"
+        f"|(?:(?:{h16}:)?{h16})?::(?:{h16}:){{3}}{ls32}"
+        f"|(?:(?:{h16}:){{0,2}}{h16})?::(?:{h16}:){{2}}{ls32}"
+        f"|(?:(?:{h16}:){{0,3}}{h16})?::{h16}:{ls32}"
+        f"|(?:(?:{h16}:){{0,4}}{h16})?::{ls32}"
+        f"|(?:(?:{h16}:){{0,5}}{h16})?::{h16}"
+        f"|(?:(?:{h16}:){{0,6}}{h16})?::)"
+    )
+    ipvfuture = f"v[0-9A-Fa-f]+\\.(?:{unreserved}|{_SUBDELIMS}|:)+"
+    ip_literal = f"\\[(?:{ipv6}|{ipvfuture})\\]"
+    host = f"(?:{ip_literal}|{ipv4}|{reg_name})"
+    userinfo = f"(?:{unreserved}|{_PCT}|{_SUBDELIMS}|:)*"
+    authority = f"(?:{userinfo}@)?{host}(?::[0-9]*)?"
+    path_abempty = f"(?:/{seg})*"
+    path_absolute = f"/(?:{seg_nz}(?:/{seg})*)?"
+    path_rootless = f"{seg_nz}(?:/{seg})*"
+    path_noscheme = f"(?:{unreserved}|{_PCT}|{_SUBDELIMS}|@)+(?:/{seg})*"
+    hier = f"(?://{authority}{path_abempty}|{path_absolute}|{path_rootless})?"
+    rel = f"(?://{authority}{path_abempty}|{path_absolute}|{path_noscheme})?"
+    scheme = r"[A-Za-z][A-Za-z0-9+.\-]*"
+    query = f"(?:{pchar}|[/?])*"
+    uri = re.compile(f"^{scheme}:{hier}(?:\\?{query})?(?:#{query})?$")
+    relative = re.compile(f"^{rel}(?:\\?{query})?(?:#{query})?$")
+    return uri, relative
+
+
+_URI_RE, _URI_REL_RE = _uri_regexes(_UNRESERVED)
+_IRI_RE, _IRI_REL_RE = _uri_regexes(_IUNRESERVED)
+
+
+@_strings_only
+def check_uri(s: str) -> Optional[str]:
+    if not _URI_RE.match(s):
+        return "not an RFC 3986 URI"
+    return None
+
+
+@_strings_only
+def check_uri_reference(s: str) -> Optional[str]:
+    if not (_URI_RE.match(s) or _URI_REL_RE.match(s)):
+        return "not an RFC 3986 URI reference"
+    return None
+
+
+@_strings_only
+def check_iri(s: str) -> Optional[str]:
+    if not _IRI_RE.match(s):
+        return "not an RFC 3987 IRI"
+    return None
+
+
+@_strings_only
+def check_iri_reference(s: str) -> Optional[str]:
+    if not (_IRI_RE.match(s) or _IRI_REL_RE.match(s)):
+        return "not an RFC 3987 IRI reference"
+    return None
+
+
+@_strings_only
+def check_uri_template(s: str) -> Optional[str]:
+    # balanced, non-nested {} (formats.rs:809-838)
+    depth = 0
+    for c in s:
+        if c == "{":
+            depth += 1
+            if depth > 1:
+                return "nested braces in uri-template"
+        elif c == "}":
+            depth -= 1
+            if depth < 0:
+                return "unbalanced braces in uri-template"
+    if depth != 0:
+        return "unbalanced braces in uri-template"
+    return None
+
+
+# ------------------------------------------------------------- registry
+
+FORMATS: dict[str, FormatFn] = {
+    "regex": check_regex,
+    "ipv4": check_ipv4,
+    "ipv6": check_ipv6,
+    "date": check_date,
+    "time": check_time,
+    "date-time": check_date_time,
+    "duration": check_duration,
+    "period": check_period,
+    "hostname": check_hostname,
+    "idn-hostname": check_idn_hostname,
+    "email": check_email,
+    "idn-email": check_idn_email,
+    "json-pointer": check_json_pointer,
+    "relative-json-pointer": check_relative_json_pointer,
+    "uuid": check_uuid,
+    "uri": check_uri,
+    "uri-reference": check_uri_reference,
+    "iri": check_iri,
+    "iri-reference": check_iri_reference,
+    "uri-template": check_uri_template,
+}

@@ -1,0 +1,191 @@
+"""JSON value helpers with the reference's numeric/equality semantics.
+
+Semantics mirrored from the reference validator (citations into
+/root/reference): mathematical-integer check (src/util.rs:300-307), deep
+JSON equality with 2 == 2.0 numeric coercion (src/util.rs:348-388), a
+hash consistent with that equality (src/util.rs:433-477) so uniqueItems
+flags [2, 2.0], duplicate detection with an O(n^2) -> hash switch at
+n > 20 (src/util.rs:390-427), and RFC 6901 JSON Pointer escaping /
+lookup (src/util.rs:53-84).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+# JSON type names as used by the `type` keyword.
+TYPE_NULL = "null"
+TYPE_BOOLEAN = "boolean"
+TYPE_NUMBER = "number"
+TYPE_INTEGER = "integer"
+TYPE_STRING = "string"
+TYPE_ARRAY = "array"
+TYPE_OBJECT = "object"
+
+ALL_TYPES = (
+    TYPE_NULL,
+    TYPE_BOOLEAN,
+    TYPE_NUMBER,
+    TYPE_INTEGER,
+    TYPE_STRING,
+    TYPE_ARRAY,
+    TYPE_OBJECT,
+)
+
+
+def type_of(v: Any) -> str:
+    """Primitive JSON type of a parsed value (integer-valued floats are
+    still 'number' here; `type` keyword handles integer-ness separately)."""
+    if v is None:
+        return TYPE_NULL
+    if isinstance(v, bool):  # bool before int: True is an int in Python
+        return TYPE_BOOLEAN
+    if isinstance(v, int):
+        return TYPE_INTEGER
+    if isinstance(v, float):
+        return TYPE_NUMBER
+    if isinstance(v, str):
+        return TYPE_STRING
+    if isinstance(v, (list, tuple)):
+        return TYPE_ARRAY
+    if isinstance(v, dict):
+        return TYPE_OBJECT
+    raise TypeError(f"not a JSON value: {type(v)!r}")
+
+
+def is_integer(v: Any) -> bool:
+    """Mathematical-integer test: 1.0 is an integer (util.rs:300-307)."""
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, int):
+        return True
+    if isinstance(v, float):
+        return math.isfinite(v) and v == math.floor(v)
+    return False
+
+
+def matches_type(v: Any, t: str) -> bool:
+    """Does value v satisfy `type` name t (integer accepts whole floats)."""
+    pt = type_of(v)
+    if t == pt:
+        return True
+    if t == TYPE_INTEGER:
+        return is_integer(v)
+    if t == TYPE_NUMBER:
+        return pt == TYPE_INTEGER
+    return False
+
+
+def equals(a: Any, b: Any) -> bool:
+    """Deep JSON equality with numeric coercion: 2 == 2.0 (util.rs:348-388).
+
+    Booleans never equal numbers; object key order irrelevant.
+    """
+    ta, tb = type_of(a), type_of(b)
+    num = (TYPE_NUMBER, TYPE_INTEGER)
+    if ta in num and tb in num:
+        return float(a) == float(b)
+    if ta != tb:
+        return False
+    if ta == TYPE_ARRAY:
+        if len(a) != len(b):
+            return False
+        return all(equals(x, y) for x, y in zip(a, b))
+    if ta == TYPE_OBJECT:
+        if len(a) != len(b):
+            return False
+        for k, va in a.items():
+            if k not in b or not equals(va, b[k]):
+                return False
+        return True
+    return a == b
+
+
+def canonical_key(v: Any):
+    """Hashable key consistent with `equals` (util.rs:433-477).
+
+    Numbers map to a shared representation so 2 and 2.0 collide; object
+    key order is normalized by sorting.
+    """
+    t = type_of(v)
+    if t in (TYPE_NUMBER, TYPE_INTEGER):
+        f = float(v)
+        if f == math.floor(f) and abs(f) < 2**63:
+            return ("n", int(f))
+        return ("n", f)
+    if t == TYPE_BOOLEAN:
+        return ("b", v)
+    if t == TYPE_NULL:
+        return ("z",)
+    if t == TYPE_STRING:
+        return ("s", v)
+    if t == TYPE_ARRAY:
+        return ("a", tuple(canonical_key(x) for x in v))
+    return ("o", tuple(sorted((k, canonical_key(x)) for k, x in v.items())))
+
+
+def find_duplicate(items: list) -> tuple[int, int] | None:
+    """First duplicate pair (i, j) under `equals`, or None.
+
+    O(n^2) scan for n <= 20, hash map beyond (util.rs:390-427). Returns
+    indices with i < j, matching the reference's reported pair.
+    """
+    n = len(items)
+    if n <= 20:
+        for j in range(1, n):
+            for i in range(j):
+                if equals(items[i], items[j]):
+                    return (i, j)
+        return None
+    seen: dict[Any, int] = {}
+    for j, it in enumerate(items):
+        k = canonical_key(it)
+        if k in seen:
+            return (seen[k], j)
+        seen[k] = j
+    return None
+
+
+def escape_pointer_token(tok: str) -> str:
+    """RFC 6901 escaping: ~ -> ~0, / -> ~1."""
+    return tok.replace("~", "~0").replace("/", "~1")
+
+
+def unescape_pointer_token(tok: str) -> str:
+    return tok.replace("~1", "/").replace("~0", "~")
+
+
+def pointer_tokens(ptr: str) -> list[str]:
+    """Split a JSON Pointer into unescaped tokens ('' -> [])."""
+    if ptr == "":
+        return []
+    if not ptr.startswith("/"):
+        raise ValueError(f"invalid JSON Pointer: {ptr!r}")
+    return [unescape_pointer_token(t) for t in ptr.split("/")[1:]]
+
+
+def pointer_lookup(doc: Any, ptr: str) -> Any:
+    """Evaluate a JSON Pointer against a document (util.rs:53-84).
+
+    Raises KeyError / IndexError on a missing path.
+    """
+    v = doc
+    for tok in pointer_tokens(ptr):
+        if isinstance(v, dict):
+            v = v[tok]
+        elif isinstance(v, list):
+            if not tok.isdigit() and tok != "-":
+                raise KeyError(tok)
+            v = v[int(tok)]
+        else:
+            raise KeyError(tok)
+    return v
+
+
+def join_pointer(base: str, *tokens: str) -> str:
+    """Append tokens to a JSON Pointer, escaping them."""
+    out = base
+    for t in tokens:
+        out += "/" + escape_pointer_token(str(t))
+    return out
