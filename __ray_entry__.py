@@ -3,14 +3,12 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json). Results may be a ``ray.data.Dataset``, a
+``pandas.DataFrame`` or a ``pyarrow.Table``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
 """
 
 from __future__ import annotations
@@ -18,27 +16,211 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from boon_ray.sources.corpus import CORPUS_CTE
+
+# JSON Schema applied per row to events.props by the full engine
+# (integer accepts whole floats; booleans are not integers)
+PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}},
+}
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: corpus -> vectorized keyword
+    predicates -> violation rows (reference error contract)."""
+    from boon_ray.pipelines.flagship import corpus_violations
+    from boon_ray.sources.corpus import corpus_dataset
+
+    return corpus_violations(corpus_dataset("/root/testdata/sf0.001"))
+
+
+# ------------------------------------------------------------- queries
+
+def _q_corpus(sf_dir: str):
+    from boon_ray.sources.corpus import corpus_dataset
+
+    return corpus_dataset(sf_dir)
+
+
+def _q_keyword_violations(sf_dir: str):
+    from boon_ray.pipelines.flagship import corpus_violations
+    from boon_ray.sources.corpus import corpus_dataset
+
+    ds = corpus_violations(corpus_dataset(sf_dir))
+    return ds.select_columns(["repo", "path", "commit", "keyword"])
+
+
+def _q_schema_verdicts(sf_dir: str):
+    from boon_ray.pipelines.flagship import corpus_schema_verdicts
+    from boon_ray.sources.corpus import corpus_dataset
+
+    ds = corpus_schema_verdicts(corpus_dataset(sf_dir))
+    return ds.select_columns(["repo", "path", "commit", "valid"])
+
+
+def _q_uniqueness(sf_dir: str):
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.unique import uniqueness_violations
+
+    ds = uniqueness_violations(corpus_dataset(sf_dir))
+    return ds.select_columns(["repo", "path", "commit", "n_dups"])
+
+
+def _q_referential(sf_dir: str):
+    from boon_ray.sources.corpus import commits_table, corpus_dataset
+    from boon_ray.stages.referential import referential_violations
+
+    return referential_violations(
+        corpus_dataset(sf_dir), commits_table(sf_dir), fk=("commit",),
+        emit_columns=("repo", "path", "commit"))
+
+
+def _q_column_stats(sf_dir: str):
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.stats import column_stats
+
+    ds = column_stats(corpus_dataset(sf_dir))
+    return ds.select_columns(
+        ["lang", "n_rows", "n_null", "min_chars", "max_chars", "sum_chars"])
+
+
+def _q_distinct_hll(sf_dir: str):
+    """HLL++ distinct estimates (approximate -> rows-only check; the
+    +-2% accuracy bound is asserted in tests/test_stages.py)."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.stats import column_stats
+
+    ds = column_stats(corpus_dataset(sf_dir),
+                      distinct_columns=("path", "commit"))
+    return ds.select_columns(["lang", "distinct_path", "distinct_commit"])
+
+
+def _q_events_props_valid(sf_dir: str):
+    import ray.data as rd
+
+    from boon_ray.stages.validate import validate_dataset
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "props"])
+    out = validate_dataset(ds, PROPS_SCHEMA, column="props",
+                           key_columns=("event_id",))
+    return out.select_columns(["event_id", "valid"])
+
+
+def _q_dedup_exact_docs(sf_dir: str):
+    import ray.data as rd
+
+    from boon_ray.stages.unique import dedup_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    kept = dedup_exact(ds, key=["text"], order_col="doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+def _q_partition_verdicts(sf_dir: str):
+    import pyarrow as pa
+
+    from boon_ray.pipelines.flagship import (
+        corpus_violations, partition_verdicts,
+    )
+    from boon_ray.sources.corpus import corpus_dataset
+
+    viol = corpus_violations(corpus_dataset(sf_dir))
+    repos = corpus_dataset(sf_dir).groupby("repo").count().to_pandas()
+    return partition_verdicts(viol, pa.table({"repo": repos["repo"]}),
+                              "repo")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "corpus": _q_corpus,
+        "keyword_violations": _q_keyword_violations,
+        "schema_verdicts": _q_schema_verdicts,
+        "uniqueness_violations": _q_uniqueness,
+        "referential_orphans": _q_referential,
+        "column_stats": _q_column_stats,
+        "distinct_hll": _q_distinct_hll,
+        "events_props_valid": _q_events_props_valid,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "partition_verdicts": _q_partition_verdicts,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# -------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cte = CORPUS_CTE.strip()
+    from boon_ray.pipelines.flagship import (
+        ALLOWED_LANGS, MAX_CONTENT_CHARS, MIN_CONTENT_CHARS,
+    )
+    langs = "','".join(ALLOWED_LANGS)
+    valid_expr = (
+        f"(lang IN ('{langs}') "
+        f"AND length(content) >= {MIN_CONTENT_CHARS} "
+        f"AND length(content) <= {MAX_CONTENT_CHARS})"
+    )
+    props_k_num = (
+        "(json_type(props, '$.k') IN ('BIGINT','UBIGINT') OR "
+        "(json_type(props, '$.k') = 'DOUBLE' AND "
+        "floor(CAST(json_extract(props,'$.k') AS DOUBLE)) = "
+        "CAST(json_extract(props,'$.k') AS DOUBLE)))"
+    )
+    return {
+        "corpus":
+            f'WITH {cte} SELECT repo, path, "commit", lang, content '
+            f"FROM corpus",
+        "keyword_violations":
+            f'WITH {cte} '
+            f'SELECT repo, path, "commit", \'enum\' AS keyword '
+            f"FROM corpus WHERE lang NOT IN ('{langs}') "
+            f"UNION ALL "
+            f'SELECT repo, path, "commit", \'minLength\' AS keyword '
+            f"FROM corpus WHERE length(content) < {MIN_CONTENT_CHARS} "
+            f"UNION ALL "
+            f'SELECT repo, path, "commit", \'maxLength\' AS keyword '
+            f"FROM corpus WHERE length(content) > {MAX_CONTENT_CHARS}",
+        "schema_verdicts":
+            f'WITH {cte} SELECT repo, path, "commit", '
+            f"{valid_expr} AS valid FROM corpus",
+        "uniqueness_violations":
+            f'WITH {cte} SELECT repo, path, "commit", '
+            f"count(*) AS n_dups FROM corpus "
+            f"GROUP BY 1, 2, 3 HAVING count(*) > 1",
+        "referential_orphans":
+            f'WITH {cte} SELECT repo, path, "commit" FROM corpus '
+            f"WHERE is_orphan",
+        "column_stats":
+            f'WITH {cte} SELECT lang, count(*) AS n_rows, '
+            f"count(*) - count(content) AS n_null, "
+            f"min(length(content)) AS min_chars, "
+            f"max(length(content)) AS max_chars, "
+            f"CAST(sum(length(content)) AS BIGINT) AS sum_chars "
+            f"FROM corpus GROUP BY lang",
+        # distinct_hll: approximate, no SQL oracle (rows-only check)
+        "events_props_valid":
+            f"SELECT event_id, "
+            f"(props IS NOT NULL AND json_valid(props) "
+            f"AND json_type(props) = 'OBJECT' "
+            f"AND json_extract(props, '$.k') IS NOT NULL "
+            f"AND {props_k_num} "
+            f"AND CAST(json_extract(props,'$.k') AS DOUBLE) "
+            f"BETWEEN 0 AND 80) AS valid "
+            f"FROM events",
+        "dedup_exact_docs":
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "partition_verdicts":
+            f'WITH {cte}, viol AS ('
+            f"SELECT repo FROM corpus WHERE lang NOT IN ('{langs}') "
+            f"UNION ALL SELECT repo FROM corpus "
+            f"WHERE length(content) < {MIN_CONTENT_CHARS} "
+            f"UNION ALL SELECT repo FROM corpus "
+            f"WHERE length(content) > {MAX_CONTENT_CHARS}), "
+            f"vc AS (SELECT repo, count(*) AS n FROM viol GROUP BY repo) "
+            f"SELECT c.repo, COALESCE(vc.n, 0) AS n_violations, "
+            f"vc.n IS NULL AS valid "
+            f"FROM (SELECT DISTINCT repo FROM corpus) c "
+            f"LEFT JOIN vc ON c.repo = vc.repo",
+    }

@@ -1,0 +1,123 @@
+"""Flagship validation pipeline: the full north_star stack over the
+source-code corpus.
+
+read (streaming) -> vectorized L1 keyword predicates (Arrow masks) ->
+full-evaluator actor pool (row-level JSON Schema semantics) ->
+L2 table checks (uniqueness shuffle, referential broadcast anti-join,
+per-lang column stats) -> violation rows + per-partition verdicts.
+
+Everything is lazy Ray Data; nothing materializes the corpus. The same
+constraints exist twice on purpose: once as the declarative
+``RuleSet`` (vectorized hot path), once as a real JSON Schema document
+evaluated by the full engine (actor pool) — both must agree row for
+row, which is itself a standing self-check mirrored by the DuckDB
+oracles in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from boon_ray.sources.corpus import (
+    commits_table, corpus_dataset,
+)
+from boon_ray.stages.referential import referential_violations
+from boon_ray.stages.stats import column_stats
+from boon_ray.stages.unique import uniqueness_violations
+from boon_ray.stages.validate import validate_dataset
+from boon_ray.stages.vectorized import (
+    ColumnRule, RuleSet, verdict_batch, violations_batch,
+)
+
+# allowed langs deliberately exclude 'fr' -> enum violations;
+# min_length 150 -> short-content violations (content is 48..553 chars)
+ALLOWED_LANGS = ("de", "en", "es", "zh")
+MIN_CONTENT_CHARS = 150
+MAX_CONTENT_CHARS = 5000
+
+CORPUS_RULES = RuleSet(rules=(
+    ColumnRule("repo", required=True, pattern=r"^org\d+/repo\d+$"),
+    ColumnRule("path", required=True,
+               pattern=r"^src/d\d+/f\d+\.t\d$", max_length=64),
+    ColumnRule("commit", required=True, pattern=r"^[0-9a-f]{32}$"),
+    ColumnRule("lang", required=True, enum=ALLOWED_LANGS),
+    ColumnRule("content", required=True,
+               min_length=MIN_CONTENT_CHARS, max_length=MAX_CONTENT_CHARS),
+))
+
+# the SAME constraints as a JSON Schema document (draft 2020-12),
+# evaluated per row by the full recursive engine (SURVEY.md L1 layer)
+METADATA_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "type": "object",
+    "required": ["repo", "path", "commit", "lang", "content"],
+    "properties": {
+        "repo": {"type": "string", "pattern": r"^org\d+/repo\d+$"},
+        "path": {"type": "string", "pattern": r"^src/d\d+/f\d+\.t\d$",
+                 "maxLength": 64},
+        "commit": {"type": "string", "pattern": r"^[0-9a-f]{32}$"},
+        "lang": {"enum": list(ALLOWED_LANGS)},
+        "content": {"type": "string",
+                    "minLength": MIN_CONTENT_CHARS,
+                    "maxLength": MAX_CONTENT_CHARS},
+    },
+}
+
+
+def corpus_violations(ds, batch_size: int = 8192):
+    """Vectorized L1 violations in the reference error-row contract."""
+    return ds.map_batches(
+        lambda b: violations_batch(b, CORPUS_RULES),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+def corpus_verdicts(ds, batch_size: int = 8192):
+    """Per-row valid flag from the vectorized rules (keys + valid)."""
+    def f(b: pa.Table) -> pa.Table:
+        out = verdict_batch(b, CORPUS_RULES)
+        return out.select(["repo", "path", "commit", "valid"])
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def corpus_schema_verdicts(ds, batch_size: int = 4096, concurrency=None):
+    """Per-row verdicts from the FULL JSON Schema engine (actor pool)."""
+    return validate_dataset(
+        ds, METADATA_SCHEMA,
+        from_columns=("repo", "path", "commit", "lang", "content"),
+        emit="verdict", batch_size=batch_size, concurrency=concurrency)
+
+
+def partition_verdicts(violations_ds, all_groups: pa.Table,
+                       group_key: str = "repo"):
+    """Per-partition pass/fail: a partition passes iff it has zero
+    violation rows (reference flag-output contract per partition)."""
+    counts = violations_ds.groupby(group_key).count()
+    cdf = counts.to_pandas()  # small: one row per partition with issues
+    bad = dict(zip(cdf[group_key], cdf["count()"]))
+    groups = all_groups.column(group_key).to_pylist()
+    return pa.table({
+        group_key: groups,
+        "n_violations": pa.array([int(bad.get(g, 0)) for g in groups],
+                                 pa.int64()),
+        "valid": pa.array([g not in bad for g in groups], pa.bool_()),
+    })
+
+
+def run_flagship(sf_dir: str, replicas: int = 1, batch_size: int = 8192):
+    """Full pipeline; returns dict of result datasets/tables (all lazy
+    until consumed)."""
+    ds = corpus_dataset(sf_dir, replicas=replicas)
+    commits = commits_table(sf_dir)
+    return {
+        "violations": corpus_violations(ds, batch_size),
+        "schema_verdicts": corpus_schema_verdicts(ds),
+        "uniqueness": uniqueness_violations(
+            corpus_dataset(sf_dir, replicas=replicas)),
+        "referential": referential_violations(
+            corpus_dataset(sf_dir, replicas=replicas), commits,
+            fk=("commit",), emit_columns=("repo", "path", "commit")),
+        "stats": column_stats(
+            corpus_dataset(sf_dir, replicas=replicas),
+            distinct_columns=("path", "commit")),
+    }

@@ -1,0 +1,170 @@
+"""Mergeable sketches: HyperLogLog++, Count-Min, MinHash.
+
+All sketches are designed around the Ray Data partial-aggregate
+pattern (SURVEY.md §4.3): build one small sketch per batch inside
+``map_batches`` (vectorized over the whole batch with numpy /
+pandas hashing), serialize to bytes, and tree-merge the tiny partials
+in a ``groupby().map_groups`` stage — the all-to-all shuffle then moves
+kilobytes of sketch state instead of the raw column.
+
+HLL++ follows the published algorithm (Heule, Nuutinen, Perl 2013):
+dense registers only (m = 2^p), with the small-range linear-counting
+correction; good to ~1-2% at p=14. Count-Min follows Cormode &
+Muthukrishnan 2005. MinHash is the classic permutation-free k-hash
+variant used for Jaccard estimation / LSH banding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def hash64(values) -> np.ndarray:
+    """Vectorized, deterministic 64-bit hashing of an array-like of
+    strings/bytes/ints (pandas' C hash; stable for a fixed key)."""
+    arr = pd.array(values) if not isinstance(values, (pd.Series, np.ndarray)) else values
+    return pd.util.hash_array(np.asarray(arr, dtype=object),
+                              hash_key="boon_ray_sketch!")  # 16 bytes
+
+
+class HyperLogLog:
+    """Dense HLL++ register array; mergeable by elementwise max."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (registers if registers is not None
+                          else np.zeros(self.m, dtype=np.uint8))
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        h = h.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rho = leading-zero count of remaining bits + 1; CLZ via
+        # 64 - bit_length (exact; the low p bits are set so bl >= p)
+        bl = np.frompyfunc(int.bit_length, 1, 1)(
+            rest.astype(object)).astype(np.int64)
+        rho = (64 - bl + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+        return self
+
+    def add_values(self, values) -> "HyperLogLog":
+        return self.add_hashes(hash64(values))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        p = b[0]
+        return cls(p, np.frombuffer(b[1:], dtype=np.uint8).copy())
+
+
+class CountMin:
+    """Count-Min sketch: point-frequency upper bounds; merge = add."""
+
+    __slots__ = ("depth", "width", "table")
+
+    def __init__(self, depth: int = 4, width: int = 16384,
+                 table: np.ndarray | None = None):
+        self.depth = depth
+        self.width = width
+        self.table = (table if table is not None
+                      else np.zeros((depth, width), dtype=np.int64))
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        h = h.astype(np.uint64, copy=False)
+        out = np.empty((self.depth, len(h)), dtype=np.int64)
+        for d in range(self.depth):
+            # double hashing: h1 + d*h2 (Kirsch-Mitzenmacher)
+            h2 = (h >> np.uint64(32)) | np.uint64(1)
+            out[d] = ((h + np.uint64(d) * h2) % np.uint64(self.width)).astype(np.int64)
+        return out
+
+    def add_hashes(self, h: np.ndarray, counts: np.ndarray | None = None):
+        rows = self._rows(h)
+        c = counts if counts is not None else np.ones(len(h), dtype=np.int64)
+        for d in range(self.depth):
+            np.add.at(self.table[d], rows[d], c)
+        return self
+
+    def add_values(self, values, counts=None):
+        return self.add_hashes(hash64(values), counts)
+
+    def query_hashes(self, h: np.ndarray) -> np.ndarray:
+        rows = self._rows(h)
+        ests = np.stack([self.table[d][rows[d]] for d in range(self.depth)])
+        return ests.min(axis=0)
+
+    def query_values(self, values) -> np.ndarray:
+        return self.query_hashes(hash64(values))
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        self.table += other.table
+        return self
+
+    def to_bytes(self) -> bytes:
+        return (np.array([self.depth, self.width], dtype=np.int64).tobytes()
+                + self.table.tobytes())
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMin":
+        depth, width = np.frombuffer(b[:16], dtype=np.int64)
+        t = np.frombuffer(b[16:], dtype=np.int64).reshape(depth, width).copy()
+        return cls(int(depth), int(width), t)
+
+
+# ------------------------------------------------------------- minhash
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def minhash_signatures(shingle_hash_lists: list[np.ndarray],
+                       num_perm: int = 128,
+                       seed: int = 1) -> np.ndarray:
+    """(n_docs, num_perm) MinHash signature matrix from per-doc shingle
+    hash arrays. Universal hashing h_i(x) = (a_i*x + b_i) mod p."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    out = np.full((len(shingle_hash_lists), num_perm),
+                  np.iinfo(np.uint64).max, dtype=np.uint64)
+    for i, h in enumerate(shingle_hash_lists):
+        if len(h) == 0:
+            continue
+        x = h.astype(np.uint64)[:, None]
+        vals = (x * a[None, :] + b[None, :]) % _MERSENNE
+        out[i] = vals.min(axis=0)
+    return out
+
+
+def band_keys(signatures: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(n_docs, bands) int64 bucket keys: hash of each signature band.
+    Docs sharing any (band_id, key) are LSH candidates."""
+    n, k = signatures.shape
+    assert k % bands == 0
+    rows_per = k // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        chunk = signatures[:, b * rows_per:(b + 1) * rows_per]
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(rows_per):
+            acc = acc * np.uint64(1099511628211) + chunk[:, j]
+        out[:, b] = acc
+    return out.view(np.int64) if out.dtype != np.int64 else out

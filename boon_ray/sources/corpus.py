@@ -1,0 +1,173 @@
+"""Deterministic source-code corpus synthesis (the BASELINE.json
+input_hint shape).
+
+Derives a Parquet-backed corpus table
+``(repo, path, commit, lang, content)`` from the driver-generated
+``documents`` table, using ONLY expressions that DuckDB can mirror in
+ANSI SQL — so every downstream pipeline has an exact oracle (driver
+``queries()``/``oracle_sql()`` contract). No external data; same input,
+same corpus, bit-for-bit.
+
+Injected fixtures (FIXTURES.md §1):
+- **mega-repo skew**: ~30% of rows land in ``org0/repo0`` (exercises
+  salt-based skew splitting in the uniqueness shuffle);
+- **duplicate keys**: rows with ``doc_id % 50 == 0`` clone the previous
+  row's ``(repo, path, commit)`` triple (uniqueness violations);
+- **referential orphans**: rows with ``eid % 37 == 3`` get a commit
+  absent from the ``commits`` dimension (broadcast anti-join hits).
+
+The derivation is vectorized Arrow-in/Arrow-out (pyarrow.compute +
+numpy, no per-row Python in the hot path) and streams through
+``map_batches`` — at 100 TB the read never materializes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# 23 base commits, precomputed once per process (matches DuckDB md5())
+_BASE_COMMITS = np.array(
+    [hashlib.md5(f"c{k}".encode()).hexdigest() for k in range(23)]
+)
+
+CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+# The same derivation as a DuckDB CTE over the pre-registered
+# `documents` view. Keep in exact sync with derive_corpus_batch().
+CORPUS_CTE = """
+corpus_base AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 50 = 0 AND doc_id > 0
+                THEN doc_id - 1 ELSE doc_id END AS eid,
+           lang, source, text
+    FROM documents
+),
+corpus AS (
+    SELECT doc_id,
+           CASE WHEN eid % 10 < 3 THEN 'org0/repo0'
+                ELSE 'org' || CAST(eid % 7 AS VARCHAR)
+                     || '/repo' || CAST(eid % 13 AS VARCHAR) END AS repo,
+           'src/d' || CAST(eid % 19 AS VARCHAR) || '/f'
+               || CAST(eid % 97 AS VARCHAR) || '.t'
+               || CAST(eid % 4 AS VARCHAR) AS path,
+           CASE WHEN eid % 37 = 3
+                THEN md5('orphan-' || CAST(eid AS VARCHAR))
+                ELSE md5('c' || CAST(eid % 23 AS VARCHAR)) END AS "commit",
+           (eid % 37 = 3) AS is_orphan,
+           lang,
+           text AS content
+    FROM corpus_base
+)
+"""
+
+# commits dimension (small side of the referential semi-join): every
+# non-orphan (commit, repo) pair
+COMMITS_CTE = """
+commits AS (
+    SELECT DISTINCT "commit", repo FROM corpus WHERE NOT is_orphan
+)
+"""
+
+
+def _concat(*parts) -> pa.Array:
+    """Element-wise string concat of arrays/scalars (the kernel's last
+    argument is the join separator — empty here)."""
+    arrs = [p if isinstance(p, (pa.Array, pa.ChunkedArray))
+            else pa.scalar(p, pa.string()) for p in parts]
+    return pc.binary_join_element_wise(*arrs, "")
+
+
+def _int_str(a: np.ndarray) -> pa.Array:
+    return pc.cast(pa.array(a), pa.string())
+
+
+def derive_corpus_batch(batch: pa.Table, replica: int = 0,
+                        keep_meta: bool = False) -> pa.Table:
+    """documents batch -> corpus batch (vectorized; no row loop).
+
+    ``replica`` > 0 produces additional deterministic shards for bench
+    amplification (mixed into the id stream; replica 0 is the
+    SQL-oracle-exact derivation).
+    """
+    doc_id = batch.column("doc_id").to_numpy()
+    eid = np.where((doc_id % 50 == 0) & (doc_id > 0), doc_id - 1, doc_id)
+    if replica:
+        eid = eid + np.int64(replica) * np.int64(1_000_003)
+
+    mega = (eid % 10) < 3
+    repo_tail = _concat("org", _int_str(eid % 7), "/repo", _int_str(eid % 13))
+    repo = pc.if_else(pa.array(mega), pa.scalar("org0/repo0"), repo_tail)
+
+    lang = batch.column("lang")
+    # path fully eid-derived so cloned-eid rows collide on the triple
+    path = _concat("src/d", _int_str(eid % 19), "/f",
+                   _int_str(eid % 97), ".t", _int_str(eid % 4))
+
+    commit_np = _BASE_COMMITS[eid % 23].copy()
+    orphan = (eid % 37) == 3
+    if orphan.any():
+        idx = np.nonzero(orphan)[0]
+        commit_np[idx] = [
+            hashlib.md5(f"orphan-{e}".encode()).hexdigest() for e in eid[idx]
+        ]
+
+    cols = {
+        "repo": repo,
+        "path": path,
+        "commit": pa.array(commit_np.tolist(), pa.string()),
+        "lang": lang,
+        "content": batch.column("text"),
+    }
+    if keep_meta:
+        cols = {"doc_id": pa.array(doc_id + replica * 1_000_003), **cols,
+                "is_orphan": pa.array(orphan)}
+    return pa.table(cols)
+
+
+def corpus_dataset(sf_dir: str, replicas: int = 1, keep_meta: bool = False,
+                   **read_kwargs):
+    """Ray Dataset of the corpus, streaming from documents.parquet.
+
+    ``replicas`` amplifies deterministically for bench runs (each input
+    block fans out to `replicas` corpus blocks; stays a streaming
+    map_batches, never materialized).
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"],
+                         **read_kwargs)
+    if replicas <= 1:
+        return ds.map_batches(
+            lambda b: derive_corpus_batch(b, 0, keep_meta),
+            batch_format="pyarrow")
+
+    def explode(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [derive_corpus_batch(b, r, keep_meta) for r in range(replicas)])
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def corpus_table(sf_dir: str, keep_meta: bool = False) -> pa.Table:
+    """Driver-side (small-scale) corpus as one pyarrow Table — for
+    tests and oracle comparisons only; pipelines use corpus_dataset."""
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return derive_corpus_batch(docs, 0, keep_meta)
+
+
+def commits_table(sf_dir: str) -> pa.Table:
+    """The small `commits` dimension (commit, repo): broadcast side of
+    the referential-integrity semi-join (SURVEY.md §7 step 6)."""
+    t = corpus_table(sf_dir, keep_meta=True)
+    t = t.filter(pc.invert(t.column("is_orphan")))
+    return t.select(["commit", "repo"]).group_by(
+        ["commit", "repo"]).aggregate([]).sort_by(
+        [("commit", "ascending"), ("repo", "ascending")])

@@ -1,0 +1,82 @@
+"""Referential-integrity check: broadcast semi-/anti-join.
+
+The reference's ``$ref`` resolves schema references at compile time
+(compiler.rs:679-692); the data-level analogue (north_rule) checks that
+every foreign key in a huge fact table exists in a small dimension —
+here commit -> commits(commit, repo).
+
+Scale design: the dimension's key set is ``ray.put`` once on the
+driver; each actor fetches it ONCE in ``__init__`` and runs a
+vectorized ``pc.is_in`` per batch. No shuffle at all — the fact table
+streams through, violations (anti-join hits) trickle out.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _combined_key(batch: pa.Table, cols: Sequence[str]) -> pa.Array:
+    if len(cols) == 1:
+        arr = batch.column(cols[0])
+        return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    parts = []
+    for c in cols:
+        parts.append(batch.column(c))
+        parts.append("\x1f")
+    return pc.binary_join_element_wise(*parts[:-1], "")
+
+
+class AntiJoin:
+    """map_batches actor stage: emit rows whose key is ABSENT from the
+    broadcast key set (referential violations)."""
+
+    def __init__(self, keys_ref, fk: Sequence[str],
+                 emit_columns: Sequence[str] | None = None):
+        import ray
+        keys = (ray.get(keys_ref)
+                if isinstance(keys_ref, ray.ObjectRef) else keys_ref)
+        # build the lookup value_set once per actor
+        if isinstance(keys, pa.Table):
+            keys = _combined_key(keys, list(keys.column_names))
+        self.value_set = keys
+        self.fk = tuple(fk)
+        self.emit_columns = tuple(emit_columns) if emit_columns else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        key = _combined_key(batch, self.fk)
+        missing = pc.invert(pc.is_in(key, value_set=self.value_set))
+        missing = pc.fill_null(missing, True)  # null FK = violation
+        out = batch.filter(missing)
+        if self.emit_columns:
+            out = out.select(list(self.emit_columns))
+        return out
+
+
+def referential_violations(ds, dim_table: pa.Table,
+                           fk: Sequence[str],
+                           pk: Sequence[str] | None = None,
+                           emit_columns: Sequence[str] | None = None,
+                           batch_size: int = 8192, concurrency=None):
+    """Rows of `ds` whose fk tuple is missing from dim_table[pk].
+
+    dim_table must be SMALL (it is broadcast whole); for a large
+    dimension, pre-shrink it to distinct keys first.
+    """
+    import ray
+
+    pk = list(pk or fk)
+    keys = _combined_key(dim_table, pk)
+    keys = pc.unique(keys)
+    keys_ref = ray.put(keys)
+    if concurrency is None:
+        concurrency = (1, 8)
+    return ds.map_batches(
+        AntiJoin,
+        fn_constructor_kwargs={"keys_ref": keys_ref, "fk": tuple(fk),
+                               "emit_columns": emit_columns},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

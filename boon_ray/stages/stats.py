@@ -1,0 +1,99 @@
+"""Per-partition column statistics: two-stage (partial -> merge)
+grouped aggregation with mergeable sketches.
+
+North_rule L2 layer (SURVEY.md §7 step 4): null-rate, char-length
+min/max/sum, row counts and HLL++ distinct estimates per group
+(default group key: ``lang``). Partial aggregates are computed
+vectorized inside ``map_batches`` — one tiny row per (group, batch) —
+so the ``groupby`` shuffle moves kilobytes, not the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from boon_ray.sketches import HyperLogLog, hash64
+
+
+class PartialColumnStats:
+    """map_batches stage: batch -> per-group partial stats rows."""
+
+    def __init__(self, group_key: str = "lang", column: str = "content",
+                 distinct_columns: Sequence[str] = (), hll_p: int = 14):
+        self.group_key = group_key
+        self.column = column
+        self.distinct_columns = tuple(distinct_columns)
+        self.hll_p = hll_p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lengths = pc.utf8_length(batch.column(self.column))
+        t = pa.table({
+            self.group_key: batch.column(self.group_key),
+            "_len": lengths,
+            "_null": pc.cast(pc.is_null(batch.column(self.column)),
+                             pa.int64()),
+        })
+        agg = t.group_by([self.group_key]).aggregate([
+            ("_len", "count"), ("_null", "sum"),
+            ("_len", "min"), ("_len", "max"), ("_len", "sum"),
+        ])
+        agg = agg.rename_columns(
+            [self.group_key, "n_rows", "n_null", "min_chars", "max_chars",
+             "sum_chars"])
+        # n_rows counts non-null lengths; add nulls back for row count
+        n_rows = pc.add(agg.column("n_rows"),
+                        pc.fill_null(agg.column("n_null"), 0))
+        agg = agg.set_column(1, "n_rows", pc.cast(n_rows, pa.int64()))
+
+        if self.distinct_columns:
+            groups = agg.column(self.group_key).to_pylist()
+            gcol = batch.column(self.group_key).to_pandas().to_numpy(dtype=object)
+            sketches = {c: [] for c in self.distinct_columns}
+            for g in groups:
+                sel = gcol == g
+                for c in self.distinct_columns:
+                    vals = batch.column(c).to_pandas().to_numpy(dtype=object)[sel]
+                    hll = HyperLogLog(self.hll_p)
+                    hll.add_hashes(hash64(vals[~pd.isna(vals)]))
+                    sketches[c].append(hll.to_bytes())
+            for c in self.distinct_columns:
+                agg = agg.append_column(f"hll_{c}",
+                                        pa.array(sketches[c], pa.binary()))
+        return agg
+
+
+def _merge_stats(g: pd.DataFrame, group_key: str,
+                 distinct_columns: tuple) -> pd.DataFrame:
+    out = {
+        group_key: [g[group_key].iloc[0]],
+        "n_rows": [int(g["n_rows"].sum())],
+        "n_null": [int(g["n_null"].sum())],
+        "min_chars": [int(g["min_chars"].min())],
+        "max_chars": [int(g["max_chars"].max())],
+        "sum_chars": [int(g["sum_chars"].sum())],
+    }
+    for c in distinct_columns:
+        hll = HyperLogLog.from_bytes(g[f"hll_{c}"].iloc[0])
+        for b in g[f"hll_{c}"].iloc[1:]:
+            hll.merge(HyperLogLog.from_bytes(b))
+        out[f"distinct_{c}"] = [int(round(hll.estimate()))]
+    return pd.DataFrame(out)
+
+
+def column_stats(ds, group_key: str = "lang", column: str = "content",
+                 distinct_columns: Sequence[str] = (),
+                 batch_size: int = 8192):
+    """Dataset of per-group stats:
+    (group, n_rows, n_null, min_chars, max_chars, sum_chars
+     [, distinct_<c>...])."""
+    dc = tuple(distinct_columns)
+    partial = ds.map_batches(
+        PartialColumnStats(group_key, column, dc),
+        batch_format="pyarrow", batch_size=batch_size)
+    return partial.groupby(group_key).map_groups(
+        lambda g: _merge_stats(g, group_key, dc), batch_format="pandas")

@@ -1,0 +1,97 @@
+"""Key-uniqueness check: hash-partitioned shuffle with per-batch
+pre-aggregation and salt-based skew splitting.
+
+This is the reference's ``uniqueItems`` (util.rs:390-427) lifted from
+one in-memory array to table scale (SURVEY.md §7 step 5): find every
+key tuple — default ``(repo, path, commit)`` — that occurs more than
+once across the whole corpus.
+
+Scale design (north_rule):
+- **Pre-aggregate inside map_batches**: each Arrow batch collapses to
+  (key..., cnt) partial counts before any shuffle; the all-to-all then
+  moves one row per distinct key per batch, not one per input row. A
+  mega-repo holding 30% of a trillion rows contributes only its
+  distinct keys.
+- **Salt-based skew splitting**: the merge groupby keys on
+  ``(key_hash % num_partitions)`` — a uniform salt derived from the
+  full key tuple, so hot *repos* spread over all partitions while
+  every occurrence of the *same* key still lands together (correct
+  count). Two-stage: partial per (salt, key) inside the batch, merge
+  per key inside the salt partition.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from boon_ray.sketches import hash64
+
+DEFAULT_KEY = ("repo", "path", "commit")
+
+
+def _key_hash(batch: pa.Table, key: Sequence[str]) -> np.ndarray:
+    """Uniform 64-bit hash of the key tuple (vectorized)."""
+    h = hash64(batch.column(key[0]).to_pandas().to_numpy(dtype=object))
+    for k in key[1:]:
+        h2 = hash64(batch.column(k).to_pandas().to_numpy(dtype=object))
+        h = h * np.uint64(1099511628211) ^ h2
+    return h
+
+
+class PartialKeyCounts:
+    """map_batches stage: batch -> per-key partial counts + salt."""
+
+    def __init__(self, key: Sequence[str] = DEFAULT_KEY,
+                 num_salts: int = 64):
+        self.key = tuple(key)
+        self.num_salts = num_salts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grouped = batch.select(list(self.key)).group_by(
+            list(self.key)).aggregate([([], "count_all")])
+        grouped = grouped.rename_columns([*self.key, "cnt"])
+        salt = (_key_hash(grouped, self.key) %
+                np.uint64(self.num_salts)).astype(np.int64)
+        return grouped.append_column("salt", pa.array(salt))
+
+
+def _merge_group(g: pd.DataFrame, key: tuple) -> pd.DataFrame:
+    out = g.groupby(list(key), as_index=False, sort=False)["cnt"].sum()
+    out = out[out["cnt"] > 1]
+    return out.rename(columns={"cnt": "n_dups"})
+
+
+def uniqueness_violations(ds, key: Sequence[str] = DEFAULT_KEY,
+                          num_salts: int = 64, batch_size: int = 8192):
+    """Dataset of key tuples occurring more than once:
+    columns (*key, n_dups)."""
+    key = tuple(key)
+    partial = ds.map_batches(PartialKeyCounts(key, num_salts),
+                             batch_format="pyarrow",
+                             batch_size=batch_size)
+    return partial.groupby("salt").map_groups(
+        lambda g: _merge_group(g, key), batch_format="pandas")
+
+
+def dedup_exact(ds, key: Sequence[str], order_col: str,
+                batch_size: int = 8192):
+    """Exact deduplication: keep the row with MIN(order_col) per key
+    group (hash-partition + per-group first; ray_guide dedup pattern).
+
+    Returns the surviving rows. The shuffle key is the tuple itself —
+    pre-reduce within each batch first so the shuffle moves at most one
+    row per (key, batch).
+    """
+    key = list(key)
+
+    def batch_min(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b.groupby(key, sort=False)[order_col].idxmin()]
+
+    reduced = ds.map_batches(batch_min, batch_format="pandas",
+                             batch_size=batch_size)
+    return reduced.groupby(key).map_groups(batch_min,
+                                           batch_format="pandas")

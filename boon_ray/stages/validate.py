@@ -1,0 +1,167 @@
+"""Actor-pool full JSON Schema validation stage (the "Row"/"Actor"
+rows of SURVEY.md §2.1).
+
+One callable class per stage: the CompiledSpec (broadcast once via
+``ray.put`` on the driver) is fetched and the Evaluator + regex/format
+automata are built ONCE per actor in ``__init__``; ``__call__`` then
+validates a whole Arrow batch per invocation. Use with::
+
+    spec_ref = ray.put(spec)
+    ds.map_batches(JsonSchemaValidator,
+                   fn_constructor_kwargs={"spec": spec_ref, ...},
+                   batch_format="pyarrow", batch_size=4096,
+                   concurrency=8, num_cpus=1)
+
+This is the compile-once / validate-many split of the reference
+(Schemas immutable after compile, shared by &self —
+/root/reference/src/lib.rs:186-195) mapped onto Ray actor pools.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Optional, Sequence
+
+import pyarrow as pa
+
+from boon_ray.compiler import CompiledSpec, compile_schema
+from boon_ray.evaluator import Evaluator, Unit
+from boon_ray.stages.vectorized import KEY_COLUMNS, VIOLATION_SCHEMA
+
+
+def _resolve_spec(spec: Any) -> CompiledSpec:
+    if isinstance(spec, CompiledSpec):
+        return spec
+    try:
+        import ray
+        if isinstance(spec, ray.ObjectRef):
+            return ray.get(spec)
+    except ImportError:
+        pass
+    if isinstance(spec, dict):  # raw schema document
+        return compile_schema(spec)
+    raise TypeError(f"cannot resolve spec from {type(spec)!r}")
+
+
+def _leaf_units(unit: Unit):
+    """DFS to leaf error units (the 'basic' flat shape,
+    output.rs:38-86)."""
+    if unit.error and not unit.children:
+        yield unit
+    for c in unit.children:
+        yield from _leaf_units(c)
+
+
+class JsonSchemaValidator:
+    """Validate one JSON-bearing string column per row against a
+    CompiledSpec; emit per-row verdicts or violation rows.
+
+    Parameters
+    ----------
+    spec: CompiledSpec | ray.ObjectRef | dict(schema doc)
+    column: string column holding JSON text; or None when
+        ``from_columns`` is set.
+    from_columns: build the instance dict per row from these flat
+        columns instead of parsing JSON (metadata-record validation).
+    emit: "verdict" -> key cols + valid + error;
+          "violations" -> reference violation-row contract.
+    key_columns: carried through for provenance.
+    """
+
+    def __init__(self, spec: Any, column: Optional[str] = None,
+                 from_columns: Optional[Sequence[str]] = None,
+                 emit: str = "verdict",
+                 key_columns: Sequence[str] = KEY_COLUMNS):
+        self.spec = _resolve_spec(spec)
+        self.evaluator = Evaluator(self.spec)
+        self.column = column
+        self.from_columns = tuple(from_columns) if from_columns else None
+        if (column is None) == (self.from_columns is None):
+            raise ValueError("exactly one of column/from_columns required")
+        self.emit = emit
+        self.key_columns = tuple(key_columns)
+
+    def _instances(self, batch: pa.Table):
+        if self.column is not None:
+            for s in batch.column(self.column).to_pylist():
+                if s is None:
+                    yield None, "null content"
+                    continue
+                try:
+                    yield json.loads(s), None
+                except ValueError as e:
+                    yield None, f"invalid JSON: {e}"
+        else:
+            cols = [batch.column(c).to_pylist() for c in self.from_columns]
+            for row in zip(*cols):
+                yield dict(zip(self.from_columns, row)), None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = [k for k in self.key_columns if k in batch.column_names]
+        if self.emit == "verdict":
+            valid = []
+            errors = []
+            for inst, parse_err in self._instances(batch):
+                if parse_err is not None:
+                    valid.append(False)
+                    errors.append(parse_err)
+                    continue
+                u = self.evaluator.errors(inst)
+                valid.append(u is None)
+                errors.append("" if u is None else
+                              "; ".join(l.error for l in _leaf_units(u))[:500])
+            out = {k: batch.column(k) for k in keys}
+            out["valid"] = pa.array(valid, pa.bool_())
+            out["error"] = pa.array(errors, pa.string())
+            return pa.table(out)
+
+        # violations mode: one output row per leaf error
+        rows = {name: [] for name in
+                (*keys, "keyword", "constraint_path", "instance_path",
+                 "message")}
+        key_arrays = {k: batch.column(k).to_pylist() for k in keys}
+        for i, (inst, parse_err) in enumerate(self._instances(batch)):
+            leaves = []
+            if parse_err is not None:
+                leaves = [Unit("<parse>", "", "", parse_err)]
+            else:
+                u = self.evaluator.errors(inst)
+                if u is not None:
+                    leaves = list(_leaf_units(u))
+            for leaf in leaves:
+                for k in keys:
+                    rows[k].append(key_arrays[k][i])
+                rows["keyword"].append(leaf.keyword)
+                rows["constraint_path"].append(leaf.abs_loc)
+                rows["instance_path"].append(leaf.inst_loc)
+                rows["message"].append(leaf.error)
+        if keys == list(KEY_COLUMNS):
+            return pa.table(rows).cast(VIOLATION_SCHEMA)
+        return pa.table(
+            {name: pa.array(vals, pa.string()) for name, vals in rows.items()})
+
+
+def validate_dataset(ds, spec, *, column=None, from_columns=None,
+                     emit="verdict", key_columns=KEY_COLUMNS,
+                     batch_size: int = 4096, concurrency=(1, 8)):
+    """Attach the validation actor-pool stage to a Dataset.
+
+    The spec is put in the object store ONCE here (broadcast, not
+    re-shipped per batch). ``concurrency`` is the actor-pool size
+    ((min, max) autoscales with the streaming executor's backpressure).
+    """
+    import ray
+
+    if isinstance(spec, dict):
+        spec = compile_schema(spec)
+    spec_ref = ray.put(spec) if isinstance(spec, CompiledSpec) else spec
+    if concurrency is None:
+        concurrency = (1, 8)
+    return ds.map_batches(
+        JsonSchemaValidator,
+        fn_constructor_kwargs={
+            "spec": spec_ref, "column": column,
+            "from_columns": from_columns, "emit": emit,
+            "key_columns": tuple(key_columns)},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

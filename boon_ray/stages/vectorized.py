@@ -1,0 +1,167 @@
+"""Vectorized column-level keyword checks (the "Vec" rows of
+SURVEY.md §2.1).
+
+The scalar JSON Schema keyword families — type / enum / const /
+pattern / minLength / maxLength / minimum / maximum / exclusive* /
+multipleOf / required(non-null) — lifted from per-document evaluation
+to whole-column ``pyarrow.compute`` kernels over Arrow batches.
+This is the engine's hot path at 100 TB: zero-copy Arrow in, boolean
+masks out, no per-row Python.
+
+Violation rows follow the reference's error contract
+(repo, path, commit, keyword, constraint_path, instance_path, message)
+mirroring boon's ErrorKind::keyword_path() and InstanceLocation
+rendering (/root/reference/src/output.rs:482-541,
+/root/reference/src/validator.rs:1041-1076).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from boon_ray import ecma
+
+KEY_COLUMNS = ("repo", "path", "commit")
+
+VIOLATION_SCHEMA = pa.schema([
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("keyword", pa.string()),
+    ("constraint_path", pa.string()),
+    ("instance_path", pa.string()),
+    ("message", pa.string()),
+])
+
+
+def _re2_pattern(pattern: str) -> str:
+    """ECMA pattern -> RE2 (Arrow's regex engine) dialect.
+
+    Same class translation as ecma.convert, but end-anchor becomes
+    ``\\z`` (RE2) instead of Python's ``\\Z``. Compiling via
+    ecma.compile_ecma first validates the pattern."""
+    ecma.compile_ecma(pattern)
+    return ecma.convert(pattern).replace("\\Z", "\\z")
+
+
+@dataclass
+class ColumnRule:
+    """Declarative constraints on one flat column; each maps to one or
+    more vectorized keyword predicates."""
+
+    column: str
+    required: bool = False                    # non-null check
+    enum: Optional[Sequence[Any]] = None
+    const: Any = None
+    const_set: bool = False
+    pattern: Optional[str] = None             # ECMA dialect, search semantics
+    min_length: Optional[int] = None          # chars (codepoints)
+    max_length: Optional[int] = None
+    minimum: Optional[float] = None
+    maximum: Optional[float] = None
+    exclusive_minimum: Optional[float] = None
+    exclusive_maximum: Optional[float] = None
+    multiple_of: Optional[float] = None
+
+    def checks(self):
+        """Yield (keyword, message, mask_fn) triples; mask_fn(column
+        array) -> boolean array, True = VIOLATION."""
+        col = self.column
+        if self.required:
+            yield ("required", f"{col} must not be null",
+                   lambda a: pc.is_null(a))
+        if self.enum is not None:
+            vals = pa.array(list(self.enum))
+            yield ("enum", f"{col} not in {list(self.enum)!r}",
+                   lambda a: pc.invert(pc.is_in(a, value_set=vals)))
+        if self.const_set:
+            yield ("const", f"{col} must equal {self.const!r}",
+                   lambda a: pc.invert(pc.equal(a, self.const)))
+        if self.pattern is not None:
+            rx = _re2_pattern(self.pattern)
+            yield ("pattern", f"{col} does not match {self.pattern!r}",
+                   lambda a: pc.invert(pc.match_substring_regex(a, rx)))
+        if self.min_length is not None:
+            n = self.min_length
+            yield ("minLength", f"length({col}) < {n}",
+                   lambda a: pc.less(pc.utf8_length(a), n))
+        if self.max_length is not None:
+            n = self.max_length
+            yield ("maxLength", f"length({col}) > {n}",
+                   lambda a: pc.greater(pc.utf8_length(a), n))
+        if self.minimum is not None:
+            yield ("minimum", f"{col} < {self.minimum}",
+                   lambda a: pc.less(a, self.minimum))
+        if self.maximum is not None:
+            yield ("maximum", f"{col} > {self.maximum}",
+                   lambda a: pc.greater(a, self.maximum))
+        if self.exclusive_minimum is not None:
+            yield ("exclusiveMinimum", f"{col} <= {self.exclusive_minimum}",
+                   lambda a: pc.less_equal(a, self.exclusive_minimum))
+        if self.exclusive_maximum is not None:
+            yield ("exclusiveMaximum", f"{col} >= {self.exclusive_maximum}",
+                   lambda a: pc.greater_equal(a, self.exclusive_maximum))
+        if self.multiple_of is not None:
+            m = self.multiple_of
+            def _mo(a, m=m):
+                q = pc.divide(pc.cast(a, pa.float64()), m)
+                return pc.invert(pc.equal(q, pc.floor(q)))
+            yield ("multipleOf", f"{col} not a multiple of {m}", _mo)
+
+
+@dataclass
+class RuleSet:
+    """A compiled set of column rules = one table-level constraint spec
+    (the declarative layer the north_star mandates)."""
+
+    rules: tuple
+    key_columns: tuple = KEY_COLUMNS
+
+    def masks(self, batch: pa.Table):
+        """Yield (rule, keyword, message, violation_mask)."""
+        for rule in self.rules:
+            if rule.column not in batch.column_names:
+                continue
+            arr = batch.column(rule.column)
+            for keyword, message, fn in rule.checks():
+                mask = fn(arr)
+                # nulls in comparisons -> null mask entries; only the
+                # `required` check treats null as a violation
+                if keyword != "required":
+                    mask = pc.fill_null(mask, False)
+                yield rule, keyword, message, mask
+
+
+def verdict_batch(batch: pa.Table, ruleset: RuleSet,
+                  valid_col: str = "valid") -> pa.Table:
+    """Append a per-row `valid` bool = AND over all rule masks."""
+    ok = pa.array([True] * batch.num_rows, pa.bool_())
+    for _, _, _, mask in ruleset.masks(batch):
+        ok = pc.and_(ok, pc.invert(mask))
+    return batch.append_column(valid_col, ok)
+
+
+def violations_batch(batch: pa.Table, ruleset: RuleSet) -> pa.Table:
+    """Emit one violation row per (row, failed keyword) in the
+    reference error contract shape."""
+    out = []
+    keys = [k for k in ruleset.key_columns if k in batch.column_names]
+    for rule, keyword, message, mask in ruleset.masks(batch):
+        n_bad = pc.sum(mask).as_py() or 0
+        if not n_bad:
+            continue
+        hit = batch.filter(mask)
+        cols = {k: hit.column(k) for k in keys}
+        cols["keyword"] = pa.array([keyword] * n_bad)
+        cols["constraint_path"] = pa.array(
+            [f"/{rule.column}/{keyword}"] * n_bad)
+        cols["instance_path"] = pa.array([f"/{rule.column}"] * n_bad)
+        cols["message"] = pa.array([message] * n_bad)
+        out.append(pa.table(cols))
+    if not out:
+        return VIOLATION_SCHEMA.empty_table()
+    return pa.concat_tables(out).cast(VIOLATION_SCHEMA)

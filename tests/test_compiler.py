@@ -1,0 +1,117 @@
+import pytest
+
+from boon_ray.compiler import Compiler, CompileError, compile_schema
+
+
+def test_invalid_schemas_raise():
+    bad = [
+        {"pattern": "("},
+        {"patternProperties": {"(": {}}},
+        {"type": "nonsense"},
+        {"enum": "not-an-array"},
+        {"required": [1]},
+        {"minLength": -1},
+        {"multipleOf": 0},
+        {"minimum": "x"},
+        {"allOf": []},
+        "not a schema",
+    ]
+    for s in bad:
+        with pytest.raises(CompileError):
+            compile_schema(s)
+
+
+def test_unresolved_ref():
+    with pytest.raises(CompileError):
+        compile_schema({"$ref": "http://nowhere.invalid/x.json"})
+    with pytest.raises(CompileError):
+        compile_schema({"$ref": "#/$defs/missing"})
+    with pytest.raises(CompileError):
+        compile_schema({"$ref": "#no-such-anchor"})
+
+
+def test_draft_detection_from_dollar_schema():
+    s = {"$schema": "http://json-schema.org/draft-07/schema#",
+         "definitions": {"x": {"type": "string"}},
+         "$ref": "#/definitions/x", "type": "integer"}
+    spec = compile_schema(s)  # default 2020, but $schema says draft-7
+    from boon_ray.evaluator import Evaluator
+    # draft-7 $ref short-circuit: sibling `type` ignored
+    assert Evaluator(spec).is_valid("str")
+
+
+def test_id_creates_resource_and_base_uri():
+    s = {"$id": "http://example.com/root.json",
+         "$defs": {"inner": {"$id": "inner.json", "type": "integer"}},
+         "$ref": "http://example.com/inner.json"}
+    c = Compiler()
+    spec = c.compile("http://example.com/root.json", s)
+    from boon_ray.evaluator import Evaluator
+    assert Evaluator(spec).is_valid(3)
+    assert not Evaluator(spec).is_valid("x")
+
+
+def test_cross_document_refs():
+    pet = {"$id": "http://example.com/pet.json",
+           "oneOf": [{"$ref": "cat.json"}, {"$ref": "dog.json"}]}
+    cat = {"$id": "http://example.com/cat.json",
+           "properties": {"speak": {"const": "meow"}},
+           "required": ["speak"]}
+    dog = {"$id": "http://example.com/dog.json",
+           "properties": {"speak": {"const": "woof"}},
+           "required": ["speak"]}
+    c = Compiler()
+    for d in (pet, cat, dog):
+        c.add_resource(d["$id"], d)
+    spec = c.compile("http://example.com/pet.json")
+    from boon_ray.evaluator import Evaluator
+    ev = Evaluator(spec)
+    assert ev.is_valid({"speak": "meow"})
+    assert ev.is_valid({"speak": "woof"})
+    assert not ev.is_valid({"speak": "moo"})
+    assert not ev.is_valid({})
+
+
+def test_fragment_anchor_pre2019():
+    s = {"$id": "http://example.com/s.json",
+         "definitions": {"a": {"$id": "#frag", "type": "string"}},
+         "$ref": "#frag"}
+    c = Compiler(default_draft=7)
+    spec = c.compile("http://example.com/s.json", s)
+    from boon_ray.evaluator import Evaluator
+    assert Evaluator(spec).is_valid("x")
+    assert not Evaluator(spec).is_valid(5)
+
+
+def test_duplicate_anchor_rejected():
+    s = {"$defs": {"a": {"$anchor": "x"}, "b": {"$anchor": "x"}}}
+    with pytest.raises(CompileError):
+        compile_schema(s)
+
+
+def test_spec_is_picklable():
+    import pickle
+
+    spec = compile_schema(
+        {"properties": {"a": {"pattern": "^x"}},
+         "allOf": [{"minLength": 1}]}, formats_enabled=True)
+    spec2 = pickle.loads(pickle.dumps(spec))
+    from boon_ray.evaluator import Evaluator
+    assert not Evaluator(spec2).is_valid({"a": "y"})
+    assert Evaluator(spec2).is_valid({"a": "xx"})
+
+
+def test_custom_format_registration():
+    def even(v):
+        if isinstance(v, int) and v % 2:
+            return "odd"
+        return None
+
+    c = Compiler(formats_enabled=True)
+    c.register_format("even", even)
+    spec = c.compile("http://t.local/s.json", {"format": "even"})
+    from boon_ray.evaluator import Evaluator
+    assert Evaluator(spec).is_valid(2)
+    assert not Evaluator(spec).is_valid(3)
+    with pytest.raises(CompileError):
+        c.register_format("regex", even)

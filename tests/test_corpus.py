@@ -1,0 +1,81 @@
+"""Corpus derivation parity with the DuckDB oracle + the content
+sha256 invariant (BASELINE.json input_hint)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pyarrow.compute as pc
+import pytest
+
+from boon_ray.sources.corpus import (
+    CORPUS_CTE, commits_table, corpus_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    return con
+
+
+def test_corpus_matches_sql_exactly(oracle):
+    t = corpus_table(SF)
+    o = oracle.sql(
+        f'WITH {CORPUS_CTE.strip()} SELECT repo, path, "commit", lang, '
+        f"content FROM corpus ORDER BY doc_id").arrow().combine_chunks()
+    assert t.num_rows == o.num_rows
+    for c in t.column_names:
+        assert pc.all(pc.equal(t.column(c), o.column(c))).as_py(), c
+
+
+def test_commits_dim_matches_sql(oracle):
+    cd = commits_table(SF)
+    od = oracle.sql(
+        f'WITH {CORPUS_CTE.strip()} SELECT DISTINCT "commit", repo '
+        f'FROM corpus WHERE NOT is_orphan ORDER BY "commit", repo'
+    ).arrow().combine_chunks()
+    assert cd.equals(od.cast(cd.schema))
+
+
+def test_content_sha256_invariant(ray_session):
+    """The engine must never mutate payloads: sha256(content) of the
+    corpus stream == sha256(text) of the input documents, row for row."""
+    import pyarrow.parquet as pq
+
+    from boon_ray.sources.corpus import corpus_dataset
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    want = {i: hashlib.sha256(t.encode()).hexdigest()
+            for i, t in zip(docs.column("doc_id").to_pylist(),
+                            docs.column("text").to_pylist())}
+
+    ds = corpus_dataset(SF, keep_meta=True)
+    got = {}
+    for batch in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for i, c in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("content").to_pylist()):
+            got[i] = hashlib.sha256(c.encode()).hexdigest()
+    assert got == want
+
+
+def test_fixture_injection_counts():
+    t = corpus_table(SF, keep_meta=True)
+    # orphans present
+    assert pc.sum(t.column("is_orphan")).as_py() > 0
+    # mega-repo skew ~30%
+    mega = pc.sum(pc.cast(pc.equal(t.column("repo"), "org0/repo0"),
+                          "int64")).as_py()
+    assert 0.2 < mega / t.num_rows < 0.4
+    # duplicate triples exist
+    import collections
+    keys = collections.Counter(zip(t.column("repo").to_pylist(),
+                                   t.column("path").to_pylist(),
+                                   t.column("commit").to_pylist()))
+    assert sum(1 for v in keys.values() if v > 1) > 0

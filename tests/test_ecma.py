@@ -1,0 +1,38 @@
+import pytest
+
+from boon_ray import ecma
+
+
+def test_digit_class_is_ascii():
+    r = ecma.compile_ecma(r"^\d+$")
+    assert r.search("123")
+    assert not r.search("١٢٣")  # Arabic-Indic digits excluded
+
+
+def test_word_class_is_ascii():
+    assert not ecma.compile_ecma(r"^\w+$").search("héllo")
+    assert ecma.compile_ecma(r"^\w+$").search("hello_1")
+
+
+def test_dollar_excludes_trailing_newline():
+    assert not ecma.compile_ecma(r"^a$").search("a\n")
+    assert ecma.compile_ecma(r"^a$").search("a")
+
+
+def test_control_escape():
+    assert ecma.compile_ecma(r"\cA").search("\x01")
+    with pytest.raises(ecma.EcmaError):
+        ecma.compile_ecma(r"\c1")
+
+
+def test_invalid_escapes_rejected():
+    with pytest.raises(ecma.EcmaError):
+        ecma.compile_ecma(r"\a")
+    with pytest.raises(ecma.EcmaError):
+        ecma.compile_ecma("(")
+
+
+def test_classes_inside_charclass():
+    r = ecma.compile_ecma(r"^[\d\s]+$")
+    assert r.search("1 2\t3")
+    assert not r.search("1a")

@@ -1,0 +1,224 @@
+"""Keyword conformance battery + the reference's Extra-Test-Suite run
+read-only from /root/reference (skipped when absent)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from boon_ray.compiler import Compiler, CompileError, compile_schema
+from boon_ray.evaluator import Evaluator
+
+# (schema, data, valid[, draft]) — drawn from the reference semantics
+# cited in SURVEY.md §2.1 / FIXTURES.md §2
+CASES = [
+    ({"type": "integer"}, 1, True),
+    ({"type": "integer"}, 1.0, True),
+    ({"type": "integer"}, 1.5, False),
+    ({"type": "integer"}, "1", False),
+    ({"type": "integer"}, True, False),
+    ({"type": "number"}, 1, True),
+    ({"type": ["string", "null"]}, None, True),
+    ({"const": 2}, 2.0, True),
+    ({"const": {"a": 1, "b": 2}}, {"b": 2.0, "a": 1}, True),
+    ({"const": True}, 1, False),
+    ({"enum": [2, "a"]}, 2.0, True),
+    ({"enum": [[1, 2]]}, [1, 2.0], True),
+    ({"uniqueItems": True}, [2, 2.0], False),
+    ({"uniqueItems": True}, list(range(25)) + [2.0], False),
+    ({"uniqueItems": True}, [{"a": 1}, {"a": 1.0}], False),
+    ({"required": ["a", "b"]}, {"a": 1}, False),
+    ({"properties": {"a": {"type": "integer"}}}, {"a": "x"}, False),
+    ({"properties": {"a": {}}, "additionalProperties": False},
+     {"a": 1, "b": 2}, False),
+    ({"patternProperties": {"^s_": {"type": "string"}},
+      "additionalProperties": False}, {"s_x": "y"}, True),
+    ({"propertyNames": {"maxLength": 3}}, {"abcd": 1}, False),
+    ({"minLength": 5}, "héllo", True),
+    ({"maxLength": 4}, "héllo", False),
+    ({"pattern": "b.t"}, "abbott bat", True),
+    ({"pattern": "^a\\d$"}, "a5\n", False),
+    ({"minimum": 5}, 5, True),
+    ({"exclusiveMinimum": 5}, 5, False),
+    ({"multipleOf": 0.0001}, 0.0075, True),
+    ({"multipleOf": 2}, 7, False),
+    ({"prefixItems": [{"type": "integer"}], "items": {"type": "string"}},
+     [1, "a", "b"], True),
+    ({"prefixItems": [{"type": "integer"}], "items": {"type": "string"}},
+     [1, 2], False),
+    ({"contains": {"type": "integer"}, "minContains": 2}, [1, "a", 2], True),
+    ({"contains": {"type": "integer"}, "maxContains": 1}, [1, 2], False),
+    ({"allOf": [{"type": "integer"}, {"minimum": 3}]}, 2, False),
+    ({"anyOf": [{"type": "string"}, {"minimum": 3}]}, 5, True),
+    ({"oneOf": [{"type": "integer"}, {"minimum": 3}]}, 5, False),
+    ({"not": {"type": "integer"}}, 5, False),
+    ({"if": {"minimum": 5}, "then": {"multipleOf": 2},
+      "else": {"multipleOf": 3}}, 6, True),
+    ({"if": {"minimum": 5}, "then": {"multipleOf": 2},
+      "else": {"multipleOf": 3}}, 4, False),
+    (True, 42, True),
+    (False, 42, False),
+    ({"$defs": {"pos": {"type": "integer", "minimum": 0}},
+      "$ref": "#/$defs/pos"}, -1, False),
+    ({"$defs": {"a b": {"type": "integer"}}, "$ref": "#/$defs/a%20b"},
+     "x", False),
+    ({"$defs": {"p": {"$anchor": "pos", "minimum": 0}}, "$ref": "#pos"},
+     -1, False),
+    ({"allOf": [{"properties": {"a": {}}}, {"properties": {"b": {}}}],
+      "unevaluatedProperties": False}, {"a": 1, "b": 2}, True),
+    ({"allOf": [{"properties": {"a": {}}}],
+      "unevaluatedProperties": False}, {"a": 1, "c": 2}, False),
+    ({"prefixItems": [{}], "unevaluatedItems": False}, [1, 2], False),
+    ({"contains": {"type": "integer"}, "unevaluatedItems": False},
+     [1, 2], True),
+    ({"anyOf": [{"properties": {"a": {"type": "integer"}},
+                 "required": ["a"]},
+                {"properties": {"b": {}}, "required": ["b"]}],
+      "unevaluatedProperties": False}, {"a": 1, "b": 2}, True),
+    ({"dependencies": {"a": ["b"]}}, {"a": 1}, False, 7),
+    ({"dependencies": {"a": {"required": ["b"]}}}, {"a": 1}, False, 7),
+    ({"dependentRequired": {"a": ["b"]}}, {"a": 1}, False),
+    ({"dependentSchemas": {"a": {"required": ["b"]}}}, {"a": 1}, False),
+    ({"minimum": 5, "exclusiveMinimum": True}, 5, False, 4),
+    ({"minimum": 5}, 5, True, 4),
+    # pre-2019 $ref short-circuits siblings
+    ({"definitions": {"s": {"type": "string"}},
+      "$ref": "#/definitions/s", "type": "integer"}, "x", True, 7),
+    ({"$defs": {"s": {"type": "string"}},
+      "$ref": "#/$defs/s", "type": "integer"}, "x", False),
+    ({"items": [{"type": "integer"}], "additionalItems": False},
+     [1, 2], False, 7),
+    ({"items": [{"type": "integer"}],
+      "additionalItems": {"type": "string"}}, [1, "a"], True, 7),
+    ({"items": {"type": "integer"}}, [1, "a"], False, 7),
+]
+
+
+@pytest.mark.parametrize("case", CASES,
+                         ids=[f"case{i}" for i in range(len(CASES))])
+def test_keyword(case):
+    schema, data, want = case[0], case[1], case[2]
+    draft = case[3] if len(case) > 3 else 2020
+    spec = compile_schema(schema, default_draft=draft)
+    assert Evaluator(spec).is_valid(data) == want
+
+
+def test_format_assertions_opt_in():
+    schema = {"format": "ipv4"}
+    off = compile_schema(schema)
+    on = compile_schema(schema, formats_enabled=True)
+    assert Evaluator(off).is_valid("999.0.0.1")
+    assert not Evaluator(on).is_valid("999.0.0.1")
+    assert Evaluator(on).is_valid(42)  # non-strings pass
+
+
+def test_content_assertions():
+    schema = {"contentEncoding": "base64",
+              "contentMediaType": "application/json",
+              "contentSchema": {"type": "object", "required": ["k"]}}
+    spec = compile_schema(schema, content_enabled=True)
+    import base64
+    ev = Evaluator(spec)
+    good = base64.b64encode(b'{"k": 1}').decode()
+    bad_json = base64.b64encode(b"{nope").decode()
+    missing = base64.b64encode(b'{"x": 1}').decode()
+    assert ev.is_valid(good)
+    assert not ev.is_valid("!!! not base64 !!!")
+    assert not ev.is_valid(bad_json)
+    assert not ev.is_valid(missing)
+    # assertions off by default
+    assert Evaluator(compile_schema(schema)).is_valid("!!! not base64 !!!")
+
+
+def test_ref_cycle_is_error_not_hang():
+    cyc = {"$defs": {"a": {"$ref": "#/$defs/b"},
+                     "b": {"$ref": "#/$defs/a"}},
+           "$ref": "#/$defs/a"}
+    ev = Evaluator(compile_schema(cyc))
+    assert not ev.is_valid(1)
+
+
+def test_dynamic_ref_strict_tree():
+    tree = {"$id": "https://example.com/tree",
+            "$dynamicAnchor": "node",
+            "type": "object",
+            "properties": {
+                "data": True,
+                "children": {"type": "array",
+                             "items": {"$dynamicRef": "#node"}}}}
+    strict = {"$id": "https://example.com/strict-tree",
+              "$dynamicAnchor": "node",
+              "$ref": "tree",
+              "unevaluatedProperties": False}
+    c = Compiler()
+    c.add_resource("https://example.com/tree", tree)
+    c.add_resource("https://example.com/strict-tree", strict)
+    ev = Evaluator(c.compile("https://example.com/strict-tree"))
+    assert ev.is_valid({"children": [{"data": 1}]})
+    assert not ev.is_valid({"children": [{"daat": 1}]})
+
+
+def test_recursive_ref():
+    meta = {"$id": "https://example.com/meta", "$recursiveAnchor": True,
+            "type": ["object", "boolean"]}
+    ext = {"$id": "https://example.com/ext", "$recursiveAnchor": True,
+           "$ref": "https://example.com/meta",
+           "properties": {"x": {"$recursiveRef": "#"}}}
+    c = Compiler(default_draft=2019)
+    c.add_resource("https://example.com/meta", meta)
+    c.add_resource("https://example.com/ext", ext)
+    ev = Evaluator(c.compile("https://example.com/ext"))
+    assert ev.is_valid({"x": {}})
+    assert not ev.is_valid({"x": 1})
+
+
+def test_output_formats():
+    spec = compile_schema(
+        {"properties": {"a": {"type": "integer"}}, "required": ["b"]})
+    ev = Evaluator(spec)
+    u = ev.errors({"a": "x"})
+    assert u is not None
+    from boon_ray.evaluator import ValidationError
+    e = ValidationError(u)
+    assert e.flag_output() == {"valid": False}
+    basic = e.basic_output()
+    assert basic["valid"] is False
+    kws = {x["keywordLocation"] for x in basic["errors"]}
+    assert any("required" in k for k in kws)
+    assert any("properties/a/type" in k for k in kws)
+    det = e.detailed_output()
+    assert det["valid"] is False and det["errors"]
+
+
+# ---- reference conformance fixtures (read-only; skip when absent) ----
+
+_SUITE = "/root/reference/tests/Extra-Test-Suite/tests"
+_DRAFT_DIRS = {"draft4": 4, "draft6": 6, "draft7": 7,
+               "draft2019-09": 2019, "draft2020-12": 2020}
+
+
+def _suite_cases():
+    out = []
+    for path in sorted(glob.glob(f"{_SUITE}/*/**/*.json", recursive=True)):
+        rel = os.path.relpath(path, _SUITE)
+        draft = _DRAFT_DIRS[rel.split("/")[0]]
+        optional = "/optional/" in path
+        for g in json.load(open(path)):
+            for t in g.get("tests", []):
+                out.append(pytest.param(
+                    draft, optional, g["schema"], t["data"], t["valid"],
+                    id=f"{rel}::{g['description'][:30]}::{t['description'][:30]}"))
+    return out
+
+
+@pytest.mark.skipif(not os.path.isdir(_SUITE),
+                    reason="reference suite not available")
+@pytest.mark.parametrize("draft,optional,schema,data,valid", _suite_cases())
+def test_reference_extra_suite(draft, optional, schema, data, valid):
+    c = Compiler(default_draft=draft, formats_enabled=optional,
+                 content_enabled=optional)
+    spec = c.compile("http://t.local/schema.json", schema)
+    assert Evaluator(spec).is_valid(data) == valid

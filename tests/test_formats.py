@@ -1,0 +1,85 @@
+import pytest
+
+from boon_ray.formats import FORMATS
+
+# (format, value, valid) — mirrors the reference format semantics
+# (/root/reference/src/formats.rs; see FIXTURES.md §2)
+CASES = [
+    ("date", "2024-02-29", True),
+    ("date", "2023-02-29", False),
+    ("date", "2000-02-29", True),       # /400 leap
+    ("date", "1900-02-29", False),      # /100 non-leap
+    ("date", "2023-13-01", False),
+    ("date", "2023-1-01", False),
+    ("time", "23:59:60Z", True),        # leap second at UTC midnight
+    ("time", "12:00:60Z", False),
+    ("time", "15:59:60-08:00", True),   # normalizes to 23:59:60 UTC
+    ("time", "10:20:30.5+05:30", True),
+    ("time", "24:00:00Z", False),
+    ("time", "10:20:30", False),        # offset required
+    ("date-time", "2024-02-29T23:59:60Z", True),
+    ("date-time", "2024-02-29t10:00:00z", True),
+    ("date-time", "2024-02-29 10:00:00Z", False),
+    ("duration", "P1DT2H", True),
+    ("duration", "PT2H", True),
+    ("duration", "P3W", True),
+    ("duration", "PT2H1D", False),      # unit order
+    ("duration", "P", False),
+    ("duration", "PT", False),
+    ("period", "2024-01-01T00:00:00Z/2024-01-02T00:00:00Z", True),
+    ("period", "2024-01-01T00:00:00Z/P1D", True),
+    ("period", "P1D/2024-01-02T00:00:00Z", True),
+    ("period", "P1D/P2D", False),
+    ("hostname", "example.com", True),
+    ("hostname", "-bad.com", False),
+    ("hostname", "a" * 63 + ".com", True),
+    ("hostname", "a" * 64 + ".com", False),
+    ("hostname", "x" * 250 + ".com", False),   # >253 total
+    ("idn-hostname", "실례.테스트", True),
+    ("idn-hostname", "a·b", False),            # middle dot needs l·l
+    ("idn-hostname", "l·l", True),
+    ("email", "joe@example.com", True),
+    ("email", '"quoted string"@example.com', True),
+    ("email", '"a\\b"@example.com', False),    # invalid backslash escape
+    ("email", "bad..dot@example.com", False),
+    ("email", ".lead@example.com", False),
+    ("email", "me@[127.0.0.1]", True),
+    ("email", "me@[IPv6:::1]", True),
+    ("email", "me@[999.0.0.1]", False),
+    ("json-pointer", "/a~1b", True),
+    ("json-pointer", "/a~2b", False),
+    ("json-pointer", "a/b", False),
+    ("json-pointer", "", True),
+    ("relative-json-pointer", "0#", True),
+    ("relative-json-pointer", "1/a", True),
+    ("relative-json-pointer", "01", False),
+    ("uuid", "123e4567-e89b-12d3-a456-426614174000", True),
+    ("uuid", "123e4567e89b12d3a456426614174000", False),
+    ("uri", "http://example.com/a?b#c", True),
+    ("uri", "//no-scheme", False),
+    ("uri", "mailto:a@b", True),
+    ("uri", "http://exämple.com", False),      # non-ASCII: iri only
+    ("uri-reference", "/rel/path", True),
+    ("uri-reference", "ht tp://x", False),
+    ("iri", "http://exämple.com/päth", True),
+    ("uri-template", "http://x/{var}/y", True),
+    ("uri-template", "http://x/{a{b}}", False),
+    ("ipv4", "127.0.0.1", True),
+    ("ipv4", "256.0.0.1", False),
+    ("ipv6", "::1", True),
+    ("ipv6", "fe80::1%eth0", False),
+    ("regex", "^a\\d$", True),
+    ("regex", "(", False),
+]
+
+
+@pytest.mark.parametrize("name,value,valid", CASES)
+def test_format(name, value, valid):
+    err = FORMATS[name](value)
+    assert (err is None) == valid, f"{name}({value!r}) -> {err}"
+
+
+@pytest.mark.parametrize("name", sorted(FORMATS))
+def test_non_string_always_passes(name):
+    for v in (42, 1.5, None, True, [1], {"a": 1}):
+        assert FORMATS[name](v) is None

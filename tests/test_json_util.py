@@ -1,0 +1,53 @@
+from boon_ray import json_util as ju
+
+
+def test_type_of():
+    assert ju.type_of(None) == "null"
+    assert ju.type_of(True) == "boolean"
+    assert ju.type_of(1) == "integer"
+    assert ju.type_of(1.5) == "number"
+    assert ju.type_of("x") == "string"
+    assert ju.type_of([1]) == "array"
+    assert ju.type_of({}) == "object"
+
+
+def test_integer_semantics():
+    assert ju.is_integer(1)
+    assert ju.is_integer(1.0)
+    assert not ju.is_integer(1.5)
+    assert not ju.is_integer(True)
+    assert ju.matches_type(1.0, "integer")
+    assert ju.matches_type(1, "number")
+    assert not ju.matches_type(True, "integer")
+
+
+def test_equals_numeric_coercion():
+    assert ju.equals(2, 2.0)
+    assert ju.equals([1, 2], [1.0, 2.0])
+    assert ju.equals({"a": 1, "b": 2}, {"b": 2.0, "a": 1})
+    assert not ju.equals(True, 1)
+    assert not ju.equals(0, False)
+    assert not ju.equals({"a": 1}, {"a": 1, "b": 2})
+
+
+def test_canonical_key_consistent_with_equals():
+    assert ju.canonical_key(2) == ju.canonical_key(2.0)
+    assert ju.canonical_key({"a": [1, 2.0]}) == ju.canonical_key({"a": [1.0, 2]})
+    assert ju.canonical_key(True) != ju.canonical_key(1)
+
+
+def test_find_duplicate_small_and_hashed():
+    assert ju.find_duplicate([1, 2, 3]) is None
+    assert ju.find_duplicate([2, 2.0]) == (0, 1)
+    big = list(range(25)) + [2.0]
+    assert ju.find_duplicate(big) == (2, 25)
+    objs = [{"a": i} for i in range(30)] + [{"a": 3.0}]
+    assert ju.find_duplicate(objs) == (3, 30)
+
+
+def test_json_pointer():
+    doc = {"a": {"b/c": [10, 20], "~": 5}}
+    assert ju.pointer_lookup(doc, "") == doc
+    assert ju.pointer_lookup(doc, "/a/b~1c/1") == 20
+    assert ju.pointer_lookup(doc, "/a/~0") == 5
+    assert ju.join_pointer("/a", "b/c") == "/a/b~1c"

@@ -1,0 +1,51 @@
+import numpy as np
+
+from boon_ray.sketches import (
+    CountMin, HyperLogLog, band_keys, hash64, minhash_signatures,
+)
+
+
+def _vals(prefix, n):
+    return np.array([f"{prefix}{i}" for i in range(n)], dtype=object)
+
+
+def test_hll_accuracy():
+    for n in (100, 10_000, 100_000):
+        h = HyperLogLog()
+        h.add_values(_vals("v", n))
+        assert abs(h.estimate() - n) / n < 0.03
+
+
+def test_hll_merge_and_serde():
+    a, b = HyperLogLog(), HyperLogLog()
+    a.add_values(_vals("a", 5000))
+    b.add_hashes(hash64(_vals("a", 7500)[2500:]))
+    m = HyperLogLog.from_bytes(a.to_bytes())
+    m.merge(HyperLogLog.from_bytes(b.to_bytes()))
+    assert abs(m.estimate() - 7500) / 7500 < 0.03
+
+
+def test_cms_counts():
+    c = CountMin()
+    c.add_values(np.array(["x"] * 1000 + ["y"] * 10, dtype=object))
+    assert c.query_values(np.array(["x"], dtype=object))[0] >= 1000
+    assert c.query_values(np.array(["y"], dtype=object))[0] >= 10
+    c2 = CountMin.from_bytes(c.to_bytes())
+    c2.merge(c)
+    assert c2.query_values(np.array(["x"], dtype=object))[0] >= 2000
+
+
+def test_minhash_jaccard():
+    d1 = hash64(_vals("s", 100))
+    d2 = hash64(np.array([f"s{i}" for i in range(50, 150)], dtype=object))
+    sig = minhash_signatures([d1, d2], 256)
+    est = (sig[0] == sig[1]).mean()
+    assert abs(est - 1 / 3) < 0.1
+
+
+def test_band_keys_identical_docs_collide():
+    d = hash64(_vals("s", 50))
+    sig = minhash_signatures([d, d, hash64(_vals("t", 50))], 128)
+    bk = band_keys(sig, 16)
+    assert (bk[0] == bk[1]).all()
+    assert not (bk[0] == bk[2]).any()

@@ -1,0 +1,125 @@
+"""Ray Data stages vs DuckDB oracles on sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from boon_ray.pipelines import flagship as F
+from boon_ray.sources.corpus import CORPUS_CTE, commits_table, corpus_dataset
+from boon_ray.stages.referential import referential_violations
+from boon_ray.stages.stats import column_stats
+from boon_ray.stages.unique import dedup_exact, uniqueness_violations
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    return con
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_uniqueness_matches_oracle(ray_session, oracle):
+    got = uniqueness_violations(corpus_dataset(SF)).to_pandas()
+    want = oracle.sql(
+        f'WITH {CORPUS_CTE.strip()} '
+        f'SELECT repo, path, "commit", count(*) AS n_dups FROM corpus '
+        f"GROUP BY 1,2,3 HAVING count(*) > 1").df()
+    got = _sorted(got[["repo", "path", "commit", "n_dups"]])
+    want = _sorted(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_referential_matches_oracle(ray_session, oracle):
+    got = referential_violations(
+        corpus_dataset(SF), commits_table(SF), fk=("commit",),
+        emit_columns=("repo", "path", "commit")).to_pandas()
+    want = oracle.sql(
+        f'WITH {CORPUS_CTE.strip()} '
+        f'SELECT repo, path, "commit" FROM corpus '
+        f'WHERE "commit" NOT IN '
+        f'(SELECT DISTINCT "commit" FROM corpus WHERE NOT is_orphan)'
+    ).df()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want),
+                                  check_dtype=False)
+
+
+def test_column_stats_matches_oracle(ray_session, oracle):
+    got = column_stats(corpus_dataset(SF)).to_pandas()
+    got = got[["lang", "n_rows", "n_null", "min_chars", "max_chars",
+               "sum_chars"]]
+    want = oracle.sql(
+        f'WITH {CORPUS_CTE.strip()} '
+        f"SELECT lang, count(*) AS n_rows, "
+        f"count(*) - count(content) AS n_null, "
+        f"min(length(content)) AS min_chars, "
+        f"max(length(content)) AS max_chars, "
+        f"CAST(sum(length(content)) AS BIGINT) AS sum_chars "
+        f"FROM corpus GROUP BY lang").df()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(want),
+                                  check_dtype=False)
+
+
+def test_hll_distinct_close_to_exact(ray_session, oracle):
+    got = column_stats(corpus_dataset(SF),
+                       distinct_columns=("path",)).to_pandas()
+    want = oracle.sql(
+        f'WITH {CORPUS_CTE.strip()} '
+        f"SELECT lang, count(DISTINCT path) AS d FROM corpus "
+        f"GROUP BY lang").df().set_index("lang")["d"]
+    for _, row in got.iterrows():
+        exact = want[row["lang"]]
+        assert abs(row["distinct_path"] - exact) / max(exact, 1) < 0.05
+
+
+def test_vectorized_vs_full_engine_agree(ray_session):
+    """The vectorized RuleSet and the full recursive evaluator must
+    produce identical per-row verdicts for the same constraints."""
+    vec = F.corpus_verdicts(corpus_dataset(SF)).to_pandas()
+    full = F.corpus_schema_verdicts(corpus_dataset(SF)).to_pandas()
+    vec = vec.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    full = full.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    assert (vec["valid"] == full["valid"]).all()
+
+
+def test_violations_match_oracle(ray_session, oracle):
+    got = F.corpus_violations(corpus_dataset(SF)).to_pandas()
+    got = _sorted(got[["repo", "path", "commit", "keyword"]])
+    langs = "','".join(F.ALLOWED_LANGS)
+    want = oracle.sql(
+        f'WITH {CORPUS_CTE.strip()} '
+        f'SELECT repo, path, "commit", \'enum\' AS keyword FROM corpus '
+        f"WHERE lang NOT IN ('{langs}') "
+        f"UNION ALL "
+        f'SELECT repo, path, "commit", \'minLength\' FROM corpus '
+        f"WHERE length(content) < {F.MIN_CONTENT_CHARS}").df()
+    pd.testing.assert_frame_equal(got, _sorted(want), check_dtype=False)
+
+
+def test_dedup_exact(ray_session):
+    """Keep min(doc_id) per content group == pandas groupby oracle."""
+    ds = corpus_dataset(SF, keep_meta=True)
+    kept = dedup_exact(ds, key=["content"], order_col="doc_id").to_pandas()
+    full = corpus_dataset(SF, keep_meta=True).to_pandas()
+    want = full.loc[full.groupby("content")["doc_id"].idxmin()]
+    assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_partition_verdicts(ray_session):
+    import pyarrow as pa
+
+    viol = F.corpus_violations(corpus_dataset(SF))
+    repos = corpus_dataset(SF).groupby("repo").count().to_pandas()
+    all_groups = pa.table({"repo": repos["repo"]})
+    pv = F.partition_verdicts(viol, all_groups, "repo").to_pandas()
+    assert set(pv.columns) == {"repo", "n_violations", "valid"}
+    assert (pv["valid"] == (pv["n_violations"] == 0)).all()
+    assert (~pv["valid"]).any()  # some partitions must fail
