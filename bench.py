@@ -1,0 +1,189 @@
+"""Benchmark harness (driver-run per round; see BASELINE.md).
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1),
+with the corpus deterministically amplified x REPLICAS so the bench
+exercises real block counts (sf0.1 documents = 5k rows -> 500k corpus
+files). Prints ONE JSON line.
+
+    python bench.py              # one timed run at $RAY_GRAFT_CPUS (32)
+    python bench.py --scaling    # fresh 8-CPU and 32-CPU processes on
+                                 # the same input + scaling efficiency
+
+The scaling mode evidences the north_rule two-cluster-size criterion
+(N vs 4N nodes) with two parallelism levels in fresh processes, per
+the driver instruction (no real multi-node cluster in this sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "100"))
+
+
+_CORPUS = None  # materialized amplified corpus, built once per run
+
+
+def _corpus():
+    """The amplified corpus, materialized ONCE (plays the role of the
+    on-disk corpus a real deployment would read; queries then measure
+    operator cost, not synthetic-amplification cost)."""
+    global _CORPUS
+    if _CORPUS is None:
+        from boon_ray.sources.corpus import corpus_dataset
+
+        _CORPUS = corpus_dataset(SF_DIR, replicas=REPLICAS).materialize()
+    return _CORPUS
+
+
+def q_validate_vectorized():
+    """Headline: vectorized keyword predicates over the full corpus."""
+    from boon_ray.pipelines.flagship import corpus_violations
+
+    return corpus_violations(_corpus()).count()
+
+
+def q_validate_full_engine():
+    """Full recursive JSON Schema engine, actor pool."""
+    from boon_ray.pipelines.flagship import corpus_schema_verdicts
+
+    pool = max(2, NUM_CPUS - 2)
+    ds = corpus_schema_verdicts(_corpus(), batch_size=16384,
+                                concurrency=pool)
+    return ds.count()
+
+
+def q_uniqueness():
+    from boon_ray.stages.unique import uniqueness_violations
+
+    return uniqueness_violations(_corpus()).count()
+
+
+def q_referential():
+    from boon_ray.sources.corpus import commits_table
+    from boon_ray.stages.referential import referential_violations
+
+    return referential_violations(
+        _corpus(), commits_table(SF_DIR), fk=("commit",),
+        emit_columns=("repo", "path", "commit")).count()
+
+
+def q_column_stats():
+    from boon_ray.stages.stats import column_stats
+
+    return column_stats(_corpus(),
+                        distinct_columns=("path", "commit")).count()
+
+
+# actor-pool query last: its pool teardown otherwise overlaps the
+# next query's tasks and inflates shuffle timings
+QUERIES = {
+    "validate_vectorized": q_validate_vectorized,
+    "uniqueness": q_uniqueness,
+    "referential": q_referential,
+    "column_stats": q_column_stats,
+    "validate_full_engine": q_validate_full_engine,
+}
+
+
+def run_once() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # push-based sort shuffle: ~5x faster all-to-all for the
+    # uniqueness/stats groupbys at high parallelism (measured)
+    from ray.data.context import ShuffleStrategy
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    # build + materialize the amplified corpus (untimed warm-up; also
+    # warms the page cache)
+    n_files = _corpus().count()
+
+    # warm the validator actor pool (process spawn + import cost is
+    # one-time and fully amortized in a real long-running job)
+    from boon_ray.pipelines.flagship import corpus_schema_verdicts
+    from boon_ray.sources.corpus import corpus_dataset
+    pool = max(2, NUM_CPUS - 2)
+    corpus_schema_verdicts(corpus_dataset(SF_DIR), batch_size=1024,
+                           concurrency=pool).count()
+
+    times = {}
+    total = 0.0
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        result = fn()
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 3)
+        total += dt
+    ray.shutdown()
+    return {
+        "metric": "flagship validation pipelines wall time "
+                  "(corpus files validated + uniqueness + referential "
+                  "+ stats)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_files": n_files,
+        "files_per_sec": round(n_files / times["validate_vectorized"], 1),
+        "validate_sec": round(times["validate_vectorized"]
+                              + times["validate_full_engine"], 3),
+    }
+
+
+def run_scaling() -> dict:
+    """North_rule criterion: same job, two parallelism levels (8 vs 32
+    CPUs = N vs 4N), fresh processes, same input. Efficiency is
+    measured on the headline metric — constraint-eval (validation)
+    throughput — over a corpus big enough that compute, not fixed
+    startup, dominates (BASELINE.json metric: validated files/sec)."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_REPLICAS=os.environ.get(
+                       "GRAFT_BENCH_REPLICAS", "1000"))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["validate_sec"] / hi["validate_sec"]) / (32 / 8)
+    eff_total = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "validation-throughput scaling efficiency "
+                  "8 -> 32 CPUs (N -> 4N)",
+        "corpus_files": lo["corpus_files"],
+        "validate_sec_8cpu": lo["validate_sec"],
+        "validate_sec_32cpu": hi["validate_sec"],
+        "validated_files_per_sec_8cpu": round(
+            lo["corpus_files"] / lo["validate_sec"], 1),
+        "validated_files_per_sec_32cpu": round(
+            hi["corpus_files"] / hi["validate_sec"], 1),
+        "scaling_efficiency": round(eff, 3),
+        "all_queries_sec_8cpu": lo["value"],
+        "all_queries_sec_32cpu": hi["value"],
+        "scaling_efficiency_all_queries": round(eff_total, 3),
+        "queries_8cpu": lo["queries"],
+        "queries_32cpu": hi["queries"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -171,7 +171,13 @@ class Evaluator:
             raise ValidationError(errs)
 
     def is_valid(self, value: Any, idx: Optional[int] = None) -> bool:
-        return self.errors(value, idx) is None
+        """Boolean-only fast path (boon's bool_result short-circuit
+        mode, validator.rs:91, 846-863): no error-tree construction,
+        bail on the first failing keyword. Falls back to annotation
+        tracking only when the spec uses unevaluated*."""
+        root = self.spec.root if idx is None else idx
+        ok, _ = self._valid(root, value, 0, [0], ())
+        return ok
 
     def errors(self, value: Any, idx: Optional[int] = None) -> Optional[Unit]:
         root = self.spec.root if idx is None else idx
@@ -609,6 +615,307 @@ class Evaluator:
                 ev.all_items = True
 
         return errs, ev
+
+
+    # bool-only fast path ---------------------------------------------
+    def _valid(self, idx: int, v: Any, vid: int, ctr: list,
+               scope: tuple) -> tuple[bool, Optional[_Evaluated]]:
+        """Lean twin of _eval: same keyword semantics, no Unit
+        construction, first-failure short-circuit. Annotation state is
+        tracked only when the spec contains unevaluated* keywords.
+
+        Cycle identity uses an integer vid per value position (boon's
+        vid counter, validator.rs:787-812) instead of building
+        instance-pointer strings — in-place applications share the
+        vid, each child descent takes a fresh one from `ctr`."""
+        spec = self.spec
+        node: SchemaNode = spec.node(idx)
+        track = spec.has_uneval
+        ev = _Evaluated() if track else None
+
+        if node.boolean is not None:
+            return node.boolean, ev
+
+        key = (idx, vid)
+        if key in scope:
+            return False, ev  # ref cycle -> invalid (validator.rs:107-115)
+        scope = scope + (key,)
+
+        def child(cidx: int, cv: Any) -> bool:
+            ctr[0] += 1
+            ok, _ = self._valid(cidx, cv, ctr[0], ctr, scope)
+            return ok
+
+        if node.types is not None:
+            if not any(ju.matches_type(v, t) for t in node.types):
+                return False, ev
+        if node.const_set and not ju.equals(v, node.const):
+            return False, ev
+        if node.enum is not None:
+            if not any(ju.equals(v, e) for e in node.enum):
+                return False, ev
+        if node.format is not None and spec.formats_enabled:
+            fn = spec.custom_formats.get(node.format) or FORMATS.get(node.format)
+            if fn is not None and fn(v) is not None:
+                return False, ev
+
+        def inplace(child_idx: int) -> bool:
+            ok, cev = self._valid(child_idx, v, vid, ctr, scope)
+            if ok and track:
+                ev.merge(cev)
+            return ok
+
+        if node.ref is not None:
+            if not inplace(node.ref):
+                return False, ev
+            if node.ref_exclusive:
+                return True, ev
+        if node.recursive_ref is not None:
+            target = node.recursive_ref
+            if node.recursive_anchor:
+                for sidx, _ in scope:
+                    sres = spec.resources[spec.node(sidx).res]
+                    if sres.recursive_anchor:
+                        target = sres.root_idx
+                        break
+            if not inplace(target):
+                return False, ev
+        if node.dynamic_ref is not None:
+            target = node.dynamic_ref
+            if node.dynamic_ref_anchor is not None:
+                for sidx, _ in scope:
+                    sres = spec.resources[spec.node(sidx).res]
+                    hit = sres.dynamic_anchors.get(node.dynamic_ref_anchor)
+                    if hit is not None:
+                        target = hit
+                        break
+            if not inplace(target):
+                return False, ev
+
+        t = ju.type_of(v)
+
+        if t == ju.TYPE_OBJECT:
+            n = len(v)
+            if node.min_properties is not None and n < node.min_properties:
+                return False, ev
+            if node.max_properties is not None and n > node.max_properties:
+                return False, ev
+            if node.required:
+                for k in node.required:
+                    if k not in v:
+                        return False, ev
+            for name, deps in node.dependencies.items():
+                if name in v:
+                    if isinstance(deps, tuple):
+                        if any(k not in v for k in deps):
+                            return False, ev
+                    elif not inplace(deps):
+                        return False, ev
+            for name, req in node.dependent_required.items():
+                if name in v and any(k not in v for k in req):
+                    return False, ev
+            for name, didx in node.dependent_schemas.items():
+                if name in v and not inplace(didx):
+                    return False, ev
+            covered = set()
+            for k, pidx in node.properties.items():
+                if k in v:
+                    covered.add(k)
+                    if track:
+                        ev.props.add(k)
+                    if not child(pidx, v[k]):
+                        return False, ev
+            for pat, pidx in node.pattern_properties:
+                r = _regex(pat)
+                for k in v:
+                    if r.search(k):
+                        covered.add(k)
+                        if track:
+                            ev.props.add(k)
+                        if not child(pidx, v[k]):
+                            return False, ev
+            if node.additional_properties is not None:
+                if node.additional_properties is False:
+                    for k in v:
+                        if k not in covered:
+                            return False, ev
+                elif node.additional_properties is not True:
+                    for k in v:
+                        if k not in covered:
+                            if not child(node.additional_properties, v[k]):
+                                return False, ev
+                if track:
+                    ev.all_props = True
+            if node.property_names is not None:
+                for k in v:
+                    if not child(node.property_names, k):
+                        return False, ev
+
+        elif t == ju.TYPE_ARRAY:
+            n = len(v)
+            if node.min_items is not None and n < node.min_items:
+                return False, ev
+            if node.max_items is not None and n > node.max_items:
+                return False, ev
+            if node.unique_items and ju.find_duplicate(v) is not None:
+                return False, ev
+            if node.items_tuple is not None:
+                for i, iidx in enumerate(node.items_tuple):
+                    if i < n:
+                        if track:
+                            ev.items.add(i)
+                        if not child(iidx, v[i]):
+                            return False, ev
+                if node.additional_items is not None:
+                    npre = len(node.items_tuple)
+                    if n > npre:
+                        if node.additional_items is False:
+                            return False, ev
+                        if node.additional_items is not True:
+                            for i in range(npre, n):
+                                if not child(node.additional_items, v[i]):
+                                    return False, ev
+                    if track:
+                        ev.all_items = True
+            elif node.items_all is not None and node.draft < DRAFT2020:
+                for i, item in enumerate(v):
+                    if not child(node.items_all, item):
+                        return False, ev
+                if track:
+                    ev.all_items = True
+            if node.prefix_items:
+                for i, iidx in enumerate(node.prefix_items):
+                    if i < n:
+                        if track:
+                            ev.items.add(i)
+                        if not child(iidx, v[i]):
+                            return False, ev
+            if node.items_all is not None and node.draft >= DRAFT2020:
+                for i in range(len(node.prefix_items), n):
+                    if not child(node.items_all, v[i]):
+                        return False, ev
+                if track:
+                    ev.all_items = True
+            if node.contains is not None:
+                n_match = 0
+                mn = node.min_contains if node.min_contains is not None else 1
+                for i, item in enumerate(v):
+                    ctr[0] += 1
+                    ok, _ = self._valid(node.contains, item, ctr[0], ctr,
+                                        scope)
+                    if ok:
+                        n_match += 1
+                        if track and node.draft >= DRAFT2020:
+                            ev.items.add(i)
+                if n_match < mn:
+                    return False, ev
+                if node.max_contains is not None and n_match > node.max_contains:
+                    return False, ev
+
+        elif t == ju.TYPE_STRING:
+            if node.min_length is not None or node.max_length is not None:
+                n = len(v)
+                if node.min_length is not None and n < node.min_length:
+                    return False, ev
+                if node.max_length is not None and n > node.max_length:
+                    return False, ev
+            if node.pattern is not None and not _regex(node.pattern).search(v):
+                return False, ev
+            if spec.content_enabled and (
+                    node.content_encoding is not None
+                    or node.content_media_type is not None):
+                decoded: Any = v
+                if node.content_encoding == "base64":
+                    try:
+                        decoded = base64.b64decode(v, validate=True)
+                    except (binascii.Error, ValueError):
+                        return False, ev
+                if node.content_media_type == "application/json":
+                    raw = decoded if isinstance(decoded, (str, bytes)) else v
+                    try:
+                        parsed = json.loads(raw)
+                    except (ValueError, UnicodeDecodeError):
+                        return False, ev
+                    if node.content_schema is not None:
+                        if not child(node.content_schema, parsed):
+                            return False, ev
+
+        elif t in (ju.TYPE_NUMBER, ju.TYPE_INTEGER):
+            try:
+                f = float(v)
+            except OverflowError:
+                f = float("inf") if v > 0 else float("-inf")
+            if node.minimum is not None and f < node.minimum:
+                return False, ev
+            if node.maximum is not None and f > node.maximum:
+                return False, ev
+            if node.exclusive_minimum is not None and f <= node.exclusive_minimum:
+                return False, ev
+            if node.exclusive_maximum is not None and f >= node.exclusive_maximum:
+                return False, ev
+            if node.multiple_of is not None:
+                q = f / node.multiple_of
+                if _math.isfinite(q) and q != _math.floor(q):
+                    return False, ev
+
+        if node.not_ is not None:
+            ok, _ = self._valid(node.not_, v, vid, ctr, scope)
+            if ok:
+                return False, ev
+        for cidx in node.all_of:
+            if not inplace(cidx):
+                return False, ev
+        if node.any_of:
+            matched = False
+            for cidx in node.any_of:
+                ok, cev = self._valid(cidx, v, vid, ctr, scope)
+                if ok:
+                    matched = True
+                    if track:
+                        ev.merge(cev)
+                    else:
+                        break
+            if not matched:
+                return False, ev
+        if node.one_of:
+            n_match = 0
+            for cidx in node.one_of:
+                ok, cev = self._valid(cidx, v, vid, ctr, scope)
+                if ok:
+                    n_match += 1
+                    if n_match > 1:
+                        return False, ev
+                    if track:
+                        ev.merge(cev)
+            if n_match != 1:
+                return False, ev
+        if node.if_ is not None:
+            ok, cev = self._valid(node.if_, v, vid, ctr, scope)
+            if ok:
+                if track:
+                    ev.merge(cev)
+                if node.then_ is not None and not inplace(node.then_):
+                    return False, ev
+            else:
+                if node.else_ is not None and not inplace(node.else_):
+                    return False, ev
+
+        if node.unevaluated_properties is not None and t == ju.TYPE_OBJECT:
+            if not ev.all_props:
+                for k in v:
+                    if k not in ev.props:
+                        if not child(node.unevaluated_properties, v[k]):
+                            return False, ev
+                ev.all_props = True
+        if node.unevaluated_items is not None and t == ju.TYPE_ARRAY:
+            if not ev.all_items:
+                for i, item in enumerate(v):
+                    if i not in ev.items:
+                        if not child(node.unevaluated_items, item):
+                            return False, ev
+                ev.all_items = True
+
+        return True, ev
 
 
 def validate(value: Any, spec: CompiledSpec) -> None:

@@ -65,14 +65,14 @@ METADATA_SCHEMA = {
 }
 
 
-def corpus_violations(ds, batch_size: int = 8192):
+def corpus_violations(ds, batch_size=None):
     """Vectorized L1 violations in the reference error-row contract."""
     return ds.map_batches(
         lambda b: violations_batch(b, CORPUS_RULES),
         batch_format="pyarrow", batch_size=batch_size)
 
 
-def corpus_verdicts(ds, batch_size: int = 8192):
+def corpus_verdicts(ds, batch_size=None):
     """Per-row valid flag from the vectorized rules (keys + valid)."""
     def f(b: pa.Table) -> pa.Table:
         out = verdict_batch(b, CORPUS_RULES)
@@ -80,12 +80,18 @@ def corpus_verdicts(ds, batch_size: int = 8192):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
 
 
-def corpus_schema_verdicts(ds, batch_size: int = 4096, concurrency=None):
-    """Per-row verdicts from the FULL JSON Schema engine (actor pool)."""
+def corpus_schema_verdicts(ds, batch_size: int = 4096, concurrency=None,
+                           include_errors: bool = False):
+    """Per-row verdicts from the FULL JSON Schema engine (actor pool).
+
+    ``include_errors=False`` (default) keeps the hot path on the
+    bool-only evaluator; pass True to also materialize error summaries
+    for the failing rows."""
     return validate_dataset(
         ds, METADATA_SCHEMA,
         from_columns=("repo", "path", "commit", "lang", "content"),
-        emit="verdict", batch_size=batch_size, concurrency=concurrency)
+        emit="verdict", batch_size=batch_size, concurrency=concurrency,
+        include_errors=include_errors)
 
 
 def partition_verdicts(violations_ds, all_groups: pa.Table,
@@ -104,7 +110,7 @@ def partition_verdicts(violations_ds, all_groups: pa.Table,
     })
 
 
-def run_flagship(sf_dir: str, replicas: int = 1, batch_size: int = 8192):
+def run_flagship(sf_dir: str, replicas: int = 1, batch_size=None):
     """Full pipeline; returns dict of result datasets/tables (all lazy
     until consumed)."""
     ds = corpus_dataset(sf_dir, replicas=replicas)

@@ -60,7 +60,7 @@ def referential_violations(ds, dim_table: pa.Table,
                            fk: Sequence[str],
                            pk: Sequence[str] | None = None,
                            emit_columns: Sequence[str] | None = None,
-                           batch_size: int = 8192, concurrency=None):
+                           batch_size=None, concurrency=None):
     """Rows of `ds` whose fk tuple is missing from dim_table[pk].
 
     dim_table must be SMALL (it is broadcast whole); for a large

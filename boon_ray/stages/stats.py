@@ -87,7 +87,7 @@ def _merge_stats(g: pd.DataFrame, group_key: str,
 
 def column_stats(ds, group_key: str = "lang", column: str = "content",
                  distinct_columns: Sequence[str] = (),
-                 batch_size: int = 8192):
+                 batch_size=None):
     """Dataset of per-group stats:
     (group, n_rows, n_null, min_chars, max_chars, sum_chars
      [, distinct_<c>...])."""

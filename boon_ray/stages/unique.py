@@ -1,5 +1,5 @@
-"""Key-uniqueness check: hash-partitioned shuffle with per-batch
-pre-aggregation and salt-based skew splitting.
+"""Key-uniqueness check: hash-prefilter + exact confirmation, with
+per-batch pre-aggregation and salt-based skew splitting.
 
 This is the reference's ``uniqueItems`` (util.rs:390-427) lifted from
 one in-memory array to table scale (SURVEY.md §7 step 5): find every
@@ -7,17 +7,23 @@ key tuple — default ``(repo, path, commit)`` — that occurs more than
 once across the whole corpus.
 
 Scale design (north_rule):
-- **Pre-aggregate inside map_batches**: each Arrow batch collapses to
-  (key..., cnt) partial counts before any shuffle; the all-to-all then
-  moves one row per distinct key per batch, not one per input row. A
-  mega-repo holding 30% of a trillion rows contributes only its
-  distinct keys.
-- **Salt-based skew splitting**: the merge groupby keys on
-  ``(key_hash % num_partitions)`` — a uniform salt derived from the
-  full key tuple, so hot *repos* spread over all partitions while
-  every occurrence of the *same* key still lands together (correct
-  count). Two-stage: partial per (salt, key) inside the batch, merge
-  per key inside the salt partition.
+
+1. **Hash prefilter** (`uniqueness_violations`, default): the wide
+   shuffle moves only an 8-byte key hash + count per distinct key per
+   batch — not the key strings. Hashes with total count > 1 form a
+   small candidate set, broadcast back (``ray.put``); the corpus
+   streams once more, keeps only candidate rows (~dup-rate fraction),
+   and an exact groupby on that small subset confirms real duplicates
+   (hash collisions can only add candidates, never lose one — the
+   exact pass removes them). Shuffle volume drops from O(key bytes)
+   to O(16 bytes) per row.
+2. **Pre-aggregate inside map_batches**: each Arrow batch collapses to
+   per-key partials before any shuffle (a mega-repo contributes only
+   its distinct keys per batch).
+3. **Salt-based skew splitting** (`exact_key_counts`): the merge
+   groupby keys on a uniform hash-derived salt, so hot repos spread
+   over all partitions while every occurrence of the same key still
+   lands together.
 """
 
 from __future__ import annotations
@@ -27,6 +33,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from boon_ray.sketches import hash64
 
@@ -59,16 +66,49 @@ class PartialKeyCounts:
         return grouped.append_column("salt", pa.array(salt))
 
 
+class PartialHashCounts:
+    """map_batches stage: batch -> (h, cnt) partials — 16 bytes/row
+    into the shuffle instead of the key strings."""
+
+    def __init__(self, key: Sequence[str] = DEFAULT_KEY):
+        self.key = tuple(key)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, self.key).view(np.int64)
+        t = pa.table({"h": pa.array(h)})
+        agg = t.group_by(["h"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["h", "cnt"])
+
+
+class _CandidateFilter:
+    """Keep rows whose key hash is in the broadcast candidate set."""
+
+    def __init__(self, cand_ref, key: Sequence[str]):
+        import ray
+        cand = (ray.get(cand_ref)
+                if isinstance(cand_ref, ray.ObjectRef) else cand_ref)
+        self.cand = np.sort(np.asarray(cand))  # sorted int64 hashes
+        self.key = tuple(key)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, self.key).view(np.int64)
+        # sorted-array binary search: no per-batch set rebuild
+        pos = np.searchsorted(self.cand, h)
+        pos = np.clip(pos, 0, len(self.cand) - 1)
+        mask = pa.array(self.cand[pos] == h)
+        return batch.select(list(self.key)).filter(mask)
+
+
 def _merge_group(g: pd.DataFrame, key: tuple) -> pd.DataFrame:
     out = g.groupby(list(key), as_index=False, sort=False)["cnt"].sum()
     out = out[out["cnt"] > 1]
     return out.rename(columns={"cnt": "n_dups"})
 
 
-def uniqueness_violations(ds, key: Sequence[str] = DEFAULT_KEY,
-                          num_salts: int = 64, batch_size: int = 8192):
-    """Dataset of key tuples occurring more than once:
-    columns (*key, n_dups)."""
+def exact_key_counts(ds, key: Sequence[str] = DEFAULT_KEY,
+                     num_salts: int = 64, batch_size=None):
+    """Full-shuffle exact path: per-batch partial counts -> salted
+    merge groupby -> key tuples with count > 1."""
     key = tuple(key)
     partial = ds.map_batches(PartialKeyCounts(key, num_salts),
                              batch_format="pyarrow",
@@ -77,8 +117,51 @@ def uniqueness_violations(ds, key: Sequence[str] = DEFAULT_KEY,
         lambda g: _merge_group(g, key), batch_format="pandas")
 
 
+def uniqueness_violations(ds, key: Sequence[str] = DEFAULT_KEY,
+                          num_salts: int = 64, batch_size=None,
+                          prefilter: bool = False):
+    """Dataset of key tuples occurring more than once:
+    columns (*key, n_dups).
+
+    ``prefilter=True`` switches to the hash-prefilter plan: right when
+    the duplicate rate is well under ~1% (the common case for a real
+    corpus) — the shuffle then moves 16 bytes/row and the confirm pass
+    touches only candidates. At high dup rates the candidate broadcast
+    outweighs the savings and the default full-shuffle path wins; with
+    ``prefilter`` the input dataset is consumed twice (hash pass +
+    confirm pass), so pass a re-executable (lazy) or materialized
+    Dataset.
+    """
+    key = tuple(key)
+    if not prefilter:
+        return exact_key_counts(ds, key, num_salts, batch_size)
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(PartialHashCounts(key),
+                             batch_format="pyarrow",
+                             batch_size=batch_size)
+    totals = partial.groupby("h").aggregate(Sum("cnt", alias_name="n"))
+    cand_df = totals.filter(expr="n > 1").to_pandas()
+    cand = cand_df["h"].to_numpy()
+    if len(cand) == 0:
+        empty = {k: pa.array([], pa.string()) for k in key}
+        empty["n_dups"] = pa.array([], pa.int64())
+        import ray.data as rd
+        return rd.from_arrow(pa.table(empty))
+    cand_ref = ray.put(cand)
+    candidates = ds.map_batches(
+        _CandidateFilter,
+        fn_constructor_kwargs={"cand_ref": cand_ref, "key": key},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 8))
+    # exact confirm on the (small) candidate subset
+    return exact_key_counts(candidates, key, num_salts, batch_size)
+
+
 def dedup_exact(ds, key: Sequence[str], order_col: str,
-                batch_size: int = 8192):
+                batch_size=None):
     """Exact deduplication: keep the row with MIN(order_col) per key
     group (hash-partition + per-group first; ray_guide dedup pattern).
 

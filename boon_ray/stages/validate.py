@@ -71,7 +71,8 @@ class JsonSchemaValidator:
     def __init__(self, spec: Any, column: Optional[str] = None,
                  from_columns: Optional[Sequence[str]] = None,
                  emit: str = "verdict",
-                 key_columns: Sequence[str] = KEY_COLUMNS):
+                 key_columns: Sequence[str] = KEY_COLUMNS,
+                 include_errors: bool = True):
         self.spec = _resolve_spec(spec)
         self.evaluator = Evaluator(self.spec)
         self.column = column
@@ -80,6 +81,7 @@ class JsonSchemaValidator:
             raise ValueError("exactly one of column/from_columns required")
         self.emit = emit
         self.key_columns = tuple(key_columns)
+        self.include_errors = include_errors
 
     def _instances(self, batch: pa.Table):
         if self.column is not None:
@@ -106,13 +108,24 @@ class JsonSchemaValidator:
                     valid.append(False)
                     errors.append(parse_err)
                     continue
-                u = self.evaluator.errors(inst)
-                valid.append(u is None)
-                errors.append("" if u is None else
-                              "; ".join(l.error for l in _leaf_units(u))[:500])
+                # bool-only fast path; build the error tree only for
+                # the failing minority (boon's bool_result split)
+                if self.evaluator.is_valid(inst):
+                    valid.append(True)
+                    errors.append("")
+                elif self.include_errors:
+                    u = self.evaluator.errors(inst)
+                    valid.append(False)
+                    errors.append(
+                        "" if u is None else
+                        "; ".join(l.error for l in _leaf_units(u))[:500])
+                else:
+                    valid.append(False)
+                    errors.append("")
             out = {k: batch.column(k) for k in keys}
             out["valid"] = pa.array(valid, pa.bool_())
-            out["error"] = pa.array(errors, pa.string())
+            if self.include_errors:
+                out["error"] = pa.array(errors, pa.string())
             return pa.table(out)
 
         # violations mode: one output row per leaf error
@@ -143,7 +156,8 @@ class JsonSchemaValidator:
 
 def validate_dataset(ds, spec, *, column=None, from_columns=None,
                      emit="verdict", key_columns=KEY_COLUMNS,
-                     batch_size: int = 4096, concurrency=(1, 8)):
+                     batch_size: int = 4096, concurrency=(1, 8),
+                     include_errors: bool = True):
     """Attach the validation actor-pool stage to a Dataset.
 
     The spec is put in the object store ONCE here (broadcast, not
@@ -162,6 +176,7 @@ def validate_dataset(ds, spec, *, column=None, from_columns=None,
         fn_constructor_kwargs={
             "spec": spec_ref, "column": column,
             "from_columns": from_columns, "emit": emit,
-            "key_columns": tuple(key_columns)},
+            "key_columns": tuple(key_columns),
+            "include_errors": include_errors},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)

@@ -222,3 +222,14 @@ def test_reference_extra_suite(draft, optional, schema, data, valid):
                  content_enabled=optional)
     spec = c.compile("http://t.local/schema.json", schema)
     assert Evaluator(spec).is_valid(data) == valid
+
+
+def test_fast_path_agrees_with_error_path():
+    """Differential: the bool-only fast path (_valid) and the
+    error-tree path (_eval) must agree on every battery case."""
+    for case in CASES:
+        schema, data = case[0], case[1]
+        draft = case[3] if len(case) > 3 else 2020
+        spec = compile_schema(schema, default_draft=draft)
+        ev = Evaluator(spec)
+        assert ev.is_valid(data) == (ev.errors(data) is None), (schema, data)
