@@ -134,8 +134,268 @@ def _q_partition_verdicts(sf_dir: str):
                               "repo")
 
 
+def _q_token_counts(sf_dir: str):
+    import ray.data as rd
+
+    from boon_ray.stages.text import token_count_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                         batch_size=None)
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+def _q_text_quality(sf_dir: str):
+    import ray.data as rd
+
+    from boon_ray.stages.text import quality_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def _events_with_cents(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)),
+                        pa.int64())
+        return b.append_column("cents", cents)
+
+    return ds.map_batches(add_cents, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def _q_tumbling_events(sf_dir: str):
+    from boon_ray.stages.windows import tumbling_window_agg
+
+    out = tumbling_window_agg(_events_with_cents(sf_dir), "ts",
+                              "user_id", "cents", size_s=3600)
+    return out.select_columns(["user_id", "window_start", "n_events",
+                               "sum_value"])
+
+
+def _q_sliding_events(sf_dir: str):
+    from boon_ray.stages.windows import sliding_window_agg
+
+    out = sliding_window_agg(_events_with_cents(sf_dir), "ts",
+                             "user_id", "cents", size_s=3600,
+                             slide_s=1800)
+    return out.select_columns(["user_id", "window_start", "n_events",
+                               "sum_value"])
+
+
+def _q_session_events(sf_dir: str):
+    from boon_ray.stages.windows import session_window_agg
+
+    return session_window_agg(_events_with_cents(sf_dir), "ts",
+                              "user_id", "cents", gap_s=1800)
+
+
+def _q_segment_revenue(sf_dir: str):
+    """Broadcast join orders x customer, then grouped aggregate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from boon_ray.stages.joins import broadcast_join
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)),
+                    pa.int64())
+        return pa.table({"o_custkey": b.column("o_custkey"), "cents": c})
+
+    orders = orders.map_batches(cents, batch_format="pyarrow",
+                                batch_size=None)
+    customer = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_mktsegment"])
+    customer = customer.rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, customer, on=["o_custkey"],
+                            how="inner")
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("cents", alias_name="revenue_cents"))
+    return out.select_columns(["c_mktsegment", "n_orders",
+                               "revenue_cents"])
+
+
+def _q_q1_lineitem(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate over lineitem."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "qty": pc.cast(pc.round(b.column("l_quantity")), pa.int64()),
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)),
+                pa.int64()),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+        Count(alias_name="count_order"))
+    return out.select_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                               "sum_price_cents", "count_order"])
+
+
+def _q_asof_signup(sf_dir: str):
+    """For each purchase, the user's most recent signup at/before it
+    (as-of join)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from boon_ray.stages.joins import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "event_type": b.column("event_type"),
+            "ts": pc.cast(b.column("ts"), pa.int64()),
+        })
+
+    ev = ev.map_batches(to_us, batch_format="pyarrow", batch_size=None)
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    signups = ev.filter(expr="event_type == 'signup'").map_batches(
+        lambda b: pa.table({"user_id": b.column("user_id"),
+                            "ts": b.column("ts"),
+                            "signup_ts": b.column("ts")}),
+        batch_format="pyarrow", batch_size=None)
+    joined = asof_join(purchases, signups, key="user_id", ts_col="ts",
+                       num_buckets=8)
+
+    def out(b):
+        import pandas as pd
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "signup_ts": b["signup_ts"].fillna(-1).astype("int64"),
+        })
+
+    return joined.map_batches(out, batch_format="pandas",
+                              batch_size=None)
+
+
+def _q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 for the first three embedding rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from boon_ray.stages.similarity import ann_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    df = emb.to_pandas().sort_values("vec_id")
+    q = np.stack(df[df["vec_id"] < 3]["embedding"].to_list()).astype(
+        np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ann_topk(ds, q, k=10).select(["query_id", "vec_id", "rank"])
+
+
+def _q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs (rows-only; no SQL oracle)."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import minhash_duplicate_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return minhash_duplicate_pairs(ds, "text", "doc_id", threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import simhash_duplicate_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return simhash_duplicate_pairs(ds, "text", "doc_id", max_distance=3)
+
+
+def _q_embedding_neardup(sf_dir: str):
+    """Embedding cosine >= 0.4 pairs among vec_id < 500 (exact
+    brute-force; the LSH plan is exercised in tests)."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import embedding_duplicate_pairs_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds = ds.filter(expr="vec_id < 500")
+    out = embedding_duplicate_pairs_exact(ds, "embedding", "vec_id",
+                                          threshold=0.4)
+    return out.select_columns(["a", "b"])
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from boon_ray.stages.text import lang_id
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return lang_id(ds)
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from boon_ray.stages.text import fingerprint_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow",
+                         batch_size=None)
+    return out.select_columns(["doc_id", "digest"])
+
+
+def _q_drift_verdicts(sf_dir: str):
+    """Drift of the corpus vs itself as baseline: all partitions must
+    pass (deterministic; rows-only check + tests cover the failing
+    case)."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.drift import drift_check, snapshot_distribution
+
+    baseline = snapshot_distribution(corpus_dataset(sf_dir))
+    res = drift_check(corpus_dataset(sf_dir), baseline)
+    return res.select(["lang", "n", "baseline_n", "passed"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # validation core
         "corpus": _q_corpus,
         "keyword_violations": _q_keyword_violations,
         "schema_verdicts": _q_schema_verdicts,
@@ -144,8 +404,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_stats": _q_column_stats,
         "distinct_hll": _q_distinct_hll,
         "events_props_valid": _q_events_props_valid,
-        "dedup_exact_docs": _q_dedup_exact_docs,
         "partition_verdicts": _q_partition_verdicts,
+        "drift_verdicts": _q_drift_verdicts,
+        # dedup family
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        # text analysis
+        "token_counts": _q_token_counts,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        # windows / joins / aggregates
+        "tumbling_events": _q_tumbling_events,
+        "sliding_events": _q_sliding_events,
+        "session_events": _q_session_events,
+        "segment_revenue": _q_segment_revenue,
+        "q1_lineitem": _q_q1_lineitem,
+        "asof_signup": _q_asof_signup,
+        # similarity search
+        "ann_topk": _q_ann_topk,
     }
 
 
@@ -211,6 +490,99 @@ def oracle_sql() -> dict[str, str]:
             f"FROM events",
         "dedup_exact_docs":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "drift_verdicts":
+            f'WITH {cte} SELECT lang, count(*) AS n, '
+            f"count(*) AS baseline_n, TRUE AS passed "
+            f"FROM corpus GROUP BY lang",
+        "token_counts":
+            "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), "
+            r"'\s+')) AS BIGINT) AS n_tokens FROM documents",
+        "text_quality":
+            "SELECT doc_id, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(len(regexp_split_to_array(trim(text), "
+            r"'\s+')) AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, "
+            r"'\b(the|a|of|and|to|in|is|it)\b')) AS BIGINT) "
+            "AS n_stopwords, "
+            "CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) "
+            "AS BIGINT) AS n_upper, "
+            "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) "
+            "AS BIGINT) AS n_digit, "
+            "CAST(length(regexp_replace(text, "
+            r"'[^!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct "
+            "FROM documents",
+        "tumbling_events":
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
+            "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events) "
+            "SELECT user_id, "
+            "CAST(us // 3600000000 * 3600 AS BIGINT) AS window_start, "
+            "COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS "
+            "sum_value FROM e GROUP BY 1, 2",
+        "sliding_events":
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
+            "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events), "
+            "w AS (SELECT user_id, us // 1800000000 * 1800 AS ws, cents "
+            "FROM e UNION ALL "
+            "SELECT user_id, us // 1800000000 * 1800 - 1800 AS ws, cents "
+            "FROM e WHERE us // 1800000000 * 1800 - 1800 >= 0) "
+            "SELECT user_id, CAST(ws AS BIGINT) AS window_start, "
+            "COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS "
+            "sum_value FROM w GROUP BY 1, 2",
+        "session_events":
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
+            "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT *, CASE WHEN us - LAG(us) OVER "
+            "(PARTITION BY user_id ORDER BY us) > 1800000000 "
+            "OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL "
+            "THEN 1 ELSE 0 END AS brk FROM e), "
+            "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM s) "
+            "SELECT user_id, "
+            "CAST(MIN(us) // 1000000 AS BIGINT) AS session_start, "
+            "CAST(MAX(us) // 1000000 AS BIGINT) AS session_end, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_value "
+            "FROM g GROUP BY user_id, sess",
+        "segment_revenue":
+            "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1",
+        "q1_lineitem":
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) "
+            "AS BIGINT) AS sum_price_cents, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem GROUP BY 1, 2",
+        "asof_signup":
+            "SELECT p.event_id, "
+            "COALESCE(s.signup_ts, -1) AS signup_ts FROM "
+            "(SELECT event_id, user_id, epoch_us(ts) AS ts FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ASOF LEFT JOIN "
+            "(SELECT user_id, epoch_us(ts) AS ts, epoch_us(ts) AS "
+            "signup_ts FROM events WHERE event_type = 'signup') s "
+            "ON p.user_id = s.user_id AND s.ts <= p.ts",
+        "ann_topk":
+            "SELECT q.vec_id AS query_id, e.vec_id, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+            "list_cosine_similarity(q.embedding, e.embedding) DESC, "
+            "e.vec_id) AS BIGINT) AS rank "
+            "FROM embeddings q CROSS JOIN embeddings e "
+            "WHERE q.vec_id < 3 QUALIFY rank <= 10",
+        "embedding_neardup":
+            "SELECT a.vec_id AS a, b.vec_id AS b "
+            "FROM embeddings a CROSS JOIN embeddings b "
+            "WHERE a.vec_id < b.vec_id AND a.vec_id < 500 "
+            "AND b.vec_id < 500 AND "
+            "list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+        # minhash_pairs / simhash_pairs / lang_id / fingerprints /
+        # distinct_hll: not SQL-expressible -> rows-only checks
+        # (covered by pytest oracles in tests/)
         "partition_verdicts":
             f'WITH {cte}, viol AS ('
             f"SELECT repo FROM corpus WHERE lang NOT IN ('{langs}') "

@@ -1,0 +1,375 @@
+"""Near-duplicate detection families for a training-data pipeline:
+MinHash+LSH, SimHash, n-gram Jaccard verification, embedding-cosine.
+
+All follow the same scale shape (ray_guide near-dup pattern):
+per-batch signature computation (stateless map_batches, numpy inside)
+-> explode to (bucket_key, doc_id) rows -> groupby bucket -> candidate
+pairs inside each bucket -> exact/estimated similarity verification ->
+pairs above threshold (and optionally connected-component cluster ids
+via iterative min-label propagation — no driver-side union-find).
+
+Exact dedup lives in boon_ray.stages.unique.dedup_exact.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from boon_ray.sketches import band_keys, hash64, minhash_signatures
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def _shingle_hashes(text: str, k: int = 3, word: bool = True) -> np.ndarray:
+    """Hashes of the k-shingle set of a document."""
+    if word:
+        toks = _TOKEN_RE.findall(text.lower())
+        if len(toks) < k:
+            shingles = [" ".join(toks)] if toks else []
+        else:
+            shingles = [" ".join(toks[i:i + k])
+                        for i in range(len(toks) - k + 1)]
+    else:
+        shingles = [text[i:i + k] for i in range(max(len(text) - k + 1, 0))]
+    if not shingles:
+        return np.array([], dtype=np.uint64)
+    return np.unique(hash64(np.array(shingles, dtype=object)))
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+class MinHashBands:
+    """map_batches stage: docs -> exploded (band, key, id, sig) rows.
+
+    Signature bytes ride along so bucket-local verification needs no
+    second pass over the text.
+    """
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 128,
+                 bands: int = 16, shingle_k: int = 3, word: bool = True):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.word = word
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        hashes = [_shingle_hashes(t or "", self.shingle_k, self.word)
+                  for t in texts]
+        sigs = minhash_signatures(hashes, self.num_perm)
+        bk = band_keys(sigs, self.bands)
+        n = len(ids)
+        out_ids = np.repeat(np.asarray(ids, dtype=np.int64), self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int64), n)
+        out_key = bk.reshape(-1).astype(np.int64)
+        sig_bytes = [sigs[i].tobytes() for i in range(n)
+                     for _ in range(self.bands)]
+        return pa.table({
+            "band": pa.array(out_band),
+            "key": pa.array(out_key),
+            self.id_col: pa.array(out_ids),
+            "sig": pa.array(sig_bytes, pa.binary()),
+        })
+
+
+def _bucket_pairs(g: pd.DataFrame, id_col: str,
+                  threshold: float) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket, verified by signature
+    Jaccard estimate."""
+    ids = g[id_col].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": [], "jaccard_est": []})
+    order = np.argsort(ids)
+    ids = ids[order]
+    sigs = np.stack([np.frombuffer(b, dtype=np.uint64)
+                     for b in g["sig"].to_numpy()[order]])
+    rows_a, rows_b, est = [], [], []
+    seen = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ids[i] == ids[j] or (ids[i], ids[j]) in seen:
+                continue
+            seen.add((ids[i], ids[j]))
+            e = float((sigs[i] == sigs[j]).mean())
+            if e >= threshold:
+                rows_a.append(int(ids[i]))
+                rows_b.append(int(ids[j]))
+                est.append(e)
+    return pd.DataFrame({"a": rows_a, "b": rows_b, "jaccard_est": est})
+
+
+def minhash_duplicate_pairs(ds, text_col: str, id_col: str,
+                            threshold: float = 0.8, num_perm: int = 128,
+                            bands: int = 16, shingle_k: int = 3,
+                            word: bool = True, batch_size=None):
+    """Near-duplicate pairs (a < b, jaccard_est) via MinHash LSH.
+
+    Pairs may surface from several buckets; a final groupby dedupes.
+    """
+    exploded = ds.map_batches(
+        MinHashBands(text_col, id_col, num_perm, bands, shingle_k, word),
+        batch_format="pyarrow", batch_size=batch_size)
+    pairs = exploded.groupby(["band", "key"]).map_groups(
+        lambda g: _bucket_pairs(g, id_col, threshold),
+        batch_format="pandas")
+    # dedupe (a, b) found in multiple buckets
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def cluster_pairs(pairs_ds, max_iter: int = 10):
+    """Connected components over duplicate pairs by iterative min-label
+    propagation (groupby rounds; no driver-side union-find). Returns
+    (id, cluster) where cluster = min id in the component."""
+    import ray.data as rd
+
+    edges = pairs_ds.to_pandas()[["a", "b"]]
+    # label table: every node starts as its own cluster
+    nodes = pd.unique(edges[["a", "b"]].to_numpy().ravel())
+    label = pd.Series(nodes, index=nodes)
+    for _ in range(max_iter):
+        l_a = label.loc[edges["a"]].to_numpy()
+        l_b = label.loc[edges["b"]].to_numpy()
+        m = np.minimum(l_a, l_b)
+        prop = pd.DataFrame({"n": np.concatenate([edges["a"], edges["b"]]),
+                             "l": np.concatenate([m, m])})
+        new = prop.groupby("n")["l"].min()
+        merged = pd.concat([label, new], axis=1).min(axis=1)
+        if (merged == label).all():
+            break
+        label = merged
+    out = pd.DataFrame({"id": label.index.to_numpy(dtype=np.int64),
+                        "cluster": label.to_numpy(dtype=np.int64)})
+    return rd.from_pandas(out)
+
+
+# ------------------------------------------------------------ SimHash
+
+def _simhash64(texts: list, k: int = 2) -> np.ndarray:
+    """64-bit SimHash per text (token-k-gram features)."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        h = _shingle_hashes(t or "", k, word=True)
+        if len(h) == 0:
+            continue
+        # accumulate signed bit votes
+        votes = np.zeros(64, dtype=np.int64)
+        for b in range(64):
+            votes[b] = int((h & bits[b] != 0).sum()) * 2 - len(h)
+        out[i] = np.uint64(int.from_bytes(
+            np.packbits(votes > 0, bitorder="little").tobytes(), "little"))
+    return out
+
+
+class SimHashBands:
+    """docs -> (band, key16, id, simhash) rows; 4 bands of 16 bits:
+    any identical band -> candidate (catches hamming distance <= 3
+    guaranteed, more probabilistically)."""
+
+    def __init__(self, text_col: str, id_col: str, shingle_k: int = 2):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        sh = _simhash64(texts, self.shingle_k)
+        n = len(ids)
+        bands = []
+        for b in range(4):
+            bands.append((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int64), n)),
+            "key": pa.array(np.stack(bands, axis=1).reshape(-1).astype(np.int64)),
+            self.id_col: pa.array(np.repeat(ids, 4)),
+            "simhash": pa.array(np.repeat(sh.view(np.int64), 4)),
+        })
+
+
+def _hamming_pairs(g: pd.DataFrame, id_col: str,
+                   max_distance: int) -> pd.DataFrame:
+    ids = g[id_col].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    order = np.argsort(ids)
+    ids = ids[order]
+    sh = g["simhash"].to_numpy()[order].astype(np.uint64)
+    rows = {"a": [], "b": [], "hamming": []}
+    for i in range(len(ids)):
+        x = sh[i] ^ sh[i + 1:]
+        d = np.array([bin(int(v)).count("1") for v in x])
+        for off in np.nonzero(d <= max_distance)[0]:
+            j = i + 1 + off
+            if ids[i] != ids[j]:
+                rows["a"].append(int(ids[i]))
+                rows["b"].append(int(ids[j]))
+                rows["hamming"].append(int(d[off]))
+    return pd.DataFrame(rows)
+
+
+def simhash_duplicate_pairs(ds, text_col: str, id_col: str,
+                            max_distance: int = 3, shingle_k: int = 2,
+                            batch_size=None):
+    """Near-duplicate pairs (a < b, hamming) via SimHash banding."""
+    exploded = ds.map_batches(
+        SimHashBands(text_col, id_col, shingle_k),
+        batch_format="pyarrow", batch_size=batch_size)
+    pairs = exploded.groupby(["band", "key"]).map_groups(
+        lambda g: _hamming_pairs(g, id_col, max_distance),
+        batch_format="pandas")
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+def verify_jaccard(ds, pairs_ds, text_col: str, id_col: str,
+                   shingle_k: int = 3, word: bool = True,
+                   threshold: float = 0.0):
+    """Exact n-gram Jaccard for candidate pairs: broadcast the (small)
+    candidate id set, stream the corpus once to collect those docs'
+    shingle sets, then score pairs driver-side. Output
+    (a, b, jaccard)."""
+    import ray
+    import ray.data as rd
+
+    pairs = pairs_ds.to_pandas()
+    if pairs.empty:
+        return rd.from_pandas(
+            pd.DataFrame({"a": [], "b": [], "jaccard": []}))
+    wanted = set(pairs["a"]) | set(pairs["b"])
+    wanted_ref = ray.put(np.sort(np.fromiter(wanted, dtype=np.int64)))
+
+    def collect(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        pos = np.clip(np.searchsorted(w, ids), 0, len(w) - 1)
+        mask = w[pos] == ids
+        sel = batch.filter(pa.array(mask))
+        out_ids = sel.column(id_col).to_pylist()
+        texts = sel.column(text_col).to_pylist()
+        sets = [ _shingle_hashes(t or "", shingle_k, word).tobytes()
+                 for t in texts ]
+        return pa.table({id_col: pa.array(out_ids, pa.int64()),
+                         "shingles": pa.array(sets, pa.binary())})
+
+    docs = ds.map_batches(collect, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    sh = {i: np.frombuffer(b, dtype=np.uint64)
+          for i, b in zip(docs[id_col], docs["shingles"])}
+    out = {"a": [], "b": [], "jaccard": []}
+    for a, b in zip(pairs["a"], pairs["b"]):
+        sa, sb = sh.get(a), sh.get(b)
+        if sa is None or sb is None:
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 1.0
+        if j >= threshold:
+            out["a"].append(a)
+            out["b"].append(b)
+            out["jaccard"].append(j)
+    return rd.from_pandas(pd.DataFrame(out))
+
+
+# ------------------------------------------- embedding cosine near-dup
+
+class HyperplaneBuckets:
+    """embeddings -> (key, id) rows: sign pattern under `nbits` random
+    hyperplanes (seeded, same planes in every actor)."""
+
+    def __init__(self, vec_col: str, id_col: str, dim: int,
+                 nbits: int = 16, seed: int = 7):
+        self.vec_col = vec_col
+        self.id_col = id_col
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, nbits))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        vecs = np.stack(batch.column(self.vec_col).to_pylist()).astype(
+            np.float64)
+        signs = (vecs @ self.planes) > 0
+        keys = np.packbits(signs, axis=1, bitorder="little")
+        key64 = np.zeros(len(ids), dtype=np.int64)
+        for i in range(keys.shape[1]):
+            key64 |= keys[:, i].astype(np.int64) << (8 * i)
+        return pa.table({
+            "key": pa.array(key64),
+            self.id_col: pa.array(ids),
+            "vec": pa.array([v.tobytes() for v in vecs], pa.binary()),
+        })
+
+
+def _cosine_pairs(g: pd.DataFrame, id_col: str,
+                  threshold: float) -> pd.DataFrame:
+    ids = g[id_col].to_numpy()
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    order = np.argsort(ids)
+    ids = ids[order]
+    vecs = np.stack([np.frombuffer(b, dtype=np.float64)
+                     for b in g["vec"].to_numpy()[order]])
+    norm = np.linalg.norm(vecs, axis=1)
+    norm[norm == 0] = 1.0
+    vn = vecs / norm[:, None]
+    sim = vn @ vn.T
+    ii, jj = np.triu_indices(len(ids), k=1)
+    keep = sim[ii, jj] >= threshold
+    return pd.DataFrame({"a": ids[ii[keep]], "b": ids[jj[keep]],
+                         "cosine": sim[ii, jj][keep]})
+
+
+def embedding_duplicate_pairs(ds, vec_col: str, id_col: str, dim: int,
+                              threshold: float = 0.95, nbits: int = 16,
+                              seed: int = 7, batch_size=None):
+    """Near-duplicate pairs by cosine >= threshold, bucketed by random
+    hyperplane LSH (scale path; brute-force per bucket)."""
+    exploded = ds.map_batches(
+        HyperplaneBuckets, fn_constructor_kwargs={
+            "vec_col": vec_col, "id_col": id_col, "dim": dim,
+            "nbits": nbits, "seed": seed},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, 8))
+    pairs = exploded.groupby("key").map_groups(
+        lambda g: _cosine_pairs(g, id_col, threshold),
+        batch_format="pandas")
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def embedding_duplicate_pairs_exact(ds, vec_col: str, id_col: str,
+                                    threshold: float = 0.95):
+    """Brute-force all-pairs cosine (baseline/oracle path; small
+    inputs only — materializes the vectors)."""
+    import ray.data as rd
+
+    df = ds.to_pandas()
+    ids = df[id_col].to_numpy(dtype=np.int64)
+    vecs = np.stack(df[vec_col].to_list()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    norm = np.linalg.norm(vecs, axis=1)
+    norm[norm == 0] = 1.0
+    vn = vecs / norm[:, None]
+    sim = vn @ vn.T
+    ii, jj = np.triu_indices(len(ids), k=1)
+    keep = sim[ii, jj] >= threshold
+    table = pa.table({
+        "a": pa.array(ids[ii[keep]], pa.int64()),
+        "b": pa.array(ids[jj[keep]], pa.int64()),
+        "cosine": pa.array(sim[ii, jj][keep], pa.float64()),
+    })
+    return rd.from_arrow(table)

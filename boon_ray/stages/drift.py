@@ -1,0 +1,233 @@
+"""Distribution-drift checks per partition: two-sample KS + chi-square
+against a checkpointed baseline (north_rule; SURVEY.md §7 step 7).
+
+Design: distributions are summarized as fixed-bin histograms built
+with vectorized partial aggregation inside ``map_batches`` (one small
+histogram row per (group, batch)) and merged in a tiny groupby — the
+shuffle moves a few KB per group, never the data. The baseline is just
+such a histogram table written to parquet (the checkpoint); a later
+run re-snapshots and compares:
+
+- numeric feature (default: char length of ``content``): two-sample
+  KS statistic D = max |CDF_a - CDF_b| over the shared bin edges, with
+  the asymptotic critical value c(alpha) * sqrt((n+m)/(n*m))
+  (Smirnov), c(0.05)=1.358, c(0.01)=1.628;
+- categorical feature: Pearson chi-square of observed vs expected
+  scaled baseline counts, p-value via the regularized upper incomplete
+  gamma function Q(df/2, x/2) (Numerical-Recipes-style series /
+  continued fraction — no scipy in this environment).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_BINS = 64
+DEFAULT_HI = 2048.0
+
+_KS_C = {0.10: 1.224, 0.05: 1.358, 0.025: 1.480, 0.01: 1.628}
+
+
+# ---------------------------------------------------- incomplete gamma
+
+def _gammainc_upper_reg(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) (series/continued
+    fraction split at x = a+1; standard published algorithm)."""
+    if x < 0 or a <= 0:
+        return float("nan")
+    if x == 0:
+        return 1.0
+    if x < a + 1:
+        # lower series: P(a,x), Q = 1 - P
+        term = 1.0 / a
+        total = term
+        n = a
+        for _ in range(500):
+            n += 1.0
+            term *= x / n
+            total += term
+            if abs(term) < abs(total) * 1e-14:
+                break
+        p = total * math.exp(-x + a * math.log(x) - math.lgamma(a))
+        return max(0.0, 1.0 - p)
+    # continued fraction for Q(a,x) (Lentz)
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def chi2_sf(x: float, df: int) -> float:
+    """Chi-square survival function P(X > x)."""
+    return _gammainc_upper_reg(df / 2.0, x / 2.0)
+
+
+# -------------------------------------------------------- histogramming
+
+class PartialHistogram:
+    """map_batches stage: batch -> per-group fixed-bin histogram of a
+    numeric feature + categorical counts."""
+
+    def __init__(self, group_key: str = "lang", column: str = "content",
+                 feature: str = "char_length", bins: int = DEFAULT_BINS,
+                 hi: float = DEFAULT_HI,
+                 categorical: Optional[str] = None):
+        self.group_key = group_key
+        self.column = column
+        self.feature = feature
+        self.bins = bins
+        self.hi = hi
+        self.categorical = categorical
+        self.edges = np.linspace(0.0, hi, bins + 1)
+
+    def _feature(self, batch: pa.Table) -> np.ndarray:
+        if self.feature == "char_length":
+            return pc.utf8_length(batch.column(self.column)).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+        arr = batch.column(self.column).to_numpy(zero_copy_only=False)
+        return arr.astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = self._feature(batch)
+        groups = batch.column(self.group_key).to_pandas().to_numpy(dtype=object)
+        out_g, out_h, out_n = [], [], []
+        for g in pd.unique(groups):
+            sel = groups == g
+            h, _ = np.histogram(np.clip(vals[sel], 0, self.hi - 1e-9),
+                                bins=self.edges)
+            out_g.append(g)
+            out_h.append(h.astype(np.int64).tobytes())
+            out_n.append(int(sel.sum()))
+        return pa.table({
+            self.group_key: pa.array(out_g),
+            "hist": pa.array(out_h, pa.binary()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+
+def _merge_hists(g: pd.DataFrame, group_key: str) -> pd.DataFrame:
+    total = None
+    for b in g["hist"]:
+        h = np.frombuffer(b, dtype=np.int64)
+        total = h.copy() if total is None else total + h
+    return pd.DataFrame({
+        group_key: [g[group_key].iloc[0]],
+        "hist": [total.tobytes()],
+        "n": [int(g["n"].sum())],
+    })
+
+
+def snapshot_distribution(ds, group_key: str = "lang",
+                          column: str = "content",
+                          bins: int = DEFAULT_BINS,
+                          hi: float = DEFAULT_HI) -> pa.Table:
+    """Per-group histogram summary of the dataset (the 'checkpointed
+    baseline'): columns (group, hist bytes, n)."""
+    partial = ds.map_batches(
+        PartialHistogram(group_key, column, bins=bins, hi=hi),
+        batch_format="pyarrow", batch_size=None)
+    merged = partial.groupby(group_key).map_groups(
+        lambda g: _merge_hists(g, group_key), batch_format="pandas")
+    return pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+
+
+def save_baseline(table: pa.Table, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    pq.write_table(table, path)
+
+
+def load_baseline(path: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
+
+
+# ------------------------------------------------------------- checks
+
+def ks_from_hists(h1: np.ndarray, h2: np.ndarray,
+                  alpha: float = 0.01) -> tuple[float, float, bool]:
+    """(D, critical, passed) from two binned samples."""
+    n, m = h1.sum(), h2.sum()
+    if n == 0 or m == 0:
+        return 0.0, 0.0, True
+    c1 = np.cumsum(h1) / n
+    c2 = np.cumsum(h2) / m
+    d = float(np.max(np.abs(c1 - c2)))
+    crit = _KS_C.get(alpha, 1.628) * math.sqrt((n + m) / (n * m))
+    return d, crit, d <= crit
+
+
+def chi2_from_counts(obs: np.ndarray, base: np.ndarray,
+                     alpha: float = 0.01) -> tuple[float, float, bool]:
+    """Pearson chi-square of observed vs baseline-shaped expected."""
+    n_obs, n_base = obs.sum(), base.sum()
+    if n_obs == 0 or n_base == 0:
+        return 0.0, 1.0, True
+    keep = base > 0
+    expected = base[keep] * (n_obs / n_base)
+    o = obs[keep].astype(np.float64)
+    stat = float(np.sum((o - expected) ** 2 / expected))
+    # unseen-in-baseline categories with observations are drift
+    extra = obs[~keep].sum()
+    if extra:
+        stat += float("inf")
+    df = int(keep.sum()) - 1
+    p = chi2_sf(stat, max(df, 1)) if math.isfinite(stat) else 0.0
+    return stat, p, p > alpha
+
+
+def drift_check(ds, baseline: pa.Table, group_key: str = "lang",
+                column: str = "content", alpha: float = 0.01,
+                bins: int = DEFAULT_BINS, hi: float = DEFAULT_HI):
+    """Per-group drift verdicts vs a checkpointed baseline:
+    (group, n, baseline_n, ks_stat, ks_crit, chi2_stat, chi2_p, passed).
+
+    KS runs on the numeric histograms; chi-square on the same binned
+    counts (a categorical-ish test of the binned shape).
+    """
+    current = snapshot_distribution(ds, group_key, column, bins, hi)
+    base = {r[group_key]: r for r in baseline.to_pylist()}
+    rows = []
+    for r in current.to_pylist():
+        g = r[group_key]
+        h_cur = np.frombuffer(r["hist"], dtype=np.int64)
+        b = base.get(g)
+        if b is None:
+            rows.append({group_key: g, "n": r["n"], "baseline_n": 0,
+                         "ks_stat": 1.0, "ks_crit": 0.0,
+                         "chi2_stat": float("inf"), "chi2_p": 0.0,
+                         "passed": False})
+            continue
+        h_base = np.frombuffer(b["hist"], dtype=np.int64)
+        d, crit, ks_ok = ks_from_hists(h_base, h_cur, alpha)
+        stat, p, chi_ok = chi2_from_counts(h_cur, h_base, alpha)
+        rows.append({group_key: g, "n": r["n"], "baseline_n": b["n"],
+                     "ks_stat": round(d, 6), "ks_crit": round(crit, 6),
+                     "chi2_stat": (round(stat, 4)
+                                   if math.isfinite(stat) else stat),
+                     "chi2_p": round(p, 6),
+                     "passed": bool(ks_ok and chi_ok)})
+    return pa.Table.from_pylist(rows)

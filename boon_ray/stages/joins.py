@@ -1,0 +1,139 @@
+"""Join strategies (the dataflow gap the reference doesn't have —
+SURVEY.md §2.7 — implemented natively for the engine's L2 layer).
+
+- ``broadcast_join``: small side ``ray.put`` once, pandas merge per
+  batch inside an actor pool — no shuffle at all. For dimensions,
+  blocklists, vocabularies.
+- ``hash_join``: both sides large — explicit partitioned hash join:
+  add ``bucket = hash(key) % B`` to both sides, tag, union, groupby
+  bucket, join within each bucket in map_groups. B and skew notes in
+  the docstring (salt hot keys by widening B; a bucket is the unit of
+  shuffle parallelism).
+- ``asof_join``: per-key-bucket ``pd.merge_asof`` over ts-sorted
+  groups (ordering provided by the in-group sort).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from boon_ray.sketches import hash64
+
+
+class _BroadcastJoin:
+    def __init__(self, right_ref, on, how, suffix):
+        import ray
+        right = (ray.get(right_ref)
+                 if isinstance(right_ref, ray.ObjectRef) else right_ref)
+        self.right = (right.to_pandas()
+                      if isinstance(right, pa.Table) else right)
+        self.on = list(on)
+        self.how = how
+        self.suffix = suffix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.how == "semi":
+            keys = self.right[self.on].drop_duplicates()
+            m = batch.merge(keys, on=self.on, how="inner")
+            return m
+        if self.how == "anti":
+            m = batch.merge(self.right[self.on].drop_duplicates(),
+                            on=self.on, how="left", indicator=True)
+            return (m[m["_merge"] == "left_only"]
+                    .drop(columns="_merge"))
+        return batch.merge(self.right, on=self.on, how=self.how,
+                           suffixes=("", self.suffix))
+
+
+def broadcast_join(ds, right, on: Sequence[str], how: str = "inner",
+                   suffix: str = "_r", batch_size=None,
+                   concurrency=(1, 8)):
+    """Join a Dataset with a SMALL table (broadcast once per actor).
+
+    how: inner | left | semi | anti.
+    """
+    import ray
+
+    right_ref = ray.put(right)
+    return ds.map_batches(
+        _BroadcastJoin,
+        fn_constructor_kwargs={"right_ref": right_ref, "on": tuple(on),
+                               "how": how, "suffix": suffix},
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def _add_bucket(side_tag: str, on: Sequence[str], num_buckets: int):
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        h = hash64(b[on[0]].to_numpy(dtype=object))
+        for c in on[1:]:
+            h = h * np.uint64(1099511628211) ^ hash64(
+                b[c].to_numpy(dtype=object))
+        b = b.copy()
+        b["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        b["_side"] = side_tag
+        return b
+    return f
+
+
+def hash_join(left, right, on: Sequence[str], how: str = "inner",
+              num_buckets: int = 32, suffix: str = "_r",
+              batch_size=None):
+    """Partitioned hash join of two Datasets (both sides large).
+
+    Both sides are bucketed by key hash, unioned with a side tag, and
+    each bucket joins in one map_groups task. ``num_buckets`` sets the
+    shuffle parallelism; for skewed keys widen it — a single hot KEY
+    still lands in one bucket (hash-join limit), so pre-split truly
+    degenerate keys with a salt column and re-aggregate after.
+    """
+    on = list(on)
+    l = left.map_batches(_add_bucket("l", on, num_buckets),
+                         batch_format="pandas", batch_size=batch_size)
+    r = right.map_batches(_add_bucket("r", on, num_buckets),
+                          batch_format="pandas", batch_size=batch_size)
+    both = l.union(r)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "l"].drop(columns=["_side", "_bucket"])
+        rg = g[g["_side"] == "r"].drop(columns=["_side", "_bucket"])
+        rg = rg.dropna(axis=1, how="all")
+        lg = lg.dropna(axis=1, how="all")
+        if lg.empty or (rg.empty and how == "inner"):
+            return pd.DataFrame()
+        return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+
+    return both.groupby("_bucket").map_groups(join_bucket,
+                                              batch_format="pandas")
+
+
+def asof_join(left, right, key: str, ts_col: str,
+              direction: str = "backward", num_buckets: int = 32,
+              suffix: str = "_r", batch_size=None):
+    """As-of join: for each left row, the latest right row with
+    right.ts <= left.ts (direction='backward') for the same key.
+    Implemented as bucketed per-key merge_asof over sorted groups."""
+    l = left.map_batches(_add_bucket("l", [key], num_buckets),
+                         batch_format="pandas", batch_size=batch_size)
+    r = right.map_batches(_add_bucket("r", [key], num_buckets),
+                          batch_format="pandas", batch_size=batch_size)
+    both = l.union(r)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = (g[g["_side"] == "l"].drop(columns=["_side", "_bucket"])
+              .dropna(axis=1, how="all").sort_values(ts_col))
+        rg = (g[g["_side"] == "r"].drop(columns=["_side", "_bucket"])
+              .dropna(axis=1, how="all").sort_values(ts_col))
+        if lg.empty:
+            return pd.DataFrame()
+        if rg.empty:
+            return lg
+        return pd.merge_asof(lg, rg, on=ts_col, by=key,
+                             direction=direction, suffixes=("", suffix))
+
+    return both.groupby("_bucket").map_groups(join_bucket,
+                                              batch_format="pandas")

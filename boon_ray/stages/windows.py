@@ -1,0 +1,126 @@
+"""Event-time windowed aggregation over a log-shaped table.
+
+Ray Data is a batch engine with no watermarks; windows over a bounded
+log are expressed as (ray_guide streaming section):
+
+- **tumbling**: vectorized window-start column (integer floor of the
+  epoch) inside map_batches + grouped aggregate — one shuffle of
+  pre-aggregated partials;
+- **sliding**: each event fans out to the size/slide windows covering
+  it (vectorized repeat inside map_batches), then the tumbling path;
+- **session**: per-key ``groupby(key).map_groups`` over ts-sorted
+  events; a new session starts where the gap to the previous event
+  exceeds ``gap`` (cumsum of boolean gaps). Ordering assumption: only
+  *within* one key's group, provided by the group sort — no global
+  sort needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _epoch_us(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(col, pa.int64())  # timestamp[us] -> microseconds
+
+
+def add_tumbling_window(batch: pa.Table, ts_col: str, size_s: int,
+                        out: str = "window_start") -> pa.Table:
+    """Append the window start (epoch seconds, floored to size_s)."""
+    us = _epoch_us(batch.column(ts_col))
+    size_us = size_s * 1_000_000
+    start = pc.multiply(pc.divide(us, size_us), size_us)  # int floor
+    return batch.append_column(out, pc.divide(start, 1_000_000))
+
+
+def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
+                        size_s: int = 3600, batch_size=None):
+    """(key, window_start, n_events, sum_value) per tumbling window.
+
+    Pre-aggregates inside each batch before the groupby shuffle."""
+    def partial(b: pa.Table) -> pa.Table:
+        b = add_tumbling_window(b, ts_col, size_s)
+        t = pa.table({
+            key_col: b.column(key_col),
+            "window_start": b.column("window_start"),
+            value_col: b.column(value_col),
+        })
+        agg = t.group_by([key_col, "window_start"]).aggregate(
+            [(value_col, "count"), (value_col, "sum")])
+        return agg.rename_columns(
+            [key_col, "window_start", "cnt", "val"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby([key_col, "window_start"]).aggregate(
+        Sum("cnt", alias_name="n_events"),
+        Sum("val", alias_name="sum_value"))
+    return out
+
+
+def sliding_window_agg(ds, ts_col: str, key_col: str, value_col: str,
+                       size_s: int = 3600, slide_s: int = 900,
+                       batch_size=None):
+    """(key, window_start, n_events, sum_value) per sliding window;
+    each event belongs to size/slide windows (fan-out inside the
+    batch, vectorized)."""
+    assert size_s % slide_s == 0, "size must be a multiple of slide"
+    n_win = size_s // slide_s
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = _epoch_us(b.column(ts_col)).to_numpy()
+        slide_us = slide_s * 1_000_000
+        size_us = size_s * 1_000_000
+        last_start = (us // slide_us) * slide_us
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        vals = b.column(value_col).to_numpy(zero_copy_only=False)
+        starts = (last_start[:, None]
+                  - np.arange(n_win)[None, :] * slide_us)
+        flat_start = starts.reshape(-1)
+        keep = flat_start >= 0
+        rep_keys = np.repeat(keys, n_win)[keep]
+        rep_vals = np.repeat(vals, n_win)[keep]
+        t = pa.table({
+            key_col: pa.array(rep_keys),
+            "window_start": pa.array(flat_start[keep] // 1_000_000),
+            value_col: pa.array(rep_vals),
+        })
+        agg = t.group_by([key_col, "window_start"]).aggregate(
+            [(value_col, "count"), (value_col, "sum")])
+        return agg.rename_columns([key_col, "window_start", "cnt", "val"])
+
+    partials = ds.map_batches(explode, batch_format="pyarrow",
+                              batch_size=batch_size)
+    from ray.data.aggregate import Sum
+
+    return partials.groupby([key_col, "window_start"]).aggregate(
+        Sum("cnt", alias_name="n_events"),
+        Sum("val", alias_name="sum_value"))
+
+
+def session_window_agg(ds, ts_col: str, key_col: str, value_col: str,
+                       gap_s: int = 1800):
+    """(key, session_start, session_end, n_events, sum_value) with
+    sessions split at inactivity gaps > gap_s (per-key sorted group)."""
+    gap_us = gap_s * 1_000_000
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        us = g[ts_col].astype("int64")
+        new_sess = (us.diff().fillna(gap_us + 1) > gap_us).cumsum()
+        out = g.assign(_sess=new_sess, _us=us).groupby("_sess").agg(
+            **{key_col: (key_col, "first"),
+               "session_start": ("_us", "min"),
+               "session_end": ("_us", "max"),
+               "n_events": (value_col, "count"),
+               "sum_value": (value_col, "sum")})
+        out["session_start"] //= 1_000_000
+        out["session_end"] //= 1_000_000
+        return out.reset_index(drop=True)
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

@@ -1,0 +1,95 @@
+"""Checkpointed, resumable partitioned runs (north_rule; SURVEY.md §4.3).
+
+Output layout::
+
+    out_dir/
+      part=<pid>/ *.parquet        (atomic: written to a tmp dir, renamed)
+      _done/<pid>.json             (manifest: metrics + lineage)
+
+A rerun skips every partition with a manifest; a crashed partition
+leaves no manifest (and at most an orphaned tmp dir that the next run
+clears), so the job is idempotent. The manifest records lineage —
+input description, spec/config hash, row counts, wall time — per
+partition, which is what "resumable from checkpoint with per-partition
+lineage + metrics" means for a batch pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Callable, Sequence
+
+
+def _manifest_path(out_dir: str, pid: str) -> str:
+    return os.path.join(out_dir, "_done", f"{pid}.json")
+
+
+def completed_partitions(out_dir: str) -> set:
+    d = os.path.join(out_dir, "_done")
+    if not os.path.isdir(d):
+        return set()
+    return {f[:-5] for f in os.listdir(d) if f.endswith(".json")}
+
+
+def run_partitioned(
+    partitions: Sequence[str],
+    make_dataset: Callable[[str], "ray.data.Dataset"],
+    out_dir: str,
+    lineage: Callable[[str], dict] | None = None,
+) -> dict:
+    """Run one dataset job per partition id, resumably.
+
+    ``make_dataset(pid)`` builds the (lazy) Dataset for that partition;
+    its output is written to ``out_dir/part=<pid>/`` atomically and a
+    manifest committed afterwards. Partitions with a manifest are
+    skipped. Returns a summary dict.
+    """
+    os.makedirs(os.path.join(out_dir, "_done"), exist_ok=True)
+    done = completed_partitions(out_dir)
+    ran, skipped = [], []
+    for pid in partitions:
+        if pid in done:
+            skipped.append(pid)
+            continue
+        t0 = time.perf_counter()
+        ds = make_dataset(pid)
+        final = os.path.join(out_dir, f"part={pid}")
+        tmp = os.path.join(out_dir, f"_tmp_part={pid}")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        if os.path.isdir(final):
+            shutil.rmtree(final)  # crashed before manifest: redo
+        os.makedirs(tmp, exist_ok=True)
+        ds.write_parquet(tmp)
+        os.rename(tmp, final)
+        # count output rows from the written files (cheap metadata read)
+        import pyarrow.parquet as pq
+        n_rows = 0
+        for f in os.listdir(final):
+            if f.endswith(".parquet"):
+                n_rows += pq.read_metadata(os.path.join(final, f)).num_rows
+        manifest = {
+            "partition": pid,
+            "rows": n_rows,
+            "wall_sec": round(time.perf_counter() - t0, 3),
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "lineage": (lineage(pid) if lineage else {}),
+        }
+        tmp_mf = _manifest_path(out_dir, pid) + ".tmp"
+        with open(tmp_mf, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp_mf, _manifest_path(out_dir, pid))
+        ran.append(pid)
+    return {"ran": ran, "skipped": skipped,
+            "manifests": sorted(completed_partitions(out_dir))}
+
+
+def read_manifests(out_dir: str) -> list[dict]:
+    out = []
+    for pid in sorted(completed_partitions(out_dir)):
+        with open(_manifest_path(out_dir, pid)) as f:
+            out.append(json.load(f))
+    return out

@@ -1,0 +1,191 @@
+"""Dedup families, text analysis, similarity search."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_near_dups(ray_session):
+    """documents + two planted near-duplicates + one exact duplicate."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    base = texts[3]
+    near = base.rsplit(" ", 2)[0] + " zzz qqq"   # ~2 words changed
+    texts += [base, near]
+    ids += [9001, 9002]
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                   "text": pa.array(texts)}))
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session):
+    from boon_ray.stages.dedup import minhash_duplicate_pairs
+
+    ds = _docs_with_near_dups(ray_session)
+    pairs = minhash_duplicate_pairs(ds, "text", "doc_id",
+                                    threshold=0.7).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert (3, 9001) in found          # exact copy
+    assert (3, 9002) in found or (9001, 9002) in found  # near copy
+
+
+def test_minhash_clustering(ray_session):
+    from boon_ray.stages.dedup import cluster_pairs, minhash_duplicate_pairs
+
+    ds = _docs_with_near_dups(ray_session)
+    pairs = minhash_duplicate_pairs(ds, "text", "doc_id", threshold=0.7)
+    clusters = cluster_pairs(pairs).to_pandas()
+    by_id = dict(zip(clusters["id"], clusters["cluster"]))
+    assert by_id[9001] == by_id[3] == 3
+    assert by_id.get(9002, 3) == 3
+
+
+def test_simhash_finds_planted_dups(ray_session):
+    from boon_ray.stages.dedup import simhash_duplicate_pairs
+
+    ds = _docs_with_near_dups(ray_session)
+    pairs = simhash_duplicate_pairs(ds, "text", "doc_id",
+                                    max_distance=4).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert (3, 9001) in found
+    assert pairs[(pairs["a"] == 3) & (pairs["b"] == 9001)]["hamming"].iloc[0] == 0
+
+
+def test_jaccard_verification(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import minhash_duplicate_pairs, verify_jaccard
+
+    ds = _docs_with_near_dups(ray_session)
+    cand = minhash_duplicate_pairs(ds, "text", "doc_id", threshold=0.5)
+    verified = verify_jaccard(ds, cand, "text", "doc_id").to_pandas()
+    exact_pair = verified[(verified["a"] == 3) & (verified["b"] == 9001)]
+    assert len(exact_pair) == 1 and exact_pair["jaccard"].iloc[0] == 1.0
+
+
+def test_embedding_neardup_lsh_vs_exact(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import (
+        embedding_duplicate_pairs, embedding_duplicate_pairs_exact,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(200, 16))
+    vecs[50] = vecs[10] + rng.normal(scale=0.01, size=16)  # planted dup
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(200), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64()))}))
+    exact = embedding_duplicate_pairs_exact(
+        ds, "embedding", "vec_id", threshold=0.98).to_pandas()
+    lsh = embedding_duplicate_pairs(
+        ds, "embedding", "vec_id", dim=16, threshold=0.98,
+        nbits=8).to_pandas()
+    assert (10, 50) in set(zip(exact["a"], exact["b"]))
+    # LSH must find the planted pair (same bucket with high prob at
+    # cos ~ 0.9999; nbits=8 keeps collision probability near 1)
+    assert (10, 50) in set(zip(lsh["a"], lsh["b"]))
+    # LSH results are a subset of exact results
+    assert set(zip(lsh["a"], lsh["b"])) <= set(zip(exact["a"], exact["b"]))
+
+
+def test_token_and_quality_counts_match_pandas(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.text import quality_batch, token_count_batch
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    want = out["text"].str.strip().str.split(r"\s+").str.len()
+    assert (out["n_tokens"] == want).all()
+
+    # align on doc_id: separate executions need not preserve row order
+    q = ds.map_batches(quality_batch, batch_format="pyarrow",
+                       batch_size=None).to_pandas().set_index("doc_id")
+    df = ds.to_pandas().set_index("doc_id")
+    q = q.loc[df.index]
+    assert (q["n_chars"].to_numpy()
+            == df["text"].str.len().to_numpy()).all()
+    assert (q["n_upper"].to_numpy()
+            == df["text"].str.count(r"[A-Z]").to_numpy()).all()
+
+
+def test_lang_id_deterministic_and_cjk(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.text import lang_id
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "the cat and the dog is in the house"},
+        {"doc_id": 2, "text": "el gato y la casa de los perros"},
+        {"doc_id": 3, "text": "der hund ist nicht mit der katze"},
+        {"doc_id": 4, "text": "你好 世界"},
+        {"doc_id": 5, "text": "xyzzy plugh"},
+    ])
+    out = lang_id(ds).to_pandas().set_index("doc_id")["lang_pred"]
+    assert out[1] == "en" and out[2] == "es" and out[3] == "de"
+    assert out[4] == "zh" and out[5] == "und"
+
+
+def test_fingerprint_stability(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.text import fingerprint_batch
+
+    ds = rd.from_items([{"doc_id": 1, "text": "abcdefghij" * 5},
+                        {"doc_id": 2, "text": "abcdefghij" * 5},
+                        {"doc_id": 3, "text": "completely different"}])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    d = out.set_index("doc_id")["digest"]
+    assert d[1] == d[2] != d[3]
+
+
+def test_ann_topk_exact_vs_numpy(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.similarity import ann_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    vecs = np.stack(df["embedding"].to_list()).astype(np.float64)
+    q = vecs[:3]
+    got = ann_topk(ds, q, k=5).to_pandas()
+    # numpy oracle
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sim = vn @ qn.T
+    for qi in range(3):
+        order = np.lexsort((df["vec_id"].to_numpy(), -sim[:, qi]))[:5]
+        want_ids = df["vec_id"].to_numpy()[order].tolist()
+        got_ids = got[got["query_id"] == qi].sort_values("rank")[
+            "vec_id"].tolist()
+        assert got_ids == want_ids
+        assert got[got["query_id"] == qi].iloc[0]["vec_id"] == df["vec_id"][qi]
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.similarity import ann_topk, ivf_topk
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = ds.to_pandas()
+    q = np.stack(df["embedding"].head(3).to_list()).astype(np.float64)
+    exact = ann_topk(ds, q, k=10).to_pandas()
+    approx = ivf_topk(ds, q, k=10, n_lists=8, nprobe=4).to_pandas()
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert len(e & a) / len(e) >= 0.5  # recall@10 with 4/8 probes

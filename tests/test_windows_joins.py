@@ -1,0 +1,284 @@
+"""Windows, joins, drift, checkpoint/resume, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- windows
+
+def test_tumbling_window_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.windows import tumbling_window_agg
+
+    ds = rd.read_parquet(f"{SF}/events.parquet")
+    got = tumbling_window_agg(ds, "ts", "user_id", "value",
+                              size_s=3600).to_pandas()
+    df = ds.to_pandas()
+    ws = (df["ts"].astype("int64") // (3600 * 10**6)) * 3600
+    want = (df.assign(window_start=ws)
+            .groupby(["user_id", "window_start"])
+            .agg(n_events=("value", "count"), sum_value=("value", "sum"))
+            .reset_index())
+    got = got.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "window_start", "n_events"]],
+        want[["user_id", "window_start", "n_events"]], check_dtype=False)
+    assert np.allclose(got["sum_value"], want["sum_value"])
+
+
+def test_sliding_window_counts(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.windows import sliding_window_agg
+
+    ds = rd.read_parquet(f"{SF}/events.parquet")
+    got = sliding_window_agg(ds, "ts", "user_id", "value",
+                             size_s=3600, slide_s=1800).to_pandas()
+    df = ds.to_pandas()
+    us = df["ts"].astype("int64")
+    rows = []
+    for uid, t, v in zip(df["user_id"], us, df["value"]):
+        last = (t // (1800 * 10**6)) * 1800
+        for j in range(2):
+            s = last - j * 1800
+            if s >= 0:
+                rows.append((uid, s, v))
+    want = (pd.DataFrame(rows, columns=["user_id", "window_start", "value"])
+            .groupby(["user_id", "window_start"])
+            .agg(n_events=("value", "count"), sum_value=("value", "sum"))
+            .reset_index())
+    got = got.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+
+
+def test_session_window(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.windows import session_window_agg
+
+    ds = rd.read_parquet(f"{SF}/events.parquet")
+    got = session_window_agg(ds, "ts", "user_id", "value",
+                             gap_s=1800).to_pandas()
+    df = ds.to_pandas().sort_values(["user_id", "ts"])
+    # pandas oracle
+    out = []
+    for uid, g in df.groupby("user_id"):
+        us = g["ts"].astype("int64").to_numpy()
+        sess = np.cumsum(np.concatenate(
+            [[True], np.diff(us) > 1800 * 10**6]))
+        for s in np.unique(sess):
+            m = sess == s
+            out.append((uid, us[m].min() // 10**6, us[m].max() // 10**6,
+                        int(m.sum())))
+    want = pd.DataFrame(out, columns=["user_id", "session_start",
+                                      "session_end", "n_events"])
+    got = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_start", "session_end", "n_events"]],
+        want, check_dtype=False)
+
+
+# --------------------------------------------------------------- joins
+
+def test_broadcast_join_modes(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from boon_ray.stages.joins import broadcast_join
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    customer = pq.read_table(f"{SF}/customer.parquet")
+    odf = orders.to_pandas()
+    cdf = customer.to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    want = odf.merge(cdf, on="o_custkey", how="inner")
+    # join keys must share a column name: rename the dimension first
+    cust2 = customer.rename_columns(
+        ["o_custkey" if c == "c_custkey" else c
+         for c in customer.column_names])
+    joined = broadcast_join(orders, cust2, on=["o_custkey"],
+                            how="inner").to_pandas()
+    assert len(joined) == len(want)
+    anti = broadcast_join(orders, cust2, on=["o_custkey"],
+                          how="anti").to_pandas()
+    assert len(anti) == len(odf) - len(
+        odf[odf["o_custkey"].isin(cdf["o_custkey"])])
+    semi = broadcast_join(orders, cust2, on=["o_custkey"],
+                          how="semi").to_pandas()
+    assert len(semi) + len(anti) == len(odf)
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.joins import hash_join
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    lineitem = rd.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+    li = lineitem.map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_quantity"]),
+        batch_format="pyarrow", batch_size=None)
+    got = hash_join(orders, li, on=["o_orderkey"],
+                    num_buckets=8).to_pandas()
+    odf = orders.to_pandas()
+    ldf = lineitem.to_pandas().rename(columns={"l_orderkey": "o_orderkey"})
+    want = odf.merge(ldf, on="o_orderkey", how="inner")
+    assert len(got) == len(want)
+    assert np.isclose(got["l_quantity"].sum(), want["l_quantity"].sum())
+
+
+def test_asof_join(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.joins import asof_join
+
+    left = rd.from_items([
+        {"k": 1, "ts": 100, "x": "a"},
+        {"k": 1, "ts": 200, "x": "b"},
+        {"k": 2, "ts": 150, "x": "c"},
+    ])
+    right = rd.from_items([
+        {"k": 1, "ts": 90, "y": 10},
+        {"k": 1, "ts": 150, "y": 20},
+        {"k": 2, "ts": 200, "y": 30},
+    ])
+    got = asof_join(left, right, key="k", ts_col="ts",
+                    num_buckets=4).to_pandas()
+    got = got.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert got.loc[0, "y"] == 10      # k=1 ts=100 -> right ts=90
+    assert got.loc[1, "y"] == 20      # k=1 ts=200 -> right ts=150
+    assert np.isnan(got.loc[2, "y"])  # k=2 ts=150 -> nothing before
+
+
+# --------------------------------------------------------------- drift
+
+def test_drift_detects_shifted_partition(ray_session):
+    import ray.data as rd
+
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.drift import drift_check, snapshot_distribution
+
+    baseline = snapshot_distribution(corpus_dataset(SF))
+
+    # current run: shift ONE lang's length distribution (truncate docs)
+    def shift(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_de = pc.equal(b.column("lang"), "de")
+        content = pc.if_else(
+            is_de, pc.utf8_slice_codeunits(b.column("content"), 0, 40),
+            b.column("content"))
+        return b.set_column(b.column_names.index("content"),
+                            "content", content)
+
+    shifted = corpus_dataset(SF).map_batches(shift, batch_format="pyarrow",
+                                             batch_size=None)
+    res = drift_check(shifted, baseline).to_pylist()
+    by_lang = {r["lang"]: r for r in res}
+    assert not by_lang["de"]["passed"]          # shifted -> drift
+    others = [r for lang, r in by_lang.items() if lang != "de"]
+    assert all(r["passed"] for r in others)      # unshifted -> pass
+
+    # identical data -> no drift at all
+    res2 = drift_check(corpus_dataset(SF), baseline).to_pylist()
+    assert all(r["passed"] for r in res2)
+
+
+def test_chi2_sf_reference_values():
+    from boon_ray.stages.drift import chi2_sf
+
+    # reference values (chi-square upper tail)
+    assert abs(chi2_sf(3.84, 1) - 0.05) < 0.002
+    assert abs(chi2_sf(18.31, 10) - 0.05) < 0.002
+    assert abs(chi2_sf(5.0, 10) - 0.8912) < 0.001
+
+
+# ---------------------------------------------------------- checkpoint
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from boon_ray.state.checkpoint import (
+        read_manifests, run_partitioned,
+    )
+
+    calls = []
+
+    def make(pid: str):
+        calls.append(pid)
+        return rd.range(10, override_num_blocks=1).map_batches(
+            lambda b: pa.table({"part": pa.array([pid] * 10),
+                                "i": pa.array(range(10))}),
+            batch_format="pyarrow", batch_size=None)
+
+    out = str(tmp_path / "out")
+    r1 = run_partitioned(["a", "b"], make, out)
+    assert r1["ran"] == ["a", "b"]
+    assert calls == ["a", "b"]
+    # resume: nothing re-runs
+    r2 = run_partitioned(["a", "b", "c"], make, out)
+    assert r2["ran"] == ["c"] and r2["skipped"] == ["a", "b"]
+    assert calls == ["a", "b", "c"]
+    ms = read_manifests(out)
+    assert len(ms) == 3 and all(m["rows"] == 10 for m in ms)
+    # simulate crash: partition dir exists but no manifest -> redo
+    import os, shutil
+    os.remove(os.path.join(out, "_done", "b.json"))
+    r3 = run_partitioned(["a", "b", "c"], make, out)
+    assert r3["ran"] == ["b"]
+
+
+# ---------------------------------------------------------- multimodal
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.multimodal import (
+        FrameSample, ImageResize, decode_images, fake_image_bytes,
+        media_features,
+    )
+
+    items = [{"id": i, "media": fake_image_bytes(i, 8, 6)}
+             for i in range(20)]
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array([x["id"] for x in items], pa.int64()),
+        "media": pa.array([x["media"] for x in items], pa.binary())}))
+
+    dec = decode_images(ds, batch_size=8).to_pandas()
+    assert (dec["width"] == 8).all() and (dec["height"] == 6).all()
+    assert len(dec) == 20
+
+    feats = media_features(ds, batch_size=8, dim=12).to_pandas()
+    assert len(feats) == 20 and len(feats["features"][0]) == 12
+    # deterministic across runs
+    feats2 = media_features(ds, batch_size=8, dim=12).to_pandas()
+    f1 = np.stack(feats.sort_values("id")["features"].to_list())
+    f2 = np.stack(feats2.sort_values("id")["features"].to_list())
+    assert (f1 == f2).all()
+
+    resized = ds.map_batches(ImageResize, fn_constructor_kwargs={
+        "target": (3, 4)}, batch_format="pyarrow", batch_size=8,
+        concurrency=1).to_pandas()
+    redec = decode_images(
+        rd.from_arrow(pa.Table.from_pandas(resized)), batch_size=8
+    ).to_pandas()
+    assert (redec["width"] == 4).all() and (redec["height"] == 3).all()
+
+    video = b"".join(fake_image_bytes(s, 4, 4) for s in range(6))
+    vds = rd.from_arrow(pa.table({"id": pa.array([1], pa.int64()),
+                                  "media": pa.array([video], pa.binary())}))
+    frames = vds.map_batches(FrameSample, fn_constructor_kwargs={
+        "every": 2}, batch_format="pyarrow", batch_size=1,
+        concurrency=1).to_pandas()
+    assert frames["frame_no"].tolist() == [0, 2, 4]
