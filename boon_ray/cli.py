@@ -1,0 +1,146 @@
+"""Command-line interface (the reference's CLI surface,
+/root/reference/cli/src/main.rs:11-172, re-expressed for this engine).
+
+    python -m boon_ray.cli [OPTS] SCHEMA [INSTANCE...]
+
+- SCHEMA: a JSON (or YAML, when pyyaml is present) schema file.
+- INSTANCE...: JSON/YAML instance files validated one by one (the
+  reference's sequential loop) — or, with --corpus, a parquet file
+  whose --column holds one JSON document per row, validated as a Ray
+  Data pipeline (the embarrassingly-parallel axis the reference
+  lacks).
+
+Options mirror the reference: --draft {4,6,7,2019,2020},
+--assert-format, --assert-content, --output
+{simple,alt,flag,basic,detailed}, --quiet.
+
+Exit codes (cli/main.rs:20, 109, 169-171): 1 = usage/compile-input
+problem, 2 = schema compilation or any instance validation failed,
+0 = everything valid.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any
+
+from boon_ray.compiler import CompileError, Compiler
+from boon_ray.draft import DRAFT2020
+from boon_ray.evaluator import Evaluator, ValidationError
+
+_DRAFTS = {"4": 4, "6": 6, "7": 7, "2019": 2019, "2020": 2020}
+
+
+def _load_instance(path: str) -> Any:
+    text = open(path).read()
+    if path.endswith((".yaml", ".yml")):
+        try:
+            import yaml  # optional; gate behind import-try
+        except ImportError:
+            raise RuntimeError("YAML instance given but pyyaml not installed")
+        return yaml.safe_load(text)
+    return json.loads(text)
+
+
+def _print_result(err: ValidationError | None, output: str, quiet: bool,
+                  name: str) -> None:
+    if quiet:
+        return
+    if err is None:
+        if output in ("flag", "basic", "detailed"):
+            print(json.dumps({"valid": True}))
+        else:
+            print(f"{name}: valid")
+        return
+    if output == "flag":
+        print(json.dumps(err.flag_output()))
+    elif output == "basic":
+        print(json.dumps(err.basic_output(), indent=2))
+    elif output == "detailed":
+        print(json.dumps(err.detailed_output(), indent=2))
+    elif output == "alt":
+        print(f"{name}: invalid")
+        print(err.display(alt=True))
+    else:
+        print(f"{name}: invalid")
+        print(err.display())
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="boon-ray",
+        description="Ray-Data-native JSON Schema + constraint validator")
+    p.add_argument("schema", help="schema file (json/yaml)")
+    p.add_argument("instances", nargs="*", help="instance files")
+    p.add_argument("--draft", choices=sorted(_DRAFTS), default="2020",
+                   help="default dialect when $schema is absent")
+    p.add_argument("--assert-format", action="store_true")
+    p.add_argument("--assert-content", action="store_true")
+    p.add_argument("--output", choices=["simple", "alt", "flag", "basic",
+                                        "detailed"], default="simple")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--corpus", metavar="PARQUET",
+                   help="validate a parquet corpus instead of files")
+    p.add_argument("--column", default="content",
+                   help="JSON-bearing column for --corpus mode")
+    try:
+        args = p.parse_args(argv)
+    except SystemExit:
+        return 1
+
+    compiler = Compiler(default_draft=_DRAFTS[args.draft],
+                        formats_enabled=args.assert_format,
+                        content_enabled=args.assert_content)
+    try:
+        schema_doc = _load_instance(args.schema)
+        spec = compiler.compile(f"file://{args.schema}", schema_doc)
+    except (CompileError, ValueError, OSError, RuntimeError) as e:
+        print(f"schema error: {e}", file=sys.stderr)
+        return 2
+
+    any_invalid = False
+
+    if args.corpus:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        import ray.data as rd
+
+        from boon_ray.stages.validate import validate_dataset
+
+        ds = rd.read_parquet(args.corpus)
+        key_cols = [c for c in ds.schema().names if c != args.column][:3]
+        out = validate_dataset(ds, spec, column=args.column,
+                               key_columns=key_cols or ("row",))
+        df = out.to_pandas()
+        n_bad = int((~df["valid"]).sum())
+        any_invalid = n_bad > 0
+        if not args.quiet:
+            print(json.dumps({"rows": len(df), "invalid": n_bad,
+                              "valid": not any_invalid}))
+    else:
+        ev = Evaluator(spec)
+        for path in args.instances:
+            try:
+                inst = _load_instance(path)
+            except (ValueError, OSError, RuntimeError) as e:
+                print(f"{path}: cannot load: {e}", file=sys.stderr)
+                any_invalid = True
+                continue
+            u = ev.errors(inst)
+            err = ValidationError(u) if u is not None else None
+            any_invalid |= err is not None
+            _print_result(err, args.output, args.quiet, path)
+
+    return 2 if any_invalid else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -134,6 +134,8 @@ class CompiledSpec:
     formats_enabled: bool = False
     content_enabled: bool = False
     custom_formats: dict = field(default_factory=dict)
+    custom_decoders: dict = field(default_factory=dict)
+    custom_media_types: dict = field(default_factory=dict)
     has_uneval: bool = False  # any unevaluated* anywhere -> track annotations
 
     def node(self, idx: int) -> SchemaNode:
@@ -197,16 +199,20 @@ class Compiler:
         default_draft: int = DRAFT2020,
         formats_enabled: bool = False,
         content_enabled: bool = False,
+        loader: Any = None,
     ):
         if default_draft not in drafts.ALL_DRAFTS:
             raise CompileError(f"unknown draft {default_draft}")
         self.default_draft = default_draft
         self.formats_enabled = formats_enabled
         self.content_enabled = content_enabled
+        self.loader = loader  # callable url -> doc (UrlLoader analogue)
         self.docs: dict[str, Any] = {}
         self.roots: dict[str, _Root] = {}
         self.res_by_url: dict[str, tuple[str, str]] = {}  # url -> (doc_url, ptr)
         self.custom_formats: dict[str, Any] = {}
+        self.custom_decoders: dict[str, Any] = {}
+        self.custom_media_types: dict[str, Any] = {}
 
     # -- registration -------------------------------------------------
     def add_resource(self, url: str, doc: Any) -> None:
@@ -222,10 +228,38 @@ class Compiler:
             raise CompileError("cannot override the 'regex' format")
         self.custom_formats[name] = fn
 
+    def register_content_encoding(self, name: str, decode_fn) -> None:
+        """Custom contentEncoding decoder (compiler.rs:158-160):
+        picklable str -> bytes callable raising ValueError."""
+        self.custom_decoders[name] = decode_fn
+
+    def register_content_media_type(self, name: str, parse_fn,
+                                    json_compatible: bool = False) -> None:
+        """Custom contentMediaType parser (compiler.rs:168-170):
+        picklable bytes|str -> value callable raising ValueError.
+        ``json_compatible`` allows contentSchema over its output."""
+        self.custom_media_types[name] = parse_fn
+        if json_compatible:
+            from boon_ray.content import JSON_COMPATIBLE
+            JSON_COMPATIBLE.add(name)
+
+    def use_loader(self, loader) -> None:
+        """Pluggable resource loader: callable url -> schema doc
+        (loader.rs:23-26 UrlLoader analogue)."""
+        self.loader = loader
+
     # -- loading ------------------------------------------------------
     def _load_doc(self, url: str) -> Any:
         if url in self.docs:
             return self.docs[url]
+        if self.loader is not None:
+            try:
+                doc = self.loader(url)
+            except Exception:
+                doc = None
+            if doc is not None:
+                self.docs[url] = doc
+                return doc
         parsed = urllib.parse.urlparse(url)
         if parsed.scheme == "file":
             path = urllib.parse.unquote(parsed.path)
@@ -371,6 +405,8 @@ class Compiler:
             formats_enabled=self.formats_enabled,
             content_enabled=self.content_enabled,
             custom_formats=dict(self.custom_formats),
+            custom_decoders=dict(self.custom_decoders),
+            custom_media_types=dict(self.custom_media_types),
         )
         state = _CompileState(self, spec)
         spec.root = state.enqueue(url, ptr)
@@ -660,7 +696,9 @@ class _CompileState:
             if has("contentMediaType") and isinstance(v["contentMediaType"], str):
                 node.content_media_type = v["contentMediaType"]
             if dr >= DRAFT2019 and has("contentSchema") and node.content_media_type:
-                node.content_schema = sub("contentSchema")
+                from boon_ray.content import is_json_compatible
+                if is_json_compatible(node.content_media_type):
+                    node.content_schema = sub("contentSchema")
 
         # number -------------------------------------------------------
         if has("multipleOf"):

@@ -1,0 +1,50 @@
+"""contentEncoding decoders / contentMediaType parsers.
+
+Built-ins mirror the reference (/root/reference/src/content.rs): base64
+(strict alphabet) and application/json. Custom decoders/media types are
+registered on the Compiler (compiler.rs:158-170) and travel inside the
+CompiledSpec (must be module-level picklable callables so actor workers
+can use them).
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import json
+from typing import Any, Callable
+
+# decoder: str -> bytes, raising ValueError on bad input
+Decoder = Callable[[str], bytes]
+# media type parser: bytes|str -> parsed value, raising ValueError
+MediaTypeParser = Callable[[Any], Any]
+
+
+def decode_base64(s: str) -> bytes:
+    try:
+        return base64.b64decode(s, validate=True)
+    except (binascii.Error, ValueError) as e:
+        raise ValueError(f"invalid base64: {e}") from e
+
+
+def parse_json(data: Any) -> Any:
+    try:
+        return json.loads(data)
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        raise ValueError(f"invalid application/json: {e}") from e
+
+
+BUILTIN_DECODERS: dict[str, Decoder] = {"base64": decode_base64}
+BUILTIN_MEDIA_TYPES: dict[str, MediaTypeParser] = {
+    "application/json": parse_json,
+}
+
+# media types whose parsed value can feed contentSchema (the reference
+# gates contentSchema on json-compatibility, compiler.rs:589-595)
+JSON_COMPATIBLE = {"application/json"}
+
+
+def is_json_compatible(media_type: str) -> bool:
+    if media_type in JSON_COMPATIBLE:
+        return True
+    return media_type.endswith("+json")

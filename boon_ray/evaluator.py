@@ -35,6 +35,7 @@ from typing import Any, Optional
 
 from boon_ray import json_util as ju
 from boon_ray.compiler import CompiledSpec, SchemaNode
+from boon_ray.content import BUILTIN_DECODERS, BUILTIN_MEDIA_TYPES
 from boon_ray.draft import DRAFT2019, DRAFT2020
 from boon_ray.ecma import compile_ecma
 from boon_ray.formats import FORMATS
@@ -113,6 +114,29 @@ class ValidationError(Exception):
         for c in self.unit.children:
             walk(c, "")
         return {"valid": False, "errors": units}
+
+    def display(self, alt: bool = False) -> str:
+        """Human-readable indented error tree (the reference's
+        `simple` / `alt` display formats, output.rs:142-183; alt adds
+        [I#instance] [S#schema] location tags)."""
+        lines = []
+
+        def walk(u: Unit, depth: int):
+            indent = "  " * depth
+            label = u.keyword or "schema"
+            if alt:
+                loc = f" [I#{u.inst_loc or '/'}] [S#{u.abs_loc}]"
+            else:
+                loc = f" at {u.inst_loc or '/'}" if u.error else ""
+            msg = f": {u.error}" if u.error else ""
+            lines.append(f"{indent}- {label}{loc}{msg}")
+            for c in u.children:
+                walk(c, depth + 1)
+
+        lines.append("validation failed")
+        for c in self.unit.children:
+            walk(c, 1)
+        return "\n".join(lines)
 
     def detailed_output(self) -> dict:
         """Hierarchical output tree (output.rs:89-137)."""
@@ -478,24 +502,32 @@ class Evaluator:
                 decoded: Any = v
                 decode_ok = True
                 if node.content_encoding is not None:
-                    if node.content_encoding == "base64":
+                    dec = (spec.custom_decoders.get(node.content_encoding)
+                           or BUILTIN_DECODERS.get(node.content_encoding))
+                    if dec is not None:
                         try:
-                            decoded = base64.b64decode(v, validate=True)
-                        except (binascii.Error, ValueError):
+                            decoded = dec(v)
+                        except ValueError:
                             decode_ok = False
                             errs.append(err(
                                 "contentEncoding",
-                                f"value is not valid base64"))
+                                f"value is not valid "
+                                f"{node.content_encoding}"))
                 if decode_ok and node.content_media_type is not None:
-                    if node.content_media_type == "application/json":
+                    parser = (spec.custom_media_types.get(
+                                  node.content_media_type)
+                              or BUILTIN_MEDIA_TYPES.get(
+                                  node.content_media_type))
+                    if parser is not None:
                         raw = decoded if isinstance(decoded, (str, bytes)) else v
                         try:
-                            parsed = json.loads(raw)
-                        except (ValueError, UnicodeDecodeError):
+                            parsed = parser(raw)
+                        except ValueError:
                             parsed = None
                             errs.append(err(
                                 "contentMediaType",
-                                "value is not valid application/json"))
+                                f"value is not valid "
+                                f"{node.content_media_type}"))
                         else:
                             if node.content_schema is not None:
                                 cerrs, _ = self._eval(
@@ -825,20 +857,28 @@ class Evaluator:
                     node.content_encoding is not None
                     or node.content_media_type is not None):
                 decoded: Any = v
-                if node.content_encoding == "base64":
-                    try:
-                        decoded = base64.b64decode(v, validate=True)
-                    except (binascii.Error, ValueError):
-                        return False, ev
-                if node.content_media_type == "application/json":
-                    raw = decoded if isinstance(decoded, (str, bytes)) else v
-                    try:
-                        parsed = json.loads(raw)
-                    except (ValueError, UnicodeDecodeError):
-                        return False, ev
-                    if node.content_schema is not None:
-                        if not child(node.content_schema, parsed):
+                if node.content_encoding is not None:
+                    dec = (spec.custom_decoders.get(node.content_encoding)
+                           or BUILTIN_DECODERS.get(node.content_encoding))
+                    if dec is not None:
+                        try:
+                            decoded = dec(v)
+                        except ValueError:
                             return False, ev
+                if node.content_media_type is not None:
+                    parser = (spec.custom_media_types.get(
+                                  node.content_media_type)
+                              or BUILTIN_MEDIA_TYPES.get(
+                                  node.content_media_type))
+                    if parser is not None:
+                        raw = decoded if isinstance(decoded, (str, bytes)) else v
+                        try:
+                            parsed = parser(raw)
+                        except ValueError:
+                            return False, ev
+                        if node.content_schema is not None:
+                            if not child(node.content_schema, parsed):
+                                return False, ev
 
         elif t in (ju.TYPE_NUMBER, ju.TYPE_INTEGER):
             try:

@@ -1,0 +1,137 @@
+"""CLI surface + user-extension hooks (reference parity: SURVEY.md
+§2.6, §3.2)."""
+
+from __future__ import annotations
+
+import codecs
+import json
+
+import pytest
+
+from boon_ray.cli import main as cli_main
+from boon_ray.compiler import Compiler
+from boon_ray.evaluator import Evaluator, ValidationError
+
+
+@pytest.fixture()
+def schema_file(tmp_path):
+    p = tmp_path / "schema.json"
+    p.write_text(json.dumps({
+        "type": "object", "required": ["name"],
+        "properties": {"name": {"type": "string", "minLength": 2},
+                       "age": {"type": "integer", "minimum": 0}}}))
+    return str(p)
+
+
+def test_cli_exit_codes(schema_file, tmp_path, capsys):
+    good = tmp_path / "good.json"
+    good.write_text('{"name": "Ada"}')
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"age": -1}')
+    assert cli_main([schema_file, str(good)]) == 0
+    assert cli_main([schema_file, str(bad)]) == 2
+    assert cli_main([schema_file, str(good), str(bad)]) == 2
+    # bad schema -> 2
+    badschema = tmp_path / "bs.json"
+    badschema.write_text('{"pattern": "("}')
+    assert cli_main([str(badschema), str(good)]) == 2
+    capsys.readouterr()
+
+
+def test_cli_output_formats(schema_file, tmp_path, capsys):
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"age": -1}')
+    assert cli_main(["--output", "flag", schema_file, str(bad)]) == 2
+    out = capsys.readouterr().out
+    assert json.loads(out.strip().splitlines()[-1]) == {"valid": False}
+    assert cli_main(["--output", "basic", schema_file, str(bad)]) == 2
+    basic = json.loads(capsys.readouterr().out)
+    kws = {e["keywordLocation"] for e in basic["errors"]}
+    assert "/required" in kws
+    assert cli_main(["--output", "alt", schema_file, str(bad)]) == 2
+    assert "[I#" in capsys.readouterr().out
+
+
+def test_cli_yaml_instances(schema_file, tmp_path, capsys):
+    pytest.importorskip("yaml")
+    y = tmp_path / "inst.yaml"
+    y.write_text("name: Bob\nage: 3\n")
+    assert cli_main([schema_file, str(y)]) == 0
+    capsys.readouterr()
+
+
+def test_cli_draft_flag(tmp_path, capsys):
+    s = tmp_path / "s.json"
+    # boolean exclusiveMinimum only valid under draft 4
+    s.write_text(json.dumps({"minimum": 5, "exclusiveMinimum": True}))
+    five = tmp_path / "five.json"
+    five.write_text("5")
+    assert cli_main(["--draft", "4", str(s), str(five)]) == 2
+    capsys.readouterr()
+
+
+# ------------------------------------------------- extension surface
+
+def _rot13_decode(s: str) -> bytes:
+    return codecs.decode(s, "rot13").encode()
+
+
+def _parse_csvish(raw) -> list:
+    s = raw.decode() if isinstance(raw, bytes) else raw
+    if "," not in s:
+        raise ValueError("not csvish")
+    return s.split(",")
+
+
+def test_register_content_encoding_and_media_type():
+    c = Compiler(content_enabled=True)
+    c.register_content_encoding("rot13", _rot13_decode)
+    c.register_content_media_type("text/csvish", _parse_csvish)
+    spec = c.compile("http://t.local/s.json",
+                     {"contentEncoding": "rot13",
+                      "contentMediaType": "text/csvish"})
+    ev = Evaluator(spec)
+    assert ev.is_valid(codecs.encode("a,b,c", "rot13"))
+    assert not ev.is_valid(codecs.encode("nocommas", "rot13"))
+    # spec with custom hooks must survive pickling (actor broadcast)
+    import pickle
+    ev2 = Evaluator(pickle.loads(pickle.dumps(spec)))
+    assert ev2.is_valid(codecs.encode("x,y", "rot13"))
+
+
+def test_content_schema_gated_on_json_compat():
+    c = Compiler(content_enabled=True)
+    spec = c.compile("http://t.local/s.json", {
+        "contentMediaType": "application/json",
+        "contentSchema": {"required": ["k"]}})
+    ev = Evaluator(spec)
+    assert ev.is_valid('{"k": 1}')
+    assert not ev.is_valid('{"x": 1}')
+
+
+def test_use_loader():
+    def loader(url):
+        if url == "http://reg.local/pos.json":
+            return {"type": "integer", "minimum": 0}
+        return None
+
+    c = Compiler()
+    c.use_loader(loader)
+    spec = c.compile("http://t.local/s.json",
+                     {"$ref": "http://reg.local/pos.json"})
+    ev = Evaluator(spec)
+    assert ev.is_valid(5)
+    assert not ev.is_valid(-1)
+
+
+def test_display_formats():
+    spec = Compiler().compile("http://t.local/s.json", {
+        "properties": {"a": {"type": "integer"}}, "required": ["b"]})
+    try:
+        Evaluator(spec).validate({"a": "x"})
+        assert False
+    except ValidationError as e:
+        simple = e.display()
+        assert "validation failed" in simple and "required" in simple
+        alt = e.display(alt=True)
+        assert "[I#" in alt and "[S#" in alt
