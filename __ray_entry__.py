@@ -425,7 +425,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_signup": _q_asof_signup,
         # similarity search
         "ann_topk": _q_ann_topk,
+        # sort / limit / distinct / multi-hop joins
+        "top_docs": _q_top_docs,
+        "distinct_langs": _q_distinct_langs,
+        "customers_per_region": _q_customers_per_region,
     }
+
+
+def _q_top_docs(sf_dir: str):
+    """Top-10 documents by char count (sort + limit; deterministic
+    doc_id tie-break)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"],
+                   descending=[True, False]).limit(10)
+
+
+def _q_distinct_langs(sf_dir: str):
+    """Distinct values of one column (set op)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang"])
+    vals = sorted(ds.unique("lang"))
+    return pa.table({"lang": pa.array(vals, pa.string())})
+
+
+def _q_customers_per_region(sf_dir: str):
+    """customer -> nation -> region multi-hop broadcast join +
+    grouped count."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from boon_ray.stages.joins import broadcast_join
+    from ray.data.aggregate import Count
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    nation = nation.rename_columns(["c_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    region = region.rename_columns(["n_regionkey", "r_name"])
+    j = broadcast_join(cust, nation, on=["c_nationkey"], how="inner")
+    j = broadcast_join(j, region, on=["n_regionkey"], how="inner")
+    out = j.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+    return out.select_columns(["r_name", "n_customers"])
 
 
 # -------------------------------------------------------------- oracles
@@ -580,6 +628,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE a.vec_id < b.vec_id AND a.vec_id < 500 "
             "AND b.vec_id < 500 AND "
             "list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+        "top_docs":
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10",
+        "distinct_langs":
+            "SELECT DISTINCT lang FROM documents",
+        "customers_per_region":
+            "SELECT r_name, COUNT(*) AS n_customers FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY 1",
         # minhash_pairs / simhash_pairs / lang_id / fingerprints /
         # distinct_hll: not SQL-expressible -> rows-only checks
         # (covered by pytest oracles in tests/)

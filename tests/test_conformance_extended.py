@@ -1,0 +1,248 @@
+"""Extended conformance battery: trickier corners of the spec the
+basic battery doesn't reach (ref resolution chains, unevaluated*
+scoping, annotation flow, numeric/string edges). Expected verdicts
+follow the published JSON Schema specs (2020-12 core/validation) and
+the reference's semantics where the spec allows latitude."""
+
+from __future__ import annotations
+
+import pytest
+
+from boon_ray.compiler import Compiler, compile_schema
+from boon_ray.evaluator import Evaluator
+
+CASES = [
+    # ---- $ref resolution ------------------------------------------
+    # ref to root
+    ({"properties": {"x": {"$ref": "#"}}, "type": ["object", "integer"]},
+     {"x": 5}, True),
+    ({"properties": {"x": {"$ref": "#"}}, "type": ["object", "integer"]},
+     {"x": "s"}, False),
+    # chained refs through $defs
+    ({"$defs": {"a": {"$ref": "#/$defs/b"}, "b": {"type": "integer"}},
+      "$ref": "#/$defs/a"}, 3, True),
+    ({"$defs": {"a": {"$ref": "#/$defs/b"}, "b": {"type": "integer"}},
+      "$ref": "#/$defs/a"}, "x", False),
+    # ref into the middle of a structure (items array position)
+    ({"$defs": {"tup": {"prefixItems": [{"type": "integer"},
+                                        {"type": "string"}]}},
+      "$ref": "#/$defs/tup/prefixItems/1"}, "ok", True),
+    ({"$defs": {"tup": {"prefixItems": [{"type": "integer"},
+                                        {"type": "string"}]}},
+      "$ref": "#/$defs/tup/prefixItems/1"}, 3, False),
+    # 2019+: $ref combines with sibling keywords (AND semantics)
+    ({"$defs": {"s": {"type": ["string", "integer"]}},
+      "$ref": "#/$defs/s", "minLength": 3}, "ab", False),
+    ({"$defs": {"s": {"type": ["string", "integer"]}},
+      "$ref": "#/$defs/s", "minLength": 3}, "abc", True),
+    ({"$defs": {"s": {"type": ["string", "integer"]}},
+      "$ref": "#/$defs/s", "minLength": 3}, 7, True),
+    # ---- combinator nesting ---------------------------------------
+    ({"not": {"not": {"type": "integer"}}}, 5, True),
+    ({"not": {"not": {"type": "integer"}}}, "x", False),
+    ({"allOf": [{"anyOf": [{"type": "integer"}, {"minLength": 2}]},
+                {"not": {"const": 7}}]}, 7, False),
+    ({"allOf": [{"anyOf": [{"type": "integer"}, {"minLength": 2}]},
+                {"not": {"const": 7}}]}, 8, True),
+    ({"oneOf": [{"required": ["a"]}, {"required": ["b"]}]},
+     {"a": 1, "b": 2}, False),
+    ({"oneOf": [{"required": ["a"]}, {"required": ["b"]}]},
+     {"b": 2}, True),
+    # if without then/else is annotation-only
+    ({"if": {"type": "integer"}}, "anything", True),
+    ({"then": {"type": "integer"}}, "no-if-so-ignored", True),
+    ({"else": {"type": "integer"}}, "no-if-so-ignored", True),
+    # ---- unevaluated* scoping -------------------------------------
+    # nested unevaluatedProperties: inner (true) evaluates everything
+    ({"allOf": [{"properties": {"a": {}}, "unevaluatedProperties": True}],
+      "unevaluatedProperties": False}, {"a": 1, "b": 2}, True),
+    # cousin: inner unevaluatedProperties cannot see outer properties
+    ({"allOf": [{"unevaluatedProperties": False}],
+      "properties": {"a": {}}}, {"a": 1}, False),
+    ({"allOf": [{"unevaluatedProperties": False}],
+      "properties": {"a": {}}}, {}, True),
+    # annotations through $ref
+    ({"$defs": {"base": {"properties": {"a": {}}}},
+      "$ref": "#/$defs/base", "unevaluatedProperties": False},
+     {"a": 1}, True),
+    ({"$defs": {"base": {"properties": {"a": {}}}},
+      "$ref": "#/$defs/base", "unevaluatedProperties": False},
+     {"a": 1, "b": 2}, False),
+    # if/then contribute annotations when they apply
+    ({"if": {"properties": {"a": {"const": 1}}, "required": ["a"]},
+      "then": {"properties": {"b": {}}},
+      "unevaluatedProperties": False}, {"a": 1, "b": 2}, True),
+    ({"if": {"properties": {"a": {"const": 1}}, "required": ["a"]},
+      "then": {"properties": {"b": {}}},
+      "unevaluatedProperties": False}, {"a": 2, "b": 2}, False),
+    # failed anyOf branch annotations are dropped
+    ({"anyOf": [{"properties": {"a": {}}, "required": ["zz"]},
+                {"properties": {"b": {}}}],
+      "unevaluatedProperties": False}, {"a": 1, "b": 2}, False),
+    # unevaluatedItems after prefixItems via $ref
+    ({"$defs": {"pre": {"prefixItems": [{"type": "integer"}]}},
+      "$ref": "#/$defs/pre", "unevaluatedItems": False}, [1], True),
+    ({"$defs": {"pre": {"prefixItems": [{"type": "integer"}]}},
+      "$ref": "#/$defs/pre", "unevaluatedItems": False}, [1, 2], False),
+    # unevaluatedItems sees contains matches (2020)
+    ({"contains": {"type": "string"},
+      "unevaluatedItems": {"type": "integer"}}, ["s", 1, 2], True),
+    ({"contains": {"type": "string"},
+      "unevaluatedItems": {"type": "integer"}}, ["s", 1.5], False),
+    # unevaluatedProperties applies its subschema (not just false)
+    ({"properties": {"a": {}},
+      "unevaluatedProperties": {"type": "integer"}},
+     {"a": "any", "b": 3}, True),
+    ({"properties": {"a": {}},
+      "unevaluatedProperties": {"type": "integer"}},
+     {"a": "any", "b": "no"}, False),
+    # ---- object keyword corners -----------------------------------
+    ({"patternProperties": {"^a": {"type": "integer"},
+                            "x$": {"minimum": 5}}}, {"ax": 7}, True),
+    ({"patternProperties": {"^a": {"type": "integer"},
+                            "x$": {"minimum": 5}}}, {"ax": 3}, False),
+    ({"propertyNames": {"pattern": "^[a-z]+$"}}, {"ok": 1, "BAD": 2},
+     False),
+    ({"propertyNames": True}, {"anything": 1}, True),
+    ({"propertyNames": False}, {}, True),
+    ({"propertyNames": False}, {"a": 1}, False),
+    ({"minProperties": 1, "maxProperties": 2}, {}, False),
+    ({"minProperties": 1, "maxProperties": 2}, {"a": 1, "b": 2, "c": 3},
+     False),
+    ({"dependentSchemas": {"a": {"properties": {"b": {"const": 1}}}}},
+     {"a": 0, "b": 1}, True),
+    ({"dependentSchemas": {"a": {"properties": {"b": {"const": 1}}}}},
+     {"a": 0, "b": 2}, False),
+    ({"dependentSchemas": {"a": {"properties": {"b": {"const": 1}}}}},
+     {"b": 2}, True),
+    # additionalProperties interacts with BOTH properties and patterns
+    ({"properties": {"a": {}}, "patternProperties": {"^b": {}},
+      "additionalProperties": False}, {"a": 1, "bx": 2}, True),
+    ({"properties": {"a": {}}, "patternProperties": {"^b": {}},
+      "additionalProperties": False}, {"a": 1, "c": 2}, False),
+    # ---- array keyword corners ------------------------------------
+    ({"contains": {"const": 5}, "minContains": 0}, [], True),
+    ({"contains": {"const": 5}, "minContains": 0, "maxContains": 1},
+     [5, 5], False),
+    ({"uniqueItems": True}, [[1], [1.0]], False),
+    ({"uniqueItems": True}, [{"a": [2]}, {"a": [2.0]}], False),
+    ({"uniqueItems": True}, [0, False], True),   # bool != number
+    ({"uniqueItems": False}, [1, 1], True),
+    ({"prefixItems": [{"const": 1}, {"const": 2}]}, [1], True),
+    ({"prefixItems": [{"const": 1}, {"const": 2}]}, [1, 3], False),
+    ({"items": False}, [], True, 2020),
+    ({"items": False}, [1], False, 2020),
+    ({"prefixItems": [{}], "items": False}, [1], True, 2020),
+    ({"prefixItems": [{}], "items": False}, [1, 2], False, 2020),
+    # ---- numeric/string edges -------------------------------------
+    ({"maximum": 1e308}, 1e307, True),
+    ({"minimum": -1e308}, -1e307, True),
+    ({"multipleOf": 0.5}, 4722366482869645213696.0, True),  # huge f64
+    ({"maxLength": 2}, "\U0001D11E\U0001D11E", True),  # astral = 1 char
+    ({"minLength": 3}, "\U0001D11E\U0001D11E", False),
+    ({"const": 9007199254740992}, 9007199254740992.0, True),
+    ({"enum": [None]}, None, True),
+    ({"enum": [None]}, 0, False),
+    ({"enum": []}, 1, False, 2019),
+    # exclusive bounds draft6+ numeric form
+    ({"exclusiveMaximum": 5}, 5, False, 6),
+    ({"exclusiveMaximum": 5}, 4.999, True, 6),
+    # ---- type matrix ----------------------------------------------
+    ({"type": ["integer", "string"]}, 1.0, True),
+    ({"type": ["integer", "string"]}, 1.5, False),
+    ({"type": "number"}, True, False),
+    ({"type": "object"}, [], False),
+    ({"type": "array"}, {}, False),
+    ({"type": "null"}, 0, False),
+    # ---- draft-specific -------------------------------------------
+    # draft4 spells $id as id; fragment anchors allowed
+    ({"definitions": {"a": {"id": "#an", "type": "integer"}},
+      "$ref": "#an"}, 3, True, 4),
+    # draft6 const exists
+    ({"const": "x"}, "x", True, 6),
+    # draft7 if/then exists; draft6 must ignore it
+    ({"if": {"const": 1}, "then": {"type": "string"}}, 1, False, 7),
+    ({"if": {"const": 1}, "then": {"type": "string"}}, 1, True, 6),
+    # 2019 keeps tuple items
+    ({"items": [{"const": 1}]}, [2], False, 2019),
+    # dependentRequired is 2019+; draft7 must ignore the spelling
+    ({"dependentRequired": {"a": ["b"]}}, {"a": 1}, True, 7),
+    ({"dependentRequired": {"a": ["b"]}}, {"a": 1}, False, 2019),
+]
+
+
+@pytest.mark.parametrize(
+    "case", CASES, ids=[f"x{i}" for i in range(len(CASES))])
+def test_extended(case):
+    schema, data, want = case[0], case[1], case[2]
+    draft = case[3] if len(case) > 3 else 2020
+    spec = compile_schema(schema, default_draft=draft)
+    ev = Evaluator(spec)
+    assert ev.is_valid(data) == want, (schema, data)
+    # error path must agree with the fast path
+    assert (ev.errors(data) is None) == want
+
+
+def test_cross_resource_dynamic_fallback():
+    """$dynamicRef to a plain (non-dynamic) anchor behaves like $ref."""
+    a = {"$id": "http://x.local/a.json",
+         "$defs": {"t": {"$anchor": "plain", "type": "integer"}},
+         "$dynamicRef": "#plain"}
+    spec = Compiler().compile("http://x.local/a.json", a)
+    ev = Evaluator(spec)
+    assert ev.is_valid(3)
+    assert not ev.is_valid("s")
+
+
+def test_nested_id_base_resolution():
+    """Relative $ref resolves against the nearest enclosing $id."""
+    root = {"$id": "http://x.local/root.json",
+            "$defs": {
+                "inner": {"$id": "sub/inner.json",
+                          "$defs": {"leaf": {"type": "integer"}},
+                          "$ref": "leaf.json"},
+                "leaf_doc": {"$id": "sub/leaf.json", "minimum": 10},
+            },
+            "$ref": "sub/inner.json"}
+    spec = Compiler().compile("http://x.local/root.json", root)
+    ev = Evaluator(spec)
+    assert ev.is_valid(11)
+    assert not ev.is_valid(5)
+
+
+def test_output_self_validation():
+    """Validate this engine's own basic_output against a schema for
+    the output format — the reference's self-referential output test
+    (tests/output.rs)."""
+    out_schema = {
+        "type": "object",
+        "required": ["valid", "errors"],
+        "properties": {
+            "valid": {"const": False},
+            "errors": {
+                "type": "array",
+                "minItems": 1,
+                "items": {
+                    "type": "object",
+                    "required": ["valid", "keywordLocation",
+                                 "instanceLocation"],
+                    "properties": {
+                        "valid": {"const": False},
+                        "keywordLocation": {"type": "string"},
+                        "absoluteKeywordLocation": {
+                            "type": "string", "format": "uri"},
+                        "instanceLocation": {"type": "string"},
+                        "error": {"type": "string"},
+                    },
+                },
+            },
+        },
+    }
+    from boon_ray.evaluator import ValidationError
+
+    subject = compile_schema({"properties": {"a": {"type": "integer"}},
+                              "required": ["b"]})
+    u = Evaluator(subject).errors({"a": "x"})
+    basic = ValidationError(u).basic_output()
+    checker = Evaluator(compile_schema(out_schema, formats_enabled=True))
+    assert checker.is_valid(basic), basic
