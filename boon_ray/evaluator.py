@@ -45,6 +45,11 @@ from boon_ray.formats import FORMATS
 # worker")
 _REGEX_CACHE: dict[str, re.Pattern] = {}
 
+# poison-row guard: a document nested deeper than this fails validation
+# instead of blowing the Python stack inside an actor (the reference's
+# recursion is bounded by Rust's stack; here the bound is explicit)
+MAX_DEPTH = 256
+
 
 def _regex(pattern: str) -> re.Pattern:
     r = _REGEX_CACHE.get(pattern)
@@ -233,6 +238,8 @@ class Evaluator:
         if key in scope:
             return [err("", f"infinite loop: schema {node.loc} revisited "
                             f"for the same value")], ev
+        if len(scope) >= MAX_DEPTH:
+            return [err("", f"nesting depth exceeds {MAX_DEPTH}")], ev
         scope = scope + (key,)
 
         errs: list = []
@@ -671,6 +678,8 @@ class Evaluator:
         key = (idx, vid)
         if key in scope:
             return False, ev  # ref cycle -> invalid (validator.rs:107-115)
+        if len(scope) >= MAX_DEPTH:
+            return False, ev  # poison-row depth guard
         scope = scope + (key,)
 
         def child(cidx: int, cv: Any) -> bool:

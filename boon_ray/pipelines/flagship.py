@@ -110,6 +110,39 @@ def partition_verdicts(violations_ds, all_groups: pa.Table,
     })
 
 
+def run_flagship_checkpointed(sf_dir: str, out_dir: str,
+                              replicas: int = 1) -> dict:
+    """Resumable flagship run: one checkpointed partition per lang.
+
+    Each partition reads ONLY its lang's rows (pyarrow filter pushed
+    into the parquet read — prune at the read), computes the
+    vectorized violations, and writes `out_dir/part=<lang>/` with a
+    `_done/<lang>.json` manifest (lineage: input + spec identity).
+    Rerunning skips completed partitions (north_rule resumability).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from boon_ray.state.checkpoint import run_partitioned
+
+    langs = sorted(set(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .column("lang").to_pylist()))
+
+    def make(lang: str):
+        ds = corpus_dataset(sf_dir, replicas=replicas,
+                            filter=pc.field("lang") == lang)
+        return corpus_violations(ds)
+
+    def lineage(lang: str) -> dict:
+        return {"input": f"{sf_dir}/documents.parquet",
+                "partition_filter": f"lang == {lang!r}",
+                "rules": [r.column for r in CORPUS_RULES.rules],
+                "replicas": replicas}
+
+    return run_partitioned(langs, make, out_dir, lineage)
+
+
 def run_flagship(sf_dir: str, replicas: int = 1, batch_size=None):
     """Full pipeline; returns dict of result datasets/tables (all lazy
     until consumed)."""

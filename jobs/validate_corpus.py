@@ -1,0 +1,61 @@
+"""Corpus validation job — the `ray job submit` entry point.
+
+    ray job submit --working-dir /root/repo -- \
+        python jobs/validate_corpus.py --sf-dir /root/testdata/sf0.01 \
+        --out /tmp/validate_out
+
+Also runs standalone (owns its Ray session; exits 2 when any
+violation rows exist, mirroring the reference CLI's exit contract).
+The run is resumable: re-submission skips completed partitions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# runnable from any cwd (and from `ray job submit --working-dir`)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", required=True)
+    p.add_argument("--replicas", type=int, default=1)
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from boon_ray.pipelines.flagship import run_flagship_checkpointed
+    from boon_ray.state.checkpoint import read_manifests
+
+    summary = run_flagship_checkpointed(args.sf_dir, args.out,
+                                        replicas=args.replicas)
+    manifests = read_manifests(args.out)
+    total_violations = sum(m["rows"] for m in manifests)
+    print(json.dumps({
+        "ran": summary["ran"], "skipped": summary["skipped"],
+        "partitions": len(manifests),
+        "violation_rows": total_violations,
+        "valid": total_violations == 0,
+    }))
+    ray.shutdown()
+    return 2 if total_violations else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

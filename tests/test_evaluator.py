@@ -233,3 +233,33 @@ def test_fast_path_agrees_with_error_path():
         spec = compile_schema(schema, default_draft=draft)
         ev = Evaluator(spec)
         assert ev.is_valid(data) == (ev.errors(data) is None), (schema, data)
+
+
+def test_depth_guard_poison_row():
+    """Pathologically nested data fails validation instead of blowing
+    the recursion limit inside an actor."""
+    schema = {"$defs": {"n": {"properties": {"c": {"$ref": "#/$defs/n"}}}},
+              "$ref": "#/$defs/n"}
+    spec = compile_schema(schema)
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(10000)
+    try:
+        v: dict = {}
+        cur = v
+        for _ in range(5000):
+            cur["c"] = {}
+            cur = cur["c"]
+    finally:
+        sys.setrecursionlimit(old)
+    ev = Evaluator(spec)
+    assert not ev.is_valid(v)
+    u = ev.errors(v)
+    assert u is not None and "depth" in str(list(_walk_leaves(u)))
+
+
+def _walk_leaves(u):
+    if u.error and not u.children:
+        yield u.error
+    for c in u.children:
+        yield from _walk_leaves(c)

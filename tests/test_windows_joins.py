@@ -282,3 +282,32 @@ def test_multimodal_plumbing(ray_session):
         "every": 2}, batch_format="pyarrow", batch_size=1,
         concurrency=1).to_pandas()
     assert frames["frame_no"].tolist() == [0, 2, 4]
+
+
+def test_flagship_checkpointed_resume(ray_session, tmp_path):
+    from boon_ray.pipelines.flagship import run_flagship_checkpointed
+    from boon_ray.state.checkpoint import read_manifests
+
+    out = str(tmp_path / "flag")
+    r1 = run_flagship_checkpointed(SF, out)
+    assert set(r1["ran"]) == {"de", "en", "es", "fr", "zh"}
+    r2 = run_flagship_checkpointed(SF, out)
+    assert r2["ran"] == [] and len(r2["skipped"]) == 5
+    ms = read_manifests(out)
+    # violations only in the partitions the fixtures target
+    total = sum(m["rows"] for m in ms)
+    # matches the oracle count for this SF (enum 'fr' rows + short docs)
+    import duckdb
+    from boon_ray.sources.corpus import CORPUS_CTE
+    from boon_ray.pipelines import flagship as F
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    langs = "','".join(F.ALLOWED_LANGS)
+    want = con.sql(
+        f"WITH {CORPUS_CTE.strip()} SELECT "
+        f"count(*) FILTER (lang NOT IN ('{langs}')) "
+        f"+ count(*) FILTER (length(content) < {F.MIN_CONTENT_CHARS}) "
+        f"+ count(*) FILTER (length(content) > {F.MAX_CONTENT_CHARS}) "
+        f"FROM corpus").fetchone()[0]
+    assert total == want
