@@ -1,0 +1,146 @@
+"""Property-based differential testing (hypothesis).
+
+Two independent implementations exist in the engine: the error-tree
+evaluator (`_eval`) and the bool-only fast path (`_valid`). They were
+written against the same spec but share no code paths for verdicts —
+any divergence on random (schema, instance) pairs is a bug in one of
+them. Also checks compile determinism and pickle round-trips.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from boon_ray.compiler import CompileError, compile_schema
+from boon_ray.evaluator import Evaluator
+
+# ---- instance strategy: arbitrary JSON ------------------------------
+
+json_scalars = st.one_of(
+    st.none(), st.booleans(),
+    st.integers(min_value=-(10**12), max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=20),
+)
+
+json_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=5),
+        st.dictionaries(st.text(max_size=8), children, max_size=5)),
+    max_leaves=20)
+
+# ---- schema strategy: bounded but diverse ---------------------------
+
+prop_names = st.sampled_from(["a", "b", "c", "d", "k"])
+
+
+def schemas(depth: int = 2):
+    scalar_kw = st.fixed_dictionaries({}, optional={
+        "type": st.one_of(
+            st.sampled_from(["null", "boolean", "integer", "number",
+                             "string", "array", "object"]),
+            st.lists(st.sampled_from(["integer", "string", "array"]),
+                     min_size=1, max_size=3, unique=True)),
+        "enum": st.lists(json_scalars, min_size=1, max_size=4),
+        "const": json_scalars,
+        "minimum": st.integers(-50, 50),
+        "maximum": st.integers(-50, 50),
+        "exclusiveMinimum": st.integers(-50, 50),
+        "multipleOf": st.sampled_from([1, 2, 0.5, 3]),
+        "minLength": st.integers(0, 5),
+        "maxLength": st.integers(0, 10),
+        "pattern": st.sampled_from(["^a", "b$", "\\d+", "^[a-z]*$"]),
+        "minItems": st.integers(0, 3),
+        "maxItems": st.integers(0, 5),
+        "uniqueItems": st.booleans(),
+        "required": st.lists(prop_names, max_size=3, unique=True),
+        "minProperties": st.integers(0, 3),
+        "maxProperties": st.integers(0, 5),
+    })
+    if depth == 0:
+        return st.one_of(st.booleans(), scalar_kw)
+    sub = schemas(depth - 1)
+    return st.one_of(
+        st.booleans(),
+        scalar_kw,
+        st.fixed_dictionaries({}, optional={
+            "type": st.sampled_from(["object", "array", "integer"]),
+            "properties": st.dictionaries(prop_names, sub, max_size=3),
+            "patternProperties": st.dictionaries(
+                st.sampled_from(["^a", "b"]), sub, max_size=2),
+            "additionalProperties": st.one_of(st.booleans(), sub),
+            "items": sub,
+            "prefixItems": st.lists(sub, min_size=1, max_size=3),
+            "contains": sub,
+            "minContains": st.integers(0, 3),
+            "maxContains": st.integers(0, 4),
+            "allOf": st.lists(sub, min_size=1, max_size=3),
+            "anyOf": st.lists(sub, min_size=1, max_size=3),
+            "oneOf": st.lists(sub, min_size=1, max_size=3),
+            "not": sub,
+            "if": sub, "then": sub, "else": sub,
+            "propertyNames": sub,
+            "dependentRequired": st.dictionaries(
+                prop_names, st.lists(prop_names, max_size=2), max_size=2),
+            "dependentSchemas": st.dictionaries(prop_names, sub,
+                                                max_size=2),
+            "unevaluatedProperties": st.one_of(st.booleans(), sub),
+            "unevaluatedItems": st.one_of(st.booleans(), sub),
+            "required": st.lists(prop_names, max_size=2, unique=True),
+        }),
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(schema=schemas(), value=json_values)
+def test_fast_path_equals_error_path(schema, value):
+    try:
+        spec = compile_schema(schema)
+    except CompileError:
+        return  # invalid random schema: rejecting is fine
+    ev = Evaluator(spec)
+    fast = ev.is_valid(value)
+    full = ev.errors(value) is None
+    assert fast == full, (schema, value)
+
+
+@settings(max_examples=100, deadline=None)
+@given(schema=schemas(), value=json_values)
+def test_pickled_spec_agrees(schema, value):
+    try:
+        spec = compile_schema(schema)
+    except CompileError:
+        return
+    spec2 = pickle.loads(pickle.dumps(spec))
+    assert Evaluator(spec).is_valid(value) == \
+        Evaluator(spec2).is_valid(value)
+
+
+@settings(max_examples=100, deadline=None)
+@given(schema=schemas(), value=json_values)
+def test_draft_2019_vs_2020_only_differ_on_known_keywords(schema, value):
+    """2019 and 2020 verdicts may differ only when the schema uses
+    keywords whose semantics changed (items/prefixItems/$dynamic*)."""
+    def uses_changed(s):
+        if isinstance(s, dict):
+            if ("prefixItems" in s or "items" in s
+                    or "$dynamicRef" in s or "$dynamicAnchor" in s):
+                return True
+            return any(uses_changed(v) for v in s.values())
+        if isinstance(s, list):
+            return any(uses_changed(v) for v in s)
+        return False
+
+    try:
+        s19 = compile_schema(schema, default_draft=2019)
+        s20 = compile_schema(schema, default_draft=2020)
+    except CompileError:
+        return
+    v19 = Evaluator(s19).is_valid(value)
+    v20 = Evaluator(s20).is_valid(value)
+    if not uses_changed(schema):
+        assert v19 == v20, (schema, value)
