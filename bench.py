@@ -81,6 +81,60 @@ def q_column_stats():
                         distinct_columns=("path", "commit")).count()
 
 
+def q_minhash_dedup():
+    """MinHash-LSH near-dup pairs over the amplified corpus content
+    (per-doc signature loop inside batches; LSH bucket shuffle)."""
+    import pyarrow as pa
+
+    from boon_ray.stages.dedup import minhash_duplicate_pairs
+
+    def add_id(b: pa.Table) -> pa.Table:
+        import numpy as np
+        start = abs(hash(b.column("commit")[0].as_py())) % (1 << 40)
+        ids = np.arange(start, start + b.num_rows, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": b.column("content")})
+
+    ds = _corpus().map_batches(add_id, batch_format="pyarrow",
+                               batch_size=None)
+    return minhash_duplicate_pairs(ds, "text", "doc_id",
+                                   threshold=0.9,
+                                   verify=False).count()
+
+
+def q_windows():
+    """Tumbling + session windows over the events log."""
+    import ray.data as rd
+
+    from boon_ray.stages.windows import (
+        session_window_agg, tumbling_window_agg,
+    )
+
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["ts", "user_id", "value"])
+    n = tumbling_window_agg(ev, "ts", "user_id", "value",
+                            size_s=3600).count()
+    n += session_window_agg(ev, "ts", "user_id", "value",
+                            gap_s=1800).count()
+    return n
+
+
+def q_ann_topk():
+    """Brute-force cosine top-10 for 32 query vectors."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from boon_ray.stages.similarity import ann_topk
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    q = np.stack(emb.column("embedding").to_pylist()[:32]).astype(
+        np.float64)
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ann_topk(ds, q, k=10).num_rows
+
+
 # actor-pool query last: its pool teardown otherwise overlaps the
 # next query's tasks and inflates shuffle timings
 QUERIES = {
@@ -88,6 +142,9 @@ QUERIES = {
     "uniqueness": q_uniqueness,
     "referential": q_referential,
     "column_stats": q_column_stats,
+    "minhash_dedup": q_minhash_dedup,
+    "windows": q_windows,
+    "ann_topk": q_ann_topk,
     "validate_full_engine": q_validate_full_engine,
 }
 

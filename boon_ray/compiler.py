@@ -40,7 +40,7 @@ class CompileError(Exception):
         super().__init__(f"{message}" + (f" at {location}" if location else ""))
 
 
-@dataclass
+@dataclass(slots=True)
 class SchemaNode:
     """One compiled subschema. A struct-of-options like the reference's
     ``Schema`` (lib.rs:198-268); None/empty means keyword absent."""
@@ -115,7 +115,7 @@ class SchemaNode:
     multiple_of: Optional[float] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class ResourceInfo:
     """Runtime info for one schema resource ($id scope)."""
 

@@ -139,7 +139,10 @@ def minhash_signatures(shingle_hash_lists: list[np.ndarray],
                        num_perm: int = 128,
                        seed: int = 1) -> np.ndarray:
     """(n_docs, num_perm) MinHash signature matrix from per-doc shingle
-    hash arrays. Universal hashing h_i(x) = (a_i*x + b_i) mod p."""
+    hash arrays. Universal hashing h_i(x) = (a_i*x + b_i) mod p.
+
+    Per-doc numpy matrices beat a chunked segmented-min variant here
+    (measured: reduceat over the concatenated matrix is ~2x slower)."""
     rng = np.random.RandomState(seed)
     a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
     b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)

@@ -25,20 +25,37 @@ from boon_ray.sketches import band_keys, hash64, minhash_signatures
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
 
-def _shingle_hashes(text: str, k: int = 3, word: bool = True) -> np.ndarray:
-    """Hashes of the k-shingle set of a document."""
+def _make_shingles(text: str, k: int, word: bool) -> list:
     if word:
         toks = _TOKEN_RE.findall(text.lower())
         if len(toks) < k:
-            shingles = [" ".join(toks)] if toks else []
-        else:
-            shingles = [" ".join(toks[i:i + k])
-                        for i in range(len(toks) - k + 1)]
-    else:
-        shingles = [text[i:i + k] for i in range(max(len(text) - k + 1, 0))]
+            return [" ".join(toks)] if toks else []
+        return [" ".join(toks[i:i + k])
+                for i in range(len(toks) - k + 1)]
+    return [text[i:i + k] for i in range(max(len(text) - k + 1, 0))]
+
+
+def _shingle_hashes(text: str, k: int = 3, word: bool = True) -> np.ndarray:
+    """Hashes of the k-shingle set of a document."""
+    shingles = _make_shingles(text, k, word)
     if not shingles:
         return np.array([], dtype=np.uint64)
     return np.unique(hash64(np.array(shingles, dtype=object)))
+
+
+def _shingle_hashes_batch(texts, k: int, word: bool) -> list:
+    """Per-doc shingle hash sets with ONE vectorized hash call for the
+    whole batch (pd.util.hash_array has large per-call overhead)."""
+    all_shingles: list = []
+    offsets = [0]
+    for t in texts:
+        all_shingles.extend(_make_shingles(t or "", k, word))
+        offsets.append(len(all_shingles))
+    if not all_shingles:
+        return [np.array([], dtype=np.uint64) for _ in texts]
+    h = hash64(np.array(all_shingles, dtype=object))
+    return [np.unique(h[offsets[i]:offsets[i + 1]])
+            for i in range(len(texts))]
 
 
 # ------------------------------------------------------- MinHash + LSH
@@ -51,47 +68,90 @@ class MinHashBands:
     """
 
     def __init__(self, text_col: str, id_col: str, num_perm: int = 128,
-                 bands: int = 16, shingle_k: int = 3, word: bool = True):
+                 bands: int = 16, shingle_k: int = 3, word: bool = True,
+                 include_sig: bool = True):
         self.text_col = text_col
         self.id_col = id_col
         self.num_perm = num_perm
         self.bands = bands
         self.shingle_k = shingle_k
         self.word = word
+        self.include_sig = include_sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         ids = batch.column(self.id_col).to_pylist()
-        hashes = [_shingle_hashes(t or "", self.shingle_k, self.word)
-                  for t in texts]
+        hashes = _shingle_hashes_batch(texts, self.shingle_k, self.word)
         sigs = minhash_signatures(hashes, self.num_perm)
         bk = band_keys(sigs, self.bands)
         n = len(ids)
         out_ids = np.repeat(np.asarray(ids, dtype=np.int64), self.bands)
         out_band = np.tile(np.arange(self.bands, dtype=np.int64), n)
         out_key = bk.reshape(-1).astype(np.int64)
-        sig_bytes = [sigs[i].tobytes() for i in range(n)
-                     for _ in range(self.bands)]
-        return pa.table({
+        cols = {
             "band": pa.array(out_band),
             "key": pa.array(out_key),
             self.id_col: pa.array(out_ids),
-            "sig": pa.array(sig_bytes, pa.binary()),
-        })
+        }
+        if self.include_sig:
+            # num_perm x 8 bytes per (doc, band) row: only ship when
+            # bucket-local verification is wanted — candidates-only
+            # mode cuts the shuffle ~40x
+            cols["sig"] = pa.array(
+                [sigs[i].tobytes() for i in range(n)
+                 for _ in range(self.bands)], pa.binary())
+        return pa.table(cols)
+
+
+MAX_BUCKET_ALL_PAIRS = 64
 
 
 def _bucket_pairs(g: pd.DataFrame, id_col: str,
                   threshold: float) -> pd.DataFrame:
     """Candidate pairs within one LSH bucket, verified by signature
-    Jaccard estimate."""
+    Jaccard estimate.
+
+    Buckets larger than MAX_BUCKET_ALL_PAIRS (an exact-dup cluster
+    signature) switch from all-pairs to star pairing against the
+    minimum id — O(n) edges that preserve cluster connectivity for
+    cluster_pairs() while bounding worst-case work at scale."""
     ids = g[id_col].to_numpy()
     if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": [], "jaccard_est": []})
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "jaccard_est": pd.Series(dtype="float64")})
     order = np.argsort(ids)
     ids = ids[order]
+    if "sig" not in g.columns:
+        # candidates-only mode: all bucket co-members are pairs
+        uniq = np.unique(ids)
+        if len(uniq) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "jaccard_est": pd.Series(dtype="float64")})
+        if len(uniq) > MAX_BUCKET_ALL_PAIRS:
+            a = np.full(len(uniq) - 1, uniq[0])
+            b = uniq[1:]
+        else:
+            ii, jj = np.triu_indices(len(uniq), k=1)
+            a, b = uniq[ii], uniq[jj]
+        return pd.DataFrame({"a": a.astype("int64"),
+                             "b": b.astype("int64"),
+                             "jaccard_est": np.full(len(a), np.nan)})
     sigs = np.stack([np.frombuffer(b, dtype=np.uint64)
                      for b in g["sig"].to_numpy()[order]])
     rows_a, rows_b, est = [], [], []
+    if len(ids) > MAX_BUCKET_ALL_PAIRS:
+        # star pairing: everyone vs the min id (vectorized)
+        e_all = (sigs[0][None, :] == sigs[1:]).mean(axis=1)
+        keep = e_all >= threshold
+        for j in np.nonzero(keep)[0]:
+            if ids[0] != ids[j + 1]:
+                rows_a.append(int(ids[0]))
+                rows_b.append(int(ids[j + 1]))
+                est.append(float(e_all[j]))
+        return pd.DataFrame({"a": rows_a, "b": rows_b,
+                             "jaccard_est": est})
     seen = set()
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
@@ -109,13 +169,20 @@ def _bucket_pairs(g: pd.DataFrame, id_col: str,
 def minhash_duplicate_pairs(ds, text_col: str, id_col: str,
                             threshold: float = 0.8, num_perm: int = 128,
                             bands: int = 16, shingle_k: int = 3,
-                            word: bool = True, batch_size=None):
+                            word: bool = True, batch_size=None,
+                            verify: bool = True):
     """Near-duplicate pairs (a < b, jaccard_est) via MinHash LSH.
 
-    Pairs may surface from several buckets; a final groupby dedupes.
+    ``verify=False`` is the recall-stage plan for huge corpora:
+    signatures stay out of the shuffle (16 bytes/row instead of
+    ~1 KB), buckets emit candidate pairs without the signature-
+    Jaccard filter (jaccard_est = NaN); follow with verify_jaccard
+    on the candidates. Pairs may surface from several buckets; a
+    final groupby dedupes.
     """
     exploded = ds.map_batches(
-        MinHashBands(text_col, id_col, num_perm, bands, shingle_k, word),
+        MinHashBands(text_col, id_col, num_perm, bands, shingle_k, word,
+                     include_sig=verify),
         batch_format="pyarrow", batch_size=batch_size)
     pairs = exploded.groupby(["band", "key"]).map_groups(
         lambda g: _bucket_pairs(g, id_col, threshold),
@@ -157,8 +224,8 @@ def _simhash64(texts: list, k: int = 2) -> np.ndarray:
     """64-bit SimHash per text (token-k-gram features)."""
     out = np.zeros(len(texts), dtype=np.uint64)
     bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        h = _shingle_hashes(t or "", k, word=True)
+    hashes = _shingle_hashes_batch(texts, k, word=True)
+    for i, h in enumerate(hashes):
         if len(h) == 0:
             continue
         # accumulate signed bit votes
@@ -201,7 +268,9 @@ def _hamming_pairs(g: pd.DataFrame, id_col: str,
                    max_distance: int) -> pd.DataFrame:
     ids = g[id_col].to_numpy()
     if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
     order = np.argsort(ids)
     ids = ids[order]
     sh = g["simhash"].to_numpy()[order].astype(np.uint64)
@@ -317,7 +386,9 @@ def _cosine_pairs(g: pd.DataFrame, id_col: str,
                   threshold: float) -> pd.DataFrame:
     ids = g[id_col].to_numpy()
     if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
     order = np.argsort(ids)
     ids = ids[order]
     vecs = np.stack([np.frombuffer(b, dtype=np.float64)
