@@ -114,6 +114,14 @@ class SchemaNode:
     exclusive_maximum: Optional[float] = None
     multiple_of: Optional[float] = None
 
+    # section-presence flags precomputed at compile time so the
+    # evaluator skips whole keyword families per node (hot path)
+    f_obj: bool = False
+    f_arr: bool = False
+    f_str: bool = False
+    f_num: bool = False
+    f_comb: bool = False
+
 
 @dataclass(slots=True)
 class ResourceInfo:
@@ -731,6 +739,32 @@ class _CompileState:
             if has("exclusiveMaximum"):
                 node.exclusive_maximum = float(num("exclusiveMaximum"))
 
+        node.f_obj = bool(
+            node.min_properties is not None
+            or node.max_properties is not None or node.required
+            or node.dependencies or node.dependent_required
+            or node.dependent_schemas or node.properties
+            or node.pattern_properties
+            or node.additional_properties is not None
+            or node.property_names is not None)
+        node.f_arr = bool(
+            node.min_items is not None or node.max_items is not None
+            or node.unique_items or node.items_tuple is not None
+            or node.items_all is not None or node.prefix_items
+            or node.contains is not None)
+        node.f_str = bool(
+            node.min_length is not None or node.max_length is not None
+            or node.pattern is not None
+            or node.content_encoding is not None
+            or node.content_media_type is not None)
+        node.f_num = bool(
+            node.minimum is not None or node.maximum is not None
+            or node.exclusive_minimum is not None
+            or node.exclusive_maximum is not None
+            or node.multiple_of is not None)
+        node.f_comb = bool(
+            node.not_ is not None or node.all_of or node.any_of
+            or node.one_of or node.if_ is not None)
         return node
 
 

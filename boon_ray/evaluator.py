@@ -735,7 +735,7 @@ class Evaluator:
 
         t = ju.type_of(v)
 
-        if t == ju.TYPE_OBJECT:
+        if t == ju.TYPE_OBJECT and node.f_obj:
             n = len(v)
             if node.min_properties is not None and n < node.min_properties:
                 return False, ev
@@ -792,7 +792,7 @@ class Evaluator:
                     if not child(node.property_names, k):
                         return False, ev
 
-        elif t == ju.TYPE_ARRAY:
+        elif t == ju.TYPE_ARRAY and node.f_arr:
             n = len(v)
             if node.min_items is not None and n < node.min_items:
                 return False, ev
@@ -853,7 +853,7 @@ class Evaluator:
                 if node.max_contains is not None and n_match > node.max_contains:
                     return False, ev
 
-        elif t == ju.TYPE_STRING:
+        elif t == ju.TYPE_STRING and node.f_str:
             if node.min_length is not None or node.max_length is not None:
                 n = len(v)
                 if node.min_length is not None and n < node.min_length:
@@ -889,7 +889,7 @@ class Evaluator:
                             if not child(node.content_schema, parsed):
                                 return False, ev
 
-        elif t in (ju.TYPE_NUMBER, ju.TYPE_INTEGER):
+        elif node.f_num and t in (ju.TYPE_NUMBER, ju.TYPE_INTEGER):
             try:
                 f = float(v)
             except OverflowError:
@@ -907,47 +907,48 @@ class Evaluator:
                 if _math.isfinite(q) and q != _math.floor(q):
                     return False, ev
 
-        if node.not_ is not None:
-            ok, _ = self._valid(node.not_, v, vid, ctr, scope)
-            if ok:
-                return False, ev
-        for cidx in node.all_of:
-            if not inplace(cidx):
-                return False, ev
-        if node.any_of:
-            matched = False
-            for cidx in node.any_of:
-                ok, cev = self._valid(cidx, v, vid, ctr, scope)
+        if node.f_comb:
+            if node.not_ is not None:
+                ok, _ = self._valid(node.not_, v, vid, ctr, scope)
                 if ok:
-                    matched = True
+                    return False, ev
+            for cidx in node.all_of:
+                if not inplace(cidx):
+                    return False, ev
+            if node.any_of:
+                matched = False
+                for cidx in node.any_of:
+                    ok, cev = self._valid(cidx, v, vid, ctr, scope)
+                    if ok:
+                        matched = True
+                        if track:
+                            ev.merge(cev)
+                        else:
+                            break
+                if not matched:
+                    return False, ev
+            if node.one_of:
+                n_match = 0
+                for cidx in node.one_of:
+                    ok, cev = self._valid(cidx, v, vid, ctr, scope)
+                    if ok:
+                        n_match += 1
+                        if n_match > 1:
+                            return False, ev
+                        if track:
+                            ev.merge(cev)
+                if n_match != 1:
+                    return False, ev
+            if node.if_ is not None:
+                ok, cev = self._valid(node.if_, v, vid, ctr, scope)
+                if ok:
                     if track:
                         ev.merge(cev)
-                    else:
-                        break
-            if not matched:
-                return False, ev
-        if node.one_of:
-            n_match = 0
-            for cidx in node.one_of:
-                ok, cev = self._valid(cidx, v, vid, ctr, scope)
-                if ok:
-                    n_match += 1
-                    if n_match > 1:
+                    if node.then_ is not None and not inplace(node.then_):
                         return False, ev
-                    if track:
-                        ev.merge(cev)
-            if n_match != 1:
-                return False, ev
-        if node.if_ is not None:
-            ok, cev = self._valid(node.if_, v, vid, ctr, scope)
-            if ok:
-                if track:
-                    ev.merge(cev)
-                if node.then_ is not None and not inplace(node.then_):
-                    return False, ev
-            else:
-                if node.else_ is not None and not inplace(node.else_):
-                    return False, ev
+                else:
+                    if node.else_ is not None and not inplace(node.else_):
+                        return False, ev
 
         if node.unevaluated_properties is not None and t == ju.TYPE_OBJECT:
             if not ev.all_props:
