@@ -194,8 +194,13 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str,
 
 def cluster_pairs(pairs_ds, max_iter: int = 10):
     """Connected components over duplicate pairs by iterative min-label
-    propagation (groupby rounds; no driver-side union-find). Returns
-    (id, cluster) where cluster = min id in the component."""
+    propagation. Returns (id, cluster), cluster = min id in component.
+
+    The edge set is materialized on the driver — near-dup pair sets
+    are sparse relative to the corpus (dup-rate bounded), so this is
+    normally megabytes. If the edge set itself is corpus-scale, run
+    the identical propagation as iterated Dataset groupby rounds
+    (label table join -> min per node) instead of this helper."""
     import ray.data as rd
 
     edges = pairs_ds.to_pandas()[["a", "b"]]
