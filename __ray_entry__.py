@@ -420,16 +420,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
         "session_events": _q_session_events,
+        "streaming_sessions":
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
+            "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT *, CASE WHEN us - LAG(us) OVER "
+            "(PARTITION BY user_id ORDER BY us) > 1800000000 "
+            "OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL "
+            "THEN 1 ELSE 0 END AS brk FROM e), "
+            "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM s) "
+            "SELECT user_id, "
+            "CAST(MIN(us) // 1000000 AS BIGINT) AS session_start, "
+            "CAST(MAX(us) // 1000000 AS BIGINT) AS session_end, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_value "
+            "FROM g GROUP BY user_id, sess",
         "segment_revenue": _q_segment_revenue,
         "q1_lineitem": _q_q1_lineitem,
         "asof_signup": _q_asof_signup,
         # similarity search
         "ann_topk": _q_ann_topk,
+        "streaming_sessions": _q_streaming_sessions,
         # sort / limit / distinct / multi-hop joins
         "top_docs": _q_top_docs,
         "distinct_langs": _q_distinct_langs,
         "customers_per_region": _q_customers_per_region,
     }
+
+
+def _q_streaming_sessions(sf_dir: str):
+    """Incremental actor-state sessionizer (raw Ray actors tier)."""
+    from boon_ray.stages.streaming import streaming_sessionize
+
+    ds = _events_with_cents(sf_dir)
+    return streaming_sessionize(ds, "ts", "user_id", "cents",
+                                gap_s=1800, num_buckets=4)
 
 
 def _q_top_docs(sf_dir: str):
@@ -578,6 +603,21 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS "
             "sum_value FROM w GROUP BY 1, 2",
         "session_events":
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
+            "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT *, CASE WHEN us - LAG(us) OVER "
+            "(PARTITION BY user_id ORDER BY us) > 1800000000 "
+            "OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL "
+            "THEN 1 ELSE 0 END AS brk FROM e), "
+            "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM s) "
+            "SELECT user_id, "
+            "CAST(MIN(us) // 1000000 AS BIGINT) AS session_start, "
+            "CAST(MAX(us) // 1000000 AS BIGINT) AS session_end, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_value "
+            "FROM g GROUP BY user_id, sess",
+        "streaming_sessions":
             "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
             "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events), "
             "s AS (SELECT *, CASE WHEN us - LAG(us) OVER "

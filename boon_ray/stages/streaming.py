@@ -1,0 +1,131 @@
+"""Incremental keyed streaming state with raw Ray actors.
+
+The Dataset API expresses bounded-log windows as sorted group
+aggregations (boon_ray.stages.windows). When the semantics need
+*incremental* state over an ordered stream — sessions that stay open
+across feed boundaries, emitted as they close — that is the one place
+the engine drops to raw ``@ray.remote`` actors (SURVEY.md §2 custom
+operators, tier (c)):
+
+- one ``SessionActor`` per key-hash bucket holds the open sessions for
+  its keys;
+- the driver streams a ts-sorted Dataset with ``iter_batches`` and
+  feeds each actor its bucket's slice (actor tasks from one submitter
+  execute in submission order — the per-bucket ordering guarantee);
+- closed sessions are emitted incrementally; ``flush`` drains what is
+  still open at end-of-stream.
+
+Ordering assumption (stated per the guide): events must arrive
+ts-sorted per key; achieved here with ``ds.sort(ts)``. On a real
+cluster the sort is the event-time ordering the log's producer
+usually provides per partition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from boon_ray.sketches import hash64
+
+
+def _session_actor_cls():
+    import ray
+
+    @ray.remote
+    class SessionActor:
+        """Open-session state for one bucket of keys."""
+
+        def __init__(self, gap_us: int):
+            self.gap_us = gap_us
+            self.open: dict = {}   # key -> [start, end, n, total]
+            self.closed: list = []
+
+        def feed(self, keys, ts_us, values) -> int:
+            """Consume one ts-ordered slice; returns sessions closed."""
+            n_closed = 0
+            for k, t, v in zip(keys, ts_us, values):
+                s = self.open.get(k)
+                if s is None:
+                    self.open[k] = [t, t, 1, v]
+                elif t - s[1] > self.gap_us:
+                    self.closed.append((k, *s))
+                    n_closed += 1
+                    self.open[k] = [t, t, 1, v]
+                else:
+                    s[1] = t
+                    s[2] += 1
+                    s[3] += v
+            return n_closed
+
+        def drain_closed(self) -> list:
+            out, self.closed = self.closed, []
+            return out
+
+        def flush(self) -> list:
+            out = [(k, *s) for k, s in self.open.items()]
+            out += self.closed
+            self.open = {}
+            self.closed = []
+            return out
+
+    return SessionActor
+
+
+def streaming_sessionize(ds, ts_col: str, key_col: str, value_col: str,
+                         gap_s: int = 1800, num_buckets: int = 8,
+                         batch_size: int = 8192) -> pa.Table:
+    """Sessionize an event log with incremental per-bucket actor state.
+
+    Returns (key, session_start, session_end, n_events, sum_value) —
+    semantically identical to windows.session_window_agg, but state
+    lives in long-lived actors fed a stream, the shape a continuous
+    ingestion pipeline needs.
+    """
+    import ray
+
+    gap_us = gap_s * 1_000_000
+    SessionActor = _session_actor_cls()
+    actors = [SessionActor.remote(gap_us) for _ in range(num_buckets)]
+
+    ordered = ds.sort(ts_col)
+    pending = []
+    for batch in ordered.iter_batches(batch_size=batch_size,
+                                      batch_format="pyarrow"):
+        keys = np.asarray(batch.column(key_col).to_pylist())
+        ts_us = pa.compute.cast(batch.column(ts_col),
+                                pa.int64()).to_numpy()
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        buckets = (hash64(keys.astype(object))
+                   % np.uint64(num_buckets)).astype(np.int64)
+        for b in range(num_buckets):
+            m = buckets == b
+            if m.any():
+                pending.append(actors[b].feed.remote(
+                    keys[m].tolist(), ts_us[m].tolist(),
+                    vals[m].tolist()))
+        # backpressure: don't let the actor mailboxes grow unbounded
+        if len(pending) > 4 * num_buckets:
+            done, pending = ray.wait(pending,
+                                     num_returns=len(pending) // 2)
+            ray.get(done)
+    ray.get(pending)
+
+    rows = []
+    for a in actors:
+        rows.extend(ray.get(a.flush.remote()))
+    for a in actors:
+        ray.kill(a)
+    if not rows:
+        return pa.table({key_col: pa.array([], pa.int64()),
+                         "session_start": pa.array([], pa.int64()),
+                         "session_end": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "sum_value": pa.array([], pa.float64())})
+    df = pd.DataFrame(rows, columns=[key_col, "session_start",
+                                     "session_end", "n_events",
+                                     "sum_value"])
+    df["session_start"] //= 1_000_000
+    df["session_end"] //= 1_000_000
+    return pa.Table.from_pandas(df, preserve_index=False)

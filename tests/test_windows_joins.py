@@ -311,3 +311,28 @@ def test_flagship_checkpointed_resume(ray_session, tmp_path):
         f"+ count(*) FILTER (length(content) > {F.MAX_CONTENT_CHARS}) "
         f"FROM corpus").fetchone()[0]
     assert total == want
+
+
+def test_streaming_sessionize_matches_batch(ray_session):
+    """Actor-state sessionizer must equal the batch session operator."""
+    import ray.data as rd
+
+    from boon_ray.stages.streaming import streaming_sessionize
+    from boon_ray.stages.windows import session_window_agg
+
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "user_id", "value"])
+    got = streaming_sessionize(ds, "ts", "user_id", "value",
+                               gap_s=1800, num_buckets=4).to_pandas()
+    want = session_window_agg(
+        rd.read_parquet(f"{SF}/events.parquet",
+                        columns=["ts", "user_id", "value"]),
+        "ts", "user_id", "value", gap_s=1800).to_pandas()
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    got = got.sort_values(cols).reset_index(drop=True)
+    want = want.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False)
+    assert np.allclose(
+        got.sort_values(cols)["sum_value"].to_numpy(),
+        want.sort_values(cols)["sum_value"].to_numpy())
