@@ -21,6 +21,12 @@ combinators -> unevaluated*), with:
 Mutable state is strictly per-document (scope chain, location stack,
 evaluated sets, error list — validator.rs:83-92), which is what makes
 per-row evaluation embarrassingly parallel inside map_batches actors.
+
+NOTE: the error path (_eval) and the bool fast path (_valid) are
+deliberately independent implementations of the same semantics — the
+duplication is load-bearing: tests/test_property_based.py fuzzes both
+against each other, so a divergence in either is caught. Keep changes
+mirrored in BOTH.
 """
 
 from __future__ import annotations
