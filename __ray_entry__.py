@@ -13,6 +13,12 @@ Ray is initialised by the driver BEFORE this module is imported: no
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# import insurance: resolvable regardless of the driver's CWD
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 from collections.abc import Callable
 from typing import Any
 
@@ -435,12 +441,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(cents) AS BIGINT) AS sum_value "
             "FROM g GROUP BY user_id, sess",
+        "events_in_session":
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+            "s AS (SELECT *, CASE WHEN us - LAG(us) OVER "
+            "(PARTITION BY user_id ORDER BY us) > 1800000000 "
+            "OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL "
+            "THEN 1 ELSE 0 END AS brk FROM e), "
+            "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM s), "
+            "sessions AS (SELECT user_id, "
+            "CAST(MIN(us) // 1000000 AS BIGINT) AS session_start, "
+            "CAST(MAX(us) // 1000000 AS BIGINT) AS session_end "
+            "FROM g GROUP BY user_id, sess) "
+            "SELECT p.event_id, sessions.session_start "
+            "FROM (SELECT event_id, user_id, "
+            "CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec "
+            "FROM events WHERE event_type = 'purchase') p "
+            "JOIN sessions ON p.user_id = sessions.user_id "
+            "AND p.ts_sec BETWEEN sessions.session_start "
+            "AND sessions.session_end",
         "segment_revenue": _q_segment_revenue,
         "q1_lineitem": _q_q1_lineitem,
         "asof_signup": _q_asof_signup,
         # similarity search
         "ann_topk": _q_ann_topk,
         "streaming_sessions": _q_streaming_sessions,
+        "events_in_session": _q_events_in_session,
         # sort / limit / distinct / multi-hop joins
         "top_docs": _q_top_docs,
         "distinct_langs": _q_distinct_langs,
@@ -455,6 +481,53 @@ def _q_streaming_sessions(sf_dir: str):
     ds = _events_with_cents(sf_dir)
     return streaming_sessionize(ds, "ts", "user_id", "cents",
                                 gap_s=1800, num_buckets=4)
+
+
+def _q_events_in_session(sf_dir: str):
+    """Range join: each purchase event matched to the session interval
+    containing it (sessions from the session-window operator)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from boon_ray.stages.joins import range_join
+    from boon_ray.stages.windows import session_window_agg
+
+    ev = _events_with_cents(sf_dir)
+    sessions = session_window_agg(ev, "ts", "user_id", "cents",
+                                  gap_s=1800)
+    sess = sessions.map_batches(
+        lambda b: b.select(["user_id", "session_start", "session_end"]),
+        batch_format="pyarrow", batch_size=None)
+
+    def to_sec(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts_sec": pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                                1_000_000),
+        })
+
+    purchases = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"]).filter(
+        expr="event_type == 'purchase'").map_batches(
+        to_sec, batch_format="pyarrow", batch_size=None)
+    joined = range_join(purchases, sess, key="user_id", ts_col="ts_sec",
+                        start_col="session_start",
+                        end_col="session_end", num_buckets=8)
+
+    def project(b: pa.Table) -> pa.Table:
+        # the tagged-union join upcasts ints to float (NaN side
+        # columns); restore the integer schema
+        return pa.table({
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "session_start": pc.cast(b.column("session_start"),
+                                     pa.int64()),
+        })
+
+    return joined.map_batches(project, batch_format="pyarrow",
+                              batch_size=None)
 
 
 def _q_top_docs(sf_dir: str):
@@ -632,6 +705,25 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_events, "
             "CAST(SUM(cents) AS BIGINT) AS sum_value "
             "FROM g GROUP BY user_id, sess",
+        "events_in_session":
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+            "s AS (SELECT *, CASE WHEN us - LAG(us) OVER "
+            "(PARTITION BY user_id ORDER BY us) > 1800000000 "
+            "OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL "
+            "THEN 1 ELSE 0 END AS brk FROM e), "
+            "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM s), "
+            "sessions AS (SELECT user_id, "
+            "CAST(MIN(us) // 1000000 AS BIGINT) AS session_start, "
+            "CAST(MAX(us) // 1000000 AS BIGINT) AS session_end "
+            "FROM g GROUP BY user_id, sess) "
+            "SELECT p.event_id, sessions.session_start "
+            "FROM (SELECT event_id, user_id, "
+            "CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec "
+            "FROM events WHERE event_type = 'purchase') p "
+            "JOIN sessions ON p.user_id = sessions.user_id "
+            "AND p.ts_sec BETWEEN sessions.session_start "
+            "AND sessions.session_end",
         "segment_revenue":
             "SELECT c_mktsegment, COUNT(*) AS n_orders, "
             "CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) "

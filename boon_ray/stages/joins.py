@@ -137,3 +137,43 @@ def asof_join(left, right, key: str, ts_col: str,
 
     return both.groupby("_bucket").map_groups(join_bucket,
                                               batch_format="pandas")
+
+
+def range_join(left, right, key: str, ts_col: str,
+               start_col: str, end_col: str, how: str = "inner",
+               num_buckets: int = 32, batch_size=None):
+    """Range (interval) join: left rows matched to right rows of the
+    same key where ``start_col <= left.ts <= end_col``.
+
+    Bucketed like hash_join; within a bucket, pandas merge on the key
+    then an interval filter. Assumes right intervals per key are
+    non-overlapping (e.g. sessions) so each left row matches at most
+    one right row; with overlaps, every covering interval matches.
+    """
+    l = left.map_batches(_add_bucket("l", [key], num_buckets),
+                         batch_format="pandas", batch_size=batch_size)
+    r = right.map_batches(_add_bucket("r", [key], num_buckets),
+                          batch_format="pandas", batch_size=batch_size)
+    both = l.union(r)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = (g[g["_side"] == "l"].drop(columns=["_side", "_bucket"])
+              .dropna(axis=1, how="all"))
+        rg = (g[g["_side"] == "r"].drop(columns=["_side", "_bucket"])
+              .dropna(axis=1, how="all"))
+        if lg.empty:
+            return pd.DataFrame()
+        if rg.empty:
+            return lg if how == "left" else pd.DataFrame()
+        m = lg.merge(rg, on=key, how="inner")
+        inside = (m[ts_col] >= m[start_col]) & (m[ts_col] <= m[end_col])
+        matched = m[inside]
+        if how == "left":
+            missing = lg[~lg.index.isin(
+                lg.reset_index().merge(matched, on=list(lg.columns),
+                                       how="inner")["index"])]
+            return pd.concat([matched, missing], ignore_index=True)
+        return matched
+
+    return both.groupby("_bucket").map_groups(join_bucket,
+                                              batch_format="pandas")

@@ -336,3 +336,29 @@ def test_streaming_sessionize_matches_batch(ray_session):
     assert np.allclose(
         got.sort_values(cols)["sum_value"].to_numpy(),
         want.sort_values(cols)["sum_value"].to_numpy())
+
+
+def test_range_join(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.joins import range_join
+
+    left = rd.from_items([
+        {"k": 1, "ts": 100, "x": "a"},
+        {"k": 1, "ts": 250, "x": "b"},
+        {"k": 2, "ts": 150, "x": "c"},
+    ])
+    right = rd.from_items([
+        {"k": 1, "start": 90, "end": 110, "tag": "w1"},
+        {"k": 1, "start": 200, "end": 300, "tag": "w2"},
+        {"k": 2, "start": 160, "end": 170, "tag": "w3"},
+    ])
+    got = range_join(left, right, key="k", ts_col="ts",
+                     start_col="start", end_col="end",
+                     num_buckets=4).to_pandas()
+    got = got.sort_values("ts").reset_index(drop=True)
+    assert got["tag"].tolist() == ["w1", "w2"]   # k=2 ts=150 unmatched
+    left_mode = range_join(left, right, key="k", ts_col="ts",
+                           start_col="start", end_col="end", how="left",
+                           num_buckets=4).to_pandas()
+    assert len(left_mode) == 3                  # unmatched row kept
