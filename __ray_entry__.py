@@ -140,6 +140,15 @@ def _q_partition_verdicts(sf_dir: str):
                               "repo")
 
 
+def _q_length_quantiles(sf_dir: str):
+    """Histogram-based approximate char-length quantiles per lang
+    (approximate -> rows-only; accuracy asserted in tests)."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.drift import length_quantiles
+
+    return length_quantiles(corpus_dataset(sf_dir))
+
+
 def _q_token_counts(sf_dir: str):
     import ray.data as rd
 
@@ -412,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_valid": _q_events_props_valid,
         "partition_verdicts": _q_partition_verdicts,
         "drift_verdicts": _q_drift_verdicts,
+        "length_quantiles": _q_length_quantiles,
         # dedup family
         "dedup_exact_docs": _q_dedup_exact_docs,
         "minhash_pairs": _q_minhash_pairs,

@@ -231,3 +231,38 @@ def drift_check(ds, baseline: pa.Table, group_key: str = "lang",
                      "chi2_p": round(p, 6),
                      "passed": bool(ks_ok and chi_ok)})
     return pa.Table.from_pylist(rows)
+
+
+def quantiles_from_hist(hist: np.ndarray, qs: Sequence[float] = (0.5, 0.9, 0.99),
+                        bins: int = DEFAULT_BINS,
+                        hi: float = DEFAULT_HI) -> list[float]:
+    """Approximate quantiles from a fixed-bin histogram (bin upper
+    edge at the crossing point) — the cheap per-partition companion to
+    the HLL distinct estimates."""
+    n = hist.sum()
+    if n == 0:
+        return [0.0 for _ in qs]
+    edges = np.linspace(0.0, hi, bins + 1)
+    cdf = np.cumsum(hist) / n
+    out = []
+    for q in qs:
+        i = int(np.searchsorted(cdf, q))
+        out.append(float(edges[min(i + 1, bins)]))
+    return out
+
+
+def length_quantiles(ds, group_key: str = "lang",
+                     column: str = "content",
+                     qs: Sequence[float] = (0.5, 0.9, 0.99)):
+    """Per-group approximate char-length quantiles (histogram-based):
+    (group, n, q50, q90, q99...)."""
+    snap = snapshot_distribution(ds, group_key, column)
+    rows = []
+    for r in snap.to_pylist():
+        h = np.frombuffer(r["hist"], dtype=np.int64)
+        vals = quantiles_from_hist(h, qs)
+        row = {group_key: r[group_key], "n": r["n"]}
+        for q, v in zip(qs, vals):
+            row[f"q{int(q * 100)}"] = v
+        rows.append(row)
+    return pa.Table.from_pylist(rows)

@@ -115,3 +115,28 @@ def test_custom_format_registration():
     assert not Evaluator(spec).is_valid(3)
     with pytest.raises(CompileError):
         c.register_format("regex", even)
+
+
+def test_custom_metaschema_vocabulary_gating():
+    """A 2019+ custom metaschema whose $vocabulary omits 'validation'
+    disables validation keywords (draft.rs:202-235 analogue)."""
+    meta = {
+        "$id": "http://meta.local/core-only",
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$vocabulary": {
+            "https://json-schema.org/draft/2020-12/vocab/core": True,
+            "https://json-schema.org/draft/2020-12/vocab/applicator": True,
+        },
+    }
+    schema = {"$schema": "http://meta.local/core-only",
+              "minimum": 100,                      # validation: disabled
+              "properties": {"a": {"minimum": 100}}}  # applicator works
+    c = Compiler()
+    c.add_resource("http://meta.local/core-only", meta)
+    spec = c.compile("http://t.local/s.json", schema)
+    from boon_ray.evaluator import Evaluator
+    ev = Evaluator(spec)
+    assert ev.is_valid(5)                   # top-level minimum gated off
+    # nested minimum: the subschema document has the same $schema-less
+    # dialect (inherited root), still gated
+    assert ev.is_valid({"a": 5})

@@ -362,3 +362,25 @@ def test_range_join(ray_session):
                            start_col="start", end_col="end", how="left",
                            num_buckets=4).to_pandas()
     assert len(left_mode) == 3                  # unmatched row kept
+
+
+def test_length_quantiles_accuracy(ray_session):
+    import duckdb
+
+    from boon_ray.sources.corpus import CORPUS_CTE, corpus_dataset
+    from boon_ray.stages.drift import length_quantiles
+
+    got = length_quantiles(corpus_dataset(SF)).to_pylist()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    exact = con.sql(
+        f"WITH {CORPUS_CTE.strip()} SELECT lang, "
+        f"quantile_disc(length(content), 0.5) AS q50, "
+        f"quantile_disc(length(content), 0.9) AS q90 "
+        f"FROM corpus GROUP BY lang").df().set_index("lang")
+    for r in got:
+        e = exact.loc[r["lang"]]
+        # histogram bin width = 2048/64 = 32 chars -> within 2 bins
+        assert abs(r["q50"] - e["q50"]) <= 64
+        assert abs(r["q90"] - e["q90"]) <= 64
