@@ -135,3 +135,33 @@ def test_display_formats():
         assert "validation failed" in simple and "required" in simple
         alt = e.display(alt=True)
         assert "[I#" in alt and "[S#" in alt
+
+
+def test_cli_corpus_mode(schema_file, tmp_path, ray_session, capsys):
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [_json.dumps({"name": f"n{i}", "age": i - 2})
+            for i in range(10)]
+    pq.write_table(
+        pa.table({"id": pa.array(range(10), pa.int64()),
+                  "content": pa.array(rows)}),
+        str(tmp_path / "corpus.parquet"))
+    rc = cli_main(["--corpus", str(tmp_path / "corpus.parquet"),
+                   schema_file])
+    out = capsys.readouterr().out
+    summary = _json.loads(out.strip().splitlines()[-1])
+    assert rc == 2 and summary["invalid"] == 2 and summary["rows"] == 10
+
+
+def test_all_modules_import():
+    import importlib
+    import pkgutil
+
+    import boon_ray
+
+    for m in pkgutil.walk_packages(boon_ray.__path__,
+                                   prefix="boon_ray."):
+        importlib.import_module(m.name)
