@@ -123,3 +123,42 @@ def test_partition_verdicts(ray_session):
     assert set(pv.columns) == {"repo", "n_violations", "valid"}
     assert (pv["valid"] == (pv["n_violations"] == 0)).all()
     assert (~pv["valid"]).any()  # some partitions must fail
+
+
+def test_wide_rows_stream_through(ray_session):
+    """Multi-MB content rows must stream through both validation paths
+    (block splitting, modest batch sizes; SURVEY §7 'wide rows')."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.pipelines import flagship as F
+
+    big = "word " * 400_000  # ~2 MB per row
+    t = pa.table({
+        "repo": pa.array([f"org1/repo{i}" for i in range(8)]),
+        "path": pa.array([f"src/d1/f{i}.t0" for i in range(8)]),
+        "commit": pa.array(["a" * 32] * 8),
+        "lang": pa.array(["en"] * 8),
+        "content": pa.array([big] * 8),
+    })
+    ds = rd.from_arrow(t)
+    v = F.corpus_violations(ds).to_pandas()
+    # content exceeds MAX_CONTENT_CHARS -> one violation per row
+    assert (v["keyword"] == "maxLength").sum() == 8
+    sv = F.corpus_schema_verdicts(ds, batch_size=2).to_pandas()
+    assert (~sv["valid"]).all()
+
+
+def test_salt_spreads_mega_repo(ray_session):
+    """Skew evidence: the mega-repo's keys land across many salt
+    partitions, not one (salt = hash of the full key tuple)."""
+    import numpy as np
+
+    from boon_ray.sources.corpus import corpus_table
+    from boon_ray.stages.unique import PartialKeyCounts
+
+    t = corpus_table(SF)
+    out = PartialKeyCounts(("repo", "path", "commit"), 64)(t).to_pandas()
+    mega = out[out["repo"] == "org0/repo0"]
+    assert len(mega) > 50                       # many distinct keys
+    assert mega["salt"].nunique() > 16          # spread over salts
