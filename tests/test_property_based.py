@@ -144,3 +144,35 @@ def test_draft_2019_vs_2020_only_differ_on_known_keywords(schema, value):
     v20 = Evaluator(s20).is_valid(value)
     if not uses_changed(schema):
         assert v19 == v20, (schema, value)
+
+
+format_schemas = st.fixed_dictionaries(
+    {"format": st.sampled_from(
+        ["date", "time", "date-time", "duration", "email", "hostname",
+         "ipv4", "ipv6", "uuid", "uri", "uri-reference", "json-pointer",
+         "relative-json-pointer", "uri-template", "regex",
+         "not-a-known-format"])},
+    optional={"type": st.sampled_from(["string", "integer"])})
+
+
+@settings(max_examples=150, deadline=None)
+@given(schema=format_schemas, value=json_values)
+def test_format_assertions_fast_vs_error_path(schema, value):
+    spec = compile_schema(schema, formats_enabled=True)
+    ev = Evaluator(spec)
+    assert ev.is_valid(value) == (ev.errors(value) is None)
+    # with assertions off, format never fails
+    off = Evaluator(compile_schema(schema))
+    if "type" not in schema:
+        assert off.is_valid(value)
+
+
+@settings(max_examples=100, deadline=None)
+@given(value=json_values)
+def test_content_fast_vs_error_path(value):
+    schema = {"contentEncoding": "base64",
+              "contentMediaType": "application/json",
+              "contentSchema": {"type": "object"}}
+    spec = compile_schema(schema, content_enabled=True)
+    ev = Evaluator(spec)
+    assert ev.is_valid(value) == (ev.errors(value) is None)
