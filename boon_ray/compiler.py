@@ -58,6 +58,7 @@ class SchemaNode:
     const_set: bool = False
     const: Any = None
     format: Optional[str] = None
+    format_assert: bool = False
     ref: Optional[int] = None
     ref_exclusive: bool = False        # pre-2019: $ref short-circuits siblings
     recursive_ref: Optional[int] = None
@@ -181,6 +182,11 @@ class _Root:
     def has_vocab(self, kw: str) -> bool:
         if self.draft < DRAFT2019 or self.vocabs is None:
             return True
+        if kw == "format":
+            # either format vocabulary admits the keyword (2019 names
+            # it "format", 2020 splits annotation/assertion)
+            return bool({"format", "format-annotation",
+                         "format-assertion"} & self.vocabs)
         v = KEYWORD_VOCAB.get(kw)
         return v is None or v in self.vocabs
 
@@ -579,6 +585,15 @@ class _CompileState:
             node.const = v["const"]
         if has("format") and isinstance(v["format"], str):
             node.format = v["format"]
+            # reference default behavior (compiler.rs:103-116, 488-494):
+            # draft <= 7 asserts formats; 2019+/2020 only with the flag
+            # or when the metaschema requires the format(-assertion)
+            # vocabulary
+            node.format_assert = (
+                self.c.formats_enabled or dr < DRAFT2019
+                or (root.vocabs is not None
+                    and ("format" in root.vocabs
+                         or "format-assertion" in root.vocabs)))
 
         # combinators --------------------------------------------------
         for kw, attr in (("allOf", "all_of"), ("anyOf", "any_of"),

@@ -287,8 +287,10 @@ class Evaluator:
             if not any(ju.equals(v, e) for e in node.enum):
                 errs.append(err("enum", "value not in enum"))
 
-        # format (validator.rs:141-146; non-strings pass inside the fn)
-        if node.format is not None and spec.formats_enabled:
+        # format (validator.rs:141-146; non-strings pass inside the fn;
+        # assertion decided at compile: flag OR draft<=7 OR metaschema
+        # format vocabulary)
+        if node.format is not None and node.format_assert:
             fn = spec.custom_formats.get(node.format) or FORMATS.get(node.format)
             if fn is not None:
                 m = fn(v)
@@ -701,7 +703,7 @@ class Evaluator:
         if node.enum is not None:
             if not any(ju.equals(v, e) for e in node.enum):
                 return False, ev
-        if node.format is not None and spec.formats_enabled:
+        if node.format is not None and node.format_assert:
             fn = spec.custom_formats.get(node.format) or FORMATS.get(node.format)
             if fn is not None and fn(v) is not None:
                 return False, ev

@@ -263,3 +263,33 @@ def _walk_leaves(u):
         yield u.error
     for c in u.children:
         yield from _walk_leaves(c)
+
+
+def test_format_default_assertion_matrix():
+    """Reference default behavior (compiler.rs:103-116): draft <= 7
+    asserts formats without any flag; 2019+/2020 do not; a 2020
+    metaschema requiring the format-assertion vocabulary re-enables."""
+    s = {"format": "ipv4"}
+    assert not Evaluator(compile_schema(s, default_draft=7)).is_valid(
+        "999.0.0.1")
+    assert not Evaluator(compile_schema(s, default_draft=4)).is_valid(
+        "999.0.0.1")
+    assert Evaluator(compile_schema(s, default_draft=2019)).is_valid(
+        "999.0.0.1")
+    assert Evaluator(compile_schema(s, default_draft=2020)).is_valid(
+        "999.0.0.1")
+    # metaschema requiring format-assertion
+    meta = {"$id": "http://meta.local/fmt",
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "$vocabulary": {
+                "https://json-schema.org/draft/2020-12/vocab/core": True,
+                "https://json-schema.org/draft/2020-12/vocab/validation":
+                    True,
+                "https://json-schema.org/draft/2020-12/vocab/"
+                "format-assertion": True}}
+    c = Compiler()
+    c.add_resource("http://meta.local/fmt", meta)
+    spec = c.compile("http://t.local/s.json",
+                     {"$schema": "http://meta.local/fmt",
+                      "format": "ipv4"})
+    assert not Evaluator(spec).is_valid("999.0.0.1")
