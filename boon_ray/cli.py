@@ -74,13 +74,19 @@ def main(argv=None) -> int:
         description="Ray-Data-native JSON Schema + constraint validator")
     p.add_argument("schema", help="schema file (json/yaml)")
     p.add_argument("instances", nargs="*", help="instance files")
-    p.add_argument("--draft", choices=sorted(_DRAFTS), default="2020",
+    p.add_argument("-d", "--draft", choices=sorted(_DRAFTS),
+                   default="2020",
                    help="default dialect when $schema is absent")
-    p.add_argument("--assert-format", action="store_true")
-    p.add_argument("--assert-content", action="store_true")
-    p.add_argument("--output", choices=["simple", "alt", "flag", "basic",
-                                        "detailed"], default="simple")
-    p.add_argument("--quiet", action="store_true")
+    p.add_argument("-f", "--assert-format", action="store_true")
+    p.add_argument("-c", "--assert-content", action="store_true")
+    p.add_argument("-o", "--output",
+                   choices=["simple", "alt", "flag", "basic",
+                            "detailed"], default="simple")
+    p.add_argument("-q", "--quiet", action="store_true")
+    # reference-CLI TLS flags, accepted for drop-in compatibility;
+    # this sandbox has no network, so they are no-ops
+    p.add_argument("--cacert", metavar="FILE", default=None)
+    p.add_argument("-k", "--insecure", action="store_true")
     p.add_argument("--corpus", metavar="PARQUET",
                    help="validate a parquet corpus instead of files")
     p.add_argument("--column", default="content",
