@@ -140,3 +140,15 @@ def test_custom_metaschema_vocabulary_gating():
     # nested minimum: the subschema document has the same $schema-less
     # dialect (inherited root), still gated
     assert ev.is_valid({"a": 5})
+
+
+def test_metaschema_cycle_detected():
+    """$schema chains that loop raise CompileError (MetaSchemaCycle
+    analogue, loader.rs:164-165) instead of hanging."""
+    a = {"$schema": "http://m.local/b"}
+    b = {"$schema": "http://m.local/a"}
+    c = Compiler()
+    c.add_resource("http://m.local/a", a)
+    c.add_resource("http://m.local/b", b)
+    with pytest.raises(CompileError):
+        c.compile("http://m.local/a")
