@@ -107,6 +107,7 @@ class SchemaNode:
     content_encoding: Optional[str] = None
     content_media_type: Optional[str] = None
     content_schema: Optional[int] = None
+    content_assert: bool = False
 
     # number
     minimum: Optional[float] = None
@@ -180,15 +181,26 @@ class _Root:
         return best
 
     def has_vocab(self, kw: str) -> bool:
-        if self.draft < DRAFT2019 or self.vocabs is None:
+        """Reference semantics (root.rs:16-24): draft < 2019 and core
+        keywords always pass; a custom metaschema's REQUIRED
+        vocabularies otherwise decide, falling back to the draft's
+        default vocabulary set."""
+        if self.draft < DRAFT2019:
             return True
+        from boon_ray.draft import DEFAULT_VOCABS
+        enabled = (self.vocabs if self.vocabs is not None
+                   else DEFAULT_VOCABS[self.draft])
         if kw == "format":
             # either format vocabulary admits the keyword (2019 names
-            # it "format", 2020 splits annotation/assertion)
+            # it "format"; 2020 splits annotation/assertion)
             return bool({"format", "format-annotation",
-                         "format-assertion"} & self.vocabs)
+                         "format-assertion"} & enabled)
         v = KEYWORD_VOCAB.get(kw)
-        return v is None or v in self.vocabs
+        if v is None:
+            return True  # core and unmapped keywords always available
+        if self.draft == DRAFT2019 and v == "unevaluated":
+            v = "applicator"  # 2019 folds unevaluated* into applicator
+        return v in enabled
 
 
 def _split_fragment(url: str) -> tuple[str, Optional[str]]:
@@ -316,7 +328,9 @@ class Compiler:
         root.resources[""] = _Resource(ptr="", url=url)
         self.res_by_url.setdefault(url, (url, ""))
         self._collect(root, doc, "", root.resources[""])
-        # custom metaschema vocabularies (draft.rs:202-235)
+        # custom metaschema vocabularies (draft.rs:202-235): only the
+        # REQUIRED (true) entries gate keywords; a required vocabulary
+        # the draft does not know is a compile error
         if dr >= DRAFT2019 and isinstance(doc, dict):
             s = doc.get("$schema")
             if isinstance(s, str):
@@ -324,9 +338,20 @@ class Compiler:
                 if su not in drafts.SCHEMA_URLS and su in self.docs:
                     meta = self.docs[su]
                     if isinstance(meta, dict) and isinstance(meta.get("$vocabulary"), dict):
+                        from boon_ray.draft import ALL_VOCABS, VOCAB_PREFIX
                         vocabs = set()
-                        for vurl, _req in meta["$vocabulary"].items():
-                            vocabs.add(vurl.rstrip("/").rsplit("/", 1)[-1])
+                        for vurl, req in meta["$vocabulary"].items():
+                            if req is not True:
+                                continue
+                            name = None
+                            prefix = VOCAB_PREFIX.get(dr)
+                            if prefix and vurl.startswith(prefix):
+                                name = vurl[len(prefix):].rstrip("/")
+                            if name is None or name not in ALL_VOCABS[dr]:
+                                raise CompileError(
+                                    f"unsupported vocabulary {vurl!r} "
+                                    f"required by metaschema {su!r}")
+                            vocabs.add(name)
                         root.vocabs = vocabs
         self.roots[url] = root
         return root
@@ -583,7 +608,9 @@ class _CompileState:
         if has("const"):
             node.const_set = True
             node.const = v["const"]
-        if has("format") and isinstance(v["format"], str):
+        # format: flag OR vocab admits (compiler.rs:487-494)
+        if ("format" in v and isinstance(v["format"], str)
+                and (self.c.formats_enabled or root.has_vocab("format"))):
             node.format = v["format"]
             # reference default behavior (compiler.rs:103-116, 488-494):
             # draft <= 7 asserts formats; 2019+/2020 only with the flag
@@ -714,14 +741,23 @@ class _CompileState:
                 raise CompileError(str(e), loc)
             node.pattern = v["pattern"]
         if dr >= DRAFT7:
-            if has("contentEncoding") and isinstance(v["contentEncoding"], str):
-                node.content_encoding = v["contentEncoding"]
-            if has("contentMediaType") and isinstance(v["contentMediaType"], str):
-                node.content_media_type = v["contentMediaType"]
-            if dr >= DRAFT2019 and has("contentSchema") and node.content_media_type:
-                from boon_ray.content import is_json_compatible
-                if is_json_compatible(node.content_media_type):
-                    node.content_schema = sub("contentSchema")
+            # content assertions: flag, or a custom metaschema
+            # REQUIRING the content vocabulary (reference default is
+            # off; compiler.rs:118-130)
+            content_on = self.c.content_enabled or (
+                dr >= DRAFT2019 and root.vocabs is not None
+                and "content" in root.vocabs)
+            if content_on:
+                node.content_assert = True
+                if "contentEncoding" in v and isinstance(v["contentEncoding"], str):
+                    node.content_encoding = v["contentEncoding"]
+                if "contentMediaType" in v and isinstance(v["contentMediaType"], str):
+                    node.content_media_type = v["contentMediaType"]
+                if (dr >= DRAFT2019 and "contentSchema" in v
+                        and node.content_media_type):
+                    from boon_ray.content import is_json_compatible
+                    if is_json_compatible(node.content_media_type):
+                        node.content_schema = sub("contentSchema")
 
         # number -------------------------------------------------------
         if has("multipleOf"):

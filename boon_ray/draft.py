@@ -121,6 +121,27 @@ KEYWORD_VOCAB = {
 }
 
 
+# per-draft vocabulary model (draft.rs:84-115): the names a draft
+# supports, and the defaults in effect for the STANDARD metaschema
+VOCAB_PREFIX = {
+    DRAFT2019: "https://json-schema.org/draft/2019-09/vocab/",
+    DRAFT2020: "https://json-schema.org/draft/2020-12/vocab/",
+}
+ALL_VOCABS = {
+    DRAFT2019: frozenset({"core", "applicator", "validation",
+                          "meta-data", "format", "content"}),
+    DRAFT2020: frozenset({"core", "applicator", "unevaluated",
+                          "validation", "meta-data",
+                          "format-annotation", "format-assertion",
+                          "content"}),
+}
+DEFAULT_VOCABS = {
+    DRAFT2019: frozenset({"core", "applicator", "validation"}),
+    DRAFT2020: frozenset({"core", "applicator", "unevaluated",
+                          "validation"}),
+}
+
+
 def detect_draft(doc, default: int) -> int:
     """Draft from a document's ``$schema`` (loader.rs:140-174).
 

@@ -513,7 +513,7 @@ class Evaluator:
                     errs.append(err("pattern",
                                     f"{v!r} does not match pattern "
                                     f"{node.pattern!r}"))
-            if spec.content_enabled:
+            if node.content_assert:
                 decoded: Any = v
                 decode_ok = True
                 if node.content_encoding is not None:
@@ -870,7 +870,7 @@ class Evaluator:
                     return False, ev
             if node.pattern is not None and not _regex(node.pattern).search(v):
                 return False, ev
-            if spec.content_enabled and (
+            if node.content_assert and (
                     node.content_encoding is not None
                     or node.content_media_type is not None):
                 decoded: Any = v

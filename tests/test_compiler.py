@@ -152,3 +152,42 @@ def test_metaschema_cycle_detected():
     c.add_resource("http://m.local/b", b)
     with pytest.raises(CompileError):
         c.compile("http://m.local/a")
+
+
+def test_unsupported_required_vocabulary_rejected():
+    meta = {"$id": "http://meta.local/badvocab",
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "$vocabulary": {"http://example.com/my-vocab": True}}
+    c = Compiler()
+    c.add_resource("http://meta.local/badvocab", meta)
+    with pytest.raises(CompileError):
+        c.compile("http://t.local/s.json",
+                  {"$schema": "http://meta.local/badvocab", "type": "integer"})
+    # optional (false) unknown vocabularies are fine
+    meta2 = {"$id": "http://meta.local/okvocab",
+             "$schema": "https://json-schema.org/draft/2020-12/schema",
+             "$vocabulary": {
+                 "https://json-schema.org/draft/2020-12/vocab/core": True,
+                 "http://example.com/my-vocab": False}}
+    c2 = Compiler()
+    c2.add_resource("http://meta.local/okvocab", meta2)
+    c2.compile("http://t.local/s2.json",
+               {"$schema": "http://meta.local/okvocab"})
+
+
+def test_optional_vocab_not_enabled():
+    """$vocabulary entries with value false do NOT enable keywords
+    (reference collects only required vocabs, draft.rs:219-233)."""
+    meta = {"$id": "http://meta.local/optval",
+            "$schema": "https://json-schema.org/draft/2020-12/schema",
+            "$vocabulary": {
+                "https://json-schema.org/draft/2020-12/vocab/core": True,
+                "https://json-schema.org/draft/2020-12/vocab/validation":
+                    False}}
+    c = Compiler()
+    c.add_resource("http://meta.local/optval", meta)
+    spec = c.compile("http://t.local/s.json",
+                     {"$schema": "http://meta.local/optval",
+                      "minimum": 100})
+    from boon_ray.evaluator import Evaluator
+    assert Evaluator(spec).is_valid(5)  # validation vocab not required
