@@ -191,3 +191,28 @@ def test_optional_vocab_not_enabled():
                       "minimum": 100})
     from boon_ray.evaluator import Evaluator
     assert Evaluator(spec).is_valid(5)  # validation vocab not required
+
+
+import json as _json
+import os as _os
+
+_INVALID = "/root/reference/tests/invalid-schemas.json"
+
+
+@pytest.mark.skipif(not _os.path.exists(_INVALID),
+                    reason="reference table not available")
+def test_reference_invalid_schemas_table():
+    """Rejection parity with the reference's negative-compile table
+    (tests/invalid-schemas.json, read-only): every schema it rejects
+    must raise CompileError here; the accept-cases must compile."""
+    for g in _json.load(open(_INVALID)):
+        c = Compiler()
+        for url, doc in g.get("remotes", {}).items():
+            c.add_resource(url, doc)
+        should_fail = "errors" in g
+        try:
+            c.compile("http://fake.com/schema.json", g["schema"])
+            ok = True
+        except CompileError:
+            ok = False
+        assert ok != should_fail, g["description"]
