@@ -101,7 +101,11 @@ def main(argv=None) -> int:
                         content_enabled=args.assert_content)
     try:
         schema_doc = _load_instance(args.schema)
-        spec = compiler.compile(f"file://{args.schema}", schema_doc)
+        # absolutize so relative $refs resolve against the schema file
+        # (reference tests/filepaths.rs behavior)
+        import os
+        schema_url = f"file://{os.path.abspath(args.schema)}"
+        spec = compiler.compile(schema_url, schema_doc)
     except (CompileError, ValueError, OSError, RuntimeError) as e:
         print(f"schema error: {e}", file=sys.stderr)
         return 2

@@ -165,3 +165,18 @@ def test_all_modules_import():
     for m in pkgutil.walk_packages(boon_ray.__path__,
                                    prefix="boon_ray."):
         importlib.import_module(m.name)
+
+
+def test_cli_cross_file_relative_ref(tmp_path, monkeypatch, capsys):
+    """$ref to a sibling file resolves against the schema file's
+    location even when the CLI gets a relative path
+    (reference tests/filepaths.rs behavior)."""
+    (tmp_path / "main_schema.json").write_text('{"$ref": "other.json"}')
+    (tmp_path / "other.json").write_text(
+        '{"type": "integer", "minimum": 0}')
+    (tmp_path / "five.json").write_text("5")
+    (tmp_path / "neg.json").write_text("-3")
+    monkeypatch.chdir(tmp_path)
+    assert cli_main(["main_schema.json", "five.json"]) == 0
+    assert cli_main(["main_schema.json", "neg.json"]) == 2
+    capsys.readouterr()
