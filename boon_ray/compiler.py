@@ -423,6 +423,39 @@ class Compiler:
                         self._collect(root, sv, ju.join_pointer(kptr, name), res)
 
     # -- compile ------------------------------------------------------
+    def compile_many(self, locs: list) -> tuple:
+        """Compile several schema locations into ONE shared registry
+        (the reference's Schemas + SchemaIndex model, lib.rs:142-196):
+        returns (spec, {loc: root_index}); validate with
+        Evaluator(spec).is_valid(value, idx=roots[loc]). Shared
+        subschemas are compiled once."""
+        spec = CompiledSpec(
+            formats_enabled=self.formats_enabled,
+            content_enabled=self.content_enabled,
+            custom_formats=dict(self.custom_formats),
+            custom_decoders=dict(self.custom_decoders),
+            custom_media_types=dict(self.custom_media_types),
+        )
+        state = _CompileState(self, spec)
+        roots = {}
+        for loc in locs:
+            url, frag = _split_fragment(loc)
+            root = self._root(url)
+            ptr = ""
+            if frag:
+                if frag.startswith("/") or frag == "":
+                    ptr = frag
+                else:
+                    res = root.resources[""]
+                    if frag not in res.anchors:
+                        raise CompileError(
+                            f"anchor {frag!r} not found in {url}")
+                    ptr = res.anchors[frag]
+            roots[loc] = state.enqueue(url, ptr)
+            state.run()
+        spec.root = roots[locs[0]] if locs else 0
+        return spec, roots
+
     def compile(self, loc: str, doc: Any = None) -> CompiledSpec:
         """Compile the schema at `loc` ("url" or "url#/ptr" or
         "url#anchor"); `doc` optionally registers the document first."""

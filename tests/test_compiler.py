@@ -216,3 +216,29 @@ def test_reference_invalid_schemas_table():
         except CompileError:
             ok = False
         assert ok != should_fail, g["description"]
+
+
+def test_compile_many_shared_registry():
+    """Several schemas in one registry; shared subschemas compiled
+    once (the reference's Schemas/SchemaIndex model)."""
+    common = {"$id": "http://x.local/common.json",
+              "type": "integer", "minimum": 0}
+    s1 = {"$id": "http://x.local/s1.json",
+          "$ref": "common.json"}
+    s2 = {"$id": "http://x.local/s2.json",
+          "properties": {"v": {"$ref": "common.json"}}}
+    c = Compiler()
+    for d in (common, s1, s2):
+        c.add_resource(d["$id"], d)
+    spec, roots = c.compile_many(["http://x.local/s1.json",
+                                  "http://x.local/s2.json"])
+    from boon_ray.evaluator import Evaluator
+    ev = Evaluator(spec)
+    assert ev.is_valid(5, idx=roots["http://x.local/s1.json"])
+    assert not ev.is_valid(-1, idx=roots["http://x.local/s1.json"])
+    assert ev.is_valid({"v": 5}, idx=roots["http://x.local/s2.json"])
+    assert not ev.is_valid({"v": -1},
+                           idx=roots["http://x.local/s2.json"])
+    # common.json compiled once: exactly one node carries its loc
+    locs = [n.loc for n in spec.nodes]
+    assert locs.count("http://x.local/common.json#") == 1
