@@ -180,3 +180,18 @@ def test_cli_cross_file_relative_ref(tmp_path, monkeypatch, capsys):
     assert cli_main(["main_schema.json", "five.json"]) == 0
     assert cli_main(["main_schema.json", "neg.json"]) == 2
     capsys.readouterr()
+
+
+def test_cli_yaml_schema_file(tmp_path, capsys):
+    """YAML schema documents load too (reference tests/examples
+    schema.yml flow)."""
+    pytest.importorskip("yaml")
+    (tmp_path / "s.yaml").write_text(
+        "type: object\nrequired: [name]\n")
+    (tmp_path / "ok.json").write_text('{"name": 1}')
+    (tmp_path / "bad.json").write_text('{}')
+    assert cli_main([str(tmp_path / "s.yaml"),
+                     str(tmp_path / "ok.json")]) == 0
+    assert cli_main([str(tmp_path / "s.yaml"),
+                     str(tmp_path / "bad.json")]) == 2
+    capsys.readouterr()
