@@ -321,6 +321,99 @@ def _q_asof_signup(sf_dir: str):
                               batch_size=None)
 
 
+def _q_events_by_type(sf_dir: str):
+    """Simple grouped aggregate over the event log."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _events_with_cents(sf_dir)
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("cents", alias_name="sum_cents"))
+    return out.select_columns(["event_type", "n_events", "sum_cents"])
+
+
+def _q_parts_by_brand(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_brand", "p_retailprice", "p_size"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": b.column("p_brand"),
+            "price_cents": pc.cast(
+                pc.round(pc.multiply(b.column("p_retailprice"), 100.0)),
+                pa.int64()),
+            "p_size": pc.cast(b.column("p_size"), pa.int64()),
+        })
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    out = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+        Min("p_size", alias_name="min_size"),
+        Max("p_size", alias_name="max_size"))
+    return out.select_columns(["p_brand", "n_parts", "sum_price_cents",
+                               "min_size", "max_size"])
+
+
+def _q_q3_shipping(sf_dir: str):
+    """TPC-H Q3-shaped: BUILDING-segment orders joined to lineitems
+    (broadcast dim + partitioned hash join), revenue per order, top 10."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from boon_ray.stages.joins import broadcast_join, hash_join
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+    cust = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    borders = broadcast_join(orders, cust.select(["o_custkey"]),
+                             on=["o_custkey"], how="semi")
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        # DuckDB ROUND is half-away-from-zero; Arrow defaults to
+        # half-to-even — match the oracle explicitly
+        cents = pc.round(pc.multiply(r, 100.0),
+                         round_mode="half_towards_infinity")
+        return pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "rev_cents": pc.cast(cents, pa.int64()),
+        })
+
+    li = li.map_batches(rev, batch_format="pyarrow", batch_size=None)
+    joined = hash_join(borders, li, on=["o_orderkey"], num_buckets=8)
+    agg = joined.groupby("o_orderkey").aggregate(
+        Sum("rev_cents", alias_name="revenue_cents"))
+    top = agg.sort(["revenue_cents", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+    def cast_back(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "revenue_cents": pc.cast(b.column("revenue_cents"),
+                                     pa.int64()),
+        })
+
+    return top.map_batches(cast_back, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def _q_ann_topk(sf_dir: str):
     """Exact cosine top-10 for the first three embedding rows."""
     import numpy as np
@@ -436,41 +529,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
         "session_events": _q_session_events,
-        "streaming_sessions":
-            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
-            "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events), "
-            "s AS (SELECT *, CASE WHEN us - LAG(us) OVER "
-            "(PARTITION BY user_id ORDER BY us) > 1800000000 "
-            "OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL "
-            "THEN 1 ELSE 0 END AS brk FROM e), "
-            "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
-            "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM s) "
-            "SELECT user_id, "
-            "CAST(MIN(us) // 1000000 AS BIGINT) AS session_start, "
-            "CAST(MAX(us) // 1000000 AS BIGINT) AS session_end, "
-            "COUNT(*) AS n_events, "
-            "CAST(SUM(cents) AS BIGINT) AS sum_value "
-            "FROM g GROUP BY user_id, sess",
-        "events_in_session":
-            "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
-            "s AS (SELECT *, CASE WHEN us - LAG(us) OVER "
-            "(PARTITION BY user_id ORDER BY us) > 1800000000 "
-            "OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL "
-            "THEN 1 ELSE 0 END AS brk FROM e), "
-            "g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
-            "ORDER BY us ROWS UNBOUNDED PRECEDING) AS sess FROM s), "
-            "sessions AS (SELECT user_id, "
-            "CAST(MIN(us) // 1000000 AS BIGINT) AS session_start, "
-            "CAST(MAX(us) // 1000000 AS BIGINT) AS session_end "
-            "FROM g GROUP BY user_id, sess) "
-            "SELECT p.event_id, sessions.session_start "
-            "FROM (SELECT event_id, user_id, "
-            "CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_sec "
-            "FROM events WHERE event_type = 'purchase') p "
-            "JOIN sessions ON p.user_id = sessions.user_id "
-            "AND p.ts_sec BETWEEN sessions.session_start "
-            "AND sessions.session_end",
         "segment_revenue": _q_segment_revenue,
+        "events_by_type": _q_events_by_type,
+        "parts_by_brand": _q_parts_by_brand,
+        "q3_shipping": _q_q3_shipping,
         "q1_lineitem": _q_q1_lineitem,
         "asof_signup": _q_asof_signup,
         # similarity search
@@ -740,6 +802,26 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS revenue_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY 1",
+        "events_by_type":
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents FROM events GROUP BY 1",
+        "parts_by_brand":
+            "SELECT p_brand, COUNT(*) AS n_parts, "
+            "CAST(SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) "
+            "AS BIGINT) AS sum_price_cents, "
+            "CAST(MIN(p_size) AS BIGINT) AS min_size, "
+            "CAST(MAX(p_size) AS BIGINT) AS max_size "
+            "FROM part GROUP BY 1",
+        "q3_shipping":
+            "SELECT o_orderkey, CAST(SUM(CAST(ROUND("
+            "l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)"
+            " AS revenue_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey "
+            "ORDER BY revenue_cents DESC, o_orderkey LIMIT 10",
         "q1_lineitem":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) "
