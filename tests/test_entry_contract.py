@@ -42,6 +42,11 @@ def test_every_oracle_key_has_a_query():
     assert set(E.oracle_sql()) <= set(E.queries())
 
 
+def test_every_query_is_callable():
+    bad = [k for k, v in E.queries().items() if not callable(v)]
+    assert not bad, bad
+
+
 @pytest.mark.parametrize("name", _ORACLE_KEYS)
 def test_query_matches_oracle(name, ray_session, oracle_con):
     res = E.queries()[name](SF)
