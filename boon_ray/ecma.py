@@ -69,6 +69,13 @@ def convert(pattern: str) -> str:
             if e == "a":
                 # ECMA has no \a (bell); reject like the reference does
                 raise EcmaError(f"invalid escape \\a in {pattern!r}")
+            if e == "k" and not in_class and pattern[i + 2:i + 3] == "<":
+                end = pattern.find(">", i + 3)
+                if end == -1:
+                    raise EcmaError(f"unterminated \\k<...> in {pattern!r}")
+                out.append(f"(?P={pattern[i + 3:end]})")
+                i = end + 1
+                continue
             if e in _CLASS_MAP:
                 if in_class:
                     if e in _CLASS_MAP_IN_CLASS:
@@ -82,6 +89,13 @@ def convert(pattern: str) -> str:
                 continue
             out.append("\\" + e)
             i += 2
+            continue
+        if (c == "(" and not in_class and pattern[i:i + 3] == "(?<"
+                and pattern[i + 3:i + 4] not in ("=", "!")):
+            # ECMA named group (?<name>...) -> Python (?P<name>...)
+            # (lookbehind (?<= / (?<! passes through untouched)
+            out.append("(?P<")
+            i += 3
             continue
         if c == "[" and not in_class:
             in_class = True

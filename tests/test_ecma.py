@@ -36,3 +36,12 @@ def test_classes_inside_charclass():
     r = ecma.compile_ecma(r"^[\d\s]+$")
     assert r.search("1 2\t3")
     assert not r.search("1a")
+
+
+def test_ecma_named_groups_and_backrefs():
+    r = ecma.compile_ecma(r"(?<y>\d{4})-\k<y>")
+    assert r.search("2024-2024")
+    assert not r.search("2024-2025")
+    # lookbehind forms pass through untouched
+    assert ecma.compile_ecma(r"(?<=a)b").search("ab")
+    assert ecma.compile_ecma(r"(?<!a)b").search("cb")
