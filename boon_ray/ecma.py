@@ -117,10 +117,26 @@ def convert(pattern: str) -> str:
     return "".join(out)
 
 
-def compile_ecma(pattern: str) -> re.Pattern:
-    """Convert + compile; raises EcmaError on an invalid pattern."""
+def compile_ecma(pattern: str):
+    """Convert + compile; raises EcmaError on an invalid pattern.
+
+    Unicode property escapes (\p{...} / \P{...}, supported by the
+    reference's Rust regex engine) need the third-party ``regex``
+    module; used only when the pattern requires it, stdlib ``re``
+    otherwise."""
+    converted = convert(pattern)
+    if "\\p" in converted or "\\P" in converted:
+        try:
+            import regex as _regex_mod
+        except ImportError as e:  # pragma: no cover
+            raise EcmaError(
+                f"\\p escapes need the 'regex' module: {pattern!r}") from e
+        try:
+            return _regex_mod.compile(converted)
+        except _regex_mod.error as e:
+            raise EcmaError(f"invalid regex {pattern!r}: {e}") from e
     try:
-        return re.compile(convert(pattern))
+        return re.compile(converted)
     except re.error as e:
         raise EcmaError(f"invalid regex {pattern!r}: {e}") from e
 

@@ -45,3 +45,11 @@ def test_ecma_named_groups_and_backrefs():
     # lookbehind forms pass through untouched
     assert ecma.compile_ecma(r"(?<=a)b").search("ab")
     assert ecma.compile_ecma(r"(?<!a)b").search("cb")
+
+
+def test_unicode_property_escapes():
+    pytest.importorskip("regex")
+    r = ecma.compile_ecma(r"^\p{L}+$")
+    assert r.search("héllo")
+    assert not r.search("h3llo")
+    assert ecma.compile_ecma(r"\P{N}").search("x")
