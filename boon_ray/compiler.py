@@ -638,7 +638,9 @@ class _CompileState:
             node.enum = v["enum"]
             node.enum_scalar = all(
                 not isinstance(x, (dict, list)) for x in v["enum"])
-        if has("const"):
+        if dr >= DRAFT6 and has("const"):
+            # const was introduced in draft 6; draft-4 schemas treat it
+            # as an unknown keyword (compile_draft6, compiler.rs)
             node.const_set = True
             node.const = v["const"]
         # format: flag OR vocab admits (compiler.rs:487-494)

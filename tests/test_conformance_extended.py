@@ -246,3 +246,94 @@ def test_output_self_validation():
     basic = ValidationError(u).basic_output()
     checker = Evaluator(compile_schema(out_schema, formats_enabled=True))
     assert checker.is_valid(basic), basic
+
+
+# second wave: draft-6 introductions, nested resource anchors, output
+# keyword paths, numeric nesting
+CASES2 = [
+    # draft-6 introductions behave; draft-4 ignores them
+    ({"const": 5}, 6, False, 6),
+    ({"const": 5}, 6, True, 4),          # const unknown in draft 4
+    ({"contains": {"const": 1}}, [2, 3], False, 6),
+    ({"contains": {"const": 1}}, [2, 3], True, 4),  # contains unknown in 4
+    ({"propertyNames": {"minLength": 2}}, {"a": 1}, False, 6),
+    ({"propertyNames": {"minLength": 2}}, {"a": 1}, True, 4),
+    # exclusiveMinimum numeric is draft-6+; draft-4 ignores a numeric one
+    ({"exclusiveMinimum": 5}, 5, False, 6),
+    # boolean schemas in applicator positions
+    ({"items": True}, [1, 2], True, 2020),
+    ({"contains": False}, [1], False),
+    ({"contains": False}, [], False),    # needs >= 1 match
+    ({"not": True}, 1, False),
+    ({"not": False}, 1, True),
+    ({"if": True, "then": {"const": 1}}, 2, False),
+    ({"if": False, "else": {"const": 1}}, 2, False),
+    # numeric equality in nested structures
+    ({"enum": [{"a": [1, {"b": 2}]}]}, {"a": [1.0, {"b": 2.0}]}, True),
+    ({"uniqueItems": True}, [[1, [2]], [1.0, [2.0]]], False),
+    ({"const": [True]}, [1], False),
+    # multi-branch allOf with conflicting types can never pass
+    ({"allOf": [{"type": "string"}, {"type": "integer"}]}, "x", False),
+    ({"allOf": [{"type": "string"}, {"type": "integer"}]}, 1, False),
+    # dependencies both forms in one schema (draft 7)
+    ({"dependencies": {"a": ["b"], "c": {"minProperties": 3}}},
+     {"a": 1, "b": 2}, True, 7),
+    ({"dependencies": {"a": ["b"], "c": {"minProperties": 3}}},
+     {"c": 1, "x": 2}, False, 7),
+    # required on non-objects is a no-op
+    ({"required": ["a"]}, [1, 2], True),
+    ({"minProperties": 2}, "ab", True),
+    ({"minLength": 5}, 123456, True),     # string keywords skip numbers
+    ({"minimum": 100}, "5", True),        # number keywords skip strings
+    # patternProperties and properties both apply to the same key
+    ({"properties": {"ab": {"minimum": 0}},
+      "patternProperties": {"^a": {"maximum": 10}}}, {"ab": 5}, True),
+    ({"properties": {"ab": {"minimum": 0}},
+      "patternProperties": {"^a": {"maximum": 10}}}, {"ab": 50}, False),
+    ({"properties": {"ab": {"minimum": 0}},
+      "patternProperties": {"^a": {"maximum": 10}}}, {"ab": -1}, False),
+]
+
+
+@pytest.mark.parametrize(
+    "case", CASES2, ids=[f"y{i}" for i in range(len(CASES2))])
+def test_extended_wave2(case):
+    schema, data, want = case[0], case[1], case[2]
+    draft = case[3] if len(case) > 3 else 2020
+    spec = compile_schema(schema, default_draft=draft)
+    ev = Evaluator(spec)
+    assert ev.is_valid(data) == want, (schema, data)
+    assert (ev.errors(data) is None) == want
+
+
+def test_anchor_in_nested_resource_not_visible_from_parent():
+    """Anchors are scoped to their resource: a parent-resource ref to
+    an anchor defined inside a nested $id resource must not resolve."""
+    from boon_ray.compiler import CompileError
+    s = {"$id": "http://x.local/p.json",
+         "$defs": {"inner": {"$id": "inner.json",
+                             "$defs": {"t": {"$anchor": "hidden",
+                                             "type": "integer"}}}},
+         "$ref": "#hidden"}
+    with pytest.raises(CompileError):
+        Compiler().compile("http://x.local/p.json", s)
+    # but reachable via the nested resource's own URI
+    s2 = dict(s)
+    s2["$ref"] = "inner.json#hidden"
+    spec = Compiler().compile("http://x.local/p2.json", s2)
+    assert Evaluator(spec).is_valid(3)
+    assert not Evaluator(spec).is_valid("x")
+
+
+def test_keyword_location_paths_through_ref():
+    """basic_output keywordLocation threads through $ref applications
+    (output.rs:38-86 shape)."""
+    from boon_ray.evaluator import ValidationError
+    spec = compile_schema({"$defs": {"p": {"type": "integer"}},
+                           "properties": {"x": {"$ref": "#/$defs/p"}}})
+    u = Evaluator(spec).errors({"x": "s"})
+    basic = ValidationError(u).basic_output()
+    kws = {e["keywordLocation"] for e in basic["errors"]}
+    assert "/properties/x/$ref/type" in kws
+    insts = {e["instanceLocation"] for e in basic["errors"]}
+    assert "/x" in insts
