@@ -60,7 +60,11 @@ def convert(pattern: str) -> str:
             e = pattern[i + 1]
             if e == "c":
                 # \cX control escape -> literal control char
-                if i + 2 >= n or not pattern[i + 2].isalpha():
+                # ECMA-262 allows only [A-Za-z] after \c (str.isalpha
+                # would accept any Unicode letter)
+                if (i + 2 >= n
+                        or not ("A" <= pattern[i + 2] <= "Z"
+                                or "a" <= pattern[i + 2] <= "z")):
                     raise EcmaError(f"invalid \\c escape in {pattern!r}")
                 ctrl = chr(ord(pattern[i + 2].upper()) - ord("A") + 1)
                 out.append(re.escape(ctrl))

@@ -69,13 +69,21 @@ class PartialColumnStats:
 
 def _merge_stats(g: pd.DataFrame, group_key: str,
                  distinct_columns: tuple) -> pd.DataFrame:
+    # min/max/sum of an all-null column are null in every partial
+    # (Arrow group aggregate) — keep them null instead of crashing on
+    # the int() cast; Int64 keeps the Arrow schema integer-typed.
+    mn, mx = g["min_chars"].min(), g["max_chars"].max()
+    sm = g["sum_chars"].sum(min_count=1)
     out = {
         group_key: [g[group_key].iloc[0]],
         "n_rows": [int(g["n_rows"].sum())],
         "n_null": [int(g["n_null"].sum())],
-        "min_chars": [int(g["min_chars"].min())],
-        "max_chars": [int(g["max_chars"].max())],
-        "sum_chars": [int(g["sum_chars"].sum())],
+        "min_chars": pd.array([None if pd.isna(mn) else int(mn)],
+                              dtype="Int64"),
+        "max_chars": pd.array([None if pd.isna(mx) else int(mx)],
+                              dtype="Int64"),
+        "sum_chars": pd.array([None if pd.isna(sm) else int(sm)],
+                              dtype="Int64"),
     }
     for c in distinct_columns:
         hll = HyperLogLog.from_bytes(g[f"hll_{c}"].iloc[0])

@@ -25,6 +25,13 @@ def test_control_escape():
         ecma.compile_ecma(r"\c1")
 
 
+def test_control_escape_rejects_non_ascii_letter():
+    # ECMA-262 only allows [A-Za-z] after \c; a Unicode letter like é
+    # must be rejected, not mapped to an arbitrary character
+    with pytest.raises(ecma.EcmaError):
+        ecma.compile_ecma("\\c\u00e9")
+
+
 def test_invalid_escapes_rejected():
     with pytest.raises(ecma.EcmaError):
         ecma.compile_ecma(r"\a")

@@ -162,3 +162,23 @@ def test_salt_spreads_mega_repo(ray_session):
     mega = out[out["repo"] == "org0/repo0"]
     assert len(mega) > 50                       # many distinct keys
     assert mega["salt"].nunique() > 16          # spread over salts
+
+
+def test_column_stats_all_null_group(ray_session):
+    """A group whose stat column is entirely null must yield null
+    min/max/sum (not crash on the int() cast of a NaN partial)."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "lang": ["a", "a", "b"],
+        "content": pd.array([None, None, "xy"], dtype="string"),
+    })
+    got = column_stats(rd.from_pandas(df), group_key="lang",
+                       column="content").to_pandas()
+    got = got.set_index("lang")
+    assert got.loc["a", "n_rows"] == 2
+    assert got.loc["a", "n_null"] == 2
+    assert pd.isna(got.loc["a", "min_chars"])
+    assert pd.isna(got.loc["a", "sum_chars"])
+    assert got.loc["b", "min_chars"] == 2
+    assert got.loc["b", "sum_chars"] == 2
