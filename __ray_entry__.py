@@ -400,18 +400,9 @@ def _q_q3_shipping(sf_dir: str):
     joined = hash_join(borders, li, on=["o_orderkey"], num_buckets=8)
     agg = joined.groupby("o_orderkey").aggregate(
         Sum("rev_cents", alias_name="revenue_cents"))
-    top = agg.sort(["revenue_cents", "o_orderkey"],
-                   descending=[True, False]).limit(10)
-
-    def cast_back(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
-            "revenue_cents": pc.cast(b.column("revenue_cents"),
-                                     pa.int64()),
-        })
-
-    return top.map_batches(cast_back, batch_format="pyarrow",
-                           batch_size=None)
+    # the schema-preserving hash_join keeps ints ints — no repair step
+    return agg.sort(["revenue_cents", "o_orderkey"],
+                    descending=[True, False]).limit(10)
 
 
 def _q_ann_topk(sf_dir: str):
@@ -589,17 +580,10 @@ def _q_events_in_session(sf_dir: str):
                         start_col="session_start",
                         end_col="session_end", num_buckets=8)
 
-    def project(b: pa.Table) -> pa.Table:
-        # the tagged-union join upcasts ints to float (NaN side
-        # columns); restore the integer schema
-        return pa.table({
-            "event_id": pc.cast(b.column("event_id"), pa.int64()),
-            "session_start": pc.cast(b.column("session_start"),
-                                     pa.int64()),
-        })
-
-    return joined.map_batches(project, batch_format="pyarrow",
-                              batch_size=None)
+    # join output schema is already integer-typed; just project
+    return joined.map_batches(
+        lambda b: b.select(["event_id", "session_start"]),
+        batch_format="pyarrow", batch_size=None)
 
 
 def _q_top_docs(sf_dir: str):

@@ -11,6 +11,15 @@ SURVEY.md §2.7 — implemented natively for the engine's L2 layer).
   shuffle parallelism).
 - ``asof_join``: per-key-bucket ``pd.merge_asof`` over ts-sorted
   groups (ordering provided by the in-group sort).
+- ``range_join``: per-key-bucket interval containment.
+
+Schema discipline: the tagged union is built against ONE explicit
+Arrow schema — each side's missing columns are typed nulls, never
+pandas-NaN padding — so int columns stay ints through the shuffle,
+all-null data columns survive, and every bucket task emits the same
+output schema (including empty buckets). Right-side column names
+that clash with left non-key columns are renamed ``c + suffix``
+before the union (mirroring pandas merge suffixes).
 """
 
 from __future__ import annotations
@@ -20,6 +29,7 @@ from typing import Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from boon_ray.sketches import hash64
 
@@ -67,81 +77,217 @@ def broadcast_join(ds, right, on: Sequence[str], how: str = "inner",
         concurrency=concurrency)
 
 
-def _add_bucket(side_tag: str, on: Sequence[str], num_buckets: int):
-    def f(b: pd.DataFrame) -> pd.DataFrame:
-        h = hash64(b[on[0]].to_numpy(dtype=object))
-        for c in on[1:]:
-            h = h * np.uint64(1099511628211) ^ hash64(
-                b[c].to_numpy(dtype=object))
-        b = b.copy()
-        b["_bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
-        b["_side"] = side_tag
-        return b
+# ------------------------------------------------- partitioned joins
+
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset, tolerating pandas-block lineages
+    (numpy dtypes are mapped to Arrow types; object -> string)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(s.names, s.types):
+        if isinstance(typ, pa.DataType):
+            fields.append(pa.field(name, typ))
+            continue
+        try:
+            fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
+        except (pa.ArrowNotImplementedError, TypeError):
+            fields.append(pa.field(name, pa.string()))
+    return pa.schema(fields)
+
+
+def _key_hash(batch: pa.Table, on: Sequence[str]) -> np.ndarray:
+    h = hash64(batch.column(on[0]).to_pandas().to_numpy(dtype=object))
+    for c in on[1:]:
+        h = h * np.uint64(1099511628211) ^ hash64(
+            batch.column(c).to_pandas().to_numpy(dtype=object))
+    return h
+
+
+def _plan_union(left_schema: pa.Schema, right_schema: pa.Schema,
+                shared: Sequence[str], suffix: str):
+    """The union plan: unified schema (+_bucket/_side), each side's
+    unified column names, and the right-side old->new rename map.
+
+    ``shared`` = columns intentionally present on both sides under the
+    same name (join keys, asof ts). Any OTHER right column whose name
+    collides with a left column is renamed ``name + suffix``.
+    """
+    shared = set(shared)
+    left_names = set(left_schema.names)
+    rename = {}
+    for name in right_schema.names:
+        if name in left_names and name not in shared:
+            rename[name] = name + suffix
+    fields = list(left_schema)
+    right_unified = []
+    for f in right_schema:
+        new = rename.get(f.name, f.name)
+        right_unified.append(new)
+        if new not in left_names:
+            fields.append(pa.field(new, f.type))
+    unified = pa.schema(
+        fields + [pa.field("_bucket", pa.int64()),
+                  pa.field("_side", pa.int8())])
+    return unified, list(left_schema.names), right_unified, rename
+
+
+def _tag_side(side_code: int, on: Sequence[str], num_buckets: int,
+              unified: pa.Schema, rename: dict):
+    """map_batches fn: add _bucket/_side and pad to the unified schema
+    with typed nulls (this side's absent columns)."""
+    inv = {v: k for k, v in rename.items()}
+    side_cols = set()
+    # which unified names this side populates
+    for f in unified:
+        if f.name in ("_bucket", "_side"):
+            continue
+        side_cols.add(f.name)
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        h = _key_hash(batch, on)
+        bucket = pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        side = pa.array(np.full(n, side_code, dtype=np.int8))
+        names = set(batch.column_names)
+        arrays = []
+        for fld in unified:
+            if fld.name == "_bucket":
+                arrays.append(bucket)
+            elif fld.name == "_side":
+                arrays.append(side)
+            else:
+                src = fld.name
+                if side_code == 1:
+                    src = inv.get(fld.name, fld.name)
+                if src in names:
+                    col = batch.column(src)
+                    if col.type != fld.type:
+                        col = pc.cast(col, fld.type)
+                    arrays.append(col)
+                else:
+                    arrays.append(pa.nulls(n, fld.type))
+        return pa.Table.from_arrays(arrays, schema=unified)
+
     return f
+
+
+def _df_to_table(df: pd.DataFrame, schema: pa.Schema) -> pa.Table:
+    """pandas -> Arrow with an EXPLICIT schema: float columns that are
+    really nullable ints (NaN introduced by an outer merge) go through
+    pandas Int64 so they come back as int-with-nulls, not float."""
+    arrays = []
+    for f in schema:
+        if f.name in df.columns:
+            s = df[f.name]
+            if (pa.types.is_integer(f.type)
+                    and getattr(s.dtype, "kind", "") == "f"):
+                s = s.astype("Int64")
+            arrays.append(pa.array(s, type=f.type, from_pandas=True))
+        else:
+            arrays.append(pa.nulls(len(df), f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def _split_sides(g: pa.Table, left_names, right_names):
+    """Bucket group -> (left_df, right_df), each with ONLY its own
+    columns (null-free unless the source data had nulls), so pandas
+    keeps the original dtypes."""
+    lmask = pc.equal(g.column("_side"), 0)
+    lt = g.filter(lmask).select(left_names)
+    rt = g.filter(pc.invert(lmask)).select(right_names)
+    return lt.to_pandas(), rt.to_pandas()
+
+
+def _tagged_union(left, right, on, shared, num_buckets, suffix,
+                  batch_size, left_schema=None, right_schema=None):
+    ls = left_schema or _arrow_schema(left)
+    rs = right_schema or _arrow_schema(right)
+    unified, left_names, right_names, rename = _plan_union(
+        ls, rs, shared, suffix)
+    l = left.map_batches(_tag_side(0, on, num_buckets, unified, rename),
+                         batch_format="pyarrow", batch_size=batch_size)
+    r = right.map_batches(_tag_side(1, on, num_buckets, unified, rename),
+                          batch_format="pyarrow", batch_size=batch_size)
+    return l.union(r), unified, left_names, right_names
 
 
 def hash_join(left, right, on: Sequence[str], how: str = "inner",
               num_buckets: int = 32, suffix: str = "_r",
-              batch_size=None):
+              batch_size=None, left_schema=None, right_schema=None):
     """Partitioned hash join of two Datasets (both sides large).
 
-    Both sides are bucketed by key hash, unioned with a side tag, and
-    each bucket joins in one map_groups task. ``num_buckets`` sets the
-    shuffle parallelism; for skewed keys widen it — a single hot KEY
-    still lands in one bucket (hash-join limit), so pre-split truly
-    degenerate keys with a salt column and re-aggregate after.
+    Both sides are bucketed by key hash, unioned under one explicit
+    Arrow schema with a side tag, and each bucket joins in one
+    map_groups task. ``num_buckets`` sets the shuffle parallelism; for
+    skewed keys widen it — a single hot KEY still lands in one bucket
+    (hash-join limit), so pre-split truly degenerate keys with a salt
+    column and re-aggregate after. how: inner | left.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"hash_join supports inner|left, not {how!r}")
     on = list(on)
-    l = left.map_batches(_add_bucket("l", on, num_buckets),
-                         batch_format="pandas", batch_size=batch_size)
-    r = right.map_batches(_add_bucket("r", on, num_buckets),
-                          batch_format="pandas", batch_size=batch_size)
-    both = l.union(r)
+    both, unified, left_names, right_names = _tagged_union(
+        left, right, on, shared=on, num_buckets=num_buckets,
+        suffix=suffix, batch_size=batch_size,
+        left_schema=left_schema, right_schema=right_schema)
+    out_schema = pa.schema(
+        [unified.field(c) for c in left_names]
+        + [unified.field(c) for c in right_names if c not in on])
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == "l"].drop(columns=["_side", "_bucket"])
-        rg = g[g["_side"] == "r"].drop(columns=["_side", "_bucket"])
-        rg = rg.dropna(axis=1, how="all")
-        lg = lg.dropna(axis=1, how="all")
-        if lg.empty or (rg.empty and how == "inner"):
-            return pd.DataFrame()
-        return lg.merge(rg, on=on, how=how, suffixes=("", suffix))
+    def join_bucket(g: pa.Table) -> pa.Table:
+        ldf, rdf = _split_sides(g, left_names, right_names)
+        if ldf.empty or (rdf.empty and how == "inner"):
+            return out_schema.empty_table()
+        m = ldf.merge(rdf, on=on, how=how)
+        return _df_to_table(m, out_schema)
 
     return both.groupby("_bucket").map_groups(join_bucket,
-                                              batch_format="pandas")
+                                              batch_format="pyarrow")
 
 
 def asof_join(left, right, key: str, ts_col: str,
               direction: str = "backward", num_buckets: int = 32,
-              suffix: str = "_r", batch_size=None):
+              suffix: str = "_r", batch_size=None,
+              left_schema=None, right_schema=None):
     """As-of join: for each left row, the latest right row with
     right.ts <= left.ts (direction='backward') for the same key.
-    Implemented as bucketed per-key merge_asof over sorted groups."""
-    l = left.map_batches(_add_bucket("l", [key], num_buckets),
-                         batch_format="pandas", batch_size=batch_size)
-    r = right.map_batches(_add_bucket("r", [key], num_buckets),
-                          batch_format="pandas", batch_size=batch_size)
-    both = l.union(r)
+    Implemented as bucketed per-key merge_asof over sorted groups.
+    Left-join semantics: unmatched left rows keep null right columns.
+    """
+    both, unified, left_names, right_names = _tagged_union(
+        left, right, [key], shared=[key, ts_col],
+        num_buckets=num_buckets, suffix=suffix, batch_size=batch_size,
+        left_schema=left_schema, right_schema=right_schema)
+    out_schema = pa.schema(
+        [unified.field(c) for c in left_names]
+        + [unified.field(c) for c in right_names
+           if c not in (key, ts_col)])
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = (g[g["_side"] == "l"].drop(columns=["_side", "_bucket"])
-              .dropna(axis=1, how="all").sort_values(ts_col))
-        rg = (g[g["_side"] == "r"].drop(columns=["_side", "_bucket"])
-              .dropna(axis=1, how="all").sort_values(ts_col))
-        if lg.empty:
-            return pd.DataFrame()
-        if rg.empty:
-            return lg
-        return pd.merge_asof(lg, rg, on=ts_col, by=key,
-                             direction=direction, suffixes=("", suffix))
+    def join_bucket(g: pa.Table) -> pa.Table:
+        ldf, rdf = _split_sides(g, left_names, right_names)
+        if ldf.empty:
+            return out_schema.empty_table()
+        ldf = ldf.sort_values(ts_col, kind="mergesort")
+        if rdf.empty:
+            # left rows with right columns as nulls
+            return _df_to_table(ldf, out_schema)
+        rdf = rdf.sort_values(ts_col, kind="mergesort")
+        m = pd.merge_asof(ldf, rdf, on=ts_col, by=key,
+                          direction=direction)
+        return _df_to_table(m, out_schema)
 
     return both.groupby("_bucket").map_groups(join_bucket,
-                                              batch_format="pandas")
+                                              batch_format="pyarrow")
 
 
 def range_join(left, right, key: str, ts_col: str,
                start_col: str, end_col: str, how: str = "inner",
-               num_buckets: int = 32, batch_size=None):
+               num_buckets: int = 32, batch_size=None,
+               suffix: str = "_r", left_schema=None,
+               right_schema=None):
     """Range (interval) join: left rows matched to right rows of the
     same key where ``start_col <= left.ts <= end_col``.
 
@@ -149,31 +295,37 @@ def range_join(left, right, key: str, ts_col: str,
     then an interval filter. Assumes right intervals per key are
     non-overlapping (e.g. sessions) so each left row matches at most
     one right row; with overlaps, every covering interval matches.
+    how: inner | left (left keeps unmatched left rows, null right
+    columns).
     """
-    l = left.map_batches(_add_bucket("l", [key], num_buckets),
-                         batch_format="pandas", batch_size=batch_size)
-    r = right.map_batches(_add_bucket("r", [key], num_buckets),
-                          batch_format="pandas", batch_size=batch_size)
-    both = l.union(r)
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner|left, not {how!r}")
+    both, unified, left_names, right_names = _tagged_union(
+        left, right, [key], shared=[key], num_buckets=num_buckets,
+        suffix=suffix, batch_size=batch_size,
+        left_schema=left_schema, right_schema=right_schema)
+    out_schema = pa.schema(
+        [unified.field(c) for c in left_names]
+        + [unified.field(c) for c in right_names if c != key])
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = (g[g["_side"] == "l"].drop(columns=["_side", "_bucket"])
-              .dropna(axis=1, how="all"))
-        rg = (g[g["_side"] == "r"].drop(columns=["_side", "_bucket"])
-              .dropna(axis=1, how="all"))
-        if lg.empty:
-            return pd.DataFrame()
-        if rg.empty:
-            return lg if how == "left" else pd.DataFrame()
-        m = lg.merge(rg, on=key, how="inner")
+    def join_bucket(g: pa.Table) -> pa.Table:
+        ldf, rdf = _split_sides(g, left_names, right_names)
+        if ldf.empty:
+            return out_schema.empty_table()
+        if rdf.empty:
+            if how == "left":
+                return _df_to_table(ldf, out_schema)
+            return out_schema.empty_table()
+        ldf = ldf.reset_index(drop=True)
+        ldf["_lidx"] = np.arange(len(ldf))
+        m = ldf.merge(rdf, on=key, how="inner")
         inside = (m[ts_col] >= m[start_col]) & (m[ts_col] <= m[end_col])
         matched = m[inside]
         if how == "left":
-            missing = lg[~lg.index.isin(
-                lg.reset_index().merge(matched, on=list(lg.columns),
-                                       how="inner")["index"])]
-            return pd.concat([matched, missing], ignore_index=True)
-        return matched
+            missing = ldf[~ldf["_lidx"].isin(matched["_lidx"])]
+            out = pd.concat([matched, missing], ignore_index=True)
+            return _df_to_table(out.drop(columns="_lidx"), out_schema)
+        return _df_to_table(matched.drop(columns="_lidx"), out_schema)
 
     return both.groupby("_bucket").map_groups(join_bucket,
-                                              batch_format="pandas")
+                                              batch_format="pyarrow")

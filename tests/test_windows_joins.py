@@ -384,3 +384,114 @@ def test_length_quantiles_accuracy(ray_session):
         # histogram bin width = 2048/64 = 32 chars -> within 2 bins
         assert abs(r["q50"] - e["q50"]) <= 64
         assert abs(r["q90"] - e["q90"]) <= 64
+
+
+# ------------------------------------------- join schema regressions
+
+def test_asof_join_one_sided_buckets(ray_session):
+    """Buckets with rows from only one side must not crash and must
+    keep left rows (null right columns) — ADVICE round 1."""
+    import ray.data as rd
+
+    from boon_ray.stages.joins import asof_join
+
+    left = rd.from_items([
+        {"k": k, "ts": 100 + k, "x": k * 10} for k in range(4)
+    ])
+    right = rd.from_items([{"k": 0, "ts": 50, "y": 7}])
+    got = asof_join(left, right, key="k", ts_col="ts",
+                    num_buckets=4).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert len(got) == 4
+    assert list(got.columns) == ["k", "ts", "x", "y"]
+    assert got.loc[0, "y"] == 7
+    assert got["y"].isna().sum() == 3
+
+
+def test_hash_join_preserves_all_null_column(ray_session):
+    """A legitimately all-null data column must survive the join
+    (the old dropna(axis=1) silently removed it)."""
+    import ray.data as rd
+
+    from boon_ray.stages.joins import hash_join
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3],
+        "dead": pd.array([None, None, None], dtype="Int64"),
+    }))
+    right = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3],
+                                         "v": [10, 20, 30]}))
+    got = hash_join(left, right, on=["k"], num_buckets=4).to_pandas()
+    assert "dead" in got.columns
+    assert got["dead"].isna().all()
+    assert len(got) == 3
+
+
+def test_hash_join_left_empty_right_bucket(ray_session):
+    """how='left' with buckets that contain no right rows must keep
+    left rows and integer dtypes (no NaN float upcast)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.joins import hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4],
+                                        "a": [10, 20, 30, 40]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [2], "b": [99]}))
+    joined = hash_join(left, right, on=["k"], how="left", num_buckets=4)
+    got = joined.to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(got) == 4
+    assert got.loc[1, "b"] == 99
+    assert got["b"].isna().sum() == 3
+    # Arrow-side schema stays integer (int64 with nulls, not float)
+    sch = joined.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert pa.types.is_integer(types["b"])
+
+
+def test_hash_join_int_dtypes_survive(ray_session):
+    """Inner-join output keeps int64 columns int64 (the old tagged
+    NaN-union upcast them to float)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.joins import hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2], "a": [5, 6]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1, 2], "b": [7, 8]}))
+    sch = hash_join(left, right, on=["k"], num_buckets=2).schema()
+    types = dict(zip(sch.names, sch.types))
+    assert all(pa.types.is_integer(t) for t in types.values()), types
+
+
+def test_hash_join_clashing_column_suffixed(ray_session):
+    """Non-key columns sharing a name across sides get the suffix."""
+    import ray.data as rd
+
+    from boon_ray.stages.joins import hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1], "v": [5]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1], "v": [9]}))
+    got = hash_join(left, right, on=["k"], num_buckets=2).to_pandas()
+    assert sorted(got.columns) == ["k", "v", "v_r"]
+    assert got.loc[0, "v"] == 5 and got.loc[0, "v_r"] == 9
+
+
+def test_range_join_left_mode_schema(ray_session):
+    """how='left' unmatched rows keep typed-null right columns."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.joins import range_join
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2], "ts": [5, 50, 5], "e": [100, 101, 102]}))
+    right = rd.from_pandas(pd.DataFrame({
+        "k": [1], "lo": [0], "hi": [10]}))
+    got = range_join(left, right, key="k", ts_col="ts",
+                     start_col="lo", end_col="hi", how="left",
+                     num_buckets=2).to_pandas()
+    got = got.sort_values("e").reset_index(drop=True)
+    assert len(got) == 3
+    assert got.loc[0, "lo"] == 0
+    assert got["lo"].isna().sum() == 2
