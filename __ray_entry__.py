@@ -126,6 +126,50 @@ def _q_dedup_exact_docs(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Distributed connected components (iterated min-label
+    propagation with pointer doubling — no driver-side edge set).
+
+    The edge set is a deterministic, SQL-checkable graph with real
+    multi-hop topology: docs are grouped by the first byte pair of
+    md5(text) and each group is chained by consecutive doc_id, so a
+    label must propagate along the whole chain (diameter up to ~9 at
+    sf0.01). Components therefore equal the md5-prefix groups, which
+    DuckDB can compute with a window function."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import cluster_pairs_distributed
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        hs = [hashlib.md5((t or "").encode()).hexdigest()[:2]
+              for t in texts]
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "h": pa.array(hs, pa.string()),
+        })
+
+    def chain_edges(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": ids[:-1], "b": ids[1:]})
+
+    edges = ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=None).groupby("h").map_groups(
+        chain_edges, batch_format="pandas")
+    return cluster_pairs_distributed(edges, num_buckets=8)
+
+
 def _q_partition_verdicts(sf_dir: str):
     import pyarrow as pa
 
@@ -508,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": _q_length_quantiles,
         # dedup family
         "dedup_exact_docs": _q_dedup_exact_docs,
+        "dedup_clusters": _q_dedup_clusters,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
@@ -692,6 +737,13 @@ def oracle_sql() -> dict[str, str]:
             f"FROM events",
         "dedup_exact_docs":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dedup_clusters":
+            "WITH g AS (SELECT doc_id, "
+            "CAST(MIN(doc_id) OVER (PARTITION BY substr(md5(text),1,2)) "
+            "AS BIGINT) AS cluster, "
+            "COUNT(*) OVER (PARTITION BY substr(md5(text),1,2)) AS n "
+            "FROM documents) "
+            "SELECT doc_id AS id, cluster FROM g WHERE n > 1",
         "drift_verdicts":
             f'WITH {cte} SELECT lang, count(*) AS n, '
             f"count(*) AS baseline_n, TRUE AS passed "

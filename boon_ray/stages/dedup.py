@@ -19,6 +19,7 @@ from typing import Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from boon_ray.sketches import band_keys, hash64, minhash_signatures
 
@@ -187,20 +188,27 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str,
     pairs = exploded.groupby(["band", "key"]).map_groups(
         lambda g: _bucket_pairs(g, id_col, threshold),
         batch_format="pandas")
-    # dedupe (a, b) found in multiple buckets
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # dedupe (a, b) found in multiple buckets: a plain grouped
+    # aggregate (est is identical across buckets), not per-pair
+    # pandas groups
+    from ray.data.aggregate import Min
+    return pairs.groupby(["a", "b"]).aggregate(
+        Min("jaccard_est", alias_name="jaccard_est"))
 
 
-def cluster_pairs(pairs_ds, max_iter: int = 10):
-    """Connected components over duplicate pairs by iterative min-label
-    propagation. Returns (id, cluster), cluster = min id in component.
+def cluster_pairs(pairs_ds, max_iter: int = 64):
+    """Connected components over duplicate pairs by min-label
+    propagation with pointer doubling (label <- label[label] each
+    round, so convergence is O(log n) rounds). Runs to FIXED POINT and
+    raises if the ``max_iter`` safety cap is hit while labels are
+    still changing. Returns (id, cluster), cluster = min id in
+    component.
 
     The edge set is materialized on the driver — near-dup pair sets
     are sparse relative to the corpus (dup-rate bounded), so this is
-    normally megabytes. If the edge set itself is corpus-scale, run
-    the identical propagation as iterated Dataset groupby rounds
-    (label table join -> min per node) instead of this helper."""
+    normally megabytes. If the edge set itself is corpus-scale, use
+    :func:`cluster_pairs_distributed` (identical semantics, iterated
+    Dataset rounds)."""
     import ray.data as rd
 
     edges = pairs_ds.to_pandas()[["a", "b"]]
@@ -215,12 +223,136 @@ def cluster_pairs(pairs_ds, max_iter: int = 10):
                              "l": np.concatenate([m, m])})
         new = prop.groupby("n")["l"].min()
         merged = pd.concat([label, new], axis=1).min(axis=1)
+        # pointer doubling: a label is always a node, so jump to its
+        # label's label — components converge in O(log diameter)
+        merged = pd.Series(merged.loc[merged.to_numpy()].to_numpy(),
+                           index=merged.index)
         if (merged == label).all():
             break
         label = merged
+    else:
+        raise RuntimeError(
+            f"cluster_pairs did not converge in {max_iter} rounds")
     out = pd.DataFrame({"id": label.index.to_numpy(dtype=np.int64),
                         "cluster": label.to_numpy(dtype=np.int64)})
     return rd.from_pandas(out)
+
+
+def cluster_pairs_distributed(pairs_ds, num_buckets: int = 16,
+                              max_rounds: int = 64):
+    """Connected components over duplicate pairs as ITERATED DATASET
+    ROUNDS — no driver-side edge materialization; the scale path for
+    corpus-sized edge sets. Returns a Dataset (id, cluster), cluster =
+    min id in component (same contract as :func:`cluster_pairs`).
+
+    Per round: labels are co-located with the symmetric adjacency via
+    the schema-stable partitioned ``hash_join``, propagated across
+    each edge, and re-minimized per node with a grouped aggregate
+    (2 shuffles/round over the label+edge tables, which are
+    dup-pair-scale, not corpus-scale). Labels decrease monotonically,
+    so the per-round label sum is a convergence certificate: the loop
+    runs to fixed point and raises if ``max_rounds`` is hit while the
+    sum is still falling. Rounds needed = O(component diameter);
+    LSH dedup components are shallow (star/clique-ish), so this is
+    single-digit in practice."""
+    from ray.data.aggregate import Min
+
+    from boon_ray.stages.joins import hash_join
+
+    edge_schema = pa.schema([("node", pa.int64()),
+                             ("other", pa.int64())])
+    label_schema = pa.schema([("node", pa.int64()),
+                              ("label", pa.int64())])
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([a, bb])),
+             pa.array(np.concatenate([bb, a]))],
+            schema=edge_schema)
+
+    adj = pairs_ds.map_batches(sym, batch_format="pyarrow",
+                               batch_size=None).materialize()
+
+    def to_labels(b: pa.Table) -> pa.Table:
+        # initial label = min(node, min neighbor): one propagation
+        # round for free
+        return pa.Table.from_arrays(
+            [pc.cast(b.column("node"), pa.int64()),
+             pc.cast(pc.min_element_wise(b.column("node"),
+                                         b.column("label")),
+                     pa.int64())],
+            schema=label_schema)
+
+    # the carried label table is re-pinned to num_buckets blocks per
+    # round: union + shuffle otherwise DOUBLE the block count every
+    # round (2^rounds tiny blocks -> task-scheduling blowup)
+    labels = adj.groupby("node").aggregate(
+        Min("other", alias_name="label")).map_batches(
+        to_labels, batch_format="pyarrow",
+        batch_size=None).repartition(num_buckets).materialize()
+    prev = labels.sum("label")
+
+    def prop(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(b.column("other"), pa.int64()),
+             pc.cast(b.column("label"), pa.int64())],
+            schema=label_schema)
+
+    ptr_schema = pa.schema([("label", pa.int64()),
+                            ("label2", pa.int64())])
+
+    def as_ptr(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("node"), b.column("label")], schema=ptr_schema)
+
+    def jump_out(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(b.column("node"), pa.int64()),
+             pc.cast(b.column("label2"), pa.int64())],
+            schema=label_schema)
+
+    for _ in range(max_rounds):
+        cand = hash_join(adj, labels, on=["node"],
+                         num_buckets=num_buckets,
+                         left_schema=edge_schema,
+                         right_schema=label_schema)
+        pushed = cand.map_batches(prop, batch_format="pyarrow",
+                                  batch_size=None)
+        merged = pushed.union(labels).groupby("node").aggregate(
+            Min("label", alias_name="label")).map_batches(
+            to_labels, batch_format="pyarrow",
+            batch_size=None).materialize()
+        # pointer doubling: label <- label[label]. A label is always a
+        # node id present in the table, so a self-join on label = node
+        # jumps every pointer one extra hop — O(log diameter) rounds
+        # instead of O(diameter) for chain-shaped components.
+        ptr = merged.map_batches(as_ptr, batch_format="pyarrow",
+                                 batch_size=None)
+        labels = hash_join(merged, ptr, on=["label"],
+                           num_buckets=num_buckets,
+                           left_schema=label_schema,
+                           right_schema=ptr_schema).map_batches(
+            jump_out, batch_format="pyarrow",
+            batch_size=None).repartition(num_buckets).materialize()
+        s = labels.sum("label")
+        if s == prev:
+            break
+        prev = s
+    else:
+        raise RuntimeError(
+            f"cluster_pairs_distributed did not converge in "
+            f"{max_rounds} rounds")
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("node"), b.column("label")],
+            schema=pa.schema([("id", pa.int64()),
+                              ("cluster", pa.int64())]))
+
+    return labels.map_batches(out, batch_format="pyarrow",
+                              batch_size=None)
 
 
 # ------------------------------------------------------------ SimHash
@@ -302,8 +434,9 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str,
     pairs = exploded.groupby(["band", "key"]).map_groups(
         lambda g: _hamming_pairs(g, id_col, max_distance),
         batch_format="pandas")
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    from ray.data.aggregate import Min
+    return pairs.groupby(["a", "b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 # ------------------------------------------------- exact n-gram Jaccard
@@ -422,8 +555,9 @@ def embedding_duplicate_pairs(ds, vec_col: str, id_col: str, dim: int,
     pairs = exploded.groupby("key").map_groups(
         lambda g: _cosine_pairs(g, id_col, threshold),
         batch_format="pandas")
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    from ray.data.aggregate import Min
+    return pairs.groupby(["a", "b"]).aggregate(
+        Min("cosine", alias_name="cosine"))
 
 
 def embedding_duplicate_pairs_exact(ds, vec_col: str, id_col: str,

@@ -189,3 +189,78 @@ def test_ivf_topk_recall(ray_session):
         e = set(exact[exact["query_id"] == qi]["vec_id"])
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         assert len(e & a) / len(e) >= 0.5  # recall@10 with 4/8 probes
+
+
+# --------------------------------------- distributed connected comps
+
+def _cc_cases():
+    return [
+        # chain 0-1-2-3-4 plus clique {10,11,12} plus pair (20,21)
+        pd.DataFrame({"a": [0, 1, 2, 3, 10, 10, 11, 20],
+                      "b": [1, 2, 3, 4, 11, 12, 12, 21]}),
+        # long chain (diameter 40): exercises multi-round convergence
+        pd.DataFrame({"a": list(range(100, 140)),
+                      "b": list(range(101, 141))}),
+        # two components merging through a bridge node
+        pd.DataFrame({"a": [1, 2, 50, 51, 2],
+                      "b": [2, 3, 51, 52, 50]}),
+    ]
+
+
+def _want_cc(edges: pd.DataFrame) -> dict:
+    # reference union-find
+    parent = {}
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(edges["a"], edges["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize("case", range(3))
+def test_cluster_pairs_driver_matches_union_find(ray_session, case):
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import cluster_pairs
+
+    edges = _cc_cases()[case]
+    got = cluster_pairs(rd.from_pandas(edges)).to_pandas()
+    want = _want_cc(edges)
+    assert dict(zip(got["id"], got["cluster"])) == want
+
+
+@pytest.mark.parametrize("case", range(3))
+def test_cluster_pairs_distributed_matches_union_find(ray_session, case):
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import cluster_pairs_distributed
+
+    edges = _cc_cases()[case]
+    got = cluster_pairs_distributed(
+        rd.from_pandas(edges), num_buckets=4).to_pandas()
+    want = _want_cc(edges)
+    assert dict(zip(got["id"], got["cluster"])) == want
+
+
+def test_cluster_pairs_distributed_on_minhash_pairs(ray_session):
+    """End-to-end: LSH pairs -> distributed CC == driver CC."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import (cluster_pairs,
+                                       cluster_pairs_distributed,
+                                       minhash_duplicate_pairs)
+
+    ds = _docs_with_near_dups(ray_session)
+    pairs = minhash_duplicate_pairs(ds, "text", "doc_id",
+                                    threshold=0.7).materialize()
+    a = cluster_pairs(pairs).to_pandas().sort_values("id")
+    b = cluster_pairs_distributed(pairs, num_buckets=4).to_pandas()
+    b = b.sort_values("id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True),
+                                  check_dtype=False)
