@@ -443,51 +443,93 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str,
 
 def verify_jaccard(ds, pairs_ds, text_col: str, id_col: str,
                    shingle_k: int = 3, word: bool = True,
-                   threshold: float = 0.0):
-    """Exact n-gram Jaccard for candidate pairs: broadcast the (small)
-    candidate id set, stream the corpus once to collect those docs'
-    shingle sets, then score pairs driver-side. Output
-    (a, b, jaccard)."""
+                   threshold: float = 0.0, num_buckets: int = 32):
+    """Exact n-gram Jaccard for candidate pairs, computed DISTRIBUTED.
+
+    The candidate PAIR LIST (small by LSH construction — the whole
+    point of the recall stage is that candidates << corpus) is
+    broadcast once via ``ray.put``. One streaming pass over the corpus
+    computes each candidate doc's shingle-hash set and emits it once
+    per incident pair, keyed by a pair-hash bucket; a single groupby
+    co-locates both sides of every pair and scores them inside the
+    bucket task. The driver materializes ONLY the pair list — never
+    documents or shingle sets. Output (a, b, jaccard).
+    """
     import ray
     import ray.data as rd
 
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("jaccard", pa.float64())])
     pairs = pairs_ds.to_pandas()
     if pairs.empty:
-        return rd.from_pandas(
-            pd.DataFrame({"a": [], "b": [], "jaccard": []}))
-    wanted = set(pairs["a"]) | set(pairs["b"])
-    wanted_ref = ray.put(np.sort(np.fromiter(wanted, dtype=np.int64)))
+        # (an empty Ray dataset may surface with no columns at all)
+        return rd.from_arrow(out_schema.empty_table())
+    pairs = pairs[["a", "b"]]
+    a = pairs["a"].to_numpy(dtype=np.int64)
+    b = pairs["b"].to_numpy(dtype=np.int64)
+    # incidence: one row per (doc, pair), sorted by doc for binary
+    # search inside the map tasks
+    inc_doc = np.concatenate([a, b])
+    inc_a = np.concatenate([a, a])
+    inc_b = np.concatenate([b, b])
+    order = np.argsort(inc_doc, kind="stable")
+    inc_ref = ray.put((inc_doc[order], inc_a[order], inc_b[order]))
 
     def collect(batch: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        pos = np.clip(np.searchsorted(w, ids), 0, len(w) - 1)
-        mask = w[pos] == ids
-        sel = batch.filter(pa.array(mask))
-        out_ids = sel.column(id_col).to_pylist()
-        texts = sel.column(text_col).to_pylist()
-        sets = [ _shingle_hashes(t or "", shingle_k, word).tobytes()
-                 for t in texts ]
-        return pa.table({id_col: pa.array(out_ids, pa.int64()),
-                         "shingles": pa.array(sets, pa.binary())})
+        docs_sorted, pair_a, pair_b = ray.get(inc_ref)
+        ids = batch.column(id_col).to_pandas().to_numpy(dtype=np.int64)
+        lo = np.searchsorted(docs_sorted, ids, side="left")
+        hi = np.searchsorted(docs_sorted, ids, side="right")
+        texts = None
+        out_a, out_b, out_d, out_sh = [], [], [], []
+        for i in np.nonzero(hi > lo)[0]:
+            if texts is None:
+                texts = batch.column(text_col).to_pylist()
+            sh = _shingle_hashes(texts[i] or "", shingle_k,
+                                 word).tobytes()
+            for j in range(lo[i], hi[i]):
+                out_a.append(int(pair_a[j]))
+                out_b.append(int(pair_b[j]))
+                out_d.append(int(ids[i]))
+                out_sh.append(sh)
+        pk = (hash64(np.array(out_a, dtype=object))
+              ^ hash64(np.array(out_b, dtype=object))
+              ) % np.uint64(num_buckets) if out_a else np.array(
+            [], dtype=np.uint64)
+        return pa.table({
+            "pk": pa.array(np.asarray(pk, dtype=np.int64)),
+            "a": pa.array(out_a, pa.int64()),
+            "b": pa.array(out_b, pa.int64()),
+            "d": pa.array(out_d, pa.int64()),
+            "sh": pa.array(out_sh, pa.binary()),
+        })
 
-    docs = ds.map_batches(collect, batch_format="pyarrow",
-                          batch_size=None).to_pandas()
-    sh = {i: np.frombuffer(b, dtype=np.uint64)
-          for i, b in zip(docs[id_col], docs["shingles"])}
-    out = {"a": [], "b": [], "jaccard": []}
-    for a, b in zip(pairs["a"], pairs["b"]):
-        sa, sb = sh.get(a), sh.get(b)
-        if sa is None or sb is None:
-            continue
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        j = inter / union if union else 1.0
-        if j >= threshold:
-            out["a"].append(a)
-            out["b"].append(b)
-            out["jaccard"].append(j)
-    return rd.from_pandas(pd.DataFrame(out))
+    exploded = ds.map_batches(collect, batch_format="pyarrow",
+                              batch_size=None)
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"a": [], "b": [], "jaccard": []}
+        for (pa_, pb_), sub in g.groupby(["a", "b"], sort=False):
+            sub = sub.drop_duplicates("d")
+            if len(sub) < 2:
+                continue          # a side is missing from the corpus
+            sa = np.frombuffer(sub["sh"].iloc[0], dtype=np.uint64)
+            sb = np.frombuffer(sub["sh"].iloc[1], dtype=np.uint64)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                out["a"].append(int(pa_))
+                out["b"].append(int(pb_))
+                out["jaccard"].append(j)
+        return pd.DataFrame({
+            "a": pd.Series(out["a"], dtype="int64"),
+            "b": pd.Series(out["b"], dtype="int64"),
+            "jaccard": pd.Series(out["jaccard"], dtype="float64"),
+        })
+
+    return exploded.groupby("pk").map_groups(score_bucket,
+                                             batch_format="pandas")
 
 
 # ------------------------------------------- embedding cosine near-dup

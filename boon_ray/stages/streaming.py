@@ -9,16 +9,24 @@ operators, tier (c)):
 
 - one ``SessionActor`` per key-hash bucket holds the open sessions for
   its keys;
-- the driver streams a ts-sorted Dataset with ``iter_batches`` and
-  feeds each actor its bucket's slice (actor tasks from one submitter
-  execute in submission order — the per-bucket ordering guarantee);
+- events are bucketed by key hash with ``map_batches`` and each
+  bucket's rows are delivered by its ``map_groups`` TASK: the task
+  sorts its bucket by ts and feeds the bucket's actor in ordered
+  chunked slices (actor tasks from one submitter execute in
+  submission order — the per-bucket ordering guarantee). The DRIVER
+  never touches event rows and there is no global sort — only the
+  session results flow back at the end;
 - closed sessions are emitted incrementally; ``flush`` drains what is
   still open at end-of-stream.
 
 Ordering assumption (stated per the guide): events must arrive
-ts-sorted per key; achieved here with ``ds.sort(ts)``. On a real
-cluster the sort is the event-time ordering the log's producer
-usually provides per partition.
+ts-sorted per key; provided here by the per-bucket in-task sort. On a
+real cluster this is the event-time ordering a log's producer usually
+provides per partition.
+
+Scale shape: a bucket is the unit of parallelism AND of in-task sort
+memory — size ``num_buckets`` so one bucket's events fit a task
+(same contract as windows.session_window_agg's per-key groups).
 """
 
 from __future__ import annotations
@@ -43,20 +51,47 @@ def _session_actor_cls():
             self.closed: list = []
 
         def feed(self, keys, ts_us, values) -> int:
-            """Consume one ts-ordered slice; returns sessions closed."""
+            """Consume one ts-ordered slice; returns sessions closed.
+
+            Vectorized: the slice is stably re-sorted by key (keeping
+            ts order within key), session boundaries are found with
+            array ops, and Python only loops over SEGMENTS (contiguous
+            same-session runs), not rows.
+            """
+            n_rows = len(keys)
+            if n_rows == 0:
+                return 0
+            k = np.asarray(keys)
+            t = np.asarray(ts_us, dtype=np.int64)
+            v = np.asarray(values)   # keep native dtype (int sums
+            #                          stay exact ints)
+            order = np.argsort(k, kind="stable")
+            k, t, v = k[order], t[order], v[order]
+            newkey = np.empty(n_rows, dtype=bool)
+            newkey[0] = True
+            newkey[1:] = k[1:] != k[:-1]
+            gap = np.empty(n_rows, dtype=bool)
+            gap[0] = True
+            gap[1:] = (t[1:] - t[:-1]) > self.gap_us
+            starts = np.flatnonzero(newkey | gap)
+            ends = np.r_[starts[1:], n_rows] - 1
+            seg_n = np.diff(np.r_[starts, n_rows])
+            seg_sum = np.add.reduceat(v, starts)
             n_closed = 0
-            for k, t, v in zip(keys, ts_us, values):
-                s = self.open.get(k)
-                if s is None:
-                    self.open[k] = [t, t, 1, v]
-                elif t - s[1] > self.gap_us:
-                    self.closed.append((k, *s))
-                    n_closed += 1
-                    self.open[k] = [t, t, 1, v]
+            for s in range(len(starts)):
+                key = k[starts[s]]
+                st, en = int(t[starts[s]]), int(t[ends[s]])
+                cnt, sm = int(seg_n[s]), seg_sum[s].item()
+                cur = self.open.get(key)
+                if cur is not None and st - cur[1] <= self.gap_us:
+                    cur[1] = en
+                    cur[2] += cnt
+                    cur[3] += sm
                 else:
-                    s[1] = t
-                    s[2] += 1
-                    s[3] += v
+                    if cur is not None:
+                        self.closed.append((key, *cur))
+                        n_closed += 1
+                    self.open[key] = [st, en, cnt, sm]
             return n_closed
 
         def drain_closed(self) -> list:
@@ -75,13 +110,14 @@ def _session_actor_cls():
 
 def streaming_sessionize(ds, ts_col: str, key_col: str, value_col: str,
                          gap_s: int = 1800, num_buckets: int = 8,
-                         batch_size: int = 8192) -> pa.Table:
+                         chunk_rows: int = 8192) -> pa.Table:
     """Sessionize an event log with incremental per-bucket actor state.
 
     Returns (key, session_start, session_end, n_events, sum_value) —
     semantically identical to windows.session_window_agg, but state
-    lives in long-lived actors fed a stream, the shape a continuous
-    ingestion pipeline needs.
+    lives in long-lived actors fed an ordered stream of slices, the
+    shape a continuous ingestion pipeline needs. Feeding happens in
+    the per-bucket map_groups TASKS, not on the driver.
     """
     import ray
 
@@ -89,28 +125,45 @@ def streaming_sessionize(ds, ts_col: str, key_col: str, value_col: str,
     SessionActor = _session_actor_cls()
     actors = [SessionActor.remote(gap_us) for _ in range(num_buckets)]
 
-    ordered = ds.sort(ts_col)
-    pending = []
-    for batch in ordered.iter_batches(batch_size=batch_size,
-                                      batch_format="pyarrow"):
-        keys = np.asarray(batch.column(key_col).to_pylist())
-        ts_us = pa.compute.cast(batch.column(ts_col),
-                                pa.int64()).to_numpy()
-        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
-        buckets = (hash64(keys.astype(object))
-                   % np.uint64(num_buckets)).astype(np.int64)
-        for b in range(num_buckets):
-            m = buckets == b
-            if m.any():
-                pending.append(actors[b].feed.remote(
-                    keys[m].tolist(), ts_us[m].tolist(),
-                    vals[m].tolist()))
-        # backpressure: don't let the actor mailboxes grow unbounded
-        if len(pending) > 4 * num_buckets:
-            done, pending = ray.wait(pending,
-                                     num_returns=len(pending) // 2)
-            ray.get(done)
-    ray.get(pending)
+    def add_bucket(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_pandas().to_numpy(dtype=object)
+        bucket = (hash64(keys) % np.uint64(num_buckets)).astype(np.int64)
+        return b.append_column("_bucket", pa.array(bucket))
+
+    def feed_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One task per bucket: ts-sort the bucket, stream ordered
+        chunked slices into its actor (ordered by actor-mailbox
+        submission order), wait for delivery."""
+        bucket = int(g["_bucket"].iloc[0])
+        g = g.sort_values(ts_col, kind="mergesort")
+        keys = g[key_col].to_numpy()
+        ts_us = g[ts_col].to_numpy(dtype=np.int64)
+        vals = g[value_col].to_numpy()
+        actor = actors[bucket]
+        pending = []
+        for i in range(0, len(g), chunk_rows):
+            pending.append(actor.feed.remote(
+                keys[i:i + chunk_rows], ts_us[i:i + chunk_rows],
+                vals[i:i + chunk_rows]))
+        ray.get(pending)          # delivered before the task finishes
+        return pd.DataFrame({"_bucket": pd.Series([bucket],
+                                                  dtype="int64"),
+                             "n_rows": pd.Series([len(g)],
+                                                 dtype="int64")})
+
+    def to_us(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = {name: b.column(name) for name in b.column_names}
+        cols[ts_col] = pc.cast(b.column(ts_col), pa.int64())
+        return pa.table(cols)
+
+    fed = (ds.map_batches(to_us, batch_format="pyarrow",
+                          batch_size=None)
+           .map_batches(add_bucket, batch_format="pyarrow",
+                        batch_size=None)
+           .groupby("_bucket")
+           .map_groups(feed_bucket, batch_format="pandas"))
+    fed.materialize()             # drive the feed to completion
 
     rows = []
     for a in actors:

@@ -264,3 +264,49 @@ def test_cluster_pairs_distributed_on_minhash_pairs(ray_session):
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_verify_jaccard_distributed_matches_direct(ray_session):
+    """Distributed pair scoring == direct per-pair computation, incl.
+    pairs referencing a missing doc id (skipped)."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import _shingle_hashes, verify_jaccard
+
+    ds = _docs_with_near_dups(ray_session)
+    docs = ds.to_pandas().set_index("doc_id")["text"].to_dict()
+    ids = sorted(docs)
+    cand = pd.DataFrame({
+        "a": [ids[0], ids[1], 3, 3, 777777],
+        "b": [ids[5], ids[6], 9001, 9002, 3],  # 777777 missing
+    })
+    got = verify_jaccard(ds, rd.from_pandas(cand), "text",
+                         "doc_id").to_pandas()
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    want = []
+    for a, b in zip(cand["a"], cand["b"]):
+        if a not in docs or b not in docs:
+            continue
+        sa = _shingle_hashes(docs[a], 3, True)
+        sb = _shingle_hashes(docs[b], 3, True)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        want.append((a, b, inter / union if union else 1.0))
+    want = pd.DataFrame(want, columns=["a", "b", "jaccard"])
+    want = want.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_verify_jaccard_empty_pairs(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import verify_jaccard
+
+    ds = _docs_with_near_dups(ray_session)
+    empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64())}))
+    out = verify_jaccard(ds, empty, "text", "doc_id")
+    # Ray's to_pandas() drops columns of a 0-row dataset; the Dataset
+    # schema is the contract
+    assert out.schema().names == ["a", "b", "jaccard"]
+    assert out.count() == 0

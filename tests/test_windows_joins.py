@@ -495,3 +495,27 @@ def test_range_join_left_mode_schema(ray_session):
     assert len(got) == 3
     assert got.loc[0, "lo"] == 0
     assert got["lo"].isna().sum() == 2
+
+
+def test_streaming_sessionize_tiny_chunks(ray_session):
+    """Sessions spanning many feed slices must merge across chunk
+    boundaries (chunk_rows=16 forces hundreds of slices)."""
+    import ray.data as rd
+
+    from boon_ray.stages.streaming import streaming_sessionize
+    from boon_ray.stages.windows import session_window_agg
+
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "user_id", "value"])
+    got = streaming_sessionize(ds, "ts", "user_id", "value",
+                               gap_s=1800, num_buckets=3,
+                               chunk_rows=16).to_pandas()
+    want = session_window_agg(
+        rd.read_parquet(f"{SF}/events.parquet",
+                        columns=["ts", "user_id", "value"]),
+        "ts", "user_id", "value", gap_s=1800).to_pandas()
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    got = got.sort_values(cols).reset_index(drop=True)
+    want = want.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False)
