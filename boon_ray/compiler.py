@@ -353,6 +353,13 @@ class Compiler:
                                     f"required by metaschema {su!r}")
                             vocabs.add(name)
                         root.vocabs = vocabs
+        # validate the schema DOCUMENT itself against its draft's
+        # metaschema using this very engine (roots.rs:86-94 ->
+        # draft.rs:177-189); documents hosted at json-schema.org (the
+        # metaschemas) are exempt, which also terminates the recursion
+        if urllib.parse.urlparse(url).netloc != "json-schema.org":
+            from boon_ray import metaschemas
+            metaschemas.validate_schema_doc(url, doc, dr)
         self.roots[url] = root
         return root
 

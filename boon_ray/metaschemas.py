@@ -1,0 +1,416 @@
+"""Standard JSON Schema draft metaschemas + self-validation registry.
+
+The reference validates every schema document against its draft's
+metaschema before compiling it (roots.rs:70-102 ``create_root`` ->
+draft.rs:177-189 ``Draft::validate``), skipping only documents hosted
+at json-schema.org (the metaschemas themselves). This module gives the
+engine the same behavior USING ITSELF: the metaschema documents below
+are compiled once (lazily, per draft) into ordinary
+``CompiledSpec``/``Evaluator`` pairs, and ``validate_schema_doc`` runs
+a root document through the evaluator, raising the reference-shaped
+``CompileError`` ("<url> is not valid against metaschema: ...").
+
+The documents are reconstructions of the PUBLISHED json-schema.org
+specification metaschemas (public spec artifacts, written here as
+Python literals; drafts 2019-09/2020-12 are consolidated into one
+document each — the official vocabulary-split files allOf-composed —
+with identical validation semantics against the standard dialect).
+"""
+
+from __future__ import annotations
+
+from boon_ray.draft import (
+    DRAFT4, DRAFT6, DRAFT7, DRAFT2019, DRAFT2020, META_URLS,
+)
+
+_SIMPLE_TYPES = ["array", "boolean", "integer", "null", "number",
+                 "object", "string"]
+
+_TYPE_KW = {
+    "anyOf": [
+        {"enum": _SIMPLE_TYPES},
+        {"type": "array", "items": {"enum": _SIMPLE_TYPES},
+         "minItems": 1, "uniqueItems": True},
+    ]
+}
+
+DRAFT4_META = {
+    "id": "http://json-schema.org/draft-04/schema#",
+    "$schema": "http://json-schema.org/draft-04/schema#",
+    "description": "Core schema meta-schema",
+    "definitions": {
+        "schemaArray": {"type": "array", "minItems": 1,
+                        "items": {"$ref": "#"}},
+        "positiveInteger": {"type": "integer", "minimum": 0},
+        "positiveIntegerDefault0": {
+            "allOf": [{"$ref": "#/definitions/positiveInteger"},
+                      {"default": 0}]},
+        "simpleTypes": {"enum": _SIMPLE_TYPES},
+        "stringArray": {"type": "array", "items": {"type": "string"},
+                        "minItems": 1, "uniqueItems": True},
+    },
+    "type": "object",
+    "properties": {
+        "id": {"type": "string"},
+        "$schema": {"type": "string"},
+        "title": {"type": "string"},
+        "description": {"type": "string"},
+        "default": {},
+        "multipleOf": {"type": "number", "minimum": 0,
+                       "exclusiveMinimum": True},
+        "maximum": {"type": "number"},
+        "exclusiveMaximum": {"type": "boolean", "default": False},
+        "minimum": {"type": "number"},
+        "exclusiveMinimum": {"type": "boolean", "default": False},
+        "maxLength": {"$ref": "#/definitions/positiveInteger"},
+        "minLength": {"$ref": "#/definitions/positiveIntegerDefault0"},
+        "pattern": {"type": "string", "format": "regex"},
+        "additionalItems": {
+            "anyOf": [{"type": "boolean"}, {"$ref": "#"}],
+            "default": {}},
+        "items": {
+            "anyOf": [{"$ref": "#"},
+                      {"$ref": "#/definitions/schemaArray"}],
+            "default": {}},
+        "maxItems": {"$ref": "#/definitions/positiveInteger"},
+        "minItems": {"$ref": "#/definitions/positiveIntegerDefault0"},
+        "uniqueItems": {"type": "boolean", "default": False},
+        "maxProperties": {"$ref": "#/definitions/positiveInteger"},
+        "minProperties": {"$ref": "#/definitions/positiveIntegerDefault0"},
+        "required": {"$ref": "#/definitions/stringArray"},
+        "additionalProperties": {
+            "anyOf": [{"type": "boolean"}, {"$ref": "#"}],
+            "default": {}},
+        "definitions": {"type": "object",
+                        "additionalProperties": {"$ref": "#"},
+                        "default": {}},
+        "properties": {"type": "object",
+                       "additionalProperties": {"$ref": "#"},
+                       "default": {}},
+        "patternProperties": {"type": "object",
+                              "additionalProperties": {"$ref": "#"},
+                              "default": {}},
+        "dependencies": {
+            "type": "object",
+            "additionalProperties": {
+                "anyOf": [{"$ref": "#"},
+                          {"$ref": "#/definitions/stringArray"}]}},
+        "enum": {"type": "array", "minItems": 1, "uniqueItems": True},
+        "type": {
+            "anyOf": [
+                {"$ref": "#/definitions/simpleTypes"},
+                {"type": "array",
+                 "items": {"$ref": "#/definitions/simpleTypes"},
+                 "minItems": 1, "uniqueItems": True}]},
+        "format": {"type": "string"},
+        "allOf": {"$ref": "#/definitions/schemaArray"},
+        "anyOf": {"$ref": "#/definitions/schemaArray"},
+        "oneOf": {"$ref": "#/definitions/schemaArray"},
+        "not": {"$ref": "#"},
+    },
+    "dependencies": {"exclusiveMaximum": ["maximum"],
+                     "exclusiveMinimum": ["minimum"]},
+    "default": {},
+}
+
+
+def _draft67_meta(draft: int) -> dict:
+    """Drafts 6 and 7 share a shape; 7 adds if/then/else, readOnly/
+    writeOnly, contentMediaType/contentEncoding, $comment."""
+    meta: dict = {
+        "$schema": META_URLS[draft] + "#",
+        "$id": META_URLS[draft] + "#",
+        "title": "Core schema meta-schema",
+        "definitions": {
+            "schemaArray": {"type": "array", "minItems": 1,
+                            "items": {"$ref": "#"}},
+            "nonNegativeInteger": {"type": "integer", "minimum": 0},
+            "nonNegativeIntegerDefault0": {
+                "allOf": [{"$ref": "#/definitions/nonNegativeInteger"},
+                          {"default": 0}]},
+            "simpleTypes": {"enum": _SIMPLE_TYPES},
+            "stringArray": {"type": "array",
+                            "items": {"type": "string"},
+                            "uniqueItems": True, "default": []},
+        },
+        "type": ["object", "boolean"],
+        "properties": {
+            "$id": {"type": "string", "format": "uri-reference"},
+            "$schema": {"type": "string", "format": "uri"},
+            "$ref": {"type": "string", "format": "uri-reference"},
+            "title": {"type": "string"},
+            "description": {"type": "string"},
+            "default": True,
+            "examples": {"type": "array", "items": True},
+            "multipleOf": {"type": "number", "exclusiveMinimum": 0},
+            "maximum": {"type": "number"},
+            "exclusiveMaximum": {"type": "number"},
+            "minimum": {"type": "number"},
+            "exclusiveMinimum": {"type": "number"},
+            "maxLength": {"$ref": "#/definitions/nonNegativeInteger"},
+            "minLength": {
+                "$ref": "#/definitions/nonNegativeIntegerDefault0"},
+            "pattern": {"type": "string", "format": "regex"},
+            "additionalItems": {"$ref": "#"},
+            "items": {
+                "anyOf": [{"$ref": "#"},
+                          {"$ref": "#/definitions/schemaArray"}],
+                "default": True},
+            "maxItems": {"$ref": "#/definitions/nonNegativeInteger"},
+            "minItems": {
+                "$ref": "#/definitions/nonNegativeIntegerDefault0"},
+            "uniqueItems": {"type": "boolean", "default": False},
+            "contains": {"$ref": "#"},
+            "maxProperties": {"$ref": "#/definitions/nonNegativeInteger"},
+            "minProperties": {
+                "$ref": "#/definitions/nonNegativeIntegerDefault0"},
+            "required": {"$ref": "#/definitions/stringArray"},
+            "additionalProperties": {"$ref": "#"},
+            "definitions": {"type": "object",
+                            "additionalProperties": {"$ref": "#"},
+                            "default": {}},
+            "properties": {"type": "object",
+                           "additionalProperties": {"$ref": "#"},
+                           "default": {}},
+            "patternProperties": {
+                "type": "object",
+                "additionalProperties": {"$ref": "#"},
+                "propertyNames": {"format": "regex"},
+                "default": {}},
+            "dependencies": {
+                "type": "object",
+                "additionalProperties": {
+                    "anyOf": [{"$ref": "#"},
+                              {"$ref": "#/definitions/stringArray"}]}},
+            "propertyNames": {"$ref": "#"},
+            "const": True,
+            "enum": {"type": "array", "items": True},
+            "type": {
+                "anyOf": [
+                    {"$ref": "#/definitions/simpleTypes"},
+                    {"type": "array",
+                     "items": {"$ref": "#/definitions/simpleTypes"},
+                     "minItems": 1, "uniqueItems": True}]},
+            "format": {"type": "string"},
+            "allOf": {"$ref": "#/definitions/schemaArray"},
+            "anyOf": {"$ref": "#/definitions/schemaArray"},
+            "oneOf": {"$ref": "#/definitions/schemaArray"},
+            "not": {"$ref": "#"},
+        },
+        "default": True,
+    }
+    if draft >= DRAFT7:
+        meta["properties"].update({
+            "$comment": {"type": "string"},
+            "readOnly": {"type": "boolean", "default": False},
+            "writeOnly": {"type": "boolean", "default": False},
+            "contentMediaType": {"type": "string"},
+            "contentEncoding": {"type": "string"},
+            "if": {"$ref": "#"},
+            "then": {"$ref": "#"},
+            "else": {"$ref": "#"},
+        })
+    return meta
+
+
+def _modern_meta(draft: int) -> dict:
+    """2019-09 / 2020-12 standard dialects, consolidated: the official
+    split-by-vocabulary files are allOf-composed into the dialect
+    metaschema; this single document enforces the same constraints."""
+    anchor_2019 = "^[A-Za-z][-A-Za-z0-9.:_]*$"
+    anchor_2020 = "^[A-Za-z_][-A-Za-z0-9._]*$"
+    meta: dict = {
+        "$schema": META_URLS[draft],
+        "$id": META_URLS[draft],
+        "title": "Core and Validation specifications meta-schema",
+        "$defs": {
+            "schemaArray": {"type": "array", "minItems": 1,
+                            "items": {"$ref": "#"}},
+            "nonNegativeInteger": {"type": "integer", "minimum": 0},
+            "nonNegativeIntegerDefault0": {
+                "$ref": "#/$defs/nonNegativeInteger", "default": 0},
+            "simpleTypes": {"enum": _SIMPLE_TYPES},
+            "stringArray": {"type": "array",
+                            "items": {"type": "string"},
+                            "uniqueItems": True, "default": []},
+            "anchorString": {
+                "type": "string",
+                "pattern": (anchor_2019 if draft == DRAFT2019
+                            else anchor_2020)},
+            "uriString": {"type": "string", "format": "uri"},
+            "uriReferenceString": {"type": "string",
+                                   "format": "uri-reference"},
+        },
+        "type": ["object", "boolean"],
+        "properties": {
+            # --- core
+            "$id": {"$ref": "#/$defs/uriReferenceString",
+                    "$comment": "Non-empty fragments not allowed.",
+                    "pattern": "^[^#]*#?$"},
+            "$schema": {"$ref": "#/$defs/uriString"},
+            "$ref": {"$ref": "#/$defs/uriReferenceString"},
+            "$anchor": {"$ref": "#/$defs/anchorString"},
+            "$vocabulary": {
+                "type": "object",
+                "propertyNames": {"$ref": "#/$defs/uriString"},
+                "additionalProperties": {"type": "boolean"}},
+            "$comment": {"type": "string"},
+            "$defs": {"type": "object",
+                      "additionalProperties": {"$ref": "#"}},
+            # --- applicator
+            "allOf": {"$ref": "#/$defs/schemaArray"},
+            "anyOf": {"$ref": "#/$defs/schemaArray"},
+            "oneOf": {"$ref": "#/$defs/schemaArray"},
+            "not": {"$ref": "#"},
+            "if": {"$ref": "#"},
+            "then": {"$ref": "#"},
+            "else": {"$ref": "#"},
+            "dependentSchemas": {
+                "type": "object",
+                "additionalProperties": {"$ref": "#"},
+                "default": {}},
+            "contains": {"$ref": "#"},
+            "properties": {"type": "object",
+                           "additionalProperties": {"$ref": "#"},
+                           "default": {}},
+            "patternProperties": {
+                "type": "object",
+                "additionalProperties": {"$ref": "#"},
+                "propertyNames": {"format": "regex"},
+                "default": {}},
+            "additionalProperties": {"$ref": "#"},
+            "propertyNames": {"$ref": "#"},
+            "unevaluatedItems": {"$ref": "#"},
+            "unevaluatedProperties": {"$ref": "#"},
+            # --- validation
+            "multipleOf": {"type": "number", "exclusiveMinimum": 0},
+            "maximum": {"type": "number"},
+            "exclusiveMaximum": {"type": "number"},
+            "minimum": {"type": "number"},
+            "exclusiveMinimum": {"type": "number"},
+            "maxLength": {"$ref": "#/$defs/nonNegativeInteger"},
+            "minLength": {"$ref": "#/$defs/nonNegativeIntegerDefault0"},
+            "pattern": {"type": "string", "format": "regex"},
+            "maxItems": {"$ref": "#/$defs/nonNegativeInteger"},
+            "minItems": {"$ref": "#/$defs/nonNegativeIntegerDefault0"},
+            "uniqueItems": {"type": "boolean", "default": False},
+            "maxContains": {"$ref": "#/$defs/nonNegativeInteger"},
+            "minContains": {"$ref": "#/$defs/nonNegativeInteger",
+                            "default": 1},
+            "maxProperties": {"$ref": "#/$defs/nonNegativeInteger"},
+            "minProperties": {
+                "$ref": "#/$defs/nonNegativeIntegerDefault0"},
+            "required": {"$ref": "#/$defs/stringArray"},
+            "dependentRequired": {
+                "type": "object",
+                "additionalProperties": {"$ref": "#/$defs/stringArray"}},
+            "const": True,
+            "enum": {"type": "array", "items": True},
+            "type": {
+                "anyOf": [
+                    {"$ref": "#/$defs/simpleTypes"},
+                    {"type": "array",
+                     "items": {"$ref": "#/$defs/simpleTypes"},
+                     "minItems": 1, "uniqueItems": True}]},
+            # --- meta-data
+            "title": {"type": "string"},
+            "description": {"type": "string"},
+            "default": True,
+            "deprecated": {"type": "boolean", "default": False},
+            "readOnly": {"type": "boolean", "default": False},
+            "writeOnly": {"type": "boolean", "default": False},
+            "examples": {"type": "array", "items": True},
+            # --- format / content
+            "format": {"type": "string"},
+            "contentMediaType": {"type": "string"},
+            "contentEncoding": {"type": "string"},
+            "contentSchema": {"$ref": "#"},
+        },
+        "default": True,
+    }
+    if draft == DRAFT2019:
+        meta["properties"].update({
+            "$recursiveRef": {"$ref": "#/$defs/uriReferenceString"},
+            "$recursiveAnchor": {"type": "boolean", "default": False},
+            "additionalItems": {"$ref": "#"},
+            "items": {
+                "anyOf": [{"$ref": "#"},
+                          {"$ref": "#/$defs/schemaArray"}]},
+            "definitions": {
+                "$comment": "Renamed to $defs; kept for compatibility",
+                "type": "object",
+                "additionalProperties": {"$ref": "#"},
+                "default": {}},
+            "dependencies": {
+                "$comment": ("Split into dependentSchemas/"
+                             "dependentRequired; kept for "
+                             "compatibility"),
+                "type": "object",
+                "additionalProperties": {
+                    "anyOf": [{"$ref": "#"},
+                              {"$ref": "#/$defs/stringArray"}]}},
+        })
+    else:  # 2020-12
+        meta["properties"].update({
+            "$dynamicRef": {"$ref": "#/$defs/uriReferenceString"},
+            "$dynamicAnchor": {"$ref": "#/$defs/anchorString"},
+            "prefixItems": {"$ref": "#/$defs/schemaArray"},
+            "items": {"$ref": "#"},
+            "definitions": {
+                "$comment": "Renamed to $defs; kept for compatibility",
+                "type": "object",
+                "additionalProperties": {"$ref": "#"},
+                "default": {}},
+            "dependencies": {
+                "$comment": ("Split into dependentSchemas/"
+                             "dependentRequired; kept for "
+                             "compatibility"),
+                "type": "object",
+                "additionalProperties": {
+                    "anyOf": [{"$ref": "#"},
+                              {"$ref": "#/$defs/stringArray"}]}},
+        })
+    return meta
+
+
+def meta_doc(draft: int) -> dict:
+    if draft == DRAFT4:
+        return DRAFT4_META
+    if draft in (DRAFT6, DRAFT7):
+        return _draft67_meta(draft)
+    return _modern_meta(draft)
+
+
+_EVALUATORS: dict = {}
+
+
+def _metaschema_evaluator(draft: int):
+    ev = _EVALUATORS.get(draft)
+    if ev is None:
+        # local imports: compiler imports this module
+        from boon_ray.compiler import Compiler
+        from boon_ray.evaluator import Evaluator
+
+        url = META_URLS[draft]
+        c = Compiler(default_draft=draft)
+        c.add_resource(url, meta_doc(draft))
+        spec = c.compile(url)
+        ev = Evaluator(spec)
+        _EVALUATORS[draft] = ev
+    return ev
+
+
+def validate_schema_doc(url: str, doc, draft: int) -> None:
+    """Validate a schema DOCUMENT against its draft's metaschema
+    (reference Draft::validate, draft.rs:177-189). Raises the
+    reference-shaped CompileError on failure. The caller is
+    responsible for the json-schema.org host exclusion
+    (roots.rs:86-94)."""
+    from boon_ray.compiler import CompileError
+
+    ev = _metaschema_evaluator(draft)
+    try:
+        ev.validate(doc)
+    except Exception as e:       # engine ValidationError
+        raise CompileError(
+            f"{url} is not valid against metaschema: {e}") from e

@@ -242,3 +242,75 @@ def test_compile_many_shared_registry():
     # common.json compiled once: exactly one node carries its loc
     locs = [n.loc for n in spec.nodes]
     assert locs.count("http://x.local/common.json#") == 1
+
+
+# ------------------------------------------- metaschema validation
+
+def test_metaschema_rejects_plausible_but_invalid():
+    """Schemas the structural keyword checks don't enumerate must
+    still be rejected by metaschema validation (roots.rs:86-94)."""
+    bad = [
+        {"type": "integerr"},                   # misspelled type
+        {"type": ["object", "object"]},         # duplicate type entry
+        {"maxLength": -1},                      # negative bound
+        {"multipleOf": 0},                      # must be > 0
+        {"allOf": []},                          # minItems 1
+        {"pattern": 12},                        # non-string pattern
+        {"required": ["a", "a"]},               # duplicate required
+        {"properties": {"x": {"enum": "abc"}}}, # nested: enum not array
+        {"$vocabulary": {"x": "yes"}},          # values must be boolean
+    ]
+    for doc in bad:
+        c = Compiler()
+        with pytest.raises(CompileError) as ei:
+            c.compile("http://t.local/bad.json", doc)
+        assert "not valid against metaschema" in str(ei.value), doc
+
+
+def test_metaschema_draft_specific():
+    # draft-4: enum must be non-empty; exclusiveMaximum is boolean
+    c = Compiler()
+    with pytest.raises(CompileError):
+        c.compile("http://t.local/a.json",
+                  {"$schema": "http://json-schema.org/draft-04/schema#",
+                   "enum": []})
+    c = Compiler()
+    with pytest.raises(CompileError):
+        c.compile("http://t.local/b.json",
+                  {"$schema": "http://json-schema.org/draft-04/schema#",
+                   "exclusiveMaximum": 3})
+    # ...but numeric exclusiveMaximum is fine from draft-6 on
+    c = Compiler()
+    c.compile("http://t.local/c.json",
+              {"$schema": "http://json-schema.org/draft-06/schema#",
+               "exclusiveMaximum": 3})
+    # 2019: $anchor must match the anchor grammar
+    c = Compiler()
+    with pytest.raises(CompileError):
+        c.compile("http://t.local/d.json",
+                  {"$schema": "https://json-schema.org/draft/2019-09/schema",
+                   "$anchor": "9bad"})
+    # 2020: $id with a non-empty fragment fails the core pattern
+    c = Compiler()
+    with pytest.raises(CompileError):
+        c.compile("http://t.local/e.json",
+                  {"$id": "http://t.local/e.json#frag",
+                   "type": "object"})
+
+
+def test_metaschema_accepts_unknown_keywords():
+    """Metaschemas are permissive about unknown keywords (additional
+    properties allowed) — extension keywords must not be rejected."""
+    c = Compiler()
+    c.compile("http://t.local/x.json",
+              {"x-extension": {"anything": [1, 2]}, "type": "object"})
+
+
+def test_metaschemas_themselves_exempt():
+    """json-schema.org-hosted documents skip self-validation (the
+    reference's host exclusion) so the registry bootstraps."""
+    from boon_ray import metaschemas
+    from boon_ray.draft import ALL_DRAFTS
+
+    for d in ALL_DRAFTS:
+        assert metaschemas._metaschema_evaluator(d) is not None
