@@ -167,6 +167,66 @@ def _bucket_pairs(g: pd.DataFrame, id_col: str,
     return pd.DataFrame({"a": rows_a, "b": rows_b, "jaccard_est": est})
 
 
+
+def _pairs_blocked(exploded, id_col: str, group_cols: tuple, inner,
+                   num_buckets: int = 128):
+    """Run per-LSH-bucket pair logic over a COARSE shuffle.
+
+    A naive ``groupby(band, key)`` makes one group per LSH bucket —
+    at corpus scale that is millions of 1-2 row groups, and the
+    per-group scheduling/pandas overhead dwarfs the pair math.
+    Instead: hash the bucket key into ``num_buckets`` coarse
+    partitions (one shuffle, bounded group count), then inside each
+    partition drop singleton buckets VECTORIZED (the overwhelming
+    majority) and only iterate the few real candidate groups."""
+
+    def add_bk(x: pd.DataFrame) -> pd.DataFrame:
+        h = hash64(x[group_cols[0]].to_numpy(dtype=object))
+        for c in group_cols[1:]:
+            h = h * np.uint64(1099511628211) ^ hash64(
+                x[c].to_numpy(dtype=object))
+        x = x.copy()
+        x["_bk"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return x
+
+    cols = list(group_cols)
+
+    def block(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(cols)[id_col].transform("size")
+        g = g[sizes >= 2]
+        if g.empty:
+            return inner(g.head(0))
+        outs = [inner(sub) for _, sub in g.groupby(cols, sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    return exploded.map_batches(
+        add_bk, batch_format="pandas", batch_size=None).groupby(
+        "_bk").map_groups(block, batch_format="pandas")
+
+
+def _dedupe_pairs(pairs_ds, value_col: str, num_buckets: int = 64):
+    """Dedupe (a, b) pairs surfaced by several LSH buckets: hash-bucket
+    by pair key, ONE shuffle, then a vectorized drop_duplicates per
+    bucket. (A per-pair grouped aggregate/map_groups is pathological
+    here: millions of two-row groups each handled in Python.)
+    ``value_col`` is identical across duplicates, so keep-first is
+    exact."""
+
+    def add_pk(x: pd.DataFrame) -> pd.DataFrame:
+        h = (hash64(x["a"].to_numpy(dtype=object))
+             ^ hash64(x["b"].to_numpy(dtype=object)))
+        x = x.copy()
+        x["_pk"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return x
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"]).drop(columns="_pk")
+
+    return pairs_ds.map_batches(add_pk, batch_format="pandas",
+                                batch_size=None).groupby(
+        "_pk").map_groups(dd, batch_format="pandas")
+
+
 def minhash_duplicate_pairs(ds, text_col: str, id_col: str,
                             threshold: float = 0.8, num_perm: int = 128,
                             bands: int = 16, shingle_k: int = 3,
@@ -185,15 +245,11 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str,
         MinHashBands(text_col, id_col, num_perm, bands, shingle_k, word,
                      include_sig=verify),
         batch_format="pyarrow", batch_size=batch_size)
-    pairs = exploded.groupby(["band", "key"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col, threshold),
-        batch_format="pandas")
-    # dedupe (a, b) found in multiple buckets: a plain grouped
-    # aggregate (est is identical across buckets), not per-pair
-    # pandas groups
-    from ray.data.aggregate import Min
-    return pairs.groupby(["a", "b"]).aggregate(
-        Min("jaccard_est", alias_name="jaccard_est"))
+    pairs = _pairs_blocked(
+        exploded, id_col, ("band", "key"),
+        lambda g: _bucket_pairs(g, id_col, threshold))
+    # dedupe (a, b) found in multiple buckets
+    return _dedupe_pairs(pairs, "jaccard_est")
 
 
 def cluster_pairs(pairs_ds, max_iter: int = 64):
@@ -431,12 +487,10 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str,
     exploded = ds.map_batches(
         SimHashBands(text_col, id_col, shingle_k),
         batch_format="pyarrow", batch_size=batch_size)
-    pairs = exploded.groupby(["band", "key"]).map_groups(
-        lambda g: _hamming_pairs(g, id_col, max_distance),
-        batch_format="pandas")
-    from ray.data.aggregate import Min
-    return pairs.groupby(["a", "b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    pairs = _pairs_blocked(
+        exploded, id_col, ("band", "key"),
+        lambda g: _hamming_pairs(g, id_col, max_distance))
+    return _dedupe_pairs(pairs, "hamming")
 
 
 # ------------------------------------------------- exact n-gram Jaccard
@@ -594,12 +648,10 @@ def embedding_duplicate_pairs(ds, vec_col: str, id_col: str, dim: int,
             "nbits": nbits, "seed": seed},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, 8))
-    pairs = exploded.groupby("key").map_groups(
-        lambda g: _cosine_pairs(g, id_col, threshold),
-        batch_format="pandas")
-    from ray.data.aggregate import Min
-    return pairs.groupby(["a", "b"]).aggregate(
-        Min("cosine", alias_name="cosine"))
+    pairs = _pairs_blocked(
+        exploded, id_col, ("key",),
+        lambda g: _cosine_pairs(g, id_col, threshold))
+    return _dedupe_pairs(pairs, "cosine")
 
 
 def embedding_duplicate_pairs_exact(ds, vec_col: str, id_col: str,
