@@ -573,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_signup": _q_asof_signup,
         # similarity search
         "ann_topk": _q_ann_topk,
+        "ivf_recall": _q_ivf_recall,
         "streaming_sessions": _q_streaming_sessions,
         "events_in_session": _q_events_in_session,
         # sort / limit / distinct / multi-hop joins
@@ -629,6 +630,41 @@ def _q_events_in_session(sf_dir: str):
     return joined.map_batches(
         lambda b: b.select(["event_id", "session_start"]),
         batch_format="pyarrow", batch_size=None)
+
+
+def _q_ivf_recall(sf_dir: str):
+    """IVF (inverted-file) approximate ANN recall@10 against the exact
+    brute-force top-10 on the same queries (approximate -> rows-only;
+    the >=0.5 recall floor is asserted in tests/test_dedup_text.py).
+    Shows the scale path for similarity search in CORRECTNESS, not
+    only in pytest."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from boon_ray.stages.similarity import ann_topk, ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    df = emb.to_pandas().sort_values("vec_id")
+    q = np.stack(df[df["vec_id"] < 3]["embedding"].to_list()).astype(
+        np.float64)
+
+    def data():
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    exact = ann_topk(data(), q, k=10).to_pandas()
+    approx = ivf_topk(data(), q, k=10, n_lists=16, nprobe=4).to_pandas()
+    rows = []
+    for qi in range(len(q)):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        rows.append((qi, len(e & a) / max(len(e), 1)))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "recall": pa.array([r[1] for r in rows], pa.float64()),
+    })
 
 
 def _q_top_docs(sf_dir: str):

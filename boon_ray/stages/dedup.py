@@ -414,19 +414,28 @@ def cluster_pairs_distributed(pairs_ds, num_buckets: int = 16,
 # ------------------------------------------------------------ SimHash
 
 def _simhash64(texts: list, k: int = 2) -> np.ndarray:
-    """64-bit SimHash per text (token-k-gram features)."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    """64-bit SimHash per text (token-k-gram features).
+
+    Fully vectorized over the batch: one unpackbits over ALL shingle
+    hashes, per-doc bit-vote sums via add.reduceat — no per-document
+    64-iteration Python loop."""
     hashes = _shingle_hashes_batch(texts, k, word=True)
-    for i, h in enumerate(hashes):
-        if len(h) == 0:
-            continue
-        # accumulate signed bit votes
-        votes = np.zeros(64, dtype=np.int64)
-        for b in range(64):
-            votes[b] = int((h & bits[b] != 0).sum()) * 2 - len(h)
-        out[i] = np.uint64(int.from_bytes(
-            np.packbits(votes > 0, bitorder="little").tobytes(), "little"))
+    lens = np.array([len(h) for h in hashes], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    allh = np.ascontiguousarray(
+        np.concatenate([h for h in hashes if len(h)]).astype(np.uint64))
+    # (N, 64) bit matrix, bit j of hash i (little-endian byte order)
+    bits = np.unpackbits(allh.view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little")
+    offsets = np.r_[0, np.cumsum(lens[nz])[:-1]]
+    ones = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
+    votes = ones * 2 - lens[nz][:, None]
+    packed = np.ascontiguousarray(
+        np.packbits(votes > 0, axis=1, bitorder="little"))
+    out[nz] = packed.view(np.uint64).reshape(-1)
     return out
 
 

@@ -105,11 +105,27 @@ def _merge_group(g: pd.DataFrame, key: tuple) -> pd.DataFrame:
     return out.rename(columns={"cnt": "n_dups"})
 
 
+def _adaptive_salts() -> int:
+    """Salt count = merge-shuffle parallelism, derived from the
+    cluster CPU count (the builder's round-1 notes showed a FIXED
+    salt count is wrong at one end of the scaling legs: too many
+    tiny reduce partitions at low parallelism, too few at high).
+    4 partitions/CPU keeps the salted merge fed at every leg."""
+    import ray
+
+    ncpu = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    return max(16, 4 * ncpu)
+
+
 def exact_key_counts(ds, key: Sequence[str] = DEFAULT_KEY,
-                     num_salts: int = 64, batch_size=None):
+                     num_salts: int | None = None, batch_size=None):
     """Full-shuffle exact path: per-batch partial counts -> salted
-    merge groupby -> key tuples with count > 1."""
+    merge groupby -> key tuples with count > 1. ``num_salts=None``
+    adapts the salt count to the cluster size."""
     key = tuple(key)
+    if num_salts is None:
+        num_salts = _adaptive_salts()
     partial = ds.map_batches(PartialKeyCounts(key, num_salts),
                              batch_format="pyarrow",
                              batch_size=batch_size)
@@ -118,7 +134,7 @@ def exact_key_counts(ds, key: Sequence[str] = DEFAULT_KEY,
 
 
 def uniqueness_violations(ds, key: Sequence[str] = DEFAULT_KEY,
-                          num_salts: int = 64, batch_size=None,
+                          num_salts: int | None = None, batch_size=None,
                           prefilter: bool = False):
     """Dataset of key tuples occurring more than once:
     columns (*key, n_dups).

@@ -310,3 +310,26 @@ def test_verify_jaccard_empty_pairs(ray_session):
     # schema is the contract
     assert out.schema().names == ["a", "b", "jaccard"]
     assert out.count() == 0
+
+
+def test_simhash64_matches_bitloop_reference():
+    """Vectorized SimHash == the per-bit reference computation."""
+    from boon_ray.stages.dedup import _shingle_hashes_batch, _simhash64
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs",
+             "", "one two", "one two three four five six seven"]
+    got = _simhash64(texts, k=2)
+    bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    hashes = _shingle_hashes_batch(texts, 2, word=True)
+    for i, h in enumerate(hashes):
+        if len(h) == 0:
+            assert got[i] == 0
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for b in range(64):
+            votes[b] = int((h & bits[b] != 0).sum()) * 2 - len(h)
+        want = np.uint64(int.from_bytes(
+            np.packbits(votes > 0, bitorder="little").tobytes(),
+            "little"))
+        assert got[i] == want, i

@@ -1,0 +1,77 @@
+"""Official JSON-Schema-Test-Suite runner (reference tests/suite.rs).
+
+The suite lives at tests/JSON-Schema-Test-Suite in the reference repo
+as a git submodule; it is EMPTY in this sandbox (no network to fetch
+it), so every case here skips cleanly today. The harness is wired so
+official-suite conformance is measured automatically the moment the
+submodule data materializes — same draft dirs, SKIP list, remotes
+loader (http://localhost:1234/ -> remotes/) and optional-dir
+format/content assertion toggles as suite.rs:7-129.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from boon_ray.compiler import Compiler
+from boon_ray.evaluator import Evaluator
+
+_SUITE = "/root/reference/tests/JSON-Schema-Test-Suite"
+_TESTS = f"{_SUITE}/tests"
+_DRAFT_DIRS = {"draft4": 4, "draft6": 6, "draft7": 7,
+               "draft2019-09": 2019, "draft2020-12": 2020}
+# suite.rs:7-10
+_SKIP_FILES = {"zeroTerminatedFloats.json", "float-overflow.json"}
+
+
+def _remotes_loader(url: str):
+    prefix = "http://localhost:1234/"
+    if url.startswith(prefix):
+        path = os.path.join(_SUITE, "remotes", url[len(prefix):])
+        with open(path) as f:
+            return json.load(f)
+    raise ValueError("no internet")
+
+
+def _suite_cases():
+    out = []
+    for draft_dir, draft in _DRAFT_DIRS.items():
+        base = os.path.join(_TESTS, draft_dir)
+        for path in sorted(glob.glob(f"{base}/**/*.json",
+                                     recursive=True)):
+            if os.path.basename(path) in _SKIP_FILES:
+                continue
+            rel = os.path.relpath(path, _TESTS)
+            optional = "/optional/" in path
+            try:
+                groups = json.load(open(path))
+            except (OSError, json.JSONDecodeError):
+                continue
+            for g in groups:
+                for t in g.get("tests", []):
+                    out.append(pytest.param(
+                        draft, optional, g["schema"], t["data"],
+                        t["valid"],
+                        id=(f"{rel}::{g['description'][:40]}"
+                            f"::{t['description'][:40]}")))
+    return out
+
+
+_CASES = _suite_cases()
+
+
+@pytest.mark.skipif(
+    not _CASES,
+    reason="JSON-Schema-Test-Suite submodule not available (empty in "
+           "this sandbox); harness activates when it materializes")
+@pytest.mark.parametrize("draft,optional,schema,data,valid", _CASES)
+def test_official_suite(draft, optional, schema, data, valid):
+    c = Compiler(default_draft=draft, formats_enabled=optional,
+                 content_enabled=optional)
+    c.use_loader(_remotes_loader)
+    spec = c.compile("http://testsuite.com/schema.json", schema)
+    assert Evaluator(spec).is_valid(data) == valid
