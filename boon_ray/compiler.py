@@ -53,6 +53,8 @@ class SchemaNode:
 
     # type-agnostic
     types: Optional[tuple] = None
+    types_expand: Optional[frozenset] = None   # fast membership set
+    types_whole_float: bool = False            # integer accepts 2.0
     enum: Optional[list] = None
     enum_scalar: bool = False          # all enum values scalar -> fast path
     const_set: bool = False
@@ -639,6 +641,12 @@ class _CompileState:
                     isinstance(x, str) and x in ju.ALL_TYPES for x in tl):
                 raise CompileError(f"invalid type {t!r}", loc)
             node.types = tuple(tl)
+            exp = set(tl)
+            if ju.TYPE_NUMBER in exp:
+                # number accepts ints (matches_type)
+                exp.add(ju.TYPE_INTEGER)
+            node.types_expand = frozenset(exp)
+            node.types_whole_float = ju.TYPE_INTEGER in tl
         if has("enum"):
             if not isinstance(v["enum"], list):
                 raise CompileError("enum must be an array", loc)

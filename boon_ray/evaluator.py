@@ -676,7 +676,7 @@ class Evaluator:
         instance-pointer strings — in-place applications share the
         vid, each child descent takes a fresh one from `ctr`."""
         spec = self.spec
-        node: SchemaNode = spec.node(idx)
+        node: SchemaNode = spec.nodes[idx]
         track = spec.has_uneval
         ev = _Evaluated() if track else None
 
@@ -695,8 +695,14 @@ class Evaluator:
             ok, _ = self._valid(cidx, cv, ctr[0], ctr, scope)
             return ok
 
+        t = ju.type_of(v)
         if node.types is not None:
-            if not any(ju.matches_type(v, t) for t in node.types):
+            # precompiled membership set (number already includes
+            # integer); the only cross-type case left is `integer`
+            # accepting whole floats
+            if t not in node.types_expand and not (
+                    node.types_whole_float and t == ju.TYPE_NUMBER
+                    and ju.is_integer(v)):
                 return False, ev
         if node.const_set and not ju.equals(v, node.const):
             return False, ev
@@ -741,8 +747,6 @@ class Evaluator:
             if not inplace(target):
                 return False, ev
 
-        t = ju.type_of(v)
-
         if t == ju.TYPE_OBJECT and node.f_obj:
             n = len(v)
             if node.min_properties is not None and n < node.min_properties:
@@ -772,7 +776,10 @@ class Evaluator:
                     covered.add(k)
                     if track:
                         ev.props.add(k)
-                    if not child(pidx, v[k]):
+                    # inlined child() — hottest recursion site
+                    ctr[0] += 1
+                    ok, _ = self._valid(pidx, v[k], ctr[0], ctr, scope)
+                    if not ok:
                         return False, ev
             for pat, pidx in node.pattern_properties:
                 r = _regex(pat)

@@ -34,11 +34,27 @@ ALL_TYPES = (
 )
 
 
+_CLASS_TYPES = {
+    type(None): TYPE_NULL,
+    bool: TYPE_BOOLEAN,        # exact-class map: bool is NOT int here
+    int: TYPE_INTEGER,
+    float: TYPE_NUMBER,
+    str: TYPE_STRING,
+    list: TYPE_ARRAY,
+    tuple: TYPE_ARRAY,
+    dict: TYPE_OBJECT,
+}
+
+
 def type_of(v: Any) -> str:
     """Primitive JSON type of a parsed value (integer-valued floats are
-    still 'number' here; `type` keyword handles integer-ness separately)."""
-    if v is None:
-        return TYPE_NULL
+    still 'number' here; `type` keyword handles integer-ness separately).
+
+    Exact-class dict dispatch (hot path); subclasses fall back to the
+    isinstance chain."""
+    t = _CLASS_TYPES.get(v.__class__)
+    if t is not None:
+        return t
     if isinstance(v, bool):  # bool before int: True is an int in Python
         return TYPE_BOOLEAN
     if isinstance(v, int):
