@@ -170,6 +170,22 @@ def _q_dedup_clusters(sf_dir: str):
     return cluster_pairs_distributed(edges, num_buckets=8)
 
 
+
+def _q_dedup_survivors(sf_dir: str):
+    """End-to-end near-dedup: LSH candidates -> distributed exact
+    Jaccard verify -> distributed connected components -> keep one doc
+    per cluster (MinHash-derived -> rows-only; survivors-set equality
+    vs a union-find reference is asserted in pytest)."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import dedup_near
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = dedup_near(ds, "text", "doc_id", threshold=0.8)
+    return out.select_columns(["doc_id"])
+
+
 def _q_partition_verdicts(sf_dir: str):
     import pyarrow as pa
 
@@ -553,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,

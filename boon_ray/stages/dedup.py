@@ -686,3 +686,51 @@ def embedding_duplicate_pairs_exact(ds, vec_col: str, id_col: str,
         "cosine": pa.array(sim[ii, jj][keep], pa.float64()),
     })
     return rd.from_arrow(table)
+
+
+# ------------------------------------------------ end-to-end near-dedup
+
+def dedup_near(ds, text_col: str, id_col: str, threshold: float = 0.8,
+               num_perm: int = 128, bands: int = 16, shingle_k: int = 3,
+               word: bool = True, batch_size=None):
+    """The complete large-scale near-dedup plan, end to end:
+
+    1. MinHash-LSH candidate pairs in candidates-only mode (16 B/row
+       shuffle — signatures stay out of the exchange);
+    2. DISTRIBUTED exact n-gram Jaccard verification of the
+       candidates (:func:`verify_jaccard`);
+    3. DISTRIBUTED connected components over the verified pairs
+       (:func:`cluster_pairs_distributed`, pointer doubling);
+    4. keep one document per cluster (the min id) — the drop set
+       (non-min cluster members) is dup-rate-sized, so it is
+       broadcast once and the corpus streams through a filter.
+
+    Returns the surviving rows of ``ds`` (all columns). The driver
+    touches only pair/drop lists (bounded by the dup rate), never
+    documents.
+    """
+    import ray
+    import ray.data as rd
+
+    cand = minhash_duplicate_pairs(
+        ds, text_col, id_col, threshold=threshold, num_perm=num_perm,
+        bands=bands, shingle_k=shingle_k, word=word,
+        batch_size=batch_size, verify=False)
+    verified = verify_jaccard(ds, cand, text_col, id_col,
+                              shingle_k=shingle_k, word=word,
+                              threshold=threshold)
+    clusters = cluster_pairs_distributed(verified)
+    drop_df = clusters.filter(expr="id != cluster").to_pandas()
+    if drop_df.empty:
+        return ds
+    drop_ref = ray.put(np.sort(drop_df["id"].to_numpy(dtype=np.int64)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        ids = batch.column(id_col).to_pandas().to_numpy(dtype=np.int64)
+        pos = np.clip(np.searchsorted(drop, ids), 0, len(drop) - 1)
+        mask = drop[pos] != ids
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -333,3 +333,35 @@ def test_simhash64_matches_bitloop_reference():
             np.packbits(votes > 0, bitorder="little").tobytes(),
             "little"))
         assert got[i] == want, i
+
+
+def test_dedup_near_end_to_end(ray_session):
+    """LSH candidates -> distributed verify -> distributed CC ->
+    keep-one-per-cluster; planted dups collapse to the min doc_id."""
+    from boon_ray.stages.dedup import dedup_near
+
+    from boon_ray.stages.dedup import (minhash_duplicate_pairs,
+                                       verify_jaccard)
+
+    ds = _docs_with_near_dups(ray_session)
+    all_ids = set(ds.to_pandas()["doc_id"])
+    out = dedup_near(ds, "text", "doc_id", threshold=0.7).to_pandas()
+    kept = set(out["doc_id"])
+    assert 3 in kept                  # cluster min survives
+    assert 9001 not in kept           # exact dup dropped
+    assert 9002 not in kept           # near dup dropped (j >= 0.7)
+    # expected survivors: union-find over the verified pair set
+    # (the base corpus itself contains real near-dups, so compute
+    # the drop set rather than assuming only the planted ones)
+    cand = minhash_duplicate_pairs(ds, "text", "doc_id",
+                                   threshold=0.7, verify=False)
+    pairs = verify_jaccard(ds, cand, "text", "doc_id",
+                           threshold=0.7).to_pandas()
+    cc = _want_cc(pairs)
+    want_kept = all_ids - {n for n, root in cc.items() if n != root}
+    assert kept == want_kept
+    # idempotence: a second pass finds nothing more to drop
+    import ray.data as rd
+    again = dedup_near(rd.from_pandas(out), "text", "doc_id",
+                       threshold=0.7).count()
+    assert again == len(kept)
