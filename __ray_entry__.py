@@ -186,6 +186,149 @@ def _q_dedup_survivors(sf_dir: str):
     return out.select_columns(["doc_id"])
 
 
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k (distributed ROW_NUMBER <= k): top-3 docs by
+    n_chars per lang, doc_id tiebreak."""
+    import ray.data as rd
+
+    from boon_ray.stages.topk import top_k_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "doc_id", "n_chars"])
+    out = top_k_per_group(ds, ["lang"], "n_chars", k=3,
+                          tiebreak="doc_id", descending=True)
+    return out.select_columns(["lang", "doc_id", "n_chars"])
+
+
+def _q_q5_region_revenue(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation for one region where the
+    customer and supplier share the nation. Dimensions (region,
+    nation, customer, supplier) broadcast; the orders-lineitem fact
+    join is the partitioned hash join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from boon_ray.stages.joins import broadcast_join, hash_join
+    from ray.data.aggregate import Sum
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = region.filter(
+        pc.equal(region.column("r_name"), "ASIA"))
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nkeys = nation.filter(pc.is_in(
+        nation.column("n_regionkey"),
+        value_set=asia.column("r_regionkey")))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust.column("c_nationkey"),
+                                value_set=nkeys.column("n_nationkey")))
+    cust = cust.rename_columns(["o_custkey", "c_nationkey"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.rename_columns(["l_suppkey", "s_nationkey"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    # in-region customers only; attach the customer nation
+    orders = broadcast_join(orders, cust, on=["o_custkey"],
+                            how="inner")
+    orders = orders.map_batches(
+        lambda b: b.select(["o_orderkey", "c_nationkey"]),
+        batch_format="pyarrow", batch_size=None)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    b.column("l_discount")))
+        # DuckDB ROUND is half-away-from-zero
+        cents = pc.round(pc.multiply(r, 100.0),
+                         round_mode="half_towards_infinity")
+        return pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "l_suppkey": b.column("l_suppkey"),
+            "rev_cents": pc.cast(cents, pa.int64()),
+        })
+
+    li = li.map_batches(rev, batch_format="pyarrow", batch_size=None)
+    li = broadcast_join(li, supp, on=["l_suppkey"], how="inner")
+    li = li.map_batches(
+        lambda b: b.select(["o_orderkey", "s_nationkey", "rev_cents"]),
+        batch_format="pyarrow", batch_size=None)
+
+    joined = hash_join(orders, li, on=["o_orderkey"], num_buckets=8)
+    same_nation = joined.filter(expr="c_nationkey == s_nationkey")
+    agg = same_nation.groupby("s_nationkey").aggregate(
+        Sum("rev_cents", alias_name="revenue_cents"))
+
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+
+    def name(b: pa.Table) -> pa.Table:
+        keys = b.column("s_nationkey").to_pylist()
+        return pa.table({
+            "n_name": pa.array([names[k] for k in keys], pa.string()),
+            "revenue_cents": pc.cast(b.column("revenue_cents"),
+                                     pa.int64()),
+        })
+
+    return agg.map_batches(name, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def _q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing with a SQL-checkable oracle: binary FAKEIMG1
+    payloads are derived deterministically from documents (width =
+    len(text)%13+1, height = doc_id%7+1, constant pixel byte =
+    ascii(first char)), then decoded by the actor-pool ImageDecode
+    stage — so the decoded dims and channel mean are exactly
+    computable in DuckDB while the Ray side exercises the real
+    binary-column machinery."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.multimodal import decode_images
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        payloads = []
+        for i, t in zip(ids, texts):
+            w = (len(t) % 13) + 1
+            h = (i % 7) + 1
+            b0 = ord(t[0])
+            payloads.append(
+                b"FAKEIMG1" + w.to_bytes(4, "little")
+                + h.to_bytes(4, "little") + bytes([b0]) * (w * h * 3))
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "media": pa.array(payloads, pa.binary())})
+
+    payload = ds.map_batches(to_payload, batch_format="pyarrow",
+                             batch_size=None)
+    decoded = decode_images(payload, batch_size=256)
+
+    def project(b: pa.Table) -> pa.Table:
+        means = b.column("channel_mean").to_pylist()
+        return pa.table({
+            "doc_id": b.column("id"),
+            "width": b.column("width"),
+            "height": b.column("height"),
+            "mean_r": pa.array([m[0] for m in means], pa.float64()),
+        })
+
+    return decoded.map_batches(project, batch_format="pyarrow",
+                               batch_size=None)
+
+
 def _q_partition_verdicts(sf_dir: str):
     import pyarrow as pa
 
@@ -586,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": _q_events_by_type,
         "parts_by_brand": _q_parts_by_brand,
         "q3_shipping": _q_q3_shipping,
+        "q5_region_revenue": _q_q5_region_revenue,
         "q1_lineitem": _q_q1_lineitem,
         "asof_signup": _q_asof_signup,
         # similarity search
@@ -595,6 +739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_session": _q_events_in_session,
         # sort / limit / distinct / multi-hop joins
         "top_docs": _q_top_docs,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "multimodal_decode": _q_multimodal_decode,
         "distinct_langs": _q_distinct_langs,
         "customers_per_region": _q_customers_per_region,
     }
@@ -944,6 +1090,27 @@ def oracle_sql() -> dict[str, str]:
         "top_docs":
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10",
+        "top_docs_per_lang":
+            "SELECT lang, doc_id, n_chars FROM ("
+            "SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 3",
+        "q5_region_revenue":
+            "SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * "
+            "(1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+            "AS revenue_cents "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey "
+            "AND n_regionkey = r_regionkey AND r_name = 'ASIA' "
+            "GROUP BY n_name",
+        "multimodal_decode":
+            "SELECT doc_id, "
+            "CAST((length(text) % 13) + 1 AS INTEGER) AS width, "
+            "CAST((doc_id % 7) + 1 AS INTEGER) AS height, "
+            "CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS mean_r "
+            "FROM documents",
         "distinct_langs":
             "SELECT DISTINCT lang FROM documents",
         "customers_per_region":

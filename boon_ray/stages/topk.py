@@ -1,0 +1,43 @@
+"""Per-group top-k (the distributed ROW_NUMBER() OVER (PARTITION BY
+g ORDER BY v) <= k pattern).
+
+Scale shape: every batch first reduces LOCALLY to at most k rows per
+group it contains (vectorized pandas sort + groupby head), so the
+groupby shuffle moves O(k x groups-per-batch) rows instead of the
+table; the per-group merge then re-sorts the <= k x n_batches
+survivors and keeps k. Deterministic output: ties broken by the
+``tiebreak`` column ascending.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+
+
+def _local_topk(df: pd.DataFrame, group_cols: list, order_col: str,
+                tiebreak: str, k: int, descending: bool) -> pd.DataFrame:
+    if df.empty:
+        return df
+    df = df.sort_values([order_col, tiebreak],
+                        ascending=[not descending, True],
+                        kind="mergesort")
+    return df.groupby(group_cols, sort=False).head(k)
+
+
+def top_k_per_group(ds, group_cols: Sequence[str], order_col: str,
+                    k: int, tiebreak: str, descending: bool = True,
+                    batch_size=None):
+    """Top-k rows per group by ``order_col`` (ties -> min ``tiebreak``
+    first). Returns the surviving rows with all input columns."""
+    group_cols = list(group_cols)
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return _local_topk(b, group_cols, order_col, tiebreak, k,
+                           descending)
+
+    reduced = ds.map_batches(local, batch_format="pandas",
+                             batch_size=batch_size)
+    return reduced.groupby(group_cols).map_groups(
+        local, batch_format="pandas")

@@ -519,3 +519,35 @@ def test_streaming_sessionize_tiny_chunks(ray_session):
     want = want.sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[cols], want[cols],
                                   check_dtype=False)
+
+
+def test_top_k_per_group_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.topk import top_k_per_group
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "g": rng.randint(0, 7, 500),
+        "v": rng.randint(0, 40, 500),   # heavy ties
+        "id": np.arange(500),
+    })
+    got = top_k_per_group(rd.from_pandas(df).repartition(8),
+                          ["g"], "v", k=3, tiebreak="id").to_pandas()
+    want = (df.sort_values(["v", "id"], ascending=[False, True],
+                           kind="mergesort")
+            .groupby("g", sort=False).head(3))
+    key = ["g", "v", "id"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[key],
+        want.sort_values(key).reset_index(drop=True)[key],
+        check_dtype=False)
+    # ascending variant
+    got2 = top_k_per_group(rd.from_pandas(df).repartition(8),
+                           ["g"], "v", k=2, tiebreak="id",
+                           descending=False).to_pandas()
+    want2 = (df.sort_values(["v", "id"], kind="mergesort")
+             .groupby("g", sort=False).head(2))
+    assert (got2.sort_values(key).reset_index(drop=True)[key].values
+            == want2.sort_values(key).reset_index(drop=True)[key]
+            .values).all()
