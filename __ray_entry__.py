@@ -329,6 +329,33 @@ def _q_multimodal_decode(sf_dir: str):
                                batch_size=None)
 
 
+
+def _q_train_test_split(sf_dir: str):
+    """Deterministic salted-md5 train/test split (pure map, no RNG, no
+    shuffle) — the byte-threshold rule is exactly expressible in SQL."""
+    import ray.data as rd
+
+    from boon_ray.stages.training import hash_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    out = hash_split(ds, "doc_id", test_pct=10.0, salt="split")
+    return out.select_columns(["doc_id", "split"])
+
+
+def _q_packed_sequences(sf_dir: str):
+    """Greedy per-block sequence packing into 4096-char bins
+    (block-dependent bin assignment -> rows-only; capacity and
+    exactly-once invariants asserted in pytest)."""
+    import ray.data as rd
+
+    from boon_ray.stages.training import pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return pack_sequences(ds, "doc_id", "n_chars", capacity=4096)
+
+
 def _q_partition_verdicts(sf_dir: str):
     import pyarrow as pa
 
@@ -740,6 +767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sort / limit / distinct / multi-hop joins
         "top_docs": _q_top_docs,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "train_test_split": _q_train_test_split,
+        "packed_sequences": _q_packed_sequences,
         "multimodal_decode": _q_multimodal_decode,
         "distinct_langs": _q_distinct_langs,
         "customers_per_region": _q_customers_per_region,
@@ -1105,6 +1134,10 @@ def oracle_sql() -> dict[str, str]:
             "AND s_nationkey = n_nationkey "
             "AND n_regionkey = r_regionkey AND r_name = 'ASIA' "
             "GROUP BY n_name",
+        "train_test_split":
+            "SELECT doc_id, CASE WHEN substr(md5('split:' || "
+            "CAST(doc_id AS VARCHAR)), 1, 2) < '1a' "
+            "THEN 'test' ELSE 'train' END AS split FROM documents",
         "multimodal_decode":
             "SELECT doc_id, "
             "CAST((length(text) % 13) + 1 AS INTEGER) AS width, "

@@ -1,0 +1,106 @@
+"""Training-data set operations: deterministic splits and sequence
+packing.
+
+- ``hash_split``: train/test assignment by salted md5 of the id —
+  deterministic across runs, machines and partitionings (no RNG
+  state, no shuffle; pure map). The md5-byte threshold makes the
+  same rule exactly expressible in SQL for oracle checks.
+- ``pack_sequences``: greedy first-fit-decreasing packing of
+  documents into fixed-token-capacity bins, independently per block
+  (each task packs its own block — no shuffle; bin ids are derived
+  from the minimum doc id in the bin so they are unique and stable
+  given a block assignment). The classic context-window packing step
+  before LLM training.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _split_threshold(test_pct: float) -> int:
+    """First-md5-byte threshold: byte < t -> test (t/256 fraction)."""
+    return int(round(test_pct * 256 / 100.0))
+
+
+def hash_split(ds, id_col: str, test_pct: float = 10.0,
+               salt: str = "split", batch_size=None):
+    """Add a ``split`` column ('test'/'train') by salted md5 of the id.
+
+    The rule is ``md5(f"{salt}:{id}")[0] < round(test_pct*256/100)``,
+    so the test fraction is t/256 exactly (9.77% for test_pct=10) and
+    DuckDB reproduces it with
+    ``substr(md5('salt:' || CAST(id AS VARCHAR)), 1, 2) < '<hex t>'``.
+    """
+    t = _split_threshold(test_pct)
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        split = [
+            "test" if hashlib.md5(
+                f"{salt}:{i}".encode()).digest()[0] < t else "train"
+            for i in ids]
+        return b.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def pack_sequences(ds, id_col: str, len_col: str, capacity: int,
+                   batch_size=None):
+    """Greedy first-fit-decreasing packing into ``capacity``-sized
+    bins, per block. Returns (id, len, bin_id, bin_fill): every input
+    row exactly once; ``bin_fill`` is the bin's total after packing.
+    A document longer than ``capacity`` gets its own bin.
+
+    Scale shape: packing is local to each block (one task, no
+    shuffle); global bin ids come from the min doc id per bin. Pack
+    quality depends on block size — bigger blocks pack tighter; at
+    the limit one block per worker heap is the right granularity.
+    """
+
+    def pack(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame({
+                "id": pd.Series(dtype="int64"),
+                "len": pd.Series(dtype="int64"),
+                "bin_id": pd.Series(dtype="int64"),
+                "bin_fill": pd.Series(dtype="int64")})
+        d = b[[id_col, len_col]].sort_values(
+            [len_col, id_col], ascending=[False, True],
+            kind="mergesort")
+        bins_fill: list[int] = []
+        bins_members: list[list[int]] = []
+        bins_lens: list[list[int]] = []
+        for i, n in zip(d[id_col].to_numpy(), d[len_col].to_numpy()):
+            n = int(n)
+            placed = False
+            for bi in range(len(bins_fill)):
+                if bins_fill[bi] + n <= capacity:
+                    bins_fill[bi] += n
+                    bins_members[bi].append(int(i))
+                    bins_lens[bi].append(n)
+                    placed = True
+                    break
+            if not placed:
+                bins_fill.append(n)
+                bins_members.append([int(i)])
+                bins_lens.append([n])
+        out_id, out_len, out_bin, out_fill = [], [], [], []
+        for fill, members, lens in zip(bins_fill, bins_members,
+                                       bins_lens):
+            bid = min(members)
+            for i, n in zip(members, lens):
+                out_id.append(i)
+                out_len.append(n)
+                out_bin.append(bid)
+                out_fill.append(fill)
+        return pd.DataFrame({"id": out_id, "len": out_len,
+                             "bin_id": out_bin, "bin_fill": out_fill})
+
+    return ds.map_batches(pack, batch_format="pandas",
+                          batch_size=batch_size)

@@ -365,3 +365,54 @@ def test_dedup_near_end_to_end(ray_session):
     again = dedup_near(rd.from_pandas(out), "text", "doc_id",
                        threshold=0.7).count()
     assert again == len(kept)
+
+
+# ---------------------------------------------- training-data set ops
+
+def test_hash_split_deterministic_and_partition_free(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.training import hash_split
+
+    df = pd.DataFrame({"doc_id": np.arange(2000)})
+    a = hash_split(rd.from_pandas(df).repartition(2), "doc_id",
+                   test_pct=10.0).to_pandas()
+    b = hash_split(rd.from_pandas(df).repartition(16), "doc_id",
+                   test_pct=10.0).to_pandas()
+    # same assignment regardless of partitioning / run
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    frac = (a["split"] == "test").mean()
+    assert 0.06 < frac < 0.15          # 26/256 = 10.2% nominal
+    # a different salt reshuffles the assignment
+    c = hash_split(rd.from_pandas(df), "doc_id", test_pct=10.0,
+                   salt="other").to_pandas()
+    c = c.sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"] != c["split"]).any()
+
+
+def test_pack_sequences_invariants(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.training import pack_sequences
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "doc_id": np.arange(400),
+        "n": rng.randint(10, 3000, 400),
+    })
+    df.loc[0, "n"] = 9999              # oversized -> own bin
+    out = pack_sequences(rd.from_pandas(df).repartition(4),
+                         "doc_id", "n", capacity=4096).to_pandas()
+    # exactly-once assignment
+    assert sorted(out["id"]) == sorted(df["doc_id"])
+    fills = out.groupby("bin_id")["len"].sum()
+    big = out[out["id"] == 0]
+    assert big["bin_id"].iloc[0] == 0 and big["bin_fill"].iloc[0] == 9999
+    # every multi-doc bin within capacity
+    assert (fills.drop(index=0) <= 4096).all()
+    # bin_fill column consistent with the recomputed sums
+    rec = out.merge(fills.rename("rec"), left_on="bin_id",
+                    right_index=True)
+    assert (rec["bin_fill"] == rec["rec"]).all()
