@@ -407,10 +407,13 @@ def validate_schema_doc(url: str, doc, draft: int) -> None:
     responsible for the json-schema.org host exclusion
     (roots.rs:86-94)."""
     from boon_ray.compiler import CompileError
+    from boon_ray.evaluator import ValidationError
 
     ev = _metaschema_evaluator(draft)
     try:
         ev.validate(doc)
-    except Exception as e:       # engine ValidationError
+    except ValidationError as e:
+        # engine bugs (TypeError, RecursionError, ...) propagate as
+        # themselves — only a real validation verdict blames the schema
         raise CompileError(
             f"{url} is not valid against metaschema: {e}") from e

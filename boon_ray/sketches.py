@@ -20,6 +20,17 @@ import numpy as np
 import pandas as pd
 
 
+def hash64_combine(*arrays) -> np.ndarray:
+    """FNV-style combine of several hash64 columns into one key hash —
+    THE key/bucket hash used by joins, uniqueness and the dedup
+    family. One definition so bucket assignment can never de-sync
+    between stages."""
+    h = hash64(arrays[0])
+    for a in arrays[1:]:
+        h = h * np.uint64(1099511628211) ^ hash64(a)
+    return h
+
+
 def hash64(values) -> np.ndarray:
     """Vectorized, deterministic 64-bit hashing of an array-like of
     strings/bytes/ints (pandas' C hash; stable for a fixed key)."""

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from boon_ray.sketches import band_keys, hash64, minhash_signatures
+from boon_ray.sketches import (band_keys, hash64, hash64_combine, minhash_signatures)
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
@@ -181,10 +181,8 @@ def _pairs_blocked(exploded, id_col: str, group_cols: tuple, inner,
     majority) and only iterate the few real candidate groups."""
 
     def add_bk(x: pd.DataFrame) -> pd.DataFrame:
-        h = hash64(x[group_cols[0]].to_numpy(dtype=object))
-        for c in group_cols[1:]:
-            h = h * np.uint64(1099511628211) ^ hash64(
-                x[c].to_numpy(dtype=object))
+        h = hash64_combine(*(x[c].to_numpy(dtype=object)
+                             for c in group_cols))
         x = x.copy()
         x["_bk"] = (h % np.uint64(num_buckets)).astype(np.int64)
         return x
@@ -204,17 +202,17 @@ def _pairs_blocked(exploded, id_col: str, group_cols: tuple, inner,
         "_bk").map_groups(block, batch_format="pandas")
 
 
-def _dedupe_pairs(pairs_ds, value_col: str, num_buckets: int = 64):
+def _dedupe_pairs(pairs_ds, num_buckets: int = 64):
     """Dedupe (a, b) pairs surfaced by several LSH buckets: hash-bucket
     by pair key, ONE shuffle, then a vectorized drop_duplicates per
     bucket. (A per-pair grouped aggregate/map_groups is pathological
-    here: millions of two-row groups each handled in Python.)
-    ``value_col`` is identical across duplicates, so keep-first is
+    here: millions of two-row groups each handled in Python.) The
+    estimate column is identical across duplicates, so keep-first is
     exact."""
 
     def add_pk(x: pd.DataFrame) -> pd.DataFrame:
-        h = (hash64(x["a"].to_numpy(dtype=object))
-             ^ hash64(x["b"].to_numpy(dtype=object)))
+        h = hash64_combine(x["a"].to_numpy(dtype=object),
+                           x["b"].to_numpy(dtype=object))
         x = x.copy()
         x["_pk"] = (h % np.uint64(num_buckets)).astype(np.int64)
         return x
@@ -249,7 +247,7 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str,
         exploded, id_col, ("band", "key"),
         lambda g: _bucket_pairs(g, id_col, threshold))
     # dedupe (a, b) found in multiple buckets
-    return _dedupe_pairs(pairs, "jaccard_est")
+    return _dedupe_pairs(pairs)
 
 
 def cluster_pairs(pairs_ds, max_iter: int = 64):
@@ -499,7 +497,7 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str,
     pairs = _pairs_blocked(
         exploded, id_col, ("band", "key"),
         lambda g: _hamming_pairs(g, id_col, max_distance))
-    return _dedupe_pairs(pairs, "hamming")
+    return _dedupe_pairs(pairs)
 
 
 # ------------------------------------------------- exact n-gram Jaccard
@@ -530,37 +528,56 @@ def verify_jaccard(ds, pairs_ds, text_col: str, id_col: str,
     pairs = pairs[["a", "b"]]
     a = pairs["a"].to_numpy(dtype=np.int64)
     b = pairs["b"].to_numpy(dtype=np.int64)
+    # bucket each PAIR once; payloads ship once per (doc, bucket), so
+    # a hub doc incident to thousands of pairs (star pairing in
+    # oversized LSH buckets) multiplies exchange bytes by at most
+    # num_buckets, not by its degree
+    pair_pk = (hash64_combine(a.astype(object), b.astype(object))
+               % np.uint64(num_buckets)).astype(np.int64)
     # incidence: one row per (doc, pair), sorted by doc for binary
     # search inside the map tasks
     inc_doc = np.concatenate([a, b])
     inc_a = np.concatenate([a, a])
     inc_b = np.concatenate([b, b])
+    inc_pk = np.concatenate([pair_pk, pair_pk])
     order = np.argsort(inc_doc, kind="stable")
-    inc_ref = ray.put((inc_doc[order], inc_a[order], inc_b[order]))
+    inc_ref = ray.put((inc_doc[order], inc_a[order], inc_b[order],
+                       inc_pk[order]))
 
     def collect(batch: pa.Table) -> pa.Table:
-        docs_sorted, pair_a, pair_b = ray.get(inc_ref)
+        docs_sorted, pair_a, pair_b, pk_arr = ray.get(inc_ref)
         ids = batch.column(id_col).to_pandas().to_numpy(dtype=np.int64)
         lo = np.searchsorted(docs_sorted, ids, side="left")
         hi = np.searchsorted(docs_sorted, ids, side="right")
         texts = None
-        out_a, out_b, out_d, out_sh = [], [], [], []
+        # pair rows (d = -1, empty payload) and payload rows
+        # (a = b = -1, one per distinct (doc, bucket))
+        out_pk, out_a, out_b, out_d, out_sh = [], [], [], [], []
         for i in np.nonzero(hi > lo)[0]:
             if texts is None:
                 texts = batch.column(text_col).to_pylist()
+            did = int(ids[i])
             sh = _shingle_hashes(texts[i] or "", shingle_k,
                                  word).tobytes()
+            seen_pk = set()
             for j in range(lo[i], hi[i]):
-                out_a.append(int(pair_a[j]))
-                out_b.append(int(pair_b[j]))
-                out_d.append(int(ids[i]))
+                pk = int(pk_arr[j])
+                if int(pair_a[j]) == did:
+                    # the a-side emits the pair row exactly once
+                    out_pk.append(pk)
+                    out_a.append(int(pair_a[j]))
+                    out_b.append(int(pair_b[j]))
+                    out_d.append(-1)
+                    out_sh.append(b"")
+                seen_pk.add(pk)
+            for pk in seen_pk:
+                out_pk.append(pk)
+                out_a.append(-1)
+                out_b.append(-1)
+                out_d.append(did)
                 out_sh.append(sh)
-        pk = (hash64(np.array(out_a, dtype=object))
-              ^ hash64(np.array(out_b, dtype=object))
-              ) % np.uint64(num_buckets) if out_a else np.array(
-            [], dtype=np.uint64)
         return pa.table({
-            "pk": pa.array(np.asarray(pk, dtype=np.int64)),
+            "pk": pa.array(out_pk, pa.int64()),
             "a": pa.array(out_a, pa.int64()),
             "b": pa.array(out_b, pa.int64()),
             "d": pa.array(out_d, pa.int64()),
@@ -571,13 +588,17 @@ def verify_jaccard(ds, pairs_ds, text_col: str, id_col: str,
                               batch_size=None)
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        payload = g[g["d"] >= 0].drop_duplicates("d")
+        sh_by_doc = dict(zip(payload["d"], payload["sh"]))
         out = {"a": [], "b": [], "jaccard": []}
-        for (pa_, pb_), sub in g.groupby(["a", "b"], sort=False):
-            sub = sub.drop_duplicates("d")
-            if len(sub) < 2:
+        pair_rows = g[g["d"] < 0]
+        for pa_, pb_ in zip(pair_rows["a"], pair_rows["b"]):
+            ba = sh_by_doc.get(pa_)
+            bb = sh_by_doc.get(pb_)
+            if ba is None or bb is None:
                 continue          # a side is missing from the corpus
-            sa = np.frombuffer(sub["sh"].iloc[0], dtype=np.uint64)
-            sb = np.frombuffer(sub["sh"].iloc[1], dtype=np.uint64)
+            sa = np.frombuffer(ba, dtype=np.uint64)
+            sb = np.frombuffer(bb, dtype=np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             j = inter / union if union else 1.0
@@ -660,7 +681,7 @@ def embedding_duplicate_pairs(ds, vec_col: str, id_col: str, dim: int,
     pairs = _pairs_blocked(
         exploded, id_col, ("key",),
         lambda g: _cosine_pairs(g, id_col, threshold))
-    return _dedupe_pairs(pairs, "cosine")
+    return _dedupe_pairs(pairs)
 
 
 def embedding_duplicate_pairs_exact(ds, vec_col: str, id_col: str,

@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from boon_ray.sketches import hash64
+from boon_ray.sketches import hash64, hash64_combine
 
 
 class _BroadcastJoin:
@@ -99,11 +99,8 @@ def _arrow_schema(ds) -> pa.Schema:
 
 
 def _key_hash(batch: pa.Table, on: Sequence[str]) -> np.ndarray:
-    h = hash64(batch.column(on[0]).to_pandas().to_numpy(dtype=object))
-    for c in on[1:]:
-        h = h * np.uint64(1099511628211) ^ hash64(
-            batch.column(c).to_pandas().to_numpy(dtype=object))
-    return h
+    return hash64_combine(*(
+        batch.column(c).to_pandas().to_numpy(dtype=object) for c in on))
 
 
 def _plan_union(left_schema: pa.Schema, right_schema: pa.Schema,
@@ -117,10 +114,17 @@ def _plan_union(left_schema: pa.Schema, right_schema: pa.Schema,
     """
     shared = set(shared)
     left_names = set(left_schema.names)
+    taken = set(left_names) | set(right_schema.names)
     rename = {}
     for name in right_schema.names:
         if name in left_names and name not in shared:
-            rename[name] = name + suffix
+            new_name = name + suffix
+            # probe until free: a pre-existing `name+suffix` column on
+            # either side must not be silently overwritten
+            while new_name in taken:
+                new_name += suffix
+            taken.add(new_name)
+            rename[name] = new_name
     fields = list(left_schema)
     right_unified = []
     for f in right_schema:
@@ -139,12 +143,6 @@ def _tag_side(side_code: int, on: Sequence[str], num_buckets: int,
     """map_batches fn: add _bucket/_side and pad to the unified schema
     with typed nulls (this side's absent columns)."""
     inv = {v: k for k, v in rename.items()}
-    side_cols = set()
-    # which unified names this side populates
-    for f in unified:
-        if f.name in ("_bucket", "_side"):
-            continue
-        side_cols.add(f.name)
 
     def f(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -58,23 +58,27 @@ class ImageDecode:
     """
 
     def __init__(self, media_col: str = "media", id_col: str = "id",
-                 strict: bool = False):
+                 strict: bool = False, force_fake: bool = False):
         self.media_col = media_col
         self.id_col = id_col
         self.strict = strict
-        try:  # pragma: no cover - PIL absent in this container
-            from PIL import Image  # noqa: F401
-            self._pil = Image
-        except ImportError:
-            self._pil = None
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires PIL; not available")
+        self._pil = None
+        if not force_fake:
+            try:  # pragma: no cover - PIL absent in this container
+                from PIL import Image  # noqa: F401
+                self._pil = Image
+            except ImportError:
+                if strict:
+                    raise NotImplementedError(
+                        "image decode requires PIL; not available")
 
     def _decode(self, data: bytes) -> np.ndarray:
-        if self._pil is not None:  # pragma: no cover
-            import io
-            return np.asarray(self._pil.open(io.BytesIO(data)).convert("RGB"))
+        # FAKEIMG1 payloads always use the fake codec — a real PIL,
+        # if present, cannot open them
+        if self._pil is not None and not data.startswith(b"FAKEIMG1"):
+            import io  # pragma: no cover
+            return np.asarray(
+                self._pil.open(io.BytesIO(data)).convert("RGB"))
         return _decode_fake_image(data)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -142,6 +142,11 @@ def streaming_sessionize(ds, ts_col: str, key_col: str, value_col: str,
         actor = actors[bucket]
         pending = []
         for i in range(0, len(g), chunk_rows):
+            # bound in-flight feeds so the actor mailbox never holds a
+            # second serialized copy of the whole bucket
+            if len(pending) >= 4:
+                done, pending = ray.wait(pending, num_returns=1)
+                ray.get(done)
             pending.append(actor.feed.remote(
                 keys[i:i + chunk_rows], ts_us[i:i + chunk_rows],
                 vals[i:i + chunk_rows]))

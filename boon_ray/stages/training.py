@@ -64,6 +64,8 @@ def pack_sequences(ds, id_col: str, len_col: str, capacity: int,
     """
 
     def pack(b: pd.DataFrame) -> pd.DataFrame:
+        import bisect
+
         if b.empty:
             return pd.DataFrame({
                 "id": pd.Series(dtype="int64"),
@@ -76,20 +78,29 @@ def pack_sequences(ds, id_col: str, len_col: str, capacity: int,
         bins_fill: list[int] = []
         bins_members: list[list[int]] = []
         bins_lens: list[list[int]] = []
+        # best-fit-decreasing via a sorted (remaining, bin) list:
+        # bisect finds the tightest bin that still fits in O(log bins)
+        # (a linear first-fit probe is O(docs x bins) — quadratic at
+        # exactly the big-block granularity packing wants)
+        by_remaining: list[tuple[int, int]] = []
         for i, n in zip(d[id_col].to_numpy(), d[len_col].to_numpy()):
             n = int(n)
-            placed = False
-            for bi in range(len(bins_fill)):
-                if bins_fill[bi] + n <= capacity:
-                    bins_fill[bi] += n
-                    bins_members[bi].append(int(i))
-                    bins_lens[bi].append(n)
-                    placed = True
-                    break
-            if not placed:
+            pos = bisect.bisect_left(by_remaining, (n, -1))
+            if pos < len(by_remaining):
+                rem, bi = by_remaining.pop(pos)
+                bins_fill[bi] += n
+                bins_members[bi].append(int(i))
+                bins_lens[bi].append(n)
+                new_rem = rem - n
+                if new_rem > 0:
+                    bisect.insort(by_remaining, (new_rem, bi))
+            else:
+                bi = len(bins_fill)
                 bins_fill.append(n)
                 bins_members.append([int(i)])
                 bins_lens.append([n])
+                if capacity - n > 0:
+                    bisect.insort(by_remaining, (capacity - n, bi))
         out_id, out_len, out_bin, out_fill = [], [], [], []
         for fill, members, lens in zip(bins_fill, bins_members,
                                        bins_lens):

@@ -35,18 +35,15 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from boon_ray.sketches import hash64
+from boon_ray.sketches import hash64, hash64_combine
 
 DEFAULT_KEY = ("repo", "path", "commit")
 
 
 def _key_hash(batch: pa.Table, key: Sequence[str]) -> np.ndarray:
     """Uniform 64-bit hash of the key tuple (vectorized)."""
-    h = hash64(batch.column(key[0]).to_pandas().to_numpy(dtype=object))
-    for k in key[1:]:
-        h2 = hash64(batch.column(k).to_pandas().to_numpy(dtype=object))
-        h = h * np.uint64(1099511628211) ^ h2
-    return h
+    return hash64_combine(*(
+        batch.column(k).to_pandas().to_numpy(dtype=object) for k in key))
 
 
 class PartialKeyCounts:

@@ -551,3 +551,20 @@ def test_top_k_per_group_matches_pandas(ray_session):
     assert (got2.sort_values(key).reset_index(drop=True)[key].values
             == want2.sort_values(key).reset_index(drop=True)[key]
             .values).all()
+
+
+def test_hash_join_suffix_collision_probed(ray_session):
+    """A pre-existing `name+suffix` column must not be overwritten by
+    the right-side rename — the probe appends the suffix again."""
+    import ray.data as rd
+
+    from boon_ray.stages.joins import hash_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": [1], "x": [5], "x_r": [7]}))
+    right = rd.from_pandas(pd.DataFrame({"k": [1], "x": [9]}))
+    got = hash_join(left, right, on=["k"], num_buckets=2).to_pandas()
+    assert sorted(got.columns) == ["k", "x", "x_r", "x_r_r"]
+    assert got.loc[0, "x"] == 5
+    assert got.loc[0, "x_r"] == 7
+    assert got.loc[0, "x_r_r"] == 9
