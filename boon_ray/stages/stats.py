@@ -53,13 +53,23 @@ class PartialColumnStats:
         if self.distinct_columns:
             groups = agg.column(self.group_key).to_pylist()
             gcol = batch.column(self.group_key).to_pandas().to_numpy(dtype=object)
+            # hash every distinct column ONCE per batch; groups then
+            # just slice the hash array (the old per-group re-convert
+            # + re-hash was the stage's hot spot)
+            col_hashes = {}
+            for c in self.distinct_columns:
+                vals = batch.column(c).to_pandas().to_numpy(dtype=object)
+                notna = ~pd.isna(vals)
+                h = np.zeros(len(vals), dtype=np.uint64)
+                h[notna] = hash64(vals[notna])
+                col_hashes[c] = (h, notna)
             sketches = {c: [] for c in self.distinct_columns}
             for g in groups:
                 sel = gcol == g
                 for c in self.distinct_columns:
-                    vals = batch.column(c).to_pandas().to_numpy(dtype=object)[sel]
+                    h, notna = col_hashes[c]
                     hll = HyperLogLog(self.hll_p)
-                    hll.add_hashes(hash64(vals[~pd.isna(vals)]))
+                    hll.add_hashes(h[sel & notna])
                     sketches[c].append(hll.to_bytes())
             for c in self.distinct_columns:
                 agg = agg.append_column(f"hll_{c}",
