@@ -42,11 +42,28 @@ def _corpus():
     return _CORPUS
 
 
+def _epochs() -> int:
+    """Scaling legs run several epochs over the corpus through ONE
+    dataset execution (and, for the actor-pool query, ONE pool): a
+    long-running job keeps its actor pool alive, so per-epoch
+    steady-state throughput is the honest scaling metric — a fresh
+    22-process pool spawn per trial otherwise dominates the high leg
+    and masks the engine."""
+    return int(os.environ.get("GRAFT_BENCH_EPOCHS", "1"))
+
+
+def _corpus_epochs():
+    ds = _corpus()
+    for _ in range(_epochs() - 1):
+        ds = ds.union(_corpus())
+    return ds
+
+
 def q_validate_vectorized():
     """Headline: vectorized keyword predicates over the full corpus."""
     from boon_ray.pipelines.flagship import corpus_violations
 
-    return corpus_violations(_corpus()).count()
+    return corpus_violations(_corpus_epochs()).count()
 
 
 def q_validate_full_engine():
@@ -54,7 +71,9 @@ def q_validate_full_engine():
     from boon_ray.pipelines.flagship import corpus_schema_verdicts
 
     pool = max(2, NUM_CPUS - 2)
-    ds = corpus_schema_verdicts(_corpus(), batch_size=16384,
+    # bs=32768 measured best at both scaling legs (fewer actor
+    # dispatches; the evaluator is row-bound, not batch-bound)
+    ds = corpus_schema_verdicts(_corpus_epochs(), batch_size=32768,
                                 concurrency=pool)
     return ds.count()
 
@@ -219,19 +238,28 @@ def run_scaling() -> dict:
     throughput — over a corpus big enough that compute, not fixed
     startup, dominates (BASELINE.json metric: validated files/sec)."""
     def run(ncpu: int) -> dict:
-        # lean legs: validation queries only, best of 2 trials each
-        # (host noise between consecutive Ray sessions is the largest
-        # variance source; min-of-trials measures the engine)
+        # lean legs: validation queries only, ONE trial of several
+        # epochs through one dataset execution / one actor pool —
+        # steady-state per-epoch throughput, the thing a long-running
+        # job sees (per-trial pool respawn otherwise dominates the
+        # high leg)
+        epochs = int(os.environ.get("GRAFT_BENCH_EPOCHS", "4"))
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_REPLICAS=os.environ.get(
                        "GRAFT_BENCH_REPLICAS", "2000"),
                    GRAFT_BENCH_ONLY="validate_vectorized,"
                                     "validate_full_engine",
-                   GRAFT_BENCH_TRIALS="2")
+                   GRAFT_BENCH_TRIALS="1",
+                   GRAFT_BENCH_EPOCHS=str(epochs))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        res = json.loads(out.strip().splitlines()[-1])
+        # per-epoch steady-state numbers
+        res["validate_sec"] = round(res["validate_sec"] / epochs, 3)
+        res["queries"] = {k: round(v / epochs, 3)
+                          for k, v in res["queries"].items()}
+        return res
 
     # N=6 vs 4N=24: both levels leave headroom for Ray system threads
     # (raylet/object store/driver), matching a real multi-node cluster
