@@ -156,6 +156,42 @@ def q_ann_topk():
 
 # actor-pool query last: its pool teardown otherwise overlaps the
 # next query's tasks and inflates shuffle timings
+def q_topk_per_group():
+    """Per-group top-k over the amplified corpus (local pre-reduce ->
+    tiny per-group merge)."""
+    from boon_ray.stages.topk import top_k_per_group
+
+    def lengths(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_chars": pc.utf8_length(b.column("content")),
+            "path": b.column("path"),
+        })
+
+    ds = _corpus().map_batches(lengths, batch_format="pyarrow",
+                               batch_size=None)
+    return top_k_per_group(ds, ["lang"], "n_chars", k=10,
+                           tiebreak="path").count()
+
+
+def q_hash_split():
+    """Deterministic salted-md5 train/test split (pure map)."""
+    from boon_ray.stages.training import hash_split
+
+    def add_id(b):
+        import numpy as np
+        import pyarrow as pa
+        start = abs(hash(b.column("commit")[0].as_py())) % (1 << 40)
+        ids = np.arange(start, start + b.num_rows, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids)})
+
+    ds = _corpus().map_batches(add_id, batch_format="pyarrow",
+                               batch_size=None)
+    return hash_split(ds, "doc_id", test_pct=10.0).count()
+
+
 QUERIES = {
     "validate_vectorized": q_validate_vectorized,
     "uniqueness": q_uniqueness,
@@ -164,6 +200,8 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "windows": q_windows,
     "ann_topk": q_ann_topk,
+    "topk_per_group": q_topk_per_group,
+    "hash_split": q_hash_split,
     "validate_full_engine": q_validate_full_engine,
 }
 

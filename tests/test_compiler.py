@@ -314,3 +314,14 @@ def test_metaschemas_themselves_exempt():
 
     for d in ALL_DRAFTS:
         assert metaschemas._metaschema_evaluator(d) is not None
+
+
+def test_metaschemas_validate_themselves():
+    """Each draft metaschema is itself a valid schema of its own
+    dialect (the classic self-describing invariant)."""
+    from boon_ray import metaschemas
+    from boon_ray.draft import ALL_DRAFTS
+
+    for d in ALL_DRAFTS:
+        ev = metaschemas._metaschema_evaluator(d)
+        assert ev.is_valid(metaschemas.meta_doc(d)), d
