@@ -26,14 +26,6 @@ from boon_ray.draft import (
 _SIMPLE_TYPES = ["array", "boolean", "integer", "null", "number",
                  "object", "string"]
 
-_TYPE_KW = {
-    "anyOf": [
-        {"enum": _SIMPLE_TYPES},
-        {"type": "array", "items": {"enum": _SIMPLE_TYPES},
-         "minItems": 1, "uniqueItems": True},
-    ]
-}
-
 DRAFT4_META = {
     "id": "http://json-schema.org/draft-04/schema#",
     "$schema": "http://json-schema.org/draft-04/schema#",

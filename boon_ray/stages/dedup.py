@@ -14,7 +14,6 @@ Exact dedup lives in boon_ray.stages.unique.dedup_exact.
 from __future__ import annotations
 
 import re
-from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd

@@ -24,7 +24,7 @@ before the union (mirroring pandas merge suffixes).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd
