@@ -23,6 +23,7 @@ from collections.abc import Callable
 from typing import Any
 
 from boon_ray.sources.corpus import CORPUS_CTE
+from boon_ray.stages.training import splitmix64_sql as _splitmix64_sql
 
 # JSON Schema applied per row to events.props by the full engine
 # (integer accepts whole floats; booleans are not integers)
@@ -126,24 +127,19 @@ def _q_dedup_exact_docs(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
-def _q_dedup_clusters(sf_dir: str):
-    """Distributed connected components (iterated min-label
-    propagation with pointer doubling — no driver-side edge set).
-
-    The edge set is a deterministic, SQL-checkable graph with real
-    multi-hop topology: docs are grouped by the first byte pair of
-    md5(text) and each group is chained by consecutive doc_id, so a
-    label must propagate along the whole chain (diameter up to ~9 at
-    sf0.01). Components therefore equal the md5-prefix groups, which
-    DuckDB can compute with a window function."""
+def _md5_chain_edges(sf_dir: str):
+    """Deterministic, SQL-checkable edge set with real multi-hop
+    topology: docs are grouped by the first byte pair of md5(text) and
+    each group is chained by consecutive doc_id, so a label must
+    propagate along the whole chain (diameter up to ~9 at sf0.01).
+    Components equal the md5-prefix groups, which DuckDB can compute
+    with a window function."""
     import hashlib
 
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
-
-    from boon_ray.stages.dedup import cluster_pairs_distributed
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -164,25 +160,39 @@ def _q_dedup_clusters(sf_dir: str):
                                  "b": pd.Series(dtype="int64")})
         return pd.DataFrame({"a": ids[:-1], "b": ids[1:]})
 
-    edges = ds.map_batches(add_bucket, batch_format="pyarrow",
-                           batch_size=None).groupby("h").map_groups(
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          batch_size=None).groupby("h").map_groups(
         chain_edges, batch_format="pandas")
-    return cluster_pairs_distributed(edges, num_buckets=8)
 
+
+def _q_dedup_clusters(sf_dir: str):
+    """Distributed connected components (iterated min-label
+    propagation with pointer doubling — no driver-side edge set) over
+    the deterministic md5-chain graph (:func:`_md5_chain_edges`)."""
+    from boon_ray.stages.dedup import cluster_pairs_distributed
+
+    return cluster_pairs_distributed(_md5_chain_edges(sf_dir),
+                                     num_buckets=8)
 
 
 def _q_dedup_survivors(sf_dir: str):
-    """End-to-end near-dedup: LSH candidates -> distributed exact
-    Jaccard verify -> distributed connected components -> keep one doc
-    per cluster (MinHash-derived -> rows-only; survivors-set equality
-    vs a union-find reference is asserted in pytest)."""
+    """End-to-end near-dedup (distributed exact Jaccard verify ->
+    distributed connected components -> broadcast drop-set filter)
+    driven by the deterministic md5-chain candidate graph, which makes
+    the surviving set SQL-checkable: survivors = the min doc_id of
+    each md5-prefix group (threshold 0 keeps every verified pair, so
+    clusters equal the chain components). The LSH-candidate variant of
+    the same pipeline is pytest-covered (union-find equality +
+    idempotence in tests/test_dedup_text.py) and its candidate stage
+    is the `minhash_pairs` query."""
     import ray.data as rd
 
     from boon_ray.stages.dedup import dedup_near
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    out = dedup_near(ds, "text", "doc_id", threshold=0.8)
+    out = dedup_near(ds, "text", "doc_id", threshold=0.0,
+                     candidate_pairs=_md5_chain_edges(sf_dir))
     return out.select_columns(["doc_id"])
 
 
@@ -303,9 +313,11 @@ def _q_multimodal_decode(sf_dir: str):
         texts = b.column("text").to_pylist()
         payloads = []
         for i, t in zip(ids, texts):
+            t = t or ""          # NULL/empty text: mirror the oracle's
+            #                      ascii(substr(text,1,1)) -> 0 semantics
             w = (len(t) % 13) + 1
             h = (i % 7) + 1
-            b0 = ord(t[0])
+            b0 = ord(t[0]) if t else 0
             payloads.append(
                 b"FAKEIMG1" + w.to_bytes(4, "little")
                 + h.to_bytes(4, "little") + bytes([b0]) * (w * h * 3))
@@ -331,15 +343,19 @@ def _q_multimodal_decode(sf_dir: str):
 
 
 def _q_train_test_split(sf_dir: str):
-    """Deterministic salted-md5 train/test split (pure map, no RNG, no
-    shuffle) — the byte-threshold rule is exactly expressible in SQL."""
+    """Deterministic salted train/test split (pure map, no RNG, no
+    shuffle), VECTORIZED via splitmix64 — the identical rule is
+    reproduced in SQL through training.splitmix64_sql (UHUGEINT
+    modular multiplies), so the vectorized kernel stays
+    oracle-checkable."""
     import ray.data as rd
 
     from boon_ray.stages.training import hash_split
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
-    out = hash_split(ds, "doc_id", test_pct=10.0, salt="split")
+    out = hash_split(ds, "doc_id", test_pct=10.0, salt="split",
+                     method="splitmix64")
     return out.select_columns(["doc_id", "split"])
 
 
@@ -371,12 +387,14 @@ def _q_partition_verdicts(sf_dir: str):
 
 
 def _q_length_quantiles(sf_dir: str):
-    """Histogram-based approximate char-length quantiles per lang
-    (approximate -> rows-only; accuracy asserted in tests)."""
+    """Per-lang EXACT char-length quantiles (linear interpolation,
+    DuckDB quantile_cont parity). The histogram-based approximate
+    sibling (drift.length_quantiles) keeps its pytest accuracy
+    oracle in tests/test_stages.py."""
     from boon_ray.sources.corpus import corpus_dataset
-    from boon_ray.stages.drift import length_quantiles
+    from boon_ray.stages.drift import length_quantiles_exact
 
-    return length_quantiles(corpus_dataset(sf_dir))
+    return length_quantiles_exact(corpus_dataset(sf_dir))
 
 
 def _q_token_counts(sf_dir: str):
@@ -972,6 +990,17 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) OVER (PARTITION BY substr(md5(text),1,2)) AS n "
             "FROM documents) "
             "SELECT doc_id AS id, cluster FROM g WHERE n > 1",
+        "dedup_survivors":
+            "WITH g AS (SELECT doc_id, "
+            "CAST(MIN(doc_id) OVER (PARTITION BY substr(md5(text),1,2)) "
+            "AS BIGINT) AS m FROM documents) "
+            "SELECT doc_id FROM g WHERE doc_id = m",
+        "length_quantiles":
+            f"WITH {cte} SELECT lang, CAST(count(*) AS BIGINT) AS n, "
+            f"quantile_cont(CAST(length(content) AS DOUBLE), 0.25) AS q25, "
+            f"quantile_cont(CAST(length(content) AS DOUBLE), 0.5) AS q50, "
+            f"quantile_cont(CAST(length(content) AS DOUBLE), 0.75) AS q75 "
+            f"FROM corpus GROUP BY lang",
         "drift_verdicts":
             f'WITH {cte} SELECT lang, count(*) AS n, '
             f"count(*) AS baseline_n, TRUE AS passed "
@@ -1135,9 +1164,9 @@ def oracle_sql() -> dict[str, str]:
             "AND n_regionkey = r_regionkey AND r_name = 'ASIA' "
             "GROUP BY n_name",
         "train_test_split":
-            "SELECT doc_id, CASE WHEN substr(md5('split:' || "
-            "CAST(doc_id AS VARCHAR)), 1, 2) < '1a' "
-            "THEN 'test' ELSE 'train' END AS split FROM documents",
+            f"SELECT doc_id, CASE WHEN "
+            f"{_splitmix64_sql('doc_id', 'split')} % 256 < 26 "
+            f"THEN 'test' ELSE 'train' END AS split FROM documents",
         "multimodal_decode":
             "SELECT doc_id, "
             "CAST((length(text) % 13) + 1 AS INTEGER) AS width, "

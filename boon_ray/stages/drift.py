@@ -251,6 +251,43 @@ def quantiles_from_hist(hist: np.ndarray, qs: Sequence[float] = (0.5, 0.9, 0.99)
     return out
 
 
+def length_quantiles_exact(ds, group_key: str = "lang",
+                           column: str = "content",
+                           qs: Sequence[float] = (0.25, 0.5, 0.75)):
+    """Per-group EXACT char-length quantiles with linear interpolation
+    (DuckDB ``quantile_cont`` parity — the oracle-checkable sibling of
+    the histogram-based :func:`length_quantiles`).
+
+    Scale shape: the text column is dropped BEFORE the exchange, so
+    the shuffle moves only (group, int64 length) rows; each group's
+    lengths are sorted and quantiled inside its map_groups task
+    (per-group memory = 8 B × group rows — same per-key-group contract
+    as the session window operator). Returns a Dataset of
+    (group, n, q25, q50, q75, ...).
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            group_key: b.column(group_key),
+            "_len": pc.cast(pc.utf8_length(b.column(column)),
+                            pa.int64()),
+        })
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["_len"].to_numpy(dtype=np.float64))
+        out = {group_key: [g[group_key].iloc[0]],
+               "n": pd.Series([len(v)], dtype="int64")}
+        for q in qs:
+            out[f"q{int(q * 100)}"] = pd.Series(
+                [float(np.quantile(v, q))], dtype="float64")
+        return pd.DataFrame(out)
+
+    return (ds.map_batches(project, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(group_key)
+            .map_groups(agg, batch_format="pandas"))
+
+
 def length_quantiles(ds, group_key: str = "lang",
                      column: str = "content",
                      qs: Sequence[float] = (0.5, 0.9, 0.99)):

@@ -14,10 +14,22 @@ operators, tier (c)):
   sorts its bucket by ts and feeds the bucket's actor in ordered
   chunked slices (actor tasks from one submitter execute in
   submission order — the per-bucket ordering guarantee). The DRIVER
-  never touches event rows and there is no global sort — only the
-  session results flow back at the end;
-- closed sessions are emitted incrementally; ``flush`` drains what is
-  still open at end-of-stream.
+  never touches event rows OR session rows: closed sessions are
+  drained back into the feed task incrementally (bounding actor
+  memory) and become the task's map_groups output, so the whole
+  operator returns a ``ray.data.Dataset`` of sessions;
+- ``flush`` at the end of each bucket's feed drains what is still
+  open at end-of-stream, inside the same task.
+
+Retry safety (Ray Data retries map_groups tasks): each feed task
+calls ``reset()`` on its bucket's actor before feeding, so a retry
+replays the bucket against a clean slate instead of double-counting.
+The bucket→task mapping is 1:1 (groupby key is the bucket id) and the
+in-task sort/chunking is deterministic, so retry = reset +
+deterministic replay; sessions drained by the failed attempt die with
+its lost output and are rebuilt by the replay. (Ray does not run
+speculative duplicate attempts of the same task concurrently, which
+this relies on.)
 
 Ordering assumption (stated per the guide): events must arrive
 ts-sorted per key; provided here by the per-bucket in-task sort. On a
@@ -26,7 +38,12 @@ provides per partition.
 
 Scale shape: a bucket is the unit of parallelism AND of in-task sort
 memory — size ``num_buckets`` so one bucket's events fit a task
-(same contract as windows.session_window_agg's per-key groups).
+(same contract as windows.session_window_agg's per-key groups). A
+planted mega-key cannot be split (its session semantics are
+per-key-sequential); its memory bound is the OPEN-session dict plus
+one chunk — closed sessions leave the actor every chunk — while the
+feed task's sort holds that key's full event slice (documented
+contract, tested in tests/test_windows_joins.py skew tests).
 """
 
 from __future__ import annotations
@@ -36,6 +53,8 @@ import pandas as pd
 import pyarrow as pa
 
 from boon_ray.sketches import hash64
+
+SESSION_COLS = ["session_start", "session_end", "n_events", "sum_value"]
 
 
 def _session_actor_cls():
@@ -49,6 +68,16 @@ def _session_actor_cls():
             self.gap_us = gap_us
             self.open: dict = {}   # key -> [start, end, n, total]
             self.closed: list = []
+            self.peak_closed = 0   # high-water mark, memory-contract
+            #                        observability for tests
+
+        def reset(self) -> None:
+            """Drop ALL state. Called at the start of every feed task
+            so a Ray Data task retry replays its bucket against a
+            clean slate (feeds become idempotent: retry = reset +
+            deterministic replay)."""
+            self.open = {}
+            self.closed = []
 
         def feed(self, keys, ts_us, values) -> int:
             """Consume one ts-ordered slice; returns sessions closed.
@@ -92,6 +121,7 @@ def _session_actor_cls():
                         self.closed.append((key, *cur))
                         n_closed += 1
                     self.open[key] = [st, en, cnt, sm]
+            self.peak_closed = max(self.peak_closed, len(self.closed))
             return n_closed
 
         def drain_closed(self) -> list:
@@ -105,19 +135,39 @@ def _session_actor_cls():
             self.closed = []
             return out
 
+        def stats(self) -> dict:
+            return {"open": len(self.open), "closed": len(self.closed),
+                    "peak_closed": self.peak_closed}
+
     return SessionActor
+
+
+def _sessions_frame(rows: list, key_col: str) -> pd.DataFrame:
+    df = pd.DataFrame(rows, columns=[key_col, *SESSION_COLS])
+    df["session_start"] //= 1_000_000
+    df["session_end"] //= 1_000_000
+    return df
 
 
 def streaming_sessionize(ds, ts_col: str, key_col: str, value_col: str,
                          gap_s: int = 1800, num_buckets: int = 8,
-                         chunk_rows: int = 8192) -> pa.Table:
+                         chunk_rows: int = 8192):
     """Sessionize an event log with incremental per-bucket actor state.
 
-    Returns (key, session_start, session_end, n_events, sum_value) —
-    semantically identical to windows.session_window_agg, but state
-    lives in long-lived actors fed an ordered stream of slices, the
-    shape a continuous ingestion pipeline needs. Feeding happens in
-    the per-bucket map_groups TASKS, not on the driver.
+    Returns a ``ray.data.Dataset`` of (key, session_start,
+    session_end, n_events, sum_value) — semantically identical to
+    windows.session_window_agg, but state lives in long-lived actors
+    fed an ordered stream of slices, the shape a continuous ingestion
+    pipeline needs. Feeding, draining AND result emission happen in
+    the per-bucket map_groups TASKS: closed sessions are pulled out of
+    the actor after every chunk and returned as the task's output
+    rows, so neither the actors nor the driver ever accumulate the
+    O(distinct keys) session set.
+
+    The actors live exactly as long as the returned Dataset (their
+    handles are captured by the feed closure in its plan); re-executing
+    the Dataset re-feeds through ``reset()``, which is also what makes
+    Ray Data task retries safe (module docstring).
     """
     import ray
 
@@ -132,29 +182,32 @@ def streaming_sessionize(ds, ts_col: str, key_col: str, value_col: str,
 
     def feed_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """One task per bucket: ts-sort the bucket, stream ordered
-        chunked slices into its actor (ordered by actor-mailbox
-        submission order), wait for delivery."""
+        chunked slices into its actor, drain closed sessions back
+        after each delivered chunk, flush at end-of-bucket. The
+        drained + flushed sessions ARE the task's output."""
         bucket = int(g["_bucket"].iloc[0])
         g = g.sort_values(ts_col, kind="mergesort")
         keys = g[key_col].to_numpy()
         ts_us = g[ts_col].to_numpy(dtype=np.int64)
         vals = g[value_col].to_numpy()
         actor = actors[bucket]
-        pending = []
+        ray.get(actor.reset.remote())   # retry idempotence
+        rows: list = []
+        pending: list = []
         for i in range(0, len(g), chunk_rows):
             # bound in-flight feeds so the actor mailbox never holds a
-            # second serialized copy of the whole bucket
+            # second serialized copy of the whole bucket; each time a
+            # feed lands, drain what it closed (bounds actor memory)
             if len(pending) >= 4:
                 done, pending = ray.wait(pending, num_returns=1)
                 ray.get(done)
+                rows.extend(ray.get(actor.drain_closed.remote()))
             pending.append(actor.feed.remote(
                 keys[i:i + chunk_rows], ts_us[i:i + chunk_rows],
                 vals[i:i + chunk_rows]))
-        ray.get(pending)          # delivered before the task finishes
-        return pd.DataFrame({"_bucket": pd.Series([bucket],
-                                                  dtype="int64"),
-                             "n_rows": pd.Series([len(g)],
-                                                 dtype="int64")})
+        ray.get(pending)          # delivered before the flush
+        rows.extend(ray.get(actor.flush.remote()))  # end-of-stream
+        return _sessions_frame(rows, key_col)
 
     def to_us(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -162,28 +215,9 @@ def streaming_sessionize(ds, ts_col: str, key_col: str, value_col: str,
         cols[ts_col] = pc.cast(b.column(ts_col), pa.int64())
         return pa.table(cols)
 
-    fed = (ds.map_batches(to_us, batch_format="pyarrow",
-                          batch_size=None)
-           .map_batches(add_bucket, batch_format="pyarrow",
-                        batch_size=None)
-           .groupby("_bucket")
-           .map_groups(feed_bucket, batch_format="pandas"))
-    fed.materialize()             # drive the feed to completion
-
-    rows = []
-    for a in actors:
-        rows.extend(ray.get(a.flush.remote()))
-    for a in actors:
-        ray.kill(a)
-    if not rows:
-        return pa.table({key_col: pa.array([], pa.int64()),
-                         "session_start": pa.array([], pa.int64()),
-                         "session_end": pa.array([], pa.int64()),
-                         "n_events": pa.array([], pa.int64()),
-                         "sum_value": pa.array([], pa.float64())})
-    df = pd.DataFrame(rows, columns=[key_col, "session_start",
-                                     "session_end", "n_events",
-                                     "sum_value"])
-    df["session_start"] //= 1_000_000
-    df["session_end"] //= 1_000_000
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return (ds.map_batches(to_us, batch_format="pyarrow",
+                           batch_size=None)
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("_bucket")
+            .map_groups(feed_bucket, batch_format="pandas"))

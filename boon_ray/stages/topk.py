@@ -6,7 +6,10 @@ group it contains (vectorized pandas sort + groupby head), so the
 groupby shuffle moves O(k x groups-per-batch) rows instead of the
 table; the per-group merge then re-sorts the <= k x n_batches
 survivors and keeps k. Deterministic output: ties broken by the
-``tiebreak`` column ascending.
+``tiebreak`` column ascending — the guarantee requires (order_col,
+tiebreak) to be a TOTAL order within each group (tiebreak unique per
+group, e.g. a doc_id); with duplicate (order, tiebreak) pairs the
+surviving physical rows depend on batch partitioning (ADVICE r2).
 """
 
 from __future__ import annotations

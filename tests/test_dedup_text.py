@@ -416,3 +416,31 @@ def test_pack_sequences_invariants(ray_session):
     rec = out.merge(fills.rename("rec"), left_on="bin_id",
                     right_index=True)
     assert (rec["bin_fill"] == rec["rec"]).all()
+
+
+def test_hash_split_splitmix64_sql_parity(ray_session):
+    """The vectorized splitmix64 rule must equal its DuckDB
+    translation bit-for-bit (and differ from the md5 method only in
+    WHICH rows it picks, not the fraction)."""
+    import duckdb
+    import ray.data as rd
+
+    from boon_ray.stages.training import hash_split, splitmix64_sql
+
+    df = pd.DataFrame({"doc_id": np.arange(5000, dtype="int64")})
+    got = (hash_split(rd.from_pandas(df), "doc_id", test_pct=10.0,
+                      salt="split", method="splitmix64").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("docs", df)
+    want = con.sql(
+        f"SELECT doc_id, CASE WHEN "
+        f"{splitmix64_sql('doc_id', 'split')} % 256 < 26 "
+        f"THEN 'test' ELSE 'train' END AS split FROM docs "
+        f"ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # md5 method still available for string ids
+    md5 = (hash_split(rd.from_pandas(df), "doc_id", test_pct=10.0,
+                      method="md5").to_pandas())
+    frac = (md5["split"] == "test").mean()
+    assert 0.06 < frac < 0.15

@@ -568,3 +568,146 @@ def test_hash_join_suffix_collision_probed(ray_session):
     assert got.loc[0, "x"] == 5
     assert got.loc[0, "x_r"] == 7
     assert got.loc[0, "x_r_r"] == 9
+
+
+# ------------------------------------------ session memory contract
+
+def _skewed_events(n_hot=20_000, n_cold_keys=500):
+    """One mega-key holding half the events (hot-user skew) plus many
+    normal keys; sessions every ~10 events via a 5 s gap at 1 s steps
+    with 60 s jumps."""
+    rng = np.random.default_rng(7)
+    hot_ts = np.cumsum(np.where(np.arange(n_hot) % 10 == 0, 60, 1)) * 10**6
+    cold_keys = rng.integers(1000, 1000 + n_cold_keys, size=n_hot)
+    cold_ts = rng.integers(0, hot_ts[-1], size=n_hot)
+    return pd.DataFrame({
+        "ts": np.r_[hot_ts, cold_ts].astype("int64"),
+        "user_id": np.r_[np.zeros(n_hot, dtype="int64"), cold_keys],
+        "value": np.ones(2 * n_hot, dtype="int64"),
+    })
+
+
+def test_session_mega_key_skew_bounded(ray_session):
+    """Memory contract (SURVEY.md §4.3): a planted mega-key must flow
+    through BOTH session operators; the streaming one must return a
+    Dataset (driver never holds session rows) and match the batch
+    operator. Per-key groups hold the mega-key's events (documented
+    bound); actor state holds only OPEN sessions + one chunk."""
+    import ray
+    import ray.data as rd
+
+    from boon_ray.stages.streaming import streaming_sessionize
+    from boon_ray.stages.windows import session_window_agg
+
+    df = _skewed_events()
+    got = streaming_sessionize(rd.from_pandas(df), "ts", "user_id",
+                               "value", gap_s=5, num_buckets=4,
+                               chunk_rows=1024)
+    assert isinstance(got, ray.data.Dataset)
+    got = got.to_pandas()
+    want = session_window_agg(rd.from_pandas(df), "ts", "user_id",
+                              "value", gap_s=5).to_pandas()
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    got = got.sort_values(cols).reset_index(drop=True)
+    want = want.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False)
+
+
+def test_session_actor_closed_stays_drained(ray_session):
+    """Actor memory contract: with a drain after every feed, the
+    closed list never accumulates the run's session count — its
+    high-water mark is bounded by sessions closed per chunk."""
+    import ray
+
+    from boon_ray.stages.streaming import _session_actor_cls
+
+    actor = _session_actor_cls().remote(5 * 10**6)
+    df = _skewed_events(n_hot=5000).sort_values("ts", kind="mergesort")
+    keys = df["user_id"].to_numpy()
+    ts = df["ts"].to_numpy()
+    vals = df["value"].to_numpy()
+    total_closed = 0
+    for i in range(0, len(df), 512):
+        ray.get(actor.feed.remote(keys[i:i + 512], ts[i:i + 512],
+                                  vals[i:i + 512]))
+        total_closed += len(ray.get(actor.drain_closed.remote()))
+    stats = ray.get(actor.stats.remote())
+    assert stats["closed"] == 0
+    assert total_closed > 50            # sessions really closed
+    assert stats["peak_closed"] < total_closed / 2
+    ray.kill(actor)
+
+
+def test_session_feed_retry_is_idempotent(ray_session):
+    """ADVICE r2: a retried feed must not double-count. reset() +
+    full replay must reproduce identical sessions."""
+    import ray
+
+    from boon_ray.stages.streaming import _session_actor_cls
+
+    actor = _session_actor_cls().remote(5 * 10**6)
+    df = _skewed_events(n_hot=2000).sort_values("ts", kind="mergesort")
+    keys = df["user_id"].to_numpy()
+    ts = df["ts"].to_numpy()
+    vals = df["value"].to_numpy()
+
+    def run():
+        ray.get(actor.reset.remote())
+        rows = []
+        for i in range(0, len(df), 256):
+            ray.get(actor.feed.remote(keys[i:i + 256], ts[i:i + 256],
+                                      vals[i:i + 256]))
+            rows.extend(ray.get(actor.drain_closed.remote()))
+        rows.extend(ray.get(actor.flush.remote()))
+        return sorted(rows)
+
+    first = run()
+    # simulate a failed attempt: partial feed with NO flush, then retry
+    ray.get(actor.reset.remote())
+    ray.get(actor.feed.remote(keys[:700], ts[:700], vals[:700]))
+    retry = run()
+    assert retry == first
+    ray.kill(actor)
+
+
+def test_length_quantiles_exact_matches_duckdb(ray_session):
+    """Exact mode must equal quantile_cont bit-for-bit (linear
+    interpolation over integer lengths is exact in float64)."""
+    import duckdb
+
+    from boon_ray.sources.corpus import CORPUS_CTE, corpus_dataset
+    from boon_ray.stages.drift import length_quantiles_exact
+
+    got = (length_quantiles_exact(corpus_dataset(SF)).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    want = con.sql(
+        f"WITH {CORPUS_CTE.strip()} SELECT lang, "
+        f"CAST(count(*) AS BIGINT) AS n, "
+        f"quantile_cont(CAST(length(content) AS DOUBLE), 0.25) AS q25, "
+        f"quantile_cont(CAST(length(content) AS DOUBLE), 0.5) AS q50, "
+        f"quantile_cont(CAST(length(content) AS DOUBLE), 0.75) AS q75 "
+        f"FROM corpus GROUP BY lang ORDER BY lang").df()
+    pd.testing.assert_frame_equal(got[["lang", "n", "q25", "q50", "q75"]],
+                                  want, check_dtype=False)
+
+
+def test_dedup_near_injected_candidates(ray_session):
+    """dedup_near with an injected candidate edge set must keep
+    exactly the min id of each connected component."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import dedup_near
+
+    docs = pd.DataFrame({"doc_id": np.arange(6, dtype="int64"),
+                         "text": ["x"] * 6})
+    # components {0,1,2}, {3,4}, {5}
+    edges = rd.from_pandas(pd.DataFrame(
+        {"a": pd.Series([0, 1, 3], dtype="int64"),
+         "b": pd.Series([1, 2, 4], dtype="int64")}))
+    out = dedup_near(rd.from_pandas(docs), "text", "doc_id",
+                     threshold=0.0, candidate_pairs=edges).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 3, 5]
