@@ -1,0 +1,324 @@
+"""Per-shape column-vectorized dispatch for the full schema engine.
+
+When a CompiledSpec's root is an object schema whose property
+subschemas are purely scalar keywords (no applicators, no refs, no
+format assertions) and the instance is built from flat Arrow columns
+(``JsonSchemaValidator(from_columns=...)``), the per-row verdict
+collapses to whole-column ``pyarrow.compute`` masks — the columnar
+analogue of boon's compile-once/validate-many split
+(/root/reference/src/lib.rs:186-195).
+
+Semantics are IDENTICAL to ``Evaluator._valid`` by construction:
+
+- null cells take the verdict the real evaluator gives JSON ``null``
+  for that subschema (computed once per node, via ``Evaluator``);
+- numeric enum/const/bounds compare in float64, which is literally
+  what ``json_util.equals`` / the evaluator do (``float(a) ==
+  float(b)``, util.rs:348-388);
+- ``integer`` accepts whole floats via ``v == floor(v) AND finite``
+  (util.rs:300-307);
+- patterns run under RE2 after the same ECMA translation the
+  vectorized L1 layer uses; patterns RE2 cannot express (lookaround,
+  backrefs) disqualify the node and the stage falls back to per-row
+  recursion.
+
+``tests/test_property_based.py`` fuzzes this path against the
+recursive evaluator; a divergence in either is caught there.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from boon_ray import json_util as ju
+from boon_ray.compiler import CompiledSpec, SchemaNode
+from boon_ray.evaluator import Evaluator
+from boon_ray.stages.vectorized import _re2_pattern
+
+
+def _probe_re2(rx: str) -> bool:
+    """True iff Arrow's RE2 engine accepts the translated pattern."""
+    try:
+        pc.match_substring_regex(pa.array(["a"], pa.string()), pattern=rx)
+        return True
+    except pa.ArrowInvalid:
+        return False
+
+
+def _child_vectorizable(node: SchemaNode) -> bool:
+    """A property subschema qualifies iff only scalar keywords remain
+    once dead (non-scalar-typed) keyword families are excluded."""
+    if node.boolean is not None:
+        return True
+    if (node.ref is not None or node.recursive_ref is not None
+            or node.dynamic_ref is not None or node.not_ is not None
+            or node.all_of or node.any_of or node.one_of
+            or node.if_ is not None
+            or (node.format is not None and node.format_assert)
+            or node.content_assert
+            or node.dependencies or node.dependent_required
+            or node.dependent_schemas
+            or node.properties or node.pattern_properties
+            or node.additional_properties is not None
+            or node.property_names is not None
+            or node.unevaluated_properties is not None
+            or node.unevaluated_items is not None
+            or node.items_all is not None or node.items_tuple is not None
+            or node.prefix_items or node.contains is not None
+            or node.min_properties is not None
+            or node.max_properties is not None
+            or node.required
+            or node.min_items is not None or node.max_items is not None
+            or node.unique_items):
+        return False
+    if node.pattern is not None:
+        try:
+            rx = _re2_pattern(node.pattern)
+        except Exception:
+            return False
+        if not _probe_re2(rx):
+            return False
+    return True
+
+
+def _json_col_type(t: pa.DataType) -> Optional[str]:
+    """Arrow column type -> the JSON type every non-null cell has."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return ju.TYPE_STRING
+    if pa.types.is_boolean(t):
+        return ju.TYPE_BOOLEAN
+    if pa.types.is_integer(t):          # signed + unsigned widths
+        return ju.TYPE_INTEGER
+    if pa.types.is_floating(t):
+        return ju.TYPE_NUMBER
+    if pa.types.is_null(t):
+        return ju.TYPE_NULL
+    return None                         # nested/binary/etc -> fall back
+
+
+def _const_mask(n: int, val: bool) -> pa.Array:
+    return pc.fill_null(pa.nulls(n, pa.bool_()), bool(val))
+
+
+class FlatVectorizer:
+    """Compiled column-mask plan for one (spec, from_columns) pair.
+
+    Use :meth:`compile`; it returns ``None`` when the spec's shape does
+    not qualify, in which case the caller keeps the per-row path.
+    ``mask(batch)`` returns a null-free boolean validity array, or
+    ``None`` if a column's Arrow type is unsupported (fall back for
+    that batch; the decision is cached since stage schemas are stable).
+    """
+
+    def __init__(self, spec: CompiledSpec, columns: Sequence[str],
+                 static: Optional[bool], plan: list):
+        self.spec = spec
+        self.columns = tuple(columns)
+        self.static = static            # constant verdict, when decidable
+        self.plan = plan                # [(column, node)]
+        self._ev = Evaluator(spec)
+        self._null_ok: dict[int, bool] = {}
+        self._unusable = False          # sticky per-stage fallback
+
+    # -- compile -------------------------------------------------------
+    @classmethod
+    def compile(cls, spec: CompiledSpec,
+                columns: Sequence[str]) -> Optional["FlatVectorizer"]:
+        cols = tuple(columns)
+        root = spec.node(spec.root)
+        if root.boolean is not None:
+            return cls(spec, cols, root.boolean, [])
+
+        # disqualifying root keywords (anything whose columnar
+        # translation isn't implemented stays on the per-row path)
+        if (root.ref is not None or root.recursive_ref is not None
+                or root.dynamic_ref is not None or root.not_ is not None
+                or root.all_of or root.any_of or root.one_of
+                or root.if_ is not None
+                or (root.format is not None and root.format_assert)
+                or root.content_assert
+                or root.enum is not None or root.const_set
+                or root.pattern_properties
+                or root.property_names is not None
+                or root.dependent_schemas
+                or root.unevaluated_properties is not None
+                or root.unevaluated_items is not None):
+            return None
+        # schema-form dependencies are in-place applicators -> per-row
+        if any(not isinstance(d, tuple) for d in root.dependencies.values()):
+            return None
+
+        # statically decidable pieces: the instance is ALWAYS an object
+        # with exactly `cols` keys (dict built from the flat columns)
+        if root.types is not None and ju.TYPE_OBJECT not in root.types_expand:
+            return cls(spec, cols, False, [])
+        n_keys = len(cols)
+        if root.min_properties is not None and n_keys < root.min_properties:
+            return cls(spec, cols, False, [])
+        if root.max_properties is not None and n_keys > root.max_properties:
+            return cls(spec, cols, False, [])
+        colset = set(cols)
+        if any(k not in colset for k in root.required):
+            return cls(spec, cols, False, [])
+        for trigger, deps in root.dependencies.items():
+            if trigger in colset and any(k not in colset for k in deps):
+                return cls(spec, cols, False, [])
+        for trigger, deps in root.dependent_required.items():
+            if trigger in colset and any(k not in colset for k in deps):
+                return cls(spec, cols, False, [])
+
+        plan: list = []
+        for name, cidx in root.properties.items():
+            if name not in colset:
+                continue                # key never present -> dead
+            child = spec.node(cidx)
+            if not _child_vectorizable(child):
+                return None
+            plan.append((name, cidx))
+
+        covered = set(root.properties)
+        extras = [c for c in cols if c not in covered]
+        ap = root.additional_properties
+        if ap is False and extras:
+            return cls(spec, cols, False, [])
+        if isinstance(ap, int) and not isinstance(ap, bool) and extras:
+            child = spec.node(ap)
+            if not _child_vectorizable(child):
+                return None
+            plan.extend((c, ap) for c in extras)
+        return cls(spec, cols, None, plan)
+
+    # -- evaluate ------------------------------------------------------
+    def _null_verdict(self, cidx: int) -> bool:
+        ok = self._null_ok.get(cidx)
+        if ok is None:
+            ok = self._ev.is_valid(None, cidx)
+            self._null_ok[cidx] = ok
+        return ok
+
+    def mask(self, batch: pa.Table) -> Optional[pa.Array]:
+        n = batch.num_rows
+        if self.static is not None:
+            return _const_mask(n, self.static)
+        if self._unusable:
+            return None
+        out: Optional[pa.Array] = None
+        for name, cidx in self.plan:
+            if name not in batch.column_names:
+                # column absent from this batch: key absent -> the
+                # property subschema never fires for any row
+                continue
+            arr = batch.column(name)
+            m = self._column_mask(self.spec.node(cidx), cidx, arr)
+            if m is None:
+                self._unusable = True
+                return None
+            out = m if out is None else pc.and_(out, m)
+        if out is None:
+            out = _const_mask(n, True)
+        return out
+
+    def _column_mask(self, node: SchemaNode, cidx: int,
+                     arr) -> Optional[pa.Array]:
+        """Null-free boolean validity mask for one column, or None when
+        the Arrow type has no columnar translation."""
+        n = len(arr)
+        null_ok = self._null_verdict(cidx)
+        if node.boolean is not None:
+            # boolean schema: same verdict for null and non-null
+            return _const_mask(n, node.boolean)
+        jt = _json_col_type(arr.type)
+        if jt is None:
+            return None
+        if jt == ju.TYPE_NULL:
+            return _const_mask(n, null_ok)
+
+        is_null = pc.is_null(arr)
+        ok = None                      # validity of NON-NULL cells
+
+        def add(m):
+            nonlocal ok
+            ok = m if ok is None else pc.and_(ok, m)
+
+        # unsafe cast = IEEE round-to-nearest = Python float(v), the
+        # exact coercion ju.equals / the evaluator apply (verified in
+        # test_colvec_mask_equals_per_row with >2^53 ints)
+        num = pc.cast(arr, pa.float64(), safe=False) \
+            if jt in (ju.TYPE_INTEGER, ju.TYPE_NUMBER) else None
+
+        # type -------------------------------------------------------
+        if node.types is not None:
+            if jt in node.types_expand:
+                pass                                    # every cell passes
+            elif (jt == ju.TYPE_NUMBER and node.types_whole_float):
+                # `integer` accepts whole finite floats (util.rs:300-307)
+                add(pc.and_(pc.is_finite(num),
+                            pc.equal(num, pc.floor(num))))
+            else:
+                # no non-null cell can satisfy `type`
+                if not null_ok:
+                    return _const_mask(n, False)
+                return pc.fill_null(pc.cast(is_null, pa.bool_()), False)
+
+        # enum / const (2 == 2.0 across int/float; bools never equal
+        # numbers; cross-type entries can never match this column) ----
+        if node.enum is not None:
+            add(self._membership_mask(arr, num, jt, node.enum))
+        if node.const_set:
+            add(self._membership_mask(arr, num, jt, [node.const]))
+
+        # string keywords --------------------------------------------
+        if jt == ju.TYPE_STRING:
+            if node.min_length is not None or node.max_length is not None:
+                ln = pc.utf8_length(arr)
+                if node.min_length is not None:
+                    add(pc.greater_equal(ln, node.min_length))
+                if node.max_length is not None:
+                    add(pc.less_equal(ln, node.max_length))
+            if node.pattern is not None:
+                add(pc.match_substring_regex(
+                    arr, pattern=_re2_pattern(node.pattern)))
+
+        # number keywords (f64 comparisons, validator.rs:516-563) ----
+        if jt in (ju.TYPE_INTEGER, ju.TYPE_NUMBER):
+            if node.minimum is not None:
+                add(pc.greater_equal(num, node.minimum))
+            if node.maximum is not None:
+                add(pc.less_equal(num, node.maximum))
+            if node.exclusive_minimum is not None:
+                add(pc.greater(num, node.exclusive_minimum))
+            if node.exclusive_maximum is not None:
+                add(pc.less(num, node.exclusive_maximum))
+            if node.multiple_of is not None:
+                q = pc.divide(num, node.multiple_of)
+                # huge quotients have no f64 fract -> pass, and
+                # non-finite q passes (validator.rs:556-563)
+                add(pc.or_(pc.invert(pc.is_finite(q)),
+                           pc.equal(q, pc.floor(q))))
+
+        if ok is None:
+            ok = _const_mask(n, True)
+        return pc.fill_null(pc.if_else(is_null, null_ok, ok), null_ok)
+
+    @staticmethod
+    def _membership_mask(arr, num, jt: str, values: list) -> pa.Array:
+        """is-in mask under JSON equality for one column type."""
+        if jt == ju.TYPE_STRING:
+            vals = [v for v in values if isinstance(v, str)]
+            if not vals:
+                return _const_mask(len(arr), False)
+            return pc.is_in(arr, value_set=pa.array(vals, pa.string()))
+        if jt == ju.TYPE_BOOLEAN:
+            vals = [v for v in values if isinstance(v, bool)]
+            if not vals:
+                return _const_mask(len(arr), False)
+            return pc.is_in(arr, value_set=pa.array(vals, pa.bool_()))
+        # numeric: float64 membership IS ju.equals for numbers
+        vals = [float(v) for v in values
+                if isinstance(v, (int, float)) and not isinstance(v, bool)]
+        if not vals:
+            return _const_mask(len(arr), False)
+        return pc.is_in(num, value_set=pa.array(vals, pa.float64()))

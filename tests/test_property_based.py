@@ -176,3 +176,126 @@ def test_content_fast_vs_error_path(value):
     spec = compile_schema(schema, content_enabled=True)
     ev = Evaluator(spec)
     assert ev.is_valid(value) == (ev.errors(value) is None)
+
+
+# ---- columnar dispatch vs per-row recursion -------------------------
+# colvec.FlatVectorizer claims exact _valid parity for scalar-only
+# object shapes; hammer the claim with random scalar subschemas over
+# random typed columns (nulls, giant ints, whole floats, bool-vs-1,
+# 2-vs-2.0 enum coercion all land in here).
+
+import pyarrow as pa
+
+scalar_child = st.fixed_dictionaries({}, optional={
+    "type": st.one_of(
+        st.sampled_from(["null", "boolean", "integer", "number",
+                         "string"]),
+        st.lists(st.sampled_from(["null", "boolean", "integer",
+                                  "number", "string"]),
+                 min_size=1, max_size=3, unique=True)),
+    "enum": st.lists(json_scalars, min_size=1, max_size=5),
+    "const": json_scalars,
+    "minimum": st.integers(-40, 40),
+    "maximum": st.integers(-40, 40),
+    "exclusiveMinimum": st.integers(-40, 40),
+    "exclusiveMaximum": st.integers(-40, 40),
+    "multipleOf": st.sampled_from([1, 2, 3, 0.5, 2.5, 7]),
+    "minLength": st.integers(0, 6),
+    "maxLength": st.integers(0, 12),
+    "pattern": st.sampled_from(["^a", "b$", "[0-9]+", "^[a-z]{2}$",
+                                "x|y", "^-?\\d+(\\.\\d+)?$"]),
+})
+
+_col_values = {
+    "s": st.one_of(st.none(), st.text(max_size=12)),
+    "i": st.one_of(st.none(),
+                   st.integers(min_value=-(2**62), max_value=2**62)),
+    "f": st.one_of(st.none(),
+                   st.floats(allow_nan=False, width=64),
+                   st.integers(-30, 30).map(float)),
+    "b": st.one_of(st.none(), st.booleans()),
+}
+
+_col_types = {"s": pa.string(), "i": pa.int64(),
+              "f": pa.float64(), "b": pa.bool_()}
+
+
+@st.composite
+def flat_case(draw):
+    cols = draw(st.lists(st.sampled_from(["s", "i", "f", "b"]),
+                         min_size=1, max_size=4, unique=True))
+    schema = {
+        "type": "object",
+        "properties": {c: draw(scalar_child) for c in cols},
+    }
+    if draw(st.booleans()):
+        schema["required"] = draw(
+            st.lists(st.sampled_from(cols + ["zz"]), max_size=3,
+                     unique=True))
+    n = draw(st.integers(1, 8))
+    data = {c: [draw(_col_values[c]) for _ in range(n)] for c in cols}
+    return cols, schema, data
+
+
+@given(flat_case())
+@settings(max_examples=300, deadline=None)
+def test_colvec_mask_equals_per_row(case):
+    from boon_ray.stages.colvec import FlatVectorizer
+
+    cols, schema, data = case
+    try:
+        spec = compile_schema(schema)
+    except CompileError:
+        return
+    fv = FlatVectorizer.compile(spec, cols)
+    assert fv is not None, "scalar-only shape must qualify"
+    batch = pa.table({c: pa.array(data[c], _col_types[c]) for c in cols})
+    mask = fv.mask(batch)
+    assert mask is not None
+    ev = Evaluator(spec)
+    expected = [ev.is_valid(dict(zip(cols, row)))
+                for row in zip(*(data[c] for c in cols))]
+    assert mask.to_pylist() == expected, (schema, data)
+
+
+def test_colvec_rejects_applicator_shapes():
+    from boon_ray.stages.colvec import FlatVectorizer
+
+    for schema in (
+        {"type": "object",
+         "properties": {"a": {"allOf": [{"type": "string"}]}}},
+        {"type": "object",
+         "properties": {"a": {"$ref": "#/$defs/x"}},
+         "$defs": {"x": {"type": "string"}}},
+        {"type": "object", "properties": {"a": {"not": {}}}},
+        {"type": "object",
+         "properties": {"a": {"type": "string", "format": "ipv4"}},
+         "$schema": "http://json-schema.org/draft-07/schema#"},
+        {"anyOf": [{"type": "object"}]},
+    ):
+        spec = compile_schema(schema)
+        assert FlatVectorizer.compile(spec, ("a",)) is None, schema
+
+
+def test_colvec_static_verdicts():
+    from boon_ray.stages.colvec import FlatVectorizer
+
+    spec = compile_schema({"type": "object", "required": ["missing"]})
+    fv = FlatVectorizer.compile(spec, ("a",))
+    assert fv is not None and fv.static is False
+    spec = compile_schema(True)
+    fv = FlatVectorizer.compile(spec, ("a",))
+    assert fv is not None and fv.static is True
+    batch = pa.table({"a": pa.array([1, 2], pa.int64())})
+    assert fv.mask(batch).to_pylist() == [True, True]
+
+
+def test_colvec_unsupported_arrow_type_falls_back():
+    from boon_ray.stages.colvec import FlatVectorizer
+
+    spec = compile_schema(
+        {"type": "object", "properties": {"a": {"type": "array"}}})
+    fv = FlatVectorizer.compile(spec, ("a",))
+    assert fv is not None
+    batch = pa.table({"a": pa.array([[1], [2]], pa.list_(pa.int64()))})
+    assert fv.mask(batch) is None          # caller keeps per-row path
