@@ -150,8 +150,9 @@ def _bucket_pairs(g: pd.DataFrame, id_col: str,
                 rows_a.append(int(ids[0]))
                 rows_b.append(int(ids[j + 1]))
                 est.append(float(e_all[j]))
-        return pd.DataFrame({"a": rows_a, "b": rows_b,
-                             "jaccard_est": est})
+        return pd.DataFrame({"a": pd.Series(rows_a, dtype="int64"),
+                             "b": pd.Series(rows_b, dtype="int64"),
+                             "jaccard_est": pd.Series(est, dtype="float64")})
     seen = set()
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
@@ -163,7 +164,14 @@ def _bucket_pairs(g: pd.DataFrame, id_col: str,
                 rows_a.append(int(ids[i]))
                 rows_b.append(int(ids[j]))
                 est.append(e)
-    return pd.DataFrame({"a": rows_a, "b": rows_b, "jaccard_est": est})
+    # explicit dtypes: a zero-pair frame built from plain lists would
+    # be float64, and pd.concat in _pairs_blocked.block would promote
+    # the whole bucket — the same (a, b) pair then hashes differently
+    # (int vs float object) in _dedupe_pairs and survives as a
+    # partition-dependent duplicate
+    return pd.DataFrame({"a": pd.Series(rows_a, dtype="int64"),
+                         "b": pd.Series(rows_b, dtype="int64"),
+                         "jaccard_est": pd.Series(est, dtype="float64")})
 
 
 
@@ -210,9 +218,14 @@ def _dedupe_pairs(pairs_ds, num_buckets: int = 64):
     exact."""
 
     def add_pk(x: pd.DataFrame) -> pd.DataFrame:
+        x = x.copy()
+        # pin id dtypes BEFORE hashing: a float64-promoted copy of a
+        # pair would hash to a different bucket than its int64 twin
+        # and the duplicate would survive drop_duplicates
+        x["a"] = x["a"].astype("int64")
+        x["b"] = x["b"].astype("int64")
         h = hash64_combine(x["a"].to_numpy(dtype=object),
                            x["b"].to_numpy(dtype=object))
-        x = x.copy()
         x["_pk"] = (h % np.uint64(num_buckets)).astype(np.int64)
         return x
 
@@ -485,7 +498,10 @@ def _hamming_pairs(g: pd.DataFrame, id_col: str,
                 rows["a"].append(int(ids[i]))
                 rows["b"].append(int(ids[j]))
                 rows["hamming"].append(int(d[off]))
-    return pd.DataFrame(rows)
+    # explicit dtypes (see _bucket_pairs): zero-pair frames must stay
+    # int64 or pd.concat promotes sibling frames to float64
+    return pd.DataFrame({k: pd.Series(v, dtype="int64")
+                         for k, v in rows.items()})
 
 
 def simhash_duplicate_pairs(ds, text_col: str, id_col: str,

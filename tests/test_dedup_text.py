@@ -444,3 +444,37 @@ def test_hash_split_splitmix64_sql_parity(ray_session):
                       method="md5").to_pandas())
     frac = (md5["split"] == "test").mean()
     assert 0.06 < frac < 0.15
+
+
+def test_pair_stages_emit_unique_int64_pairs(ray_session):
+    """Regression: a zero-pair candidate group used to emit a float64
+    empty frame; pd.concat promoted sibling frames in the same coarse
+    bucket, the promoted copy of a pair hashed to a different _pk
+    bucket than its int64 twin, and drop_duplicates missed it — a
+    partition-dependent duplicate row in the output."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import (
+        minhash_duplicate_pairs, simhash_duplicate_pairs,
+    )
+
+    # identical docs -> all 4 simhash bands pair them (max duplicate
+    # pressure); the shared-prefix docs create >=2-row groups with no
+    # qualifying pair (the empty-frame path)
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    docs = [{"doc_id": i, "text": base} for i in range(6)]
+    docs += [{"doc_id": 100 + i,
+              "text": f"totally unrelated words {i} " + "filler %d " % i * 20}
+             for i in range(8)]
+    ds = rd.from_items(docs).repartition(4)
+
+    for pairs_ds in (
+        simhash_duplicate_pairs(ds, "text", "doc_id", max_distance=3),
+        minhash_duplicate_pairs(ds, "text", "doc_id", threshold=0.8),
+    ):
+        df = pairs_ds.to_pandas()
+        assert df["a"].dtype == "int64" and df["b"].dtype == "int64"
+        assert not df.duplicated(["a", "b"]).any(), df
+        # the 6 identical docs must all pair up
+        ids = set(df["a"]).union(df["b"])
+        assert set(range(6)) <= ids
