@@ -723,8 +723,9 @@ def _q_fingerprints(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow",
-                         batch_size=None)
+    out = ds.map_batches(
+        lambda b: fingerprint_batch(b, hash_method="md5"),
+        batch_format="pyarrow", batch_size=None)
     return out.select_columns(["doc_id", "digest"])
 
 
@@ -923,6 +924,69 @@ def _q_customers_per_region(sf_dir: str):
 
 # -------------------------------------------------------------- oracles
 
+def _lang_id_sql() -> str:
+    """ANSI translation of stages.text.LangId: marker-word counts per
+    language over [a-zA-Z]+ tokens, argmax with alphabetical tie-break
+    (the CASE order IS the tie-break), CJK codepoint ranges -> 'zh',
+    zero hits -> 'und'."""
+    from boon_ray.stages.text import _LANG_MARKERS
+
+    def lst(lang):
+        return "[" + ",".join(f"'{w}'" for w in _LANG_MARKERS[lang]) + "]"
+
+    hcols = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({lst(l)}, x))) AS h_{l}"
+        for l in sorted(_LANG_MARKERS))
+    best = "greatest(h_de, h_en, h_es, h_fr)"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_matches(coalesce(text, ''), '[一-鿿぀-ヿ가-힯]') AS cjk,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, cjk, {hcols} FROM t
+)
+SELECT doc_id, CASE WHEN cjk THEN 'zh'
+  WHEN {best} = 0 THEN 'und'
+  WHEN h_de = {best} THEN 'de'
+  WHEN h_en = {best} THEN 'en'
+  WHEN h_es = {best} THEN 'es'
+  ELSE 'fr' END AS lang_pred
+FROM h"""
+
+
+def _fingerprints_sql(k: int = 5, w: int = 4) -> str:
+    """ANSI translation of stages.text.fingerprint_batch(
+    hash_method='md5'): 60-bit md5-prefix gram hashes, winnowed
+    (min per sliding window of {w}, full windows only — or one window
+    of everything when there are <= {w} grams), XOR set-digest.
+    bit_xor == np.bitwise_xor.reduce because the winnowed set is
+    DISTINCT on both sides and XOR is order-independent."""
+    return f"""
+WITH g AS (
+  SELECT d.doc_id, t.i,
+         CAST(concat('0x', substr(md5(substr(coalesce(d.text,''),
+              CAST(t.i AS INTEGER), {k})), 1, 15)) AS BIGINT) AS h,
+         greatest(length(coalesce(d.text,'')) - {k - 1}, 0) AS m
+  FROM documents d,
+       LATERAL unnest(generate_series(1,
+           greatest(length(coalesce(d.text,'')) - {k - 1}, 0))) AS t(i)
+), w AS (
+  SELECT doc_id, i, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+             AS wmin
+  FROM g
+), f AS (
+  SELECT DISTINCT doc_id, wmin FROM w WHERE i <= greatest(m - {w - 1}, 1)
+)
+SELECT d.doc_id, coalesce(x.digest, 0) AS digest
+FROM documents d
+LEFT JOIN (SELECT doc_id, bit_xor(wmin) AS digest FROM f GROUP BY doc_id) x
+USING (doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     cte = CORPUS_CTE.strip()
     from boon_ray.pipelines.flagship import (
@@ -1023,6 +1087,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(regexp_replace(text, "
             r"'[^!-/:-@\[-`{-~]', '', 'g')) AS BIGINT) AS n_punct "
             "FROM documents",
+        "lang_id": _lang_id_sql(),
+        "fingerprints": _fingerprints_sql(),
         "tumbling_events":
             "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
             "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events) "

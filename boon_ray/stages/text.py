@@ -141,23 +141,44 @@ def _winnow(hashes: np.ndarray, window: int = 4) -> np.ndarray:
 
 def fingerprint_batch(batch: pa.Table, column: str = "text",
                       id_col: str = "doc_id", k: int = 5,
-                      window: int = 4) -> pa.Table:
+                      window: int = 4,
+                      hash_method: str = "fast") -> pa.Table:
     """Per-doc winnowed fingerprint set (rolling k-gram hashes) +
-    a single 64-bit digest of the set."""
+    a single 64-bit XOR set-digest.
+
+    ``hash_method``:
+
+    - ``"fast"`` (default): vectorized ``hash64`` over all grams of
+      the batch — the 100 TB path.
+    - ``"md5"``: 60-bit md5-hex prefix per gram, bit-exact with the
+      DuckDB expression ``CAST(concat('0x', substr(md5(gram), 1, 15))
+      AS BIGINT)`` — the oracle-parity path (same trade as
+      training.hash_split's md5 method: per-gram hashlib, reproducible
+      in ANSI SQL).
+
+    The digest is the XOR fold of the winnowed set — order-independent
+    (matches SQL ``bit_xor``), 0 for an empty set.
+    """
+    import hashlib
+
     texts = batch.column(column).to_pylist()
     fps = []
     digests = []
     for t in texts:
         t = t or ""
         grams = [t[i:i + k] for i in range(max(len(t) - k + 1, 0))]
-        h = (hash64(np.array(grams, dtype=object))
-             if grams else np.array([], dtype=np.uint64))
+        if not grams:
+            h = np.array([], dtype=np.uint64)
+        elif hash_method == "md5":
+            h = np.array(
+                [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                 for g in grams], dtype=np.uint64)
+        else:
+            h = hash64(np.array(grams, dtype=object))
         fp = _winnow(h, window)
         fps.append(fp.astype(np.int64).tolist())
-        d = np.uint64(1469598103934665603)
-        for x in fp:
-            d = d * np.uint64(1099511628211) ^ x
-        digests.append(int(d.view(np.int64)))
+        d = np.bitwise_xor.reduce(fp) if len(fp) else np.uint64(0)
+        digests.append(int(np.uint64(d).view(np.int64)))
     return pa.table({
         id_col: batch.column(id_col),
         "fingerprints": pa.array(fps, pa.list_(pa.int64())),
