@@ -729,6 +729,45 @@ def _q_fingerprints(sf_dir: str):
     return out.select_columns(["doc_id", "digest"])
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-style quality filter (integer metrics + verdict);
+    thresholds tuned to the synthetic corpus' 10-99-word documents."""
+    import ray.data as rd
+
+    from boon_ray.stages.text import gopher_verdicts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return gopher_verdicts(ds, min_words=25, max_words=80)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark 4-gram decontamination: docs with doc_id % 50 == 0
+    act as the 'evaluation set'; every other doc is scored for
+    distinct shared token 4-grams (broadcast gram set, no shuffle)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.decontaminate import (
+        benchmark_gram_set, decontaminate,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def mod_filter(keep_bench):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            m = (ids % 50 == 0)
+            return b.filter(pa.array(m if keep_bench else ~m))
+        return f
+
+    bench = docs.map_batches(mod_filter(True), batch_format="pyarrow")
+    corpus = docs.map_batches(mod_filter(False), batch_format="pyarrow")
+    grams = benchmark_gram_set(bench, k=4)
+    return decontaminate(corpus, grams, k=4)
+
+
 def _q_drift_verdicts(sf_dir: str):
     """Drift of the corpus vs itself as baseline: all partitions must
     pass (deterministic; rows-only check + tests cover the failing
@@ -767,6 +806,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
+        "gopher_quality": _q_gopher_quality,
+        "decontaminate": _q_decontaminate,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -987,6 +1028,69 @@ LEFT JOIN (SELECT doc_id, bit_xor(wmin) AS digest FROM f GROUP BY doc_id) x
 USING (doc_id)"""
 
 
+def _gopher_sql(min_words: int = 25, max_words: int = 80) -> str:
+    """ANSI translation of stages.text.gopher_batch: every metric an
+    integer count, every ratio rule cross-multiplied — float-free, so
+    the driver's stringified value hash is stable."""
+    from boon_ray.stages.text import STOPWORDS
+
+    stop_alt = "|".join(STOPWORDS)
+    return rf"""
+WITH m AS (
+ SELECT doc_id,
+   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+   CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace,
+   CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+        + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT) AS n_symbols,
+   CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+   CAST(len(list_filter(string_split(text, chr(10)),
+        l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS BIGINT) AS n_bullet_lines,
+   CAST(len(list_filter(string_split(text, chr(10)),
+        l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$'))) AS BIGINT)
+       AS n_ellipsis_lines,
+   CAST(len(regexp_extract_all(text, '\S*[a-zA-Z]\S*')) AS BIGINT)
+       AS n_alpha_words,
+   CAST(len(regexp_extract_all(text, '\b({stop_alt})\b')) AS BIGINT)
+       AS n_stopword_hits
+ FROM documents)
+SELECT doc_id, n_words, n_nonspace, n_symbols, n_lines, n_bullet_lines,
+  n_ellipsis_lines, n_alpha_words, n_stopword_hits,
+  (n_words BETWEEN {min_words} AND {max_words}
+   AND n_nonspace BETWEEN 3*n_words AND 10*n_words
+   AND 10*n_symbols < n_words AND 10*n_bullet_lines < 9*n_lines
+   AND 10*n_ellipsis_lines < 3*n_lines AND 10*n_alpha_words > 8*n_words
+   AND n_stopword_hits >= 2) AS pass_gopher
+FROM m"""
+
+
+def _decontaminate_sql(k: int = 4) -> str:
+    """ANSI translation of stages.decontaminate: distinct shared token
+    k-grams between each corpus doc and the benchmark slice
+    (doc_id % 50 == 0). DuckDB list slices are 1-based inclusive,
+    hence toks[i : i+k-1]."""
+    km = k - 1
+    return rf"""
+WITH bench AS (SELECT regexp_split_to_array(trim(text), '\s+') toks
+               FROM documents WHERE doc_id % 50 = 0),
+bgrams AS (SELECT DISTINCT
+             array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+{km}],
+                             ' ') AS gram
+           FROM bench, LATERAL unnest(generate_series(1,
+               greatest(len(toks)-{km}, 0))) t(i)),
+corp AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+         FROM documents WHERE doc_id % 50 != 0),
+cgrams AS (SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+{km}],
+                             ' ') AS gram
+           FROM corp, LATERAL unnest(generate_series(1,
+               greatest(len(toks)-{km}, 0))) t(i)),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) n
+         FROM cgrams JOIN bgrams USING (gram) GROUP BY doc_id)
+SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM corp) c LEFT JOIN hits h USING (doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     cte = CORPUS_CTE.strip()
     from boon_ray.pipelines.flagship import (
@@ -1089,6 +1193,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents",
         "lang_id": _lang_id_sql(),
         "fingerprints": _fingerprints_sql(),
+        "gopher_quality": _gopher_sql(),
+        "decontaminate": _decontaminate_sql(),
         "tumbling_events":
             "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
             "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events) "

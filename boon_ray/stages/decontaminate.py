@@ -1,0 +1,156 @@
+"""Benchmark decontamination: flag (or drop) documents that share any
+token k-gram with an evaluation/benchmark corpus.
+
+This is the standard training-data hygiene step (GPT-3 App. C /
+Gopher App. A: 13-gram overlap vs eval sets), expressed Ray-Data-first:
+
+- the benchmark side is SMALL by definition (eval sets are thousands
+  of documents, not billions), so its distinct-gram set is collected
+  once and broadcast via ``ray.put`` — read by every map_batches task
+  from the object store, never re-shipped per batch;
+- the corpus side streams: one vectorized membership test per batch
+  (``pd.Series.isin`` against the broadcast frozenset — C hash
+  lookups), no shuffle anywhere, output one row per document.
+
+Scale notes (100 TB): the broadcast set for a 10M-gram benchmark is
+~100s of MB as strings; pass ``hash_grams=True`` to broadcast 64-bit
+``hash64`` values instead (~80 MB, vectorized ``np.isin`` probes).
+The hashed mode admits a ~2^-64 per-probe false-positive rate, which
+is why the exact-string mode is the default and the oracle path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from boon_ray.sketches import hash64
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _token_grams(text: Optional[str], k: int) -> list:
+    """Token k-grams of ``text``, mirroring the SQL construction
+    ``array_to_string(toks[i:i+k-1], ' ')`` over
+    ``regexp_split_to_array(trim(text), '\\s+')``."""
+    toks = _WS_RE.split((text or "").strip())
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def benchmark_gram_set(bench_ds, column: str = "text",
+                       k: int = 13) -> frozenset:
+    """Distinct token k-grams of the benchmark Dataset.
+
+    Per-batch gram extraction runs distributed; only the DISTINCT
+    gram strings come back to the driver (bounded by the benchmark's
+    size, which is small by construction — documented driver bound).
+    """
+    def grams(b: pa.Table) -> pa.Table:
+        out: set = set()
+        for t in b.column(column).to_pylist():
+            out.update(_token_grams(t, k))
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    parts = bench_ds.map_batches(grams, batch_format="pyarrow",
+                                 batch_size=None)
+    return frozenset(parts.unique("gram"))
+
+
+class Decontaminator:
+    """map_batches stage: per-document contamination verdict.
+
+    Parameters
+    ----------
+    grams: frozenset[str] | np.ndarray[uint64] | ray.ObjectRef of
+        either — the benchmark gram set (broadcast once).
+    k: token n-gram width (13 in the published recipes; smaller for
+        short-document corpora).
+    hash_grams: probe 64-bit gram hashes instead of strings.
+    """
+
+    def __init__(self, grams, k: int = 13, column: str = "text",
+                 id_col: str = "doc_id", hash_grams: bool = False,
+                 emit: str = "verdict"):
+        self.emit = emit
+        try:
+            import ray
+            if isinstance(grams, ray.ObjectRef):
+                grams = ray.get(grams)
+        except ImportError:
+            pass
+        self.k = k
+        self.column = column
+        self.id_col = id_col
+        self.hash_grams = hash_grams
+        if hash_grams:
+            arr = (np.sort(hash64(np.array(sorted(grams), dtype=object)))
+                   if not isinstance(grams, np.ndarray) else np.sort(grams))
+            self.grams: np.ndarray = arr
+        else:
+            self.grams = frozenset(grams)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.column).to_pylist()
+        all_grams: list = []
+        offsets = [0]
+        for t in texts:
+            # distinct per doc: n_hit_grams counts DISTINCT shared
+            # grams (matches the SQL DISTINCT join)
+            all_grams.extend(set(_token_grams(t, self.k)))
+            offsets.append(len(all_grams))
+        if self.hash_grams:
+            if all_grams and len(self.grams):
+                h = hash64(np.array(all_grams, dtype=object))
+                idx = np.clip(np.searchsorted(self.grams, h), 0,
+                              len(self.grams) - 1)
+                hit = self.grams[idx] == h
+            else:
+                hit = np.zeros(len(all_grams), dtype=bool)
+        else:
+            hit = pd.Series(all_grams, dtype=object).isin(
+                self.grams).to_numpy() if all_grams else \
+                np.array([], dtype=bool)
+        hits = hit.astype(np.int64)
+        per_doc = np.zeros(len(texts), dtype=np.int64)
+        for i in range(len(texts)):
+            s, e = offsets[i], offsets[i + 1]
+            if e > s:
+                per_doc[i] = int(hits[s:e].sum())
+        if self.emit == "clean":
+            return batch.filter(pa.array(per_doc == 0, pa.bool_()))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_hit_grams": pa.array(per_doc, pa.int64()),
+            "contaminated": pa.array(per_doc > 0, pa.bool_()),
+        })
+
+
+def decontaminate(ds, bench_grams, k: int = 13, column: str = "text",
+                  id_col: str = "doc_id", hash_grams: bool = False,
+                  emit: str = "verdict", batch_size=None,
+                  concurrency=(1, 8)):
+    """Attach the decontamination stage.
+
+    ``bench_grams`` may be a frozenset (will be ``ray.put`` once
+    here), or an ObjectRef you already broadcast. ``emit='verdict'``
+    returns (id, n_hit_grams, contaminated) per document;
+    ``emit='clean'`` returns only the uncontaminated rows of the
+    input (filter pushdown for the common drop-the-dirty case).
+    """
+    import ray
+
+    if emit not in ("verdict", "clean"):
+        raise ValueError(f"unknown emit mode {emit!r}")
+    ref = (bench_grams if isinstance(bench_grams, ray.ObjectRef)
+           else ray.put(bench_grams))
+    return ds.map_batches(
+        Decontaminator,
+        fn_constructor_kwargs={
+            "grams": ref, "k": k, "column": column, "id_col": id_col,
+            "hash_grams": hash_grams, "emit": emit},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

@@ -65,6 +65,92 @@ def quality_batch(batch: pa.Table, column: str = "text",
     })
 
 
+def gopher_batch(batch: pa.Table, column: str = "text",
+                 id_col: str = "doc_id", min_words: int = 50,
+                 max_words: int = 100_000) -> pa.Table:
+    """Gopher-style quality-filter metrics + verdict (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1), vectorized Arrow kernels.
+
+    Every metric is an INTEGER count and every rule is integer
+    arithmetic (ratio bounds cross-multiplied), so the row is
+    bit-stable under the driver's stringified value hash and the
+    DuckDB oracle can reproduce it exactly:
+
+    - ok_words:     min_words <= n_words <= max_words
+    - ok_mean_len:  mean word length in [3, 10]
+                    (3*n_words <= n_nonspace <= 10*n_words)
+    - ok_symbols:   (#hash + #ellipsis) / n_words < 0.1
+    - ok_bullets:   bullet-started lines / lines < 0.9
+    - ok_ell_lines: ellipsis-ended lines / lines < 0.3
+    - ok_alpha:     words containing an alphabetic char / words > 0.8
+    - ok_stop:      >= 2 stop-word hits
+    - pass_gopher:  AND of the above
+    """
+    col = batch.column(column)
+    n_words = pc.cast(pc.list_value_length(pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(col), _WS)), pa.int64())
+    n_nonspace = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(col, r"\s+", "")), pa.int64())
+    n_hash = pc.cast(pc.count_substring(col, "#"), pa.int64())
+    n_ellipsis = pc.cast(
+        pc.count_substring_regex(col, r"\.\.\.|…"), pa.int64())
+    n_lines = pc.cast(pc.list_value_length(
+        pc.split_pattern(col, "\n")), pa.int64())
+    n_bullet_lines = pc.cast(
+        pc.count_substring_regex(col, r"(?m)^[ \t]*[-*•]"), pa.int64())
+    n_ell_lines = pc.cast(
+        pc.count_substring_regex(col, r"(?m)(\.\.\.|…)[ \t]*$"),
+        pa.int64())
+    # maximal \S runs containing a letter == tokens containing a letter
+    n_alpha_words = pc.cast(
+        pc.count_substring_regex(col, r"\S*[a-zA-Z]\S*"), pa.int64())
+    stop_alt = "|".join(STOPWORDS)
+    n_stop = pc.cast(
+        pc.count_substring_regex(col, rf"\b({stop_alt})\b"), pa.int64())
+
+    def band(lo_mul, val, hi_mul, ref):
+        return pc.and_(pc.greater_equal(val, pc.multiply(ref, lo_mul)),
+                       pc.less_equal(val, pc.multiply(ref, hi_mul)))
+
+    ok_words = pc.and_(pc.greater_equal(n_words, min_words),
+                       pc.less_equal(n_words, max_words))
+    ok_mean_len = band(3, n_nonspace, 10, n_words)
+    ok_symbols = pc.less(
+        pc.multiply(pc.add(n_hash, n_ellipsis), 10), n_words)
+    ok_bullets = pc.less(pc.multiply(n_bullet_lines, 10),
+                         pc.multiply(n_lines, 9))
+    ok_ell_lines = pc.less(pc.multiply(n_ell_lines, 10),
+                           pc.multiply(n_lines, 3))
+    ok_alpha = pc.greater(pc.multiply(n_alpha_words, 10),
+                          pc.multiply(n_words, 8))
+    ok_stop = pc.greater_equal(n_stop, 2)
+    verdict = ok_words
+    for m in (ok_mean_len, ok_symbols, ok_bullets, ok_ell_lines,
+              ok_alpha, ok_stop):
+        verdict = pc.and_(verdict, m)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": n_words,
+        "n_nonspace": n_nonspace,
+        "n_symbols": pc.add(n_hash, n_ellipsis),
+        "n_lines": n_lines,
+        "n_bullet_lines": n_bullet_lines,
+        "n_ellipsis_lines": n_ell_lines,
+        "n_alpha_words": n_alpha_words,
+        "n_stopword_hits": n_stop,
+        "pass_gopher": verdict,
+    })
+
+
+def gopher_verdicts(ds, column: str = "text", id_col: str = "doc_id",
+                    min_words: int = 50, max_words: int = 100_000,
+                    batch_size=None):
+    """Dataset wrapper: per-doc Gopher metrics + pass/fail verdict."""
+    return ds.map_batches(
+        lambda b: gopher_batch(b, column, id_col, min_words, max_words),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
 def bpe_token_count_batch(batch: pa.Table, column: str = "text",
                           id_col: str = "doc_id") -> pa.Table:
     """Subword-ish token count: words + standalone punctuation (the

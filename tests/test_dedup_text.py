@@ -478,3 +478,68 @@ def test_pair_stages_emit_unique_int64_pairs(ray_session):
         # the 6 identical docs must all pair up
         ids = set(df["a"]).union(df["b"])
         assert set(range(6)) <= ids
+
+
+def test_gopher_quality_rules(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.text import gopher_verdicts
+
+    good = ("the quick brown fox jumps over a lazy dog and then "
+            "runs back to the barn in the cold morning light again "
+            "with seven friends trailing close behind it all day") * 1
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    elly = "\n".join(f"line {i} trails off..." for i in range(10))
+    symbols = "## ## ## " * 20
+    ds = rd.from_items([
+        {"doc_id": 1, "text": good},                 # passes
+        {"doc_id": 2, "text": "too short"},          # n_words
+        {"doc_id": 3, "text": bullets},              # bullet lines
+        {"doc_id": 4, "text": elly},                 # ellipsis lines
+        {"doc_id": 5, "text": symbols},              # symbol ratio
+        {"doc_id": 6, "text": "12 34 " * 20},        # alpha fraction
+    ])
+    out = (gopher_verdicts(ds, min_words=20, max_words=100)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert bool(out.loc[1, "pass_gopher"])
+    assert not out.loc[[2, 3, 4, 5, 6], "pass_gopher"].any()
+    assert out.loc[3, "n_bullet_lines"] == 10
+    assert out.loc[4, "n_ellipsis_lines"] == 10
+    assert out.loc[3, "n_lines"] == 10
+    assert out.loc[5, "n_symbols"] == 120         # 6 hashes x 20
+    assert out.loc[6, "n_alpha_words"] == 0
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.decontaminate import (
+        benchmark_gram_set, decontaminate,
+    )
+
+    bench = rd.from_items([
+        {"doc_id": 100, "text": "alpha beta gamma delta epsilon"}])
+    corpus = rd.from_items([
+        {"doc_id": 1, "text": "x alpha beta gamma delta y"},   # 4-gram hit
+        {"doc_id": 2, "text": "alpha beta zeta gamma delta"},  # no 4-gram
+        {"doc_id": 3, "text": ""},                             # empty
+        {"doc_id": 4,
+         "text": "alpha beta gamma delta epsilon extra words"},  # 2 hits
+    ])
+    grams = benchmark_gram_set(bench, k=4)
+    assert len(grams) == 2
+    out = (decontaminate(corpus, grams, k=4)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out["contaminated"].tolist() == [True, False, False, True]
+    assert out["n_hit_grams"].tolist() == [1, 0, 0, 2]
+
+    # hashed broadcast agrees with exact strings
+    outh = (decontaminate(corpus, grams, k=4, hash_grams=True)
+            .to_pandas().set_index("doc_id").sort_index())
+    assert (outh["n_hit_grams"] == out["n_hit_grams"]).all()
+
+    # clean mode keeps only uncontaminated input rows, schema intact
+    clean = (decontaminate(corpus, grams, k=4, emit="clean")
+             .to_pandas())
+    assert sorted(clean["doc_id"]) == [2, 3]
+    assert set(clean.columns) == {"doc_id", "text"}
