@@ -192,6 +192,34 @@ def q_hash_split():
     return hash_split(ds, "doc_id", test_pct=10.0).count()
 
 
+def q_gopher_quality():
+    """Gopher quality metrics + verdict over the amplified corpus
+    (pure Arrow-kernel map, no shuffle)."""
+    from boon_ray.stages.text import gopher_verdicts
+
+    return gopher_verdicts(_corpus(), column="content",
+                           id_col="commit", min_words=10,
+                           max_words=200).count()
+
+
+def q_decontaminate():
+    """Benchmark 4-gram decontamination of the amplified corpus:
+    bench gram set built distributed from the documents table,
+    broadcast as 64-bit hashes, vectorized probes per batch."""
+    import ray.data as rd
+
+    from boon_ray.stages.decontaminate import (
+        benchmark_gram_hashes, decontaminate,
+    )
+
+    bench = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                            columns=["text"])
+    grams = benchmark_gram_hashes(bench, k=4)
+    return decontaminate(_corpus(), grams, k=4, column="content",
+                         id_col="commit", hash_grams=True,
+                         concurrency=(2, max(4, NUM_CPUS // 2))).count()
+
+
 QUERIES = {
     "validate_vectorized": q_validate_vectorized,
     "uniqueness": q_uniqueness,
@@ -202,6 +230,9 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "topk_per_group": q_topk_per_group,
     "hash_split": q_hash_split,
+    "gopher_quality": q_gopher_quality,
+    # actor-pool queries last (pool teardown overlaps the next query)
+    "decontaminate": q_decontaminate,
     "validate_full_engine": q_validate_full_engine,
 }
 

@@ -32,6 +32,21 @@ from boon_ray.sketches import hash64
 
 _WS_RE = re.compile(r"\s+")
 
+_FNV = np.uint64(1099511628211)
+
+
+def _fold_gram_hashes(h: np.ndarray, k: int) -> np.ndarray:
+    """Rolling FNV fold of ``k`` consecutive token hashes: the gram
+    hash used by the ``hash_grams`` fast path. Vectorized uint64 —
+    no gram strings are ever materialized."""
+    n = len(h) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    g = h[:n].copy()
+    for j in range(1, k):
+        g = g * _FNV ^ h[j:j + n]
+    return g
+
 
 def _token_grams(text: Optional[str], k: int) -> list:
     """Token k-grams of ``text``, mirroring the SQL construction
@@ -58,6 +73,42 @@ def benchmark_gram_set(bench_ds, column: str = "text",
     parts = bench_ds.map_batches(grams, batch_format="pyarrow",
                                  batch_size=None)
     return frozenset(parts.unique("gram"))
+
+
+def benchmark_gram_hashes(bench_ds, column: str = "text",
+                          k: int = 13) -> np.ndarray:
+    """Distinct token-fold gram HASHES of the benchmark Dataset —
+    the broadcast object for ``hash_grams=True`` at scale: 8 bytes per
+    gram (vs ~30 for strings) and no per-actor string->hash
+    conversion. Fold construction matches Decontaminator's fast path
+    exactly (same hash64 + FNV fold)."""
+    def gram_hashes(b: pa.Table) -> pa.Table:
+        toks: list = []
+        counts = []
+        for t in b.column(column).to_pylist():
+            tt = (t or "").split()
+            toks.extend(tt)
+            counts.append(len(tt))
+        empty = pa.table({"gram_hash": pa.array([], pa.int64())})
+        if not toks:
+            return empty
+        codes, uniq = pd.factorize(np.array(toks, dtype=object))
+        h = hash64(uniq).astype(np.uint64)[codes]
+        did = np.repeat(np.arange(len(counts)), counts)
+        g = _fold_gram_hashes(h, k)
+        n = len(g)
+        if not n:
+            return empty
+        ok = did[:n] == did[k - 1:]
+        # int64 bit-view: Ray's unique() materializes Python ints and
+        # uint64 values above 2^63 overflow its Arrow conversion
+        return pa.table(
+            {"gram_hash": pa.array(np.unique(g[ok]).view(np.int64))})
+
+    parts = bench_ds.map_batches(gram_hashes, batch_format="pyarrow",
+                                 batch_size=None)
+    return np.sort(np.asarray(parts.unique("gram_hash"),
+                              dtype=np.int64).view(np.uint64))
 
 
 class Decontaminator:
@@ -87,14 +138,73 @@ class Decontaminator:
         self.id_col = id_col
         self.hash_grams = hash_grams
         if hash_grams:
-            arr = (np.sort(hash64(np.array(sorted(grams), dtype=object)))
-                   if not isinstance(grams, np.ndarray) else np.sort(grams))
-            self.grams: np.ndarray = arr
+            if k < 2:
+                raise ValueError("hash_grams requires k >= 2")
+            if isinstance(grams, np.ndarray):
+                arr = (grams.view(np.uint64)
+                       if grams.dtype == np.int64
+                       else grams.astype(np.uint64, copy=False))
+                self.grams: np.ndarray = np.sort(arr)
+            else:
+                # convert bench gram STRINGS into the token-fold hash
+                # space the fast path probes in: every gram is exactly
+                # k space-joined tokens, so one vectorized hash64 over
+                # the flattened tokens + a reshape folds them all
+                glist = sorted(grams)
+                if glist:
+                    toks = [t for g in glist for t in g.split(" ")]
+                    if len(toks) != len(glist) * k:
+                        raise ValueError(
+                            f"benchmark grams are not {k}-grams")
+                    th = hash64(np.array(toks, dtype=object)) \
+                        .astype(np.uint64).reshape(len(glist), k)
+                    g = th[:, 0].copy()
+                    for j in range(1, k):
+                        g = g * _FNV ^ th[:, j]
+                    self.grams = np.sort(np.unique(g))
+                else:
+                    self.grams = np.empty(0, dtype=np.uint64)
         else:
             self.grams = frozenset(grams)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.column).to_pylist()
+    def _per_doc_hits_hashed(self, texts: list) -> np.ndarray:
+        """Fast path: factorize tokens (source-code vocab is tiny),
+        hash only the distinct tokens, fold gram hashes with
+        vectorized uint64 ops, distinct per doc by lexsort, probe the
+        sorted bench array. No gram strings materialized."""
+        k = self.k
+        all_toks: list = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tt = (t or "").split()
+            all_toks.extend(tt)
+            counts[i] = len(tt)
+        per_doc = np.zeros(len(texts), dtype=np.int64)
+        if not all_toks or not len(self.grams):
+            return per_doc
+        codes, uniq = pd.factorize(np.array(all_toks, dtype=object))
+        h = hash64(uniq).astype(np.uint64)[codes]
+        did = np.repeat(np.arange(len(texts)), counts)
+        g = _fold_gram_hashes(h, k)
+        n = len(g)
+        if not n:
+            return per_doc
+        ok = did[:n] == did[k - 1:]
+        g, gd = g[ok], did[:n][ok]
+        # distinct (doc, gram) pairs
+        order = np.lexsort((g, gd))
+        g, gd = g[order], gd[order]
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (g[1:] != g[:-1]) | (gd[1:] != gd[:-1])
+        g, gd = g[keep], gd[keep]
+        idx = np.clip(np.searchsorted(self.grams, g), 0,
+                      len(self.grams) - 1)
+        hit = (self.grams[idx] == g).astype(np.int64)
+        return np.bincount(gd, weights=hit,
+                           minlength=len(texts)).astype(np.int64)
+
+    def _per_doc_hits_exact(self, texts: list) -> np.ndarray:
+        """Oracle-parity path: real gram strings, frozenset probes."""
         all_grams: list = []
         offsets = [0]
         for t in texts:
@@ -102,24 +212,21 @@ class Decontaminator:
             # grams (matches the SQL DISTINCT join)
             all_grams.extend(set(_token_grams(t, self.k)))
             offsets.append(len(all_grams))
-        if self.hash_grams:
-            if all_grams and len(self.grams):
-                h = hash64(np.array(all_grams, dtype=object))
-                idx = np.clip(np.searchsorted(self.grams, h), 0,
-                              len(self.grams) - 1)
-                hit = self.grams[idx] == h
-            else:
-                hit = np.zeros(len(all_grams), dtype=bool)
-        else:
-            hit = pd.Series(all_grams, dtype=object).isin(
-                self.grams).to_numpy() if all_grams else \
-                np.array([], dtype=bool)
-        hits = hit.astype(np.int64)
         per_doc = np.zeros(len(texts), dtype=np.int64)
+        if not all_grams:
+            return per_doc
+        hits = pd.Series(all_grams, dtype=object).isin(
+            self.grams).to_numpy().astype(np.int64)
         for i in range(len(texts)):
             s, e = offsets[i], offsets[i + 1]
             if e > s:
                 per_doc[i] = int(hits[s:e].sum())
+        return per_doc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.column).to_pylist()
+        per_doc = (self._per_doc_hits_hashed(texts) if self.hash_grams
+                   else self._per_doc_hits_exact(texts))
         if self.emit == "clean":
             return batch.filter(pa.array(per_doc == 0, pa.bool_()))
         return pa.table({

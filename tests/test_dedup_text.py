@@ -538,6 +538,16 @@ def test_decontaminate_flags_overlap(ray_session):
             .to_pandas().set_index("doc_id").sort_index())
     assert (outh["n_hit_grams"] == out["n_hit_grams"]).all()
 
+    # pre-folded uint64 broadcast (the scale path) agrees too, and the
+    # distributed fold equals the per-actor string->hash conversion
+    from boon_ray.stages.decontaminate import benchmark_gram_hashes
+
+    ghashes = benchmark_gram_hashes(bench, k=4)
+    assert len(ghashes) == 2
+    outg = (decontaminate(corpus, ghashes, k=4, hash_grams=True)
+            .to_pandas().set_index("doc_id").sort_index())
+    assert (outg["n_hit_grams"] == out["n_hit_grams"]).all()
+
     # clean mode keeps only uncontaminated input rows, schema intact
     clean = (decontaminate(corpus, grams, k=4, emit="clean")
              .to_pandas())
