@@ -741,6 +741,33 @@ def _q_gopher_quality(sf_dir: str):
     return gopher_verdicts(ds, min_words=25, max_words=80)
 
 
+def _q_gopher_repetition(sf_dir: str):
+    """Gopher repetition rules (dup-line fractions + most-common word
+    2-gram coverage); all-integer metrics, SQL-reproducible tie-break
+    (most frequent gram, ties -> lexicographically smallest)."""
+    import ray.data as rd
+
+    from boon_ray.stages.text import repetition_verdicts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return repetition_verdicts(ds)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 5 docs per lang by descending
+    salted splitmix64 hash — reproducible across partitionings, local
+    top-k pre-reduce before the per-group merge."""
+    import ray.data as rd
+
+    from boon_ray.stages.training import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return stratified_sample(ds, ["lang"], "doc_id", n_per_group=5,
+                             salt="sample")
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark 4-gram decontamination: docs with doc_id % 50 == 0
     act as the 'evaluation set'; every other doc is scored for
@@ -807,7 +834,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "gopher_quality": _q_gopher_quality,
+        "gopher_repetition": _q_gopher_repetition,
         "decontaminate": _q_decontaminate,
+        "stratified_sample": _q_stratified_sample,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1063,6 +1092,61 @@ SELECT doc_id, n_words, n_nonspace, n_symbols, n_lines, n_bullet_lines,
 FROM m"""
 
 
+def _repetition_sql() -> str:
+    """ANSI translation of stages.text.repetition_batch: dup-line
+    counts via (doc, line) grouping; the most-common word 2-gram via
+    zipped unnest + self-join on consecutive positions, tie-break
+    ORDER BY c DESC, gram ASC — identical to the engine's
+    (count desc, gram asc) pick."""
+    return r"""
+WITH lines AS (
+  SELECT doc_id, unnest(str_split(coalesce(text, ''), chr(10))) AS line
+  FROM documents),
+lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lines
+       GROUP BY doc_id, line),
+dup AS (
+  SELECT doc_id,
+    CAST(coalesce(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+      AS n_dup_lines,
+    CAST(coalesce(SUM(CASE WHEN c > 1 THEN length(line) * c END), 0)
+      AS BIGINT) AS chars_dup_lines
+  FROM lc GROUP BY doc_id),
+toks AS (
+  SELECT doc_id,
+    unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+      AS tok,
+    generate_subscripts(
+      regexp_split_to_array(trim(coalesce(text, '')), '\s+'), 1) AS i
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0),
+gc AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS gram, COUNT(*) AS c
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, CAST(c * length(gram) AS BIGINT) AS top2gram_chars
+  FROM (SELECT doc_id, gram, c, ROW_NUMBER() OVER
+          (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        FROM gc)
+  WHERE rn = 1)
+SELECT d.doc_id,
+  CAST(len(str_split(coalesce(d.text, ''), chr(10))) AS BIGINT)
+    AS n_lines,
+  coalesce(dup.n_dup_lines, 0) AS n_dup_lines,
+  coalesce(dup.chars_dup_lines, 0) AS chars_dup_lines,
+  CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+  coalesce(best.top2gram_chars, 0) AS top2gram_chars,
+  (10 * coalesce(dup.n_dup_lines, 0)
+     <= 3 * len(str_split(coalesce(d.text, ''), chr(10)))
+   AND 5 * coalesce(dup.chars_dup_lines, 0)
+     <= length(coalesce(d.text, ''))
+   AND 5 * coalesce(best.top2gram_chars, 0)
+     <= length(coalesce(d.text, ''))) AS pass_repetition
+FROM documents d
+LEFT JOIN dup ON d.doc_id = dup.doc_id
+LEFT JOIN best ON d.doc_id = best.doc_id"""
+
+
 def _decontaminate_sql(k: int = 4) -> str:
     """ANSI translation of stages.decontaminate: distinct shared token
     k-grams between each corpus doc and the benchmark slice
@@ -1194,7 +1278,14 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "fingerprints": _fingerprints_sql(),
         "gopher_quality": _gopher_sql(),
+        "gopher_repetition": _repetition_sql(),
         "decontaminate": _decontaminate_sql(),
+        "stratified_sample":
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY "
+            f"{_splitmix64_sql('doc_id', 'sample')} DESC, doc_id ASC"
+            ") AS rn FROM documents) WHERE rn <= 5",
         "tumbling_events":
             "WITH e AS (SELECT user_id, epoch_us(ts) AS us, "
             "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events) "

@@ -142,6 +142,101 @@ def gopher_batch(batch: pa.Table, column: str = "text",
     })
 
 
+def repetition_batch(batch: pa.Table, column: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher repetition-rule metrics (Rae et al. 2021, App. A1.1):
+    duplicate-line fractions and most-common-word-2-gram coverage.
+
+    Integer metrics only (float-free value hash); the verdict rules:
+
+    - ok_dup_lines:      duplicate lines / lines        <= 0.30
+    - ok_dup_line_chars: chars in duplicate lines/chars <= 0.20
+    - ok_top2gram:       chars covered by the most common word
+                         2-gram / chars                 <= 0.20
+
+    "Most common 2-gram" ties break on the lexicographically smallest
+    gram (mirrors the SQL ``ORDER BY cnt DESC, gram ASC`` pick);
+    covered chars = occurrences x gram length.
+
+    Vectorized: lines/tokens explode into flat (row, value) frames and
+    all counting is pandas groupby / numpy over the whole batch — no
+    per-document Python loop (the 2-gram pairing is a shifted-array
+    compare, not an n^2 scan).
+    """
+    n = batch.num_rows
+    texts = batch.column(column).to_pandas().fillna("")
+    idx = np.arange(n)
+
+    # duplicate-line metrics: explode lines, count per (row, line)
+    line_lists = texts.str.split("\n")
+    ex = line_lists.explode()
+    ldf = pd.DataFrame({"i": ex.index.to_numpy(), "line": ex.to_numpy()})
+    lc = ldf.groupby(["i", "line"], sort=False).size() \
+            .reset_index(name="c")
+    dup = lc[lc["c"] > 1]
+    dup_rows = dup.assign(
+        chars=dup["line"].str.len().to_numpy() * dup["c"].to_numpy()) \
+        .groupby("i")[["c", "chars"]].sum()
+    n_dup_np = np.zeros(n, np.int64)
+    chars_dup_np = np.zeros(n, np.int64)
+    n_dup_np[dup_rows.index.to_numpy()] = dup_rows["c"].to_numpy()
+    chars_dup_np[dup_rows.index.to_numpy()] = \
+        dup_rows["chars"].to_numpy()
+
+    # most-common word 2-gram: explode tokens, pair consecutive
+    # positions within a row by array shift, count per (row, gram)
+    tex = texts.str.split().explode().dropna()
+    ti = tex.index.to_numpy()
+    tv = tex.to_numpy()
+    top2_np = np.zeros(n, np.int64)
+    if len(ti) > 1:
+        same = ti[:-1] == ti[1:]
+        gi = ti[:-1][same]
+        if len(gi):
+            grams = pd.Series(tv[:-1][same]).str.cat(
+                pd.Series(tv[1:][same]), sep=" ")
+            gc = pd.DataFrame({"i": gi, "gram": grams.to_numpy()}) \
+                .groupby(["i", "gram"], sort=False).size() \
+                .reset_index(name="c")
+            best = gc.sort_values(["i", "c", "gram"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort") \
+                .drop_duplicates("i")
+            top2_np[best["i"].to_numpy()] = (
+                best["c"].to_numpy()
+                * best["gram"].str.len().to_numpy())
+
+    n_lines = pa.array(line_lists.str.len().to_numpy(np.int64),
+                       pa.int64())
+    n_dup = pa.array(n_dup_np, pa.int64())
+    chars_dup = pa.array(chars_dup_np, pa.int64())
+    n_chars = pa.array(texts.str.len().to_numpy(np.int64), pa.int64())
+    top2 = pa.array(top2_np, pa.int64())
+    ok_dup_lines = pc.less_equal(pc.multiply(n_dup, 10),
+                                 pc.multiply(n_lines, 3))
+    ok_dup_chars = pc.less_equal(pc.multiply(chars_dup, 5),
+                                 pc.multiply(n_chars, 1))
+    ok_top2 = pc.less_equal(pc.multiply(top2, 5), n_chars)
+    verdict = pc.and_(pc.and_(ok_dup_lines, ok_dup_chars), ok_top2)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_lines": n_lines,
+        "n_dup_lines": n_dup,
+        "chars_dup_lines": chars_dup,
+        "n_chars": n_chars,
+        "top2gram_chars": top2,
+        "pass_repetition": verdict,
+    })
+
+
+def repetition_verdicts(ds, column: str = "text",
+                        id_col: str = "doc_id", batch_size=None):
+    """Dataset wrapper: per-doc repetition metrics + verdict."""
+    return ds.map_batches(
+        lambda b: repetition_batch(b, column, id_col),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
 def gopher_verdicts(ds, column: str = "text", id_col: str = "doc_id",
                     min_words: int = 50, max_words: int = 100_000,
                     batch_size=None):

@@ -116,6 +116,40 @@ def hash_split(ds, id_col: str, test_pct: float = 10.0,
                           batch_size=batch_size)
 
 
+def stratified_sample(ds, group_cols, id_col: str, n_per_group: int,
+                      salt: str = "sample", batch_size=None):
+    """Deterministic stratified sample: the ``n_per_group`` rows with
+    the highest salted splitmix64 hash of ``id_col`` within each
+    group — a uniform-without-replacement draw that is reproducible
+    across runs, machines and partitionings (no RNG state).
+
+    Scale shape: reuses :func:`top_k_per_group`'s local pre-reduce, so
+    the shuffle moves O(n x groups-per-batch) rows, never the table.
+    SQL-expressible: ``ROW_NUMBER() OVER (PARTITION BY g ORDER BY
+    <splitmix64_sql(id, salt)> DESC, id) <= n``.
+    """
+    from boon_ray.stages.topk import top_k_per_group
+
+    s64 = np.uint64(_salt_u64(salt))
+
+    def add_h(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.int64).view(np.uint64) ^ s64)
+        # store XOR 2^63 as int64: preserves the uint64 ordering under
+        # signed compares, so top_k_per_group's int64 sort ranks rows
+        # exactly like SQL's UBIGINT ORDER BY on the raw hash
+        shifted = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return b.append_column("_sample_h",
+                               pa.array(shifted, pa.int64()))
+
+    withh = ds.map_batches(add_h, batch_format="pyarrow",
+                           batch_size=batch_size)
+    out = top_k_per_group(withh, group_cols, "_sample_h",
+                          k=n_per_group, tiebreak=id_col,
+                          descending=True, batch_size=batch_size)
+    return out.drop_columns(["_sample_h"])
+
+
 def pack_sequences(ds, id_col: str, len_col: str, capacity: int,
                    batch_size=None):
     """Greedy first-fit-decreasing packing into ``capacity``-sized

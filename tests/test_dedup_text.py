@@ -553,3 +553,107 @@ def test_decontaminate_flags_overlap(ray_session):
              .to_pandas())
     assert sorted(clean["doc_id"]) == [2, 3]
     assert set(clean.columns) == {"doc_id", "text"}
+
+
+def test_repetition_rules(ray_session):
+    """Planted repetition shapes: dup-line docs and a dominating
+    2-gram fail their rules; varied text passes; top-2-gram tie-break
+    picks the lexicographically smallest gram."""
+    import ray.data as rd
+
+    from boon_ray.stages.text import repetition_verdicts
+
+    varied = "\n".join(f"alpha{i} beta{i} gamma{i} delta{i} eps{i}"
+                       for i in range(10))
+    dup_lines = "\n".join(["same line of text"] * 8 +
+                          ["one", "two", "three"])
+    toks = " ".join(["spam ham"] * 30) + " tail words"
+    docs = rd.from_items([
+        {"doc_id": 1, "text": varied},
+        {"doc_id": 2, "text": dup_lines},
+        {"doc_id": 3, "text": toks},
+        {"doc_id": 4, "text": ""},
+    ])
+    out = (repetition_verdicts(ds=docs).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert bool(out.loc[1, "pass_repetition"])
+    assert not bool(out.loc[2, "pass_repetition"])   # dup lines
+    assert not bool(out.loc[3, "pass_repetition"])   # hot 2-gram
+    assert bool(out.loc[4, "pass_repetition"])       # empty passes
+    assert out.loc[2, "n_dup_lines"] == 8
+    assert out.loc[2, "chars_dup_lines"] == 8 * len("same line of text")
+    assert out.loc[4, "n_lines"] == 1 and out.loc[4, "n_chars"] == 0
+
+    # tie-break: "b b" and "a a" both occur twice -> pick "a a"
+    tie = rd.from_items([{"doc_id": 1, "text": "b b b x a a a"}])
+    t = repetition_verdicts(ds=tie).to_pandas().iloc[0]
+    # grams: "b b" x2, "b x" x1, "x a" x1, "a a" x2 -> "a a" (len 3)
+    assert t["top2gram_chars"] == 2 * 3
+
+
+def test_repetition_matches_bruteforce(ray_session):
+    """Vectorized explode/groupby path == naive per-doc Counter."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from boon_ray.stages.text import repetition_verdicts
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    out = (repetition_verdicts(rd.from_arrow(t).repartition(4))
+           .to_pandas().set_index("doc_id").sort_index())
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        text = text or ""
+        lc = Counter(text.split("\n"))
+        toks = text.split()
+        gc = Counter(toks[i] + " " + toks[i + 1]
+                     for i in range(len(toks) - 1))
+        top2 = 0
+        if gc:
+            best = min(g for g, c in gc.items()
+                       if c == max(gc.values()))
+            top2 = gc[best] * len(best)
+        row = out.loc[doc_id]
+        assert row["n_dup_lines"] == sum(
+            c for c in lc.values() if c > 1)
+        assert row["chars_dup_lines"] == sum(
+            len(l) * c for l, c in lc.items() if c > 1)
+        assert row["top2gram_chars"] == top2
+
+
+def test_stratified_sample_deterministic(ray_session):
+    """Same sample set under different partitionings; exactly n per
+    group; rows are a subset of the input; equals the brute-force
+    splitmix64 rank."""
+    import ray.data as rd
+
+    from boon_ray.stages.training import (
+        _salt_u64, splitmix64, stratified_sample,
+    )
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "doc_id": np.arange(1000, dtype=np.int64),
+        "lang": rng.choice(["en", "de", "zh"], 1000),
+    })
+    a = (stratified_sample(rd.from_pandas(df).repartition(2),
+                           ["lang"], "doc_id", 7)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (stratified_sample(rd.from_pandas(df).repartition(16),
+                           ["lang"], "doc_id", 7)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a[["doc_id", "lang"]],
+                                  b[["doc_id", "lang"]])
+    assert (a.groupby("lang").size() == 7).all()
+
+    # brute-force oracle: top-7 per lang by splitmix64(id ^ salt) desc
+    s64 = np.uint64(_salt_u64("sample"))
+    h = splitmix64(df["doc_id"].to_numpy().view(np.uint64) ^ s64)
+    df2 = df.assign(h=h).sort_values(
+        ["h", "doc_id"], ascending=[False, True], kind="mergesort")
+    want = (df2.groupby("lang", sort=False).head(7)["doc_id"]
+            .sort_values().tolist())
+    assert a["doc_id"].tolist() == sorted(want)
