@@ -67,6 +67,18 @@ def _q_schema_verdicts(sf_dir: str):
     return ds.select_columns(["repo", "path", "commit", "valid"])
 
 
+def _q_conditional_verdicts(sf_dir: str):
+    """Full engine over the CONDITIONAL policy schema (allOf/if/not
+    applicators -> colvec fast path disqualified, per-row recursion
+    guaranteed). This is the compute-representative workload the
+    scaling bench measures; oracle-backed here."""
+    from boon_ray.pipelines.flagship import corpus_conditional_verdicts
+    from boon_ray.sources.corpus import corpus_dataset
+
+    ds = corpus_conditional_verdicts(corpus_dataset(sf_dir))
+    return ds.select_columns(["repo", "path", "commit", "valid"])
+
+
 def _q_uniqueness(sf_dir: str):
     from boon_ray.sources.corpus import corpus_dataset
     from boon_ray.stages.unique import uniqueness_violations
@@ -768,6 +780,31 @@ def _q_stratified_sample(sf_dir: str):
                              salt="sample")
 
 
+def _q_vocab_topk(sf_dir: str):
+    """Global top-50 vocabulary (wordcount with per-batch partials,
+    vocab-sized shuffle, deterministic token tie-break)."""
+    import ray.data as rd
+
+    from boon_ray.stages.text import vocab_top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return vocab_top_k(ds, k=50)
+
+
+def _q_embedding_centroids(sf_dir: str):
+    """Per-label centroid accumulators in exact power-of-two fixed
+    point (bit-identical across engines; only labels x dims partial
+    rows shuffle)."""
+    import ray.data as rd
+
+    from boon_ray.stages.similarity import embedding_centroids
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    return embedding_centroids(ds)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark 4-gram decontamination: docs with doc_id % 50 == 0
     act as the 'evaluation set'; every other doc is scored for
@@ -813,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus": _q_corpus,
         "keyword_violations": _q_keyword_violations,
         "schema_verdicts": _q_schema_verdicts,
+        "conditional_verdicts": _q_conditional_verdicts,
         "uniqueness_violations": _q_uniqueness,
         "referential_orphans": _q_referential,
         "column_stats": _q_column_stats,
@@ -837,6 +875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": _q_gopher_repetition,
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
+        "vocab_topk": _q_vocab_topk,
+        "embedding_centroids": _q_embedding_centroids,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1209,6 +1249,13 @@ def oracle_sql() -> dict[str, str]:
         "schema_verdicts":
             f'WITH {cte} SELECT repo, path, "commit", '
             f"{valid_expr} AS valid FROM corpus",
+        "conditional_verdicts":
+            f'WITH {cte} SELECT repo, path, "commit", '
+            f"({valid_expr} "
+            f"AND (lang != 'zh' OR length(content) <= 400) "
+            f"AND (lang != 'de' OR length(content) >= 200) "
+            f"AND NOT (repo LIKE 'org0/%' AND lang = 'fr')) "
+            f"AS valid FROM corpus",
         "uniqueness_violations":
             f'WITH {cte} SELECT repo, path, "commit", '
             f"count(*) AS n_dups FROM corpus "
@@ -1280,6 +1327,21 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_sql(),
         "gopher_repetition": _repetition_sql(),
         "decontaminate": _decontaminate_sql(),
+        "vocab_topk":
+            r"SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n "
+            r"FROM (SELECT unnest(regexp_split_to_array(trim(text), "
+            r"'\s+')) AS tok FROM documents "
+            r"WHERE length(trim(text)) > 0) "
+            r"GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50",
+        "embedding_centroids":
+            "SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(pos AS BIGINT) AS dim, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1048576) "
+            "AS BIGINT)) AS BIGINT) AS sum_fp "
+            "FROM (SELECT label, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) AS pos "
+            "FROM embeddings) GROUP BY label, pos",
         "stratified_sample":
             "SELECT doc_id, lang FROM ("
             "SELECT doc_id, lang, ROW_NUMBER() OVER ("

@@ -65,6 +65,39 @@ METADATA_SCHEMA = {
 }
 
 
+# the conditional policy layer a real metadata schema accrues over
+# time: per-lang content rules + a cross-field exclusion. The root
+# applicators (allOf / if / not) disqualify the colvec columnar fast
+# path BY DESIGN (colvec.py:137-149), so validating against this spec
+# always exercises the full recursive evaluator — it is both a real
+# pipeline (oracle-backed `conditional_verdicts`) and the
+# compute-representative workload bench.py --scaling measures.
+CONDITIONAL_METADATA_SCHEMA = {
+    **METADATA_SCHEMA,
+    "allOf": [
+        {"if": {"properties": {"lang": {"const": "zh"}}},
+         "then": {"properties": {"content": {"maxLength": 400}}}},
+        {"if": {"properties": {"lang": {"const": "de"}}},
+         "then": {"properties": {"content": {"minLength": 200}}}},
+        {"not": {"properties": {"repo": {"pattern": "^org0/"},
+                                "lang": {"const": "fr"}},
+                 "required": ["repo", "lang"]}},
+    ],
+}
+
+
+def corpus_conditional_verdicts(ds, batch_size: int = 4096,
+                                concurrency=None):
+    """Per-row verdicts against the conditional policy schema — the
+    guaranteed-recursive full-engine path (see
+    CONDITIONAL_METADATA_SCHEMA)."""
+    return validate_dataset(
+        ds, CONDITIONAL_METADATA_SCHEMA,
+        from_columns=("repo", "path", "commit", "lang", "content"),
+        emit="verdict", batch_size=batch_size, concurrency=concurrency,
+        include_errors=False)
+
+
 def corpus_violations(ds, batch_size=None):
     """Vectorized L1 violations in the reference error-row contract."""
     return ds.map_batches(

@@ -171,3 +171,61 @@ def ivf_topk(ds, queries: np.ndarray, vec_col: str = "embedding",
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return pa.Table.from_pandas(
         df[["query_id", id_col, "rank", "score"]], preserve_index=False)
+
+
+def embedding_centroids(ds, label_col: str = "label",
+                        vec_col: str = "embedding",
+                        scale_bits: int = 20, batch_size=None):
+    """Per-label centroid accumulators over an embedding column, in
+    EXACT fixed point: each float32 component becomes
+    ``floor(float64(v) * 2**scale_bits)`` — a power-of-two scale only
+    shifts the exponent (float32 has 24 mantissa bits), so the integer
+    is bit-identical in every engine — then int64 sums, which are
+    order-free. Returns (label, dim, n, sum_fp) rows; the centroid is
+    ``sum_fp / (n * 2**scale_bits)`` to within 2**-scale_bits.
+
+    Scale shape: one vectorized numpy pass per batch produces
+    labels-x-dims partial rows; only those partials shuffle (ONE small
+    keyed groupby) — the embedding vectors themselves never move.
+    """
+    scale = float(1 << scale_bits)
+
+    def partial(b: pa.Table) -> pa.Table:
+        labels = b.column(label_col).to_numpy(zero_copy_only=False)
+        col = b.column(vec_col)
+        arr = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        widths = np.diff(arr.offsets.to_numpy())
+        if len(widths) == 0:
+            return pa.table({label_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_fp": pa.array([], pa.int64())})
+        d = int(widths[0])
+        if not (widths == d).all():
+            raise ValueError("ragged embedding column")
+        fp = np.floor(flat.reshape(-1, d) * scale).astype(np.int64)
+        out_l, out_d, out_n, out_s = [], [], [], []
+        for lab in np.unique(labels):
+            rows = fp[labels == lab]
+            s = rows.sum(axis=0)
+            out_l.extend([int(lab)] * d)
+            out_d.extend(range(1, d + 1))        # 1-based like SQL
+            out_n.extend([int(rows.shape[0])] * d)
+            out_s.extend(int(x) for x in s)
+        return pa.table({label_col: pa.array(out_l, pa.int64()),
+                         "dim": pa.array(out_d, pa.int64()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "sum_fp": pa.array(out_s, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    agg = partials.groupby([label_col, "dim"]).sum(["n", "sum_fp"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns([label_col, "dim", "n", "sum_fp"])
+
+    return agg.map_batches(rename, batch_format="pyarrow",
+                           batch_size=None)

@@ -165,7 +165,6 @@ def repetition_batch(batch: pa.Table, column: str = "text",
     """
     n = batch.num_rows
     texts = batch.column(column).to_pandas().fillna("")
-    idx = np.arange(n)
 
     # duplicate-line metrics: explode lines, count per (row, line)
     line_lists = texts.str.split("\n")
@@ -365,3 +364,42 @@ def fingerprint_batch(batch: pa.Table, column: str = "text",
         "fingerprints": pa.array(fps, pa.list_(pa.int64())),
         "digest": pa.array(digests, pa.int64()),
     })
+
+
+def vocab_top_k(ds, column: str = "text", k: int = 50,
+                batch_size=None):
+    """Global top-k vocabulary (the classic wordcount): per-batch
+    token-count partials (pandas explode + value_counts, no Python
+    row loop) -> keyed groupby sum -> per-block local top-k -> one
+    single-block merge. Ties break on the lexicographically smaller
+    token, so the result is a total order and partition-independent.
+
+    Scale shape: the only all-to-all moves (token, partial_count)
+    rows — bounded by vocab x blocks, not corpus tokens — and the
+    final merge sees <= k rows per upstream block.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b.column(column).to_pandas().fillna("")
+        toks = s.str.split().explode().dropna()
+        vc = toks.value_counts()
+        return pa.table({
+            "token": pa.array(vc.index.to_numpy().astype(str)),
+            "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    counts = partials.groupby("token").sum("n")
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"sum(n)": "n"})
+        df = df.sort_values(["n", "token"], ascending=[False, True],
+                            kind="mergesort")
+        return df.head(k)
+
+    local = counts.map_batches(local_topk, batch_format="pandas",
+                               batch_size=None)
+    return local.repartition(1).map_batches(local_topk,
+                                            batch_format="pandas",
+                                            batch_size=None)

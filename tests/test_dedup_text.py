@@ -657,3 +657,57 @@ def test_stratified_sample_deterministic(ray_session):
     want = (df2.groupby("lang", sort=False).head(7)["doc_id"]
             .sort_values().tolist())
     assert a["doc_id"].tolist() == sorted(want)
+
+
+def test_vocab_top_k(ray_session):
+    """Wordcount top-k: counts match a Counter oracle, ties break on
+    the smaller token, result is partition-independent."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from boon_ray.stages.text import vocab_top_k
+
+    docs = [
+        {"doc_id": 1, "text": "b b b a a a c"},
+        {"doc_id": 2, "text": "c c  d\n e"},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": "a b"},
+    ]
+    want = Counter()
+    for d in docs:
+        want.update(d["text"].split())
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    for parts in (1, 3):
+        out = (vocab_top_k(rd.from_items(docs).repartition(parts), k=3)
+               .to_pandas())
+        assert list(zip(out["token"], out["n"])) == top
+
+
+def test_embedding_centroids_exact(ray_session):
+    """Fixed-point centroid accumulators equal the numpy oracle and
+    are partition-independent (power-of-2 scale -> exact floor)."""
+    import ray.data as rd
+
+    from boon_ray.stages.similarity import embedding_centroids
+
+    rng = np.random.RandomState(3)
+    n, d = 200, 8
+    emb = (rng.randn(n, d) * 0.7).astype(np.float32)
+    labels = rng.randint(0, 4, n)
+    df = pd.DataFrame({"label": labels,
+                       "embedding": [list(map(float, r)) for r in emb]})
+    fp = np.floor(emb.astype(np.float64) * (1 << 20)).astype(np.int64)
+    outs = []
+    for parts in (1, 7):
+        out = (embedding_centroids(rd.from_pandas(df).repartition(parts))
+               .to_pandas().sort_values(["label", "dim"])
+               .reset_index(drop=True))
+        outs.append(out)
+        for lab in np.unique(labels):
+            rows = fp[labels == lab]
+            sub = out[out["label"] == lab]
+            assert sub["n"].tolist() == [rows.shape[0]] * d
+            assert sub["sum_fp"].tolist() == rows.sum(axis=0).tolist()
+            assert sub["dim"].tolist() == list(range(1, d + 1))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
