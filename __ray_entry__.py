@@ -792,6 +792,19 @@ def _q_vocab_topk(sf_dir: str):
     return vocab_top_k(ds, k=50)
 
 
+def _q_inverted_index(sf_dir: str):
+    """Inverted-index build: distinct (token, doc) postings pairs ->
+    coarse hash-bucket shuffle -> per-token df + ascending comma-
+    joined postings string (string_agg parity)."""
+    import ray.data as rd
+
+    from boon_ray.stages.text import inverted_index
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return inverted_index(ds)
+
+
 def _q_embedding_centroids(sf_dir: str):
     """Per-label centroid accumulators in exact power-of-two fixed
     point (bit-identical across engines; only labels x dims partial
@@ -876,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "vocab_topk": _q_vocab_topk,
+        "inverted_index": _q_inverted_index,
         "embedding_centroids": _q_embedding_centroids,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
@@ -1333,6 +1347,15 @@ def oracle_sql() -> dict[str, str]:
             r"'\s+')) AS tok FROM documents "
             r"WHERE length(trim(text)) > 0) "
             r"GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50",
+        "inverted_index":
+            r"WITH pairs AS (SELECT DISTINCT doc_id, token FROM ("
+            r"SELECT doc_id, unnest(regexp_split_to_array(trim(text), "
+            r"'\s+')) AS token FROM documents "
+            r"WHERE length(trim(text)) > 0)) "
+            r"SELECT token, CAST(COUNT(*) AS BIGINT) AS df, "
+            r"string_agg(CAST(doc_id AS VARCHAR), ',' "
+            r"ORDER BY doc_id) AS postings "
+            r"FROM pairs GROUP BY token",
         "embedding_centroids":
             "SELECT CAST(label AS BIGINT) AS label, "
             "CAST(pos AS BIGINT) AS dim, "

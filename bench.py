@@ -203,6 +203,24 @@ def q_gopher_quality():
                            max_words=200).count()
 
 
+def q_vocab_topk():
+    """Global top-100 vocabulary over the amplified corpus content
+    (per-batch count partials; vocab-sized shuffle)."""
+    from boon_ray.stages.text import vocab_top_k
+
+    return vocab_top_k(_corpus(), column="content", k=100).count()
+
+
+def q_inverted_index():
+    """Inverted-index build over the amplified corpus: the shuffle
+    moves distinct (token, commit) pairs — the heaviest honest
+    all-to-all in the text family."""
+    from boon_ray.stages.text import inverted_index
+
+    return inverted_index(_corpus(), column="content",
+                          id_col="commit", num_buckets=256).count()
+
+
 def q_decontaminate():
     """Benchmark 4-gram decontamination of the amplified corpus:
     bench gram set built distributed from the documents table,
@@ -374,7 +392,7 @@ def run_scaling() -> dict:
     def run(ncpu: int, epochs: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_REPLICAS=os.environ.get(
-                       "GRAFT_SCALE_REPLICAS", "400"),
+                       "GRAFT_SCALE_REPLICAS", "300"),
                    # pool size == num_cpus so the worker ratio equals
                    # the CPU ratio the efficiency is computed against
                    GRAFT_BENCH_POOL=str(ncpu),
@@ -398,11 +416,19 @@ def run_scaling() -> dict:
     n_lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     n_hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     epochs = int(os.environ.get("GRAFT_BENCH_EPOCHS", "3"))
+    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
     hi_cold = run(n_hi, 1)  # high leg first: fresh machine state
-    hi = run(n_hi, epochs)
-    time.sleep(5)
     lo_cold = run(n_lo, 1)
-    lo = run(n_lo, epochs)
+    # interleaved best-of-N steady legs: time-varying neighbor load on
+    # this shared host hits whichever leg is running; interleaving +
+    # per-leg best decorrelates it (all trials are reported)
+    his, los = [], []
+    for _ in range(trials):
+        his.append(run(n_hi, epochs))
+        los.append(run(n_lo, epochs))
+        time.sleep(3)
+    hi = min(his, key=lambda r: r["validate_sec"])
+    lo = min(los, key=lambda r: r["validate_sec"])
     ratio = n_hi / n_lo
     eff = (lo["validate_sec"] / hi["validate_sec"]) / ratio
     eff_cold = (lo_cold["validate_sec"] / hi_cold["validate_sec"]) / ratio
@@ -413,6 +439,8 @@ def run_scaling() -> dict:
         "corpus_files": lo["corpus_files"],
         "validate_sec_lo": lo["validate_sec"],
         "validate_sec_hi": hi["validate_sec"],
+        "validate_sec_lo_trials": [r["validate_sec"] for r in los],
+        "validate_sec_hi_trials": [r["validate_sec"] for r in his],
         "validate_sec_lo_cold": lo_cold["validate_sec"],
         "validate_sec_hi_cold": hi_cold["validate_sec"],
         "validated_files_per_sec_lo": round(

@@ -711,3 +711,30 @@ def test_embedding_centroids_exact(ray_session):
             assert sub["sum_fp"].tolist() == rows.sum(axis=0).tolist()
             assert sub["dim"].tolist() == list(range(1, d + 1))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_inverted_index(ray_session):
+    """Postings match a brute-force build; duplicates within a doc
+    collapse; partition-independent output."""
+    import ray.data as rd
+
+    from boon_ray.stages.text import inverted_index
+
+    docs = [
+        {"doc_id": 10, "text": "a b a c"},
+        {"doc_id": 2, "text": "b c"},
+        {"doc_id": 7, "text": "a"},
+        {"doc_id": 5, "text": ""},
+    ]
+    want = {}
+    for d in docs:
+        for t in set(d["text"].split()):
+            want.setdefault(t, []).append(d["doc_id"])
+    want = {t: (len(v), ",".join(map(str, sorted(v))))
+            for t, v in want.items()}
+    for parts in (1, 4):
+        out = (inverted_index(rd.from_items(docs).repartition(parts))
+               .to_pandas().set_index("token").sort_index())
+        got = {t: (int(r["df"]), r["postings"])
+               for t, r in out.iterrows()}
+        assert got == want
