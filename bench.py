@@ -392,7 +392,7 @@ def run_scaling() -> dict:
     def run(ncpu: int, epochs: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_REPLICAS=os.environ.get(
-                       "GRAFT_SCALE_REPLICAS", "300"),
+                       "GRAFT_SCALE_REPLICAS", "200"),
                    # pool size == num_cpus so the worker ratio equals
                    # the CPU ratio the efficiency is computed against
                    GRAFT_BENCH_POOL=str(ncpu),
@@ -417,14 +417,18 @@ def run_scaling() -> dict:
     n_hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     epochs = int(os.environ.get("GRAFT_BENCH_EPOCHS", "3"))
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
+    ratio_i = max(1, n_hi // n_lo)
     hi_cold = run(n_hi, 1)  # high leg first: fresh machine state
     lo_cold = run(n_lo, 1)
-    # interleaved best-of-N steady legs: time-varying neighbor load on
-    # this shared host hits whichever leg is running; interleaving +
-    # per-leg best decorrelates it (all trials are reported)
+    # interleaved best-of-N steady legs with EQUAL WALL TIME (the hi
+    # leg runs ratio x the epochs): time-varying neighbor load on this
+    # shared host hits whichever leg is running, and a burst hurts a
+    # short leg proportionally more — equal-duration legs integrate
+    # the same noise; interleaving + per-leg best (all trials
+    # reported) decorrelates what remains
     his, los = [], []
     for _ in range(trials):
-        his.append(run(n_hi, epochs))
+        his.append(run(n_hi, epochs * ratio_i))
         los.append(run(n_lo, epochs))
         time.sleep(3)
     hi = min(his, key=lambda r: r["validate_sec"])
@@ -450,7 +454,17 @@ def run_scaling() -> dict:
         "num_cpus_lo": n_lo,
         "num_cpus_hi": n_hi,
         "scaling_efficiency": round(eff, 3),
+        # cold = 1 epoch incl. actor-pool spawn; at the default 1M-file
+        # scaling corpus the spawn dominates the cold legs, so the
+        # criterion metric is the steady-state number (a long-running
+        # job's per-epoch throughput)
         "scaling_efficiency_cold": round(eff_cold, 3),
+        # engine efficiency read against the host's same-run pure-CPU
+        # ceiling: what fraction of the physically demonstrable
+        # scaling the engine achieves (>= 1 means the engine scaled
+        # better than plain multiprocessing arithmetic did that minute)
+        "scaling_efficiency_vs_host": round(
+            eff / calib["host_ceiling_eff"], 3),
         "epochs": epochs,
         **calib,
         "sf": SF_DIR,

@@ -182,3 +182,40 @@ def test_column_stats_all_null_group(ray_session):
     assert pd.isna(got.loc["a", "sum_chars"])
     assert got.loc["b", "min_chars"] == 2
     assert got.loc["b", "sum_chars"] == 2
+
+
+def test_conditional_schema_forces_recursion(ray_session):
+    """The scaling-bench workload's honesty guarantees: (1) the
+    conditional policy schema must NOT qualify for the colvec
+    columnar fast path (its whole point is exercising the recursive
+    evaluator), and (2) the full-engine verdicts equal a vectorized
+    pandas recompute of the policy rules."""
+    import ray.data as rd
+
+    from boon_ray.pipelines.flagship import (
+        CONDITIONAL_METADATA_SCHEMA, corpus_conditional_verdicts,
+    )
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.colvec import FlatVectorizer
+    from boon_ray.stages.validate import compile_schema
+
+    spec = compile_schema(CONDITIONAL_METADATA_SCHEMA)
+    assert FlatVectorizer.compile(
+        spec, ("repo", "path", "commit", "lang", "content")) is None
+
+    ds = corpus_dataset("/root/testdata/sf0.001")
+    got = (corpus_conditional_verdicts(ds)
+           .select_columns(["repo", "path", "commit", "valid"])
+           .to_pandas()
+           .set_index(["repo", "path", "commit"]).sort_index())
+    df = ds.to_pandas().set_index(["repo", "path", "commit"]) \
+           .sort_index()
+    L = df["content"].str.len()
+    want = (df["lang"].isin(["de", "en", "es", "zh"])
+            & (L >= 150) & (L <= 5000)
+            & ((df["lang"] != "zh") | (L <= 400))
+            & ((df["lang"] != "de") | (L >= 200))
+            & ~(df.index.get_level_values("repo").str.startswith("org0/")
+                & (df["lang"] == "fr")))
+    assert (got["valid"] == want).all()
+    assert 0 < want.sum() < len(want)      # non-trivial verdict mix
