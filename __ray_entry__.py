@@ -805,6 +805,38 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(ds)
 
 
+_TFIDF_QUERY = ("spark", "vector", "hash")
+_JACCARD_QUERY = ("spark", "window", "hash", "merge",
+                  "join", "scan", "sort", "vector")
+
+
+def _q_tfidf_topk(sf_dir: str):
+    """Top-10 documents by integer-scaled TF-IDF (idf = N*2^20//df,
+    exact integer ranking): df pass filtered to the query terms
+    before the shuffle, then a streaming scoring pass + bounded
+    top-k merge."""
+    import ray.data as rd
+
+    from boon_ray.stages.retrieval import tf_idf_top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return tf_idf_top_k(ds, _TFIDF_QUERY, k=10)
+
+
+def _q_jaccard_topk(sf_dir: str):
+    """Top-10 documents by EXACT token-set Jaccard similarity to a
+    query token set (score = |I|*2^20 // |U|, integer): the exact
+    counterpart of the MinHash estimate, one streaming pass."""
+    import ray.data as rd
+
+    from boon_ray.stages.retrieval import jaccard_top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return jaccard_top_k(ds, _JACCARD_QUERY, k=10)
+
+
 def _q_embedding_centroids(sf_dir: str):
     """Per-label centroid accumulators in exact power-of-two fixed
     point (bit-identical across engines; only labels x dims partial
@@ -890,6 +922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "vocab_topk": _q_vocab_topk,
         "inverted_index": _q_inverted_index,
+        "tfidf_topk": _q_tfidf_topk,
+        "jaccard_topk": _q_jaccard_topk,
         "embedding_centroids": _q_embedding_centroids,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
@@ -1356,6 +1390,36 @@ def oracle_sql() -> dict[str, str]:
             r"string_agg(CAST(doc_id AS VARCHAR), ',' "
             r"ORDER BY doc_id) AS postings "
             r"FROM pairs GROUP BY token",
+        "tfidf_topk":
+            r"WITH toks AS (SELECT doc_id, "
+            r"unnest(regexp_split_to_array(trim(text), '\s+')) AS "
+            r"token FROM documents WHERE length(trim(text)) > 0), "
+            r"q(token) AS (VALUES " +
+            ", ".join(f"('{t}')" for t in _TFIDF_QUERY) + "), "
+            r"n AS (SELECT COUNT(*) AS n FROM documents), "
+            r"qdf AS (SELECT token, COUNT(DISTINCT doc_id) AS df "
+            r"FROM toks WHERE token IN (SELECT token FROM q) "
+            r"GROUP BY token), "
+            r"w AS (SELECT qdf.token, (n.n * 1048576) // qdf.df AS w "
+            r"FROM qdf, n) "
+            r"SELECT toks.doc_id, CAST(SUM(w.w) AS BIGINT) AS score "
+            r"FROM toks JOIN w USING (token) GROUP BY toks.doc_id "
+            r"ORDER BY score DESC, doc_id ASC LIMIT 10",
+        "jaccard_topk":
+            r"WITH dtoks AS (SELECT DISTINCT doc_id, token FROM ("
+            r"SELECT doc_id, "
+            r"unnest(regexp_split_to_array(trim(text), '\s+')) AS "
+            r"token FROM documents WHERE length(trim(text)) > 0)), "
+            r"q(token) AS (VALUES " +
+            ", ".join(f"('{t}')" for t in _JACCARD_QUERY) + "), "
+            r"nd AS (SELECT doc_id, COUNT(*) AS nd FROM dtoks "
+            r"GROUP BY doc_id), "
+            r"i AS (SELECT doc_id, COUNT(*) AS i FROM dtoks "
+            r"JOIN q USING (token) GROUP BY doc_id) "
+            r"SELECT i.doc_id, CAST((i.i * 1048576) // "
+            f"(nd.nd + {len(_JACCARD_QUERY)} - i.i) AS BIGINT) "
+            r"AS score FROM i JOIN nd USING (doc_id) "
+            r"ORDER BY score DESC, doc_id ASC LIMIT 10",
         "embedding_centroids":
             "SELECT CAST(label AS BIGINT) AS label, "
             "CAST(pos AS BIGINT) AS dim, "

@@ -239,6 +239,17 @@ def q_decontaminate():
                          concurrency=(2, max(4, NUM_CPUS // 2))).count()
 
 
+def q_tfidf_topk():
+    """Integer-scaled TF-IDF top-100 over the amplified corpus
+    content: two streaming passes (df, then scoring) + bounded
+    top-k merge; only (id, score) rows shuffle."""
+    from boon_ray.stages.retrieval import tf_idf_top_k
+
+    return tf_idf_top_k(_corpus(), ("spark", "vector", "hash"),
+                        k=100, column="content",
+                        id_col="commit").count()
+
+
 def q_validate_conditional():
     """Full recursive engine against the conditional policy schema
     (allOf/if/not disqualify the columnar fast path by design —
@@ -268,6 +279,9 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "hash_split": q_hash_split,
     "gopher_quality": q_gopher_quality,
+    "vocab_topk": q_vocab_topk,
+    "inverted_index": q_inverted_index,
+    "tfidf_topk": q_tfidf_topk,
     # actor-pool queries last (pool teardown overlaps the next query)
     "decontaminate": q_decontaminate,
     "validate_full_engine": q_validate_full_engine,

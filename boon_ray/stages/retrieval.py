@@ -1,0 +1,177 @@
+"""Text retrieval over the documents table: integer-scaled TF-IDF
+and exact token-set Jaccard top-k search.
+
+Reference parity note: the reference engine (santhosh-tekuri/boon)
+has no retrieval surface — these are L2 training-data-pipeline
+operators in the sense of SURVEY.md §4.3, complementing the
+embedding-based ANN in stages/similarity.py with term-based search
+(the other modality a 100 TB curation pipeline needs: "find documents
+like this query" without an embedding model).
+
+Determinism contract (shared with stages/training.py and the
+embedding_centroids fixed-point trick): every score is computed in
+exact integer arithmetic — idf is ``(N * 2**20) // df`` and Jaccard
+is ``(|I| * 2**20) // |U|`` — so the DuckDB oracle reproduces the
+ranking bit-for-bit on any host. Ties break on ascending doc id,
+making the top-k a total order (partition-independent).
+
+Scale shape (100 TB posture):
+- the corpus is touched by streaming ``map_batches`` passes only;
+  nothing materializes the dataset;
+- the only driver-side collects are bounded by the QUERY, not the
+  corpus: the per-term df table (<= |query| rows) and the final
+  merge (<= k rows per upstream block);
+- query terms ride inside the task closure (tiny); a query set big
+  enough to matter should be ``ray.put`` once and looked up per
+  batch, same as the ANN query matrix (similarity.py:63-84).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SCALE = 1 << 20  # shared fixed-point factor (2**20)
+
+
+def _token_rows(batch: pa.Table, column: str) -> pd.DataFrame:
+    """Explode a text column to (row, token) pairs, vectorized
+    (pandas str.split + explode; no Python row loop)."""
+    s = batch.column(column).to_pandas().fillna("")
+    ex = s.str.split().explode().dropna()
+    return pd.DataFrame({
+        "row": ex.index.to_numpy(),
+        "token": ex.to_numpy(),
+    })
+
+
+def _topk_block(k: int, id_col: str):
+    """Deterministic local top-k: score desc, id asc (mergesort keeps
+    the order stable, and (score, id) is a total order so the global
+    result is partition-independent)."""
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", id_col],
+                            ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    return local_topk
+
+
+def _merge_topk(scores, k: int, id_col: str):
+    local_topk = _topk_block(k, id_col)
+    local = scores.map_batches(local_topk, batch_format="pandas",
+                               batch_size=None)
+    return local.repartition(1).map_batches(
+        local_topk, batch_format="pandas", batch_size=None)
+
+
+def tf_idf_top_k(ds, query_terms, k: int = 10, column: str = "text",
+                 id_col: str = "doc_id", n_docs: int | None = None,
+                 batch_size=None):
+    """Top-k documents by integer-scaled TF-IDF against a bag of
+    query terms.
+
+    score(d) = sum over occurrences of t in d, t in query, of
+    ``(N * 2**20) // df(t)`` — i.e. tf(t, d) * idf_scaled(t) with a
+    rational idf (N/df) instead of the usual log(N/df). The log is
+    monotone in N/df per term, and for short queries the rational
+    weight preserves the rare-term-dominates property the log form
+    exists for, while keeping the score an exact integer the SQL
+    oracle reproduces. Terms absent from the corpus (df = 0)
+    contribute nothing, matching the oracle's inner join.
+
+    Two streaming passes over the corpus:
+    1. df pass — per-batch distinct (doc, term) hits filtered to the
+       query terms BEFORE the shuffle, so the groupby moves at most
+       |query| rows per block; the resulting <= |query|-row table is
+       collected and turned into a plain dict broadcast in the
+       scoring closure.
+    2. scoring pass — explode + isin + per-doc weight sum, emitting
+       (id, score) only for score > 0; then the vocab_top_k merge
+       shape (local top-k per block -> one <= k*blocks-row merge).
+    """
+    terms = sorted(set(query_terms))
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        d = _token_rows(b, column)
+        d = d[d["token"].isin(terms)].drop_duplicates()
+        vc = d["token"].value_counts()
+        return pa.table({
+            "token": pa.array(vc.index.to_numpy().astype(str)),
+            "df_n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+        })
+
+    dfs = (ds.map_batches(df_partial, batch_format="pyarrow",
+                          batch_size=batch_size)
+             .groupby("token").sum("df_n")
+             .to_pandas())  # bounded: <= |query_terms| rows
+    idf = {t: (n_docs * SCALE) // int(n)
+           for t, n in zip(dfs["token"], dfs["sum(df_n)"]) if n > 0}
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks()
+        d = _token_rows(b, column)
+        d = d[d["token"].isin(idf)]
+        if d.empty:
+            sc = pd.Series([], dtype=np.int64)
+        else:
+            w = d["token"].map(idf).astype(np.int64)
+            sc = w.groupby(d["row"].to_numpy()).sum()
+        # Arrow take keeps the id column's type (int, string, ...)
+        return pa.table({
+            id_col: ids.take(pa.array(sc.index.to_numpy(np.int64))),
+            "score": pa.array(sc.to_numpy(np.int64), pa.int64()),
+        })
+
+    scores = ds.map_batches(score_batch, batch_format="pyarrow",
+                            batch_size=batch_size)
+    return _merge_topk(scores, k, id_col)
+
+
+def jaccard_top_k(ds, query_tokens, k: int = 10,
+                  column: str = "text", id_col: str = "doc_id",
+                  batch_size=None):
+    """Top-k documents by EXACT token-set Jaccard similarity to a
+    query token set — the exact counterpart of the MinHash estimate
+    in stages/dedup.py, usable both as search and as a spot-check
+    oracle for the LSH path.
+
+    score(d) = (|T(d) & Q| * 2**20) // (|T(d) | Q|), an exact
+    integer; documents with empty intersection are dropped (the SQL
+    oracle's inner join does the same). One streaming pass: distinct
+    tokens per doc (explode + drop_duplicates), intersection size via
+    isin, union = |T(d)| + |Q| - |I|; then the shared local-top-k ->
+    single-block merge. Only (id, score) rows ever shuffle.
+    """
+    q = sorted(set(query_tokens))
+    nq = len(q)
+    qset = frozenset(q)
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks()
+        d = _token_rows(b, column).drop_duplicates()
+        if d.empty:
+            inter = pd.Series([], dtype=np.int64)
+            score = np.array([], dtype=np.int64)
+        else:
+            rows = d["row"].to_numpy()
+            nd = pd.Series(1, index=rows).groupby(level=0).sum()
+            hit = d["token"].isin(qset).to_numpy()
+            inter = (pd.Series(hit.astype(np.int64), index=rows)
+                     .groupby(level=0).sum())
+            inter = inter[inter > 0]
+            nd = nd.loc[inter.index]
+            union = (nd.to_numpy(np.int64) + nq
+                     - inter.to_numpy(np.int64))
+            score = (inter.to_numpy(np.int64) * SCALE) // union
+        return pa.table({
+            id_col: ids.take(pa.array(inter.index.to_numpy(np.int64))),
+            "score": pa.array(score, pa.int64()),
+        })
+
+    scores = ds.map_batches(score_batch, batch_format="pyarrow",
+                            batch_size=batch_size)
+    return _merge_topk(scores, k, id_col)

@@ -1,0 +1,76 @@
+"""Exact-integer retrieval operators (stages/retrieval.py):
+hand-computed score parity + partition independence."""
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from boon_ray.stages.retrieval import SCALE, jaccard_top_k, tf_idf_top_k
+
+DOCS = pd.DataFrame({
+    "doc_id": [1, 2, 3, 4, 5],
+    "text": [
+        "spark hash hash join",        # spark x1, hash x2
+        "window window window scan",   # no query hits for tfidf
+        "spark spark spark",           # spark x3
+        "sort merge",                  # none
+        "hash",                        # hash x1
+    ],
+})
+
+
+def _ds(npart):
+    return rd.from_pandas(DOCS).repartition(npart)
+
+
+@pytest.mark.parametrize("npart", [1, 3])
+def test_tfidf_exact_scores(ray_session, npart):
+    # df(spark)=2, df(hash)=2, N=5 -> idf = (5*SCALE)//2 for both
+    got = (tf_idf_top_k(_ds(npart), ["spark", "hash", "absent"], k=10)
+           .to_pandas().set_index("doc_id")["score"].sort_index())
+    w = (5 * SCALE) // 2
+    want = pd.Series({1: 3 * w, 3: 3 * w, 5: 1 * w})
+    assert got.to_dict() == want.to_dict()
+
+
+def test_tfidf_k_cut_ties_on_doc_id(ray_session):
+    # docs 1 and 3 tie at 3*w; k=1 must keep the smaller doc_id
+    got = tf_idf_top_k(_ds(2), ["spark", "hash"], k=1).to_pandas()
+    assert got["doc_id"].tolist() == [1]
+
+
+@pytest.mark.parametrize("npart", [1, 3])
+def test_jaccard_exact_scores(ray_session, npart):
+    # Q = {spark, hash}; doc1 tokens {spark,hash,join}: I=2, U=3
+    # doc3 {spark}: I=1, U=2; doc5 {hash}: I=1, U=2; docs 2,4 dropped
+    got = (jaccard_top_k(_ds(npart), ["spark", "hash"], k=10)
+           .to_pandas().set_index("doc_id")["score"].sort_index())
+    want = {1: (2 * SCALE) // 3, 3: SCALE // 2, 5: SCALE // 2}
+    assert got.to_dict() == want
+
+
+def test_jaccard_no_hits_empty_with_schema(ray_session):
+    out = jaccard_top_k(_ds(2), ["absent"], k=5)
+    assert out.take_all() == []
+    # an all-empty Dataset loses its schema after pandas-format
+    # stages (known Ray 2.49 empty-block quirk); accept either
+    sch = out.schema()
+    assert sch is None or sch.names == ["doc_id", "score"]
+
+
+def test_retrieval_partition_independent(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = list("abcdefghij")
+    df = pd.DataFrame({
+        "doc_id": np.arange(200),
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+                 for _ in range(200)],
+    })
+    q = ["a", "b", "c"]
+    outs = []
+    for npart in (1, 7):
+        ds = rd.from_pandas(df).repartition(npart)
+        t = tf_idf_top_k(ds, q, k=15).to_pandas()
+        j = jaccard_top_k(ds, q, k=15).to_pandas()
+        outs.append((t.values.tolist(), j.values.tolist()))
+    assert outs[0] == outs[1]
