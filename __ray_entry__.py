@@ -850,6 +850,26 @@ def _q_embedding_centroids(sf_dir: str):
     return embedding_centroids(ds)
 
 
+def _q_kmeans_assign(sf_dir: str):
+    """Exact-integer nearest-centroid assignment (Lloyd step): the
+    per-label fixed-point centroids (bounded labels x dims collect)
+    broadcast into a shuffle-free streaming assignment pass; squared
+    distances are exact int64 so assignments are bit-reproducible."""
+    import ray.data as rd
+
+    from boon_ray.stages.similarity import (
+        centroid_assign, embedding_centroids, fixed_point_centroids,
+    )
+
+    labeled = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["label", "embedding"])
+    cent = embedding_centroids(labeled).to_pandas()
+    labels, c_fp = fixed_point_centroids(cent)
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    return centroid_assign(vecs, labels, c_fp)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark 4-gram decontamination: docs with doc_id % 50 == 0
     act as the 'evaluation set'; every other doc is scored for
@@ -925,6 +945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "jaccard_topk": _q_jaccard_topk,
         "embedding_centroids": _q_embedding_centroids,
+        "kmeans_assign": _q_kmeans_assign,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1429,6 +1450,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT label, unnest(embedding) AS v, "
             "generate_subscripts(embedding, 1) AS pos "
             "FROM embeddings) GROUP BY label, pos",
+        "kmeans_assign":
+            "WITH fp AS (SELECT vec_id, "
+            "CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim, "
+            "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) "
+            "AS BIGINT) AS v FROM embeddings), "
+            "cent AS (SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(pos AS BIGINT) AS dim, "
+            "CAST(CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1048576) "
+            "AS BIGINT)) AS BIGINT) // CAST(COUNT(*) AS BIGINT) "
+            "AS BIGINT) AS c "
+            "FROM (SELECT label, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) AS pos "
+            "FROM embeddings) GROUP BY label, pos), "
+            "d AS (SELECT fp.vec_id, cent.label, "
+            "CAST(SUM((fp.v - cent.c) * (fp.v - cent.c)) AS BIGINT) "
+            "AS d2 FROM fp JOIN cent USING (dim) "
+            "GROUP BY fp.vec_id, cent.label) "
+            "SELECT vec_id, CAST(label AS BIGINT) AS assigned, d2 "
+            "FROM (SELECT vec_id, label, d2, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id ORDER BY d2 ASC, label ASC) AS rn "
+            "FROM d) WHERE rn = 1",
         "stratified_sample":
             "SELECT doc_id, lang FROM ("
             "SELECT doc_id, lang, ROW_NUMBER() OVER ("

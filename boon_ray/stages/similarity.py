@@ -229,3 +229,82 @@ def embedding_centroids(ds, label_col: str = "label",
 
     return agg.map_batches(rename, batch_format="pyarrow",
                            batch_size=None)
+
+
+def fixed_point_centroids(rows: pd.DataFrame, label_col: str = "label"
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Turn ``embedding_centroids`` output rows (label, dim, n,
+    sum_fp) into an exact fixed-point centroid matrix.
+
+    Each component is ``trunc(sum_fp / n)`` — TRUNCATING division,
+    not floor, because that is what SQL integer division (``//`` in
+    DuckDB) computes for negative sums; Python's ``//`` floors, so
+    the trunc is spelled out with abs. Returns (labels ascending,
+    (k, d) int64 matrix).
+    """
+    piv = rows.pivot(index=label_col, columns="dim",
+                     values="sum_fp").sort_index()
+    n = rows.pivot(index=label_col, columns="dim",
+                   values="n").sort_index()
+    s = piv.to_numpy(np.int64)
+    cnt = n.to_numpy(np.int64)
+    q = np.abs(s) // cnt
+    c = np.where(s >= 0, q, -q)
+    return piv.index.to_numpy(np.int64), c.astype(np.int64)
+
+
+def centroid_assign(ds, labels: np.ndarray, centroids_fp: np.ndarray,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id", scale_bits: int = 20,
+                    batch_size=None):
+    """EXACT-integer nearest-centroid assignment (the Lloyd/k-means
+    assignment step, and the same primitive an IVF index uses to
+    route vectors to lists).
+
+    Vectors and centroids live in ``2**scale_bits`` fixed point
+    (see ``embedding_centroids``: power-of-two scaling of float32 is
+    bit-identical everywhere), so the squared Euclidean distance
+    ``d2 = |v|^2 + |c|^2 - 2 v.c`` is an exact int64 the SQL oracle
+    reproduces; ties go to the smallest label (argmin first-hit over
+    the ascending-label matrix). With scale 2**20 and unit-ish
+    components, d2 <= dims * 2**42 — safely inside int64 up to
+    ~4M dims.
+
+    Scale shape: the (k x d) centroid matrix rides in the task
+    closure (ray.put it when k x d is large); one streaming numpy
+    pass per batch (two einsums + one matmul); output is one
+    (id, assigned, d2) row per vector — no shuffle at all.
+    """
+    order = np.argsort(labels, kind="stable")
+    lab = np.asarray(labels, np.int64)[order]
+    cen = np.asarray(centroids_fp, np.int64)[order]
+    cc = np.einsum("ij,ij->i", cen, cen)
+    scale = float(1 << scale_bits)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks()
+        col = b.column(vec_col)
+        arr = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        widths = np.diff(arr.offsets.to_numpy())
+        if len(widths) == 0:
+            return pa.table({id_col: ids,
+                             "assigned": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        d = int(widths[0])
+        if not (widths == d).all() or d != cen.shape[1]:
+            raise ValueError("ragged or mismatched embedding column")
+        fp = np.floor(flat.reshape(-1, d) * scale).astype(np.int64)
+        vv = np.einsum("ij,ij->i", fp, fp)
+        d2 = vv[:, None] + cc[None, :] - 2 * (fp @ cen.T)
+        j = np.argmin(d2, axis=1)       # first hit = smallest label
+        return pa.table({
+            id_col: ids,
+            "assigned": pa.array(lab[j], pa.int64()),
+            "d2": pa.array(d2[np.arange(len(j)), j], pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=batch_size)

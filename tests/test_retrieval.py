@@ -74,3 +74,51 @@ def test_retrieval_partition_independent(ray_session):
         j = jaccard_top_k(ds, q, k=15).to_pandas()
         outs.append((t.values.tolist(), j.values.tolist()))
     assert outs[0] == outs[1]
+
+
+def test_centroid_assign_exact(ray_session):
+    """Hand-checked exact-integer Lloyd assignment incl. negative
+    components (trunc-div centroids) and a tie broken by label."""
+    from boon_ray.stages.similarity import (
+        centroid_assign, embedding_centroids, fixed_point_centroids,
+    )
+
+    df = pd.DataFrame({
+        "vec_id": [1, 2, 3, 4],
+        "label": [0, 0, 1, 1],
+        "embedding": [
+            [1.0, 0.0], [0.5, 0.0],      # label-0 cluster (x-axis)
+            [-1.0, 0.2], [-0.5, 0.2],    # label-1 cluster (negative x)
+        ],
+    })
+    ds = rd.from_pandas(df)
+    cent = embedding_centroids(
+        ds.select_columns(["label", "embedding"])).to_pandas()
+    labels, c_fp = fixed_point_centroids(cent)
+    assert labels.tolist() == [0, 1]
+    S = 1 << 20
+    # label 0: sums (1.5*S, 0) over n=2 -> trunc to (0.75*S, 0)
+    assert c_fp[0].tolist() == [int(1.5 * S) // 2, 0]
+    # label 1: x-sum is NEGATIVE -> trunc toward zero, not floor
+    sx = int(np.floor(-1.0 * S)) + int(np.floor(-0.5 * S))
+    assert c_fp[1][0] == -((-sx) // 2)
+
+    got = (centroid_assign(
+        ds.select_columns(["vec_id", "embedding"]), labels, c_fp)
+        .to_pandas().set_index("vec_id").sort_index())
+    assert got["assigned"].tolist() == [0, 0, 1, 1]
+    # exact d2 recompute for vec 1: fp(1.0)=S, fp(0.0)=0
+    v = np.array([S, 0], np.int64)
+    want_d2 = int(((v - c_fp[0]) ** 2).sum())
+    assert got.loc[1, "d2"] == want_d2
+
+
+def test_centroid_assign_tie_smallest_label(ray_session):
+    from boon_ray.stages.similarity import centroid_assign
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": [7], "embedding": [[0.0, 0.0]]}))
+    labels = np.array([3, 5], np.int64)
+    cents = np.array([[100, 0], [0, 100]], np.int64)  # equidistant
+    got = centroid_assign(ds, labels, cents).to_pandas()
+    assert got["assigned"].tolist() == [3]
