@@ -850,6 +850,20 @@ def _q_embedding_centroids(sf_dir: str):
     return embedding_centroids(ds)
 
 
+def _q_pmi_pairs(sf_dir: str):
+    """Top-25 co-occurring token pairs by exact-integer scaled PMI
+    (score = c_xy*N*2^20 // (c_x*c_y), monotone in true PMI): pair
+    partials + vocab-bounded doc-frequency broadcast, pair-vocab-
+    sized shuffle only."""
+    import ray.data as rd
+
+    from boon_ray.stages.text import cooccurrence_top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return cooccurrence_top_k(ds, k=25, min_pairs=5)
+
+
 def _q_kmeans_assign(sf_dir: str):
     """Exact-integer nearest-centroid assignment (Lloyd step): the
     per-label fixed-point centroids (bounded labels x dims collect)
@@ -946,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_topk": _q_jaccard_topk,
         "embedding_centroids": _q_embedding_centroids,
         "kmeans_assign": _q_kmeans_assign,
+        "pmi_pairs": _q_pmi_pairs,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1471,6 +1486,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT vec_id, label, d2, ROW_NUMBER() OVER ("
             "PARTITION BY vec_id ORDER BY d2 ASC, label ASC) AS rn "
             "FROM d) WHERE rn = 1",
+        "pmi_pairs":
+            r"WITH dtok AS (SELECT DISTINCT doc_id, token FROM ("
+            r"SELECT doc_id, "
+            r"unnest(regexp_split_to_array(trim(text), '\s+')) AS "
+            r"token FROM documents WHERE length(trim(text)) > 0)), "
+            r"cx AS (SELECT token, COUNT(*) AS c FROM dtok "
+            r"GROUP BY token), "
+            r"n AS (SELECT COUNT(*) AS n FROM documents), "
+            r"cxy AS (SELECT a.token AS ta, b.token AS tb, "
+            r"COUNT(*) AS c FROM dtok a JOIN dtok b "
+            r"ON a.doc_id = b.doc_id AND a.token < b.token "
+            r"GROUP BY a.token, b.token) "
+            r"SELECT ta, tb, CAST(cxy.c AS BIGINT) AS n_pair, "
+            r"CAST((cxy.c * n.n * 1048576) // (x.c * y.c) AS BIGINT) "
+            r"AS score FROM cxy, n, cx x, cx y "
+            r"WHERE x.token = cxy.ta AND y.token = cxy.tb "
+            r"AND cxy.c >= 5 "
+            r"ORDER BY score DESC, ta ASC, tb ASC LIMIT 25",
         "stratified_sample":
             "SELECT doc_id, lang FROM ("
             "SELECT doc_id, lang, ROW_NUMBER() OVER ("

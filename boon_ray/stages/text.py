@@ -455,3 +455,98 @@ def inverted_index(ds, column: str = "text", id_col: str = "doc_id",
                        batch_size=batch_size)
     return p.groupby("_bucket").map_groups(reduce_bucket,
                                            batch_format="pandas")
+
+
+def cooccurrence_top_k(ds, column: str = "text", k: int = 25,
+                       min_pairs: int = 5,
+                       n_docs: int | None = None, batch_size=None):
+    """Top-k co-occurring token pairs by exact-integer scaled PMI.
+
+    For an unordered pair (x < y): score = (c_xy * N * 2**20) //
+    (c_x * c_y) where c_xy counts docs containing BOTH tokens and
+    c_x/c_y count docs containing each — the log in classic PMI is
+    monotone in that rational, so ranking by the exact integer equals
+    ranking by PMI while staying bit-reproducible in SQL. Pairs below
+    ``min_pairs`` doc-co-occurrences are dropped (PMI's classic
+    low-count instability). Ties: (score desc, pair asc) total order.
+
+    Scale shape: per batch, distinct tokens per doc -> within-doc
+    pair expansion (vectorized self-merge; O(t^2) per doc — fine for
+    natural-text distinct-token counts, cap upstream for pathological
+    docs) -> per-batch pair-count partials, so the only all-to-all
+    moves (pair, count) rows bounded by pair-vocab x blocks. Token
+    doc-frequencies ride the same pass and reduce to a vocab-bounded
+    table the driver broadcasts back into the scoring stage. int64
+    holds c_xy * N * 2**20 up to N ~ 2**23 docs per corpus slice; at
+    larger N compute the score in Python ints / HUGEINT (documented
+    trade, same ranking).
+    """
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        s = b.column(column).to_pandas().fillna("")
+        ex = s.str.split().explode().dropna()
+        d = pd.DataFrame({"row": ex.index.to_numpy(),
+                          "token": ex.to_numpy()}).drop_duplicates()
+        m = d.merge(d, on="row")
+        m = m[m["token_x"] < m["token_y"]]
+        vc = m.groupby(["token_x", "token_y"], sort=False).size()
+        idx = vc.index
+        return pa.table({
+            "ta": pa.array(idx.get_level_values(0).to_numpy()
+                           .astype(str)),
+            "tb": pa.array(idx.get_level_values(1).to_numpy()
+                           .astype(str)),
+            "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+        })
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        s = b.column(column).to_pandas().fillna("")
+        ex = s.str.split().explode().dropna()
+        d = pd.DataFrame({"row": ex.index.to_numpy(),
+                          "token": ex.to_numpy()}).drop_duplicates()
+        vc = d["token"].value_counts()
+        return pa.table({
+            "token": pa.array(vc.index.to_numpy().astype(str)),
+            "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+        })
+
+    # vocab-bounded token doc-frequency table, broadcast to scorers
+    cx = (ds.map_batches(df_partial, batch_format="pyarrow",
+                         batch_size=batch_size)
+            .groupby("token").sum("n").to_pandas())
+    cmap = dict(zip(cx["token"], cx["sum(n)"].astype(np.int64)))
+
+    pair_counts = (ds.map_batches(pair_partial,
+                                  batch_format="pyarrow",
+                                  batch_size=batch_size)
+                     .groupby(["ta", "tb"]).sum("n"))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"sum(n)": "n_pair"})
+        df = df[df["n_pair"] >= min_pairs]
+        if df.empty:
+            return pd.DataFrame({"ta": pd.Series([], dtype=str),
+                                 "tb": pd.Series([], dtype=str),
+                                 "n_pair": pd.Series([], dtype=np.int64),
+                                 "score": pd.Series([], dtype=np.int64)})
+        ca = df["ta"].map(cmap).to_numpy(np.int64)
+        cb = df["tb"].map(cmap).to_numpy(np.int64)
+        num = df["n_pair"].to_numpy(np.int64) * np.int64(n_docs) \
+            * np.int64(1 << 20)
+        df = df.assign(score=num // (ca * cb))
+        return df[["ta", "tb", "n_pair", "score"]]
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "ta", "tb"],
+                            ascending=[False, True, True],
+                            kind="mergesort")
+        return df.head(k)
+
+    scored = pair_counts.map_batches(score, batch_format="pandas",
+                                     batch_size=None)
+    local = scored.map_batches(local_topk, batch_format="pandas",
+                               batch_size=None)
+    return local.repartition(1).map_batches(
+        local_topk, batch_format="pandas", batch_size=None)

@@ -122,3 +122,27 @@ def test_centroid_assign_tie_smallest_label(ray_session):
     cents = np.array([[100, 0], [0, 100]], np.int64)  # equidistant
     got = centroid_assign(ds, labels, cents).to_pandas()
     assert got["assigned"].tolist() == [3]
+
+
+def test_cooccurrence_pmi_exact(ray_session):
+    """Hand-checked scaled-PMI pairs + partition independence."""
+    from boon_ray.stages.text import cooccurrence_top_k
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["a b", "a b", "a b", "a c", "b c x", "c x"],
+    })
+    for npart in (1, 3):
+        got = (cooccurrence_top_k(
+            rd.from_pandas(df).repartition(npart), k=10, min_pairs=2)
+            .to_pandas().set_index(["ta", "tb"]))
+        S = 1 << 20
+        # c_a=4, c_b=4, c_c=3, c_x=2, N=6
+        # (a,b): c=3 -> 3*6*S // 16 ; (c,x): c=2 -> 2*6*S // 6
+        want = {
+            ("a", "b"): (3 * 6 * S) // 16,
+            ("c", "x"): (2 * 6 * S) // 6,
+        }
+        assert got["score"].to_dict() == want
+        assert got["n_pair"].to_dict() == {("a", "b"): 3,
+                                           ("c", "x"): 2}
