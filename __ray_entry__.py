@@ -850,6 +850,16 @@ def _q_embedding_centroids(sf_dir: str):
     return embedding_centroids(ds)
 
 
+def _q_curated_train_set(sf_dir: str):
+    """END-TO-END curation pipeline (quality filter -> exact dedup ->
+    benchmark decontamination -> deterministic split), value-hashed
+    against ONE DuckDB statement replaying the whole chain — the
+    composition oracle, not just per-operator oracles."""
+    from boon_ray.pipelines.curate import curate_documents
+
+    return curate_documents(sf_dir)
+
+
 def _q_pmi_pairs(sf_dir: str):
     """Top-25 co-occurring token pairs by exact-integer scaled PMI
     (score = c_xy*N*2^20 // (c_x*c_y), monotone in true PMI): pair
@@ -961,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": _q_embedding_centroids,
         "kmeans_assign": _q_kmeans_assign,
         "pmi_pairs": _q_pmi_pairs,
+        "curated_train_set": _q_curated_train_set,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1181,15 +1192,15 @@ LEFT JOIN (SELECT doc_id, bit_xor(wmin) AS digest FROM f GROUP BY doc_id) x
 USING (doc_id)"""
 
 
-def _gopher_sql(min_words: int = 25, max_words: int = 80) -> str:
-    """ANSI translation of stages.text.gopher_batch: every metric an
-    integer count, every ratio rule cross-multiplied — float-free, so
-    the driver's stringified value hash is stable."""
+def _gopher_m_body(src: str = "documents") -> str:
+    """The gopher-metrics SELECT body (ANSI translation of
+    stages.text.gopher_batch) over an arbitrary source relation —
+    shared by the standalone gopher oracle and the composed curation
+    oracle so the two can never drift."""
     from boon_ray.stages.text import STOPWORDS
 
     stop_alt = "|".join(STOPWORDS)
     return rf"""
-WITH m AS (
  SELECT doc_id,
    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace,
@@ -1205,15 +1216,62 @@ WITH m AS (
        AS n_alpha_words,
    CAST(len(regexp_extract_all(text, '\b({stop_alt})\b')) AS BIGINT)
        AS n_stopword_hits
- FROM documents)
+ FROM {src}"""
+
+
+def _gopher_pass_expr(min_words: int, max_words: int) -> str:
+    return (f"(n_words BETWEEN {min_words} AND {max_words} "
+            "AND n_nonspace BETWEEN 3*n_words AND 10*n_words "
+            "AND 10*n_symbols < n_words "
+            "AND 10*n_bullet_lines < 9*n_lines "
+            "AND 10*n_ellipsis_lines < 3*n_lines "
+            "AND 10*n_alpha_words > 8*n_words "
+            "AND n_stopword_hits >= 2)")
+
+
+def _gopher_sql(min_words: int = 25, max_words: int = 80) -> str:
+    """ANSI translation of stages.text.gopher_batch: every metric an
+    integer count, every ratio rule cross-multiplied — float-free, so
+    the driver's stringified value hash is stable."""
+    return rf"""
+WITH m AS ({_gopher_m_body()})
 SELECT doc_id, n_words, n_nonspace, n_symbols, n_lines, n_bullet_lines,
   n_ellipsis_lines, n_alpha_words, n_stopword_hits,
-  (n_words BETWEEN {min_words} AND {max_words}
-   AND n_nonspace BETWEEN 3*n_words AND 10*n_words
-   AND 10*n_symbols < n_words AND 10*n_bullet_lines < 9*n_lines
-   AND 10*n_ellipsis_lines < 3*n_lines AND 10*n_alpha_words > 8*n_words
-   AND n_stopword_hits >= 2) AS pass_gopher
+  {_gopher_pass_expr(min_words, max_words)} AS pass_gopher
 FROM m"""
+
+
+def _curated_sql(min_words: int = 25, max_words: int = 80,
+                 k: int = 4) -> str:
+    """One DuckDB statement replaying the WHOLE curation pipeline
+    (pipelines/curate.py): gopher quality filter -> exact dedup
+    (MIN doc_id per text) -> benchmark k-gram decontamination
+    anti-join -> splitmix64 train/test split."""
+    km = k - 1
+    return rf"""
+WITH m AS ({_gopher_m_body(
+        "(SELECT * FROM documents WHERE doc_id % 50 != 0)")}),
+q AS (SELECT d.doc_id, d.text FROM documents d JOIN m USING (doc_id)
+      WHERE {_gopher_pass_expr(min_words, max_words)}),
+ded AS (SELECT MIN(doc_id) AS doc_id, text FROM q GROUP BY text),
+bench AS (SELECT regexp_split_to_array(trim(text), '\s+') toks
+          FROM documents WHERE doc_id % 50 = 0),
+bgrams AS (SELECT DISTINCT
+             array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+{km}],
+                             ' ') AS gram
+           FROM bench, LATERAL unnest(generate_series(1,
+               greatest(len(toks)-{km}, 0))) t(i)),
+corp AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+         FROM ded),
+cgrams AS (SELECT DISTINCT doc_id,
+             array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+{km}],
+                             ' ') AS gram
+           FROM corp, LATERAL unnest(generate_series(1,
+               greatest(len(toks)-{km}, 0))) t(i)),
+dirty AS (SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (gram))
+SELECT doc_id, CASE WHEN {_splitmix64_sql('doc_id', 'split')} % 256 < 26
+  THEN 'test' ELSE 'train' END AS split
+FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM dirty)"""
 
 
 def _repetition_sql() -> str:
@@ -1411,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_sql(),
         "gopher_repetition": _repetition_sql(),
         "decontaminate": _decontaminate_sql(),
+        "curated_train_set": _curated_sql(),
         "vocab_topk":
             r"SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n "
             r"FROM (SELECT unnest(regexp_split_to_array(trim(text), "

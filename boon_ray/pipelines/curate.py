@@ -1,0 +1,65 @@
+"""End-to-end training-data curation pipeline over the documents
+table — the composed recipe a 100 TB curation run actually executes
+(RefinedWeb/Dolma shape): quality filter -> exact dedup ->
+benchmark decontamination -> deterministic train/test split.
+
+Every stage is one of the repo's oracle-backed operators, and the
+COMPOSITION itself is oracle-backed: the driver query
+``curated_train_set`` value-hash-matches a single DuckDB statement
+that replays the whole chain (gopher metrics CTE -> GROUP BY text
+dedup -> k-gram anti-join -> splitmix64 split). That closes the gap
+between "each operator is right" and "the pipeline is right" —
+stage boundaries (filter pushdown, column pruning, which slice feeds
+the gram set) are exactly where composition bugs live.
+
+Scale shape: the corpus streams through filter/dedup/decontaminate
+(the only all-to-all is dedup's one-row-per-(text, batch) shuffle);
+the benchmark gram set is the only broadcast (bounded by the eval
+set, which is small by construction); the split is a pure map.
+"""
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def curate_documents(sf_dir: str, min_words: int = 25,
+                     max_words: int = 80, gram_k: int = 4,
+                     test_pct: float = 10.0, salt: str = "split"):
+    """Returns a Dataset of (doc_id, split) — the curated corpus.
+
+    Benchmark slice = doc_id % 50 == 0 (the synthetic 'eval set'
+    also used by the standalone ``decontaminate`` query); those docs
+    never enter the corpus side.
+    """
+    import ray.data as rd
+
+    from boon_ray.stages.decontaminate import (
+        benchmark_gram_set, decontaminate,
+    )
+    from boon_ray.stages.text import gopher_filter
+    from boon_ray.stages.training import hash_split
+    from boon_ray.stages.unique import dedup_exact
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def mod_filter(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            m = ids % 50 == 0
+            return b.filter(pa.array(m if keep_bench else ~m))
+        return f
+
+    bench = docs.map_batches(mod_filter(True), batch_format="pyarrow")
+    corpus = docs.map_batches(mod_filter(False),
+                              batch_format="pyarrow")
+
+    quality = gopher_filter(corpus, min_words=min_words,
+                            max_words=max_words)
+    deduped = dedup_exact(quality, key=["text"], order_col="doc_id")
+    grams = benchmark_gram_set(bench, k=gram_k)
+    clean = decontaminate(deduped, grams, k=gram_k, emit="clean",
+                          concurrency=(1, 8))
+    split = hash_split(clean, "doc_id", test_pct=test_pct, salt=salt,
+                       method="splitmix64")
+    return split.select_columns(["doc_id", "split"])

@@ -550,3 +550,19 @@ def cooccurrence_top_k(ds, column: str = "text", k: int = 25,
                                batch_size=None)
     return local.repartition(1).map_batches(
         local_topk, batch_format="pandas", batch_size=None)
+
+
+def gopher_filter(ds, column: str = "text", id_col: str = "doc_id",
+                  min_words: int = 50, max_words: int = 100_000,
+                  batch_size=None):
+    """Filter-pushdown variant of ``gopher_verdicts``: computes the
+    verdict per batch and keeps the ORIGINAL rows that pass, so a
+    curation pipeline can chain on (id, text) without re-joining the
+    metrics table."""
+
+    def f(b: pa.Table) -> pa.Table:
+        v = gopher_batch(b, column, id_col, min_words, max_words)
+        return b.filter(v.column("pass_gopher"))
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -738,3 +738,41 @@ def test_inverted_index(ray_session):
         got = {t: (int(r["df"]), r["postings"])
                for t, r in out.iterrows()}
         assert got == want
+
+
+def test_curate_documents_invariants(ray_session):
+    """End-to-end curation pipeline: structural invariants at
+    sf0.001 (exact value parity vs DuckDB is the driver's
+    curated_train_set oracle; here we pin the stage semantics)."""
+    import duckdb
+
+    from boon_ray.pipelines.curate import curate_documents
+
+    sf = "/root/testdata/sf0.001"
+    got = curate_documents(sf).to_pandas()
+    assert len(got) > 0
+    # benchmark slice never enters the corpus
+    assert (got["doc_id"] % 50 != 0).all()
+    assert set(got["split"]) <= {"train", "test"}
+    assert got["doc_id"].is_unique
+
+    con = duckdb.connect()
+    docs = con.sql(f"SELECT doc_id, text FROM read_parquet("
+                   f"'{sf}/documents.parquet')").df()
+    kept = docs[docs["doc_id"].isin(got["doc_id"])]
+    # exact dedup held: no surviving text appears twice, and each
+    # survivor is the MIN doc_id of its text group post-filter
+    assert kept["text"].is_unique
+    # decontamination held: no survivor shares a 4-gram with bench
+    bench = docs[docs["doc_id"] % 50 == 0]
+
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 4])
+                for i in range(max(len(toks) - 3, 0))}
+
+    bset = set()
+    for t in bench["text"]:
+        bset |= grams(t)
+    for t in kept["text"]:
+        assert not (grams(t) & bset)
