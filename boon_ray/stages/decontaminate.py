@@ -111,6 +111,24 @@ def benchmark_gram_hashes(bench_ds, column: str = "text",
                               dtype=np.int64).view(np.uint64))
 
 
+def benchmark_gram_bloom(bench_ds, column: str = "text",
+                         k: int = 13, bits_per_item: int = 12,
+                         num_hashes: int = 6):
+    """Bloom filter over the benchmark's distinct token-fold gram
+    hashes — the scale path for decontamination broadcasts: ~12 bits
+    per gram instead of 64 (or ~240 for strings), FP ~0.05% at the
+    defaults, and NO false negatives, so contamination is never
+    missed; a false positive only over-drops a training document.
+    Same fold construction as ``benchmark_gram_hashes``, so probes
+    live in the identical hash space."""
+    from boon_ray.sketches import BloomFilter
+
+    h = benchmark_gram_hashes(bench_ds, column=column, k=k)
+    return BloomFilter.from_hashes(h.view(np.uint64),
+                                   bits_per_item=bits_per_item,
+                                   num_hashes=num_hashes)
+
+
 class Decontaminator:
     """map_batches stage: per-document contamination verdict.
 
@@ -136,6 +154,17 @@ class Decontaminator:
         self.k = k
         self.column = column
         self.id_col = id_col
+        self.bloom = None
+        from boon_ray.sketches import BloomFilter
+        if isinstance(grams, BloomFilter):
+            # bloom mode: fold-hash probe path with the bit array as
+            # the broadcast set (no false negatives; FPs over-drop)
+            if k < 2:
+                raise ValueError("bloom mode requires k >= 2")
+            self.bloom = grams
+            self.hash_grams = True
+            self.grams = None
+            return
         self.hash_grams = hash_grams
         if hash_grams:
             if k < 2:
@@ -180,7 +209,8 @@ class Decontaminator:
             all_toks.extend(tt)
             counts[i] = len(tt)
         per_doc = np.zeros(len(texts), dtype=np.int64)
-        if not all_toks or not len(self.grams):
+        empty_set = (self.bloom is None and not len(self.grams))
+        if not all_toks or empty_set:
             return per_doc
         codes, uniq = pd.factorize(np.array(all_toks, dtype=object))
         h = hash64(uniq).astype(np.uint64)[codes]
@@ -197,9 +227,12 @@ class Decontaminator:
         keep = np.ones(len(g), dtype=bool)
         keep[1:] = (g[1:] != g[:-1]) | (gd[1:] != gd[:-1])
         g, gd = g[keep], gd[keep]
-        idx = np.clip(np.searchsorted(self.grams, g), 0,
-                      len(self.grams) - 1)
-        hit = (self.grams[idx] == g).astype(np.int64)
+        if self.bloom is not None:
+            hit = self.bloom.contains(g).astype(np.int64)
+        else:
+            idx = np.clip(np.searchsorted(self.grams, g), 0,
+                          len(self.grams) - 1)
+            hit = (self.grams[idx] == g).astype(np.int64)
         return np.bincount(gd, weights=hit,
                            minlength=len(texts)).astype(np.int64)
 

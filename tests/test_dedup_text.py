@@ -776,3 +776,59 @@ def test_curate_documents_invariants(ray_session):
         bset |= grams(t)
     for t in kept["text"]:
         assert not (grams(t) & bset)
+
+
+def test_decontaminate_bloom_mode(ray_session):
+    """Bloom mode: verdicts are a SUPERSET of exact hits (one-sided
+    error — no false negatives), and at 12 bits/item the FP count on
+    a disjoint corpus is tiny."""
+    import ray.data as rd
+
+    from boon_ray.stages.decontaminate import (
+        benchmark_gram_bloom, benchmark_gram_set, decontaminate,
+    )
+
+    bench = rd.from_items([{"doc_id": 0,
+                            "text": "alpha beta gamma delta epsilon"}])
+    rows = [{"doc_id": 1, "text": "alpha beta gamma delta zeta x"},
+            {"doc_id": 2, "text": "totally disjoint words here now"}]
+    # plus a pile of disjoint docs to measure over-dropping
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    rows += [{"doc_id": 10 + i,
+              "text": " ".join(rng.choice(vocab, size=12))}
+             for i in range(300)]
+    corpus = rd.from_items(rows)
+
+    bloom = benchmark_gram_bloom(bench, k=4, bits_per_item=12)
+    got = (decontaminate(corpus, bloom, k=4)
+           .to_pandas().set_index("doc_id")["contaminated"])
+    exact = (decontaminate(corpus, benchmark_gram_set(bench, k=4),
+                           k=4)
+             .to_pandas().set_index("doc_id")["contaminated"])
+    # no false negatives: every exact hit is a bloom hit
+    assert got[exact[exact].index].all()
+    assert bool(got.loc[1]) and bool(exact.loc[1])
+    # false positives bounded (theoretical ~0.05%; allow slack)
+    fp = int((got & ~exact).sum())
+    assert fp <= 3, fp
+
+
+def test_bloom_filter_basics():
+    from boon_ray.sketches import BloomFilter
+
+    rng = np.random.default_rng(11)
+    items = rng.integers(0, 2**63, size=5000).astype(np.uint64)
+    other = rng.integers(0, 2**63, size=20000).astype(np.uint64)
+    other = other[~np.isin(other, items)]
+    bf = BloomFilter.from_hashes(items, bits_per_item=12,
+                                 num_hashes=6)
+    assert bf.contains(items).all()
+    fp_rate = bf.contains(other).mean()
+    assert fp_rate < 0.005, fp_rate
+    # merge: union of two filters contains both sides
+    a = BloomFilter(m_bits=64 * 1024, num_hashes=4)
+    b = BloomFilter(m_bits=64 * 1024, num_hashes=4)
+    a.add_hashes(items[:100]); b.add_hashes(items[100:200])
+    a.merge(b)
+    assert a.contains(items[:200]).all()
