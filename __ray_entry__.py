@@ -860,6 +860,31 @@ def _q_curated_train_set(sf_dir: str):
     return curate_documents(sf_dir)
 
 
+def _q_rarity_scores(sf_dir: str):
+    """Per-document rarity (inverse-df surprisal proxy — the
+    exact-integer analogue of perplexity quality scoring): vocab-
+    bounded df table broadcast into one streaming scoring pass."""
+    import ray.data as rd
+
+    from boon_ray.stages.retrieval import rarity_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return rarity_scores(ds)
+
+
+def _q_cluster_coreset(sf_dir: str):
+    """Coreset selection: the 5 vectors CLOSEST to their assigned
+    centroid per cluster (exact int64 distances, deterministic
+    (d2 asc, vec_id asc) order) — kmeans_assign composed with the
+    per-group top-k operator."""
+    from boon_ray.stages.topk import top_k_per_group
+
+    assigned = _q_kmeans_assign(sf_dir)
+    return top_k_per_group(assigned, ["assigned"], "d2", k=5,
+                           tiebreak="vec_id", descending=False)
+
+
 def _q_pmi_pairs(sf_dir: str):
     """Top-25 co-occurring token pairs by exact-integer scaled PMI
     (score = c_xy*N*2^20 // (c_x*c_y), monotone in true PMI): pair
@@ -972,6 +997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "pmi_pairs": _q_pmi_pairs,
         "curated_train_set": _q_curated_train_set,
+        "rarity_scores": _q_rarity_scores,
+        "cluster_coreset": _q_cluster_coreset,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1239,6 +1266,32 @@ SELECT doc_id, n_words, n_nonspace, n_symbols, n_lines, n_bullet_lines,
   n_ellipsis_lines, n_alpha_words, n_stopword_hits,
   {_gopher_pass_expr(min_words, max_words)} AS pass_gopher
 FROM m"""
+
+
+def _kmeans_sql() -> str:
+    """Exact-integer nearest-centroid assignment in SQL (shared by
+    the kmeans_assign oracle and the cluster_coreset composition)."""
+    return (
+        "WITH fp AS (SELECT vec_id, "
+        "CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) "
+        "AS BIGINT) AS v FROM embeddings), "
+        "cent AS (SELECT CAST(label AS BIGINT) AS label, "
+        "CAST(pos AS BIGINT) AS dim, "
+        "CAST(CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1048576) "
+        "AS BIGINT)) AS BIGINT) // CAST(COUNT(*) AS BIGINT) "
+        "AS BIGINT) AS c "
+        "FROM (SELECT label, unnest(embedding) AS v, "
+        "generate_subscripts(embedding, 1) AS pos "
+        "FROM embeddings) GROUP BY label, pos), "
+        "d AS (SELECT fp.vec_id, cent.label, "
+        "CAST(SUM((fp.v - cent.c) * (fp.v - cent.c)) AS BIGINT) "
+        "AS d2 FROM fp JOIN cent USING (dim) "
+        "GROUP BY fp.vec_id, cent.label) "
+        "SELECT vec_id, CAST(label AS BIGINT) AS assigned, d2 "
+        "FROM (SELECT vec_id, label, d2, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY d2 ASC, label ASC) AS rn "
+        "FROM d) WHERE rn = 1")
 
 
 def _curated_sql(min_words: int = 25, max_words: int = 80,
@@ -1524,27 +1577,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT label, unnest(embedding) AS v, "
             "generate_subscripts(embedding, 1) AS pos "
             "FROM embeddings) GROUP BY label, pos",
-        "kmeans_assign":
-            "WITH fp AS (SELECT vec_id, "
-            "CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim, "
-            "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) "
-            "AS BIGINT) AS v FROM embeddings), "
-            "cent AS (SELECT CAST(label AS BIGINT) AS label, "
-            "CAST(pos AS BIGINT) AS dim, "
-            "CAST(CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1048576) "
-            "AS BIGINT)) AS BIGINT) // CAST(COUNT(*) AS BIGINT) "
-            "AS BIGINT) AS c "
-            "FROM (SELECT label, unnest(embedding) AS v, "
-            "generate_subscripts(embedding, 1) AS pos "
-            "FROM embeddings) GROUP BY label, pos), "
-            "d AS (SELECT fp.vec_id, cent.label, "
-            "CAST(SUM((fp.v - cent.c) * (fp.v - cent.c)) AS BIGINT) "
-            "AS d2 FROM fp JOIN cent USING (dim) "
-            "GROUP BY fp.vec_id, cent.label) "
-            "SELECT vec_id, CAST(label AS BIGINT) AS assigned, d2 "
-            "FROM (SELECT vec_id, label, d2, ROW_NUMBER() OVER ("
-            "PARTITION BY vec_id ORDER BY d2 ASC, label ASC) AS rn "
-            "FROM d) WHERE rn = 1",
+        "kmeans_assign": _kmeans_sql(),
+        "cluster_coreset":
+            f"WITH a AS ({_kmeans_sql()}) "
+            "SELECT vec_id, assigned, d2 FROM ("
+            "SELECT vec_id, assigned, d2, ROW_NUMBER() OVER ("
+            "PARTITION BY assigned ORDER BY d2 ASC, vec_id ASC) "
+            "AS rn FROM a) WHERE rn <= 5",
+        "rarity_scores":
+            r"WITH toks AS (SELECT doc_id, "
+            r"unnest(regexp_split_to_array(trim(text), '\s+')) AS "
+            r"token FROM documents WHERE length(trim(text)) > 0), "
+            r"cx AS (SELECT token, COUNT(DISTINCT doc_id) AS c "
+            r"FROM toks GROUP BY token), "
+            r"n AS (SELECT COUNT(*) AS n FROM documents) "
+            r"SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS "
+            r"n_tokens, CAST(SUM((n.n * 1048576) // cx.c) AS BIGINT) "
+            r"AS rarity_sum "
+            r"FROM toks JOIN cx USING (token), n "
+            r"GROUP BY toks.doc_id",
         "pmi_pairs":
             r"WITH dtok AS (SELECT DISTINCT doc_id, token FROM ("
             r"SELECT doc_id, "

@@ -175,3 +175,63 @@ def jaccard_top_k(ds, query_tokens, k: int = 10,
     scores = ds.map_batches(score_batch, batch_format="pyarrow",
                             batch_size=batch_size)
     return _merge_topk(scores, k, id_col)
+
+
+def rarity_scores(ds, column: str = "text", id_col: str = "doc_id",
+                  n_docs: int | None = None, batch_size=None):
+    """Per-document rarity score — the exact-integer analogue of the
+    perplexity-based quality signal (CCNet-style): documents made of
+    globally-rare tokens score high, boilerplate scores low.
+
+    rarity_sum(d) = sum over token OCCURRENCES in d of
+    ``(N * 2**20) // df(token)`` (df = docs containing the token),
+    alongside n_tokens for normalization downstream (kept as two
+    exact integers instead of a ratio so the SQL oracle reproduces
+    the row bit-for-bit; integer division is not distributive over
+    the sum). Documents with no tokens emit no row (mirrors the
+    oracle's inner join).
+
+    Scale shape: pass 1 reduces distinct (doc, token) partials to a
+    VOCAB-bounded df table (the only shuffle), which broadcasts back
+    into the streaming scoring pass as a plain dict — at web scale
+    apply a min-df floor upstream or ray.put the map once. int64
+    holds occurrences x (N * 2**20) up to N ~ 2**43 / doc-length.
+    """
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        d = _token_rows(b, column).drop_duplicates()
+        vc = d["token"].value_counts()
+        return pa.table({
+            "token": pa.array(vc.index.to_numpy().astype(str)),
+            "df_n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+        })
+
+    dfs = (ds.map_batches(df_partial, batch_format="pyarrow",
+                          batch_size=batch_size)
+             .groupby("token").sum("df_n").to_pandas())
+    idf = {t: (n_docs * SCALE) // int(n)
+           for t, n in zip(dfs["token"], dfs["sum(df_n)"]) if n > 0}
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks()
+        d = _token_rows(b, column)
+        if d.empty:
+            g = pd.DataFrame({"n_tokens": pd.Series([], dtype=np.int64),
+                              "rarity_sum": pd.Series([], dtype=np.int64)})
+        else:
+            w = d["token"].map(idf).astype(np.int64)
+            grp = w.groupby(d["row"].to_numpy())
+            g = pd.DataFrame({"n_tokens": grp.size().astype(np.int64),
+                              "rarity_sum": grp.sum()})
+        return pa.table({
+            id_col: ids.take(pa.array(g.index.to_numpy(np.int64))),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64),
+                                 pa.int64()),
+            "rarity_sum": pa.array(g["rarity_sum"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    return ds.map_batches(score_batch, batch_format="pyarrow",
+                          batch_size=batch_size)

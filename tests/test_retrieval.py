@@ -146,3 +146,48 @@ def test_cooccurrence_pmi_exact(ray_session):
         assert got["score"].to_dict() == want
         assert got["n_pair"].to_dict() == {("a", "b"): 3,
                                            ("c", "x"): 2}
+
+
+@pytest.mark.parametrize("npart", [1, 3])
+def test_rarity_scores_exact(ray_session, npart):
+    from boon_ray.stages.retrieval import rarity_scores
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a b", "a c", "b"],
+    })
+    # df(a)=2, df(b)=2, df(c)=1; N=3
+    S = 1 << 20
+    wa, wb, wc = (3 * S) // 2, (3 * S) // 2, 3 * S
+    got = (rarity_scores(rd.from_pandas(df).repartition(npart))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert got["n_tokens"].to_dict() == {1: 3, 2: 2, 3: 1}
+    assert got["rarity_sum"].to_dict() == {
+        1: 2 * wa + wb, 2: wa + wc, 3: wb}
+
+
+def test_cluster_coreset_closest_per_cluster(ray_session):
+    """Coreset = k closest to the assigned centroid, deterministic."""
+    from boon_ray.stages.similarity import centroid_assign
+    from boon_ray.stages.topk import top_k_per_group
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 4)).astype(np.float64)
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(60),
+        "embedding": [list(v) for v in vecs]}))
+    labels = np.array([0, 1], np.int64)
+    cents = np.array([[2 << 20, 0, 0, 0], [-(2 << 20), 0, 0, 0]],
+                     np.int64)
+    a = centroid_assign(ds, labels, cents)
+    got = top_k_per_group(a, ["assigned"], "d2", k=3,
+                          tiebreak="vec_id",
+                          descending=False).to_pandas()
+    full = a.to_pandas()
+    for lab in (0, 1):
+        want = (full[full["assigned"] == lab]
+                .sort_values(["d2", "vec_id"]).head(3)["vec_id"]
+                .tolist())
+        have = (got[got["assigned"] == lab]
+                .sort_values(["d2", "vec_id"])["vec_id"].tolist())
+        assert have == want
