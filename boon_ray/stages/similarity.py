@@ -26,6 +26,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n[:, None]
 
 
+def _ids_and_matrix(batch: pa.Table, id_col: str, vec_col: str
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy-ish batch unpack: int64 ids + (n, d) float64 matrix
+    via Arrow offsets reshape (no per-row to_pylist)."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    col = batch.column(vec_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    widths = np.diff(arr.offsets.to_numpy())
+    d = int(widths[0]) if len(widths) else 0
+    if len(widths) and not (widths == d).all():
+        raise ValueError("ragged embedding column")
+    return ids, flat.reshape(-1, d) if d else flat.reshape(0, 0)
+
+
 class _PartialTopK:
     """batch -> local top-k rows (query_id, id, score)."""
 
@@ -39,24 +57,21 @@ class _PartialTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_col).to_pylist(),
-                         dtype=np.int64)
-        vecs = np.stack(batch.column(self.vec_col).to_pylist()).astype(
-            np.float64)
+        ids, vecs = _ids_and_matrix(batch, self.id_col, self.vec_col)
         sim = _normalize(vecs) @ self.q.T  # (n, nq)
-        k = min(self.k, len(ids))
-        out_q, out_id, out_s = [], [], []
-        for qi in range(self.q.shape[0]):
-            s = sim[:, qi]
-            top = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
-            for t in top:
-                out_q.append(qi)
-                out_id.append(int(ids[t]))
-                out_s.append(float(s[t]))
+        n, nq = sim.shape
+        k = min(self.k, n)
+        # one 2D argpartition over all queries (no per-query loop)
+        if n > k:
+            top = np.argpartition(-sim, k - 1, axis=0)[:k]  # (k, nq)
+        else:
+            top = np.tile(np.arange(n)[:, None], (1, nq))
+        qidx = np.repeat(np.arange(nq, dtype=np.int64), top.shape[0])
+        rows = top.T.reshape(-1)
         return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            self.id_col: pa.array(out_id, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
+            "query_id": pa.array(qidx, pa.int64()),
+            self.id_col: pa.array(ids[rows], pa.int64()),
+            "score": pa.array(sim[rows, qidx], pa.float64()),
         })
 
 
@@ -121,11 +136,12 @@ class _IVFPartial:
         self.probes = [set(p.tolist()) for p in probes]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_col).to_pylist(),
-                         dtype=np.int64)
-        vecs = _normalize(np.stack(
-            batch.column(self.vec_col).to_pylist()).astype(np.float64))
+        ids, raw = _ids_and_matrix(batch, self.id_col, self.vec_col)
+        vecs = _normalize(raw)
         assign = np.argmax(vecs @ self.c.T, axis=1)
+        # per-query loop retained (probe masks differ per query;
+        # query counts are tens, rows dominate) — but everything
+        # inside is array ops, no per-element Python
         out_q, out_id, out_s = [], [], []
         for qi in range(self.q.shape[0]):
             mask = np.isin(assign, list(self.probes[qi]))
@@ -134,15 +150,17 @@ class _IVFPartial:
             s = vecs[mask] @ self.q[qi]
             sub_ids = ids[mask]
             k = min(self.k, len(s))
-            top = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
-            for t in top:
-                out_q.append(qi)
-                out_id.append(int(sub_ids[t]))
-                out_s.append(float(s[t]))
+            top = (np.argpartition(-s, k - 1)[:k] if len(s) > k
+                   else np.arange(len(s)))
+            out_q.append(np.full(len(top), qi, np.int64))
+            out_id.append(sub_ids[top])
+            out_s.append(s[top])
+        cat = (lambda xs, dt: np.concatenate(xs) if xs
+               else np.empty(0, dt))
         return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            self.id_col: pa.array(out_id, pa.int64()),
-            "score": pa.array(out_s, pa.float64()),
+            "query_id": pa.array(cat(out_q, np.int64), pa.int64()),
+            self.id_col: pa.array(cat(out_id, np.int64), pa.int64()),
+            "score": pa.array(cat(out_s, np.float64), pa.float64()),
         })
 
 
