@@ -235,8 +235,7 @@ def q_decontaminate():
                             columns=["text"])
     grams = benchmark_gram_hashes(bench, k=4)
     return decontaminate(_corpus(), grams, k=4, column="content",
-                         id_col="commit", hash_grams=True,
-                         concurrency=(2, max(4, NUM_CPUS // 2))).count()
+                         id_col="commit", hash_grams=True).count()
 
 
 def q_tfidf_topk():

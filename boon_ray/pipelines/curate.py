@@ -58,8 +58,7 @@ def curate_documents(sf_dir: str, min_words: int = 25,
                             max_words=max_words)
     deduped = dedup_exact(quality, key=["text"], order_col="doc_id")
     grams = benchmark_gram_set(bench, k=gram_k)
-    clean = decontaminate(deduped, grams, k=gram_k, emit="clean",
-                          concurrency=(1, 8))
+    clean = decontaminate(deduped, grams, k=gram_k, emit="clean")
     split = hash_split(clean, "doc_id", test_pct=test_pct, salt=salt,
                        method="splitmix64")
     return split.select_columns(["doc_id", "split"])

@@ -269,17 +269,35 @@ class Decontaminator:
         })
 
 
+# per-worker-process Decontaminator cache for the stateless-task
+# path: Ray reuses worker processes across tasks of a job, so the
+# first task on each worker builds the probe structures (one plasma
+# ray.get — zero-copy for numpy gram arrays — plus one sort) and
+# every later task hits the cache. Measured on the 500k-doc bench:
+# 2.4-2.5 s as cached tasks vs 6-9.5 s as an actor pool — the pool
+# SPAWN (16-30 processes + imports) dominated, not the probing.
+_PROC_CACHE: dict = {}
+_PROC_CACHE_MAX = 4
+
+
 def decontaminate(ds, bench_grams, k: int = 13, column: str = "text",
                   id_col: str = "doc_id", hash_grams: bool = False,
                   emit: str = "verdict", batch_size=None,
-                  concurrency=(1, 8)):
+                  concurrency=None):
     """Attach the decontamination stage.
 
-    ``bench_grams`` may be a frozenset (will be ``ray.put`` once
-    here), or an ObjectRef you already broadcast. ``emit='verdict'``
-    returns (id, n_hit_grams, contaminated) per document;
-    ``emit='clean'`` returns only the uncontaminated rows of the
-    input (filter pushdown for the common drop-the-dirty case).
+    ``bench_grams`` may be a frozenset, a sorted uint64 hash array,
+    a ``BloomFilter`` (each ``ray.put`` once here), or an ObjectRef
+    you already broadcast. ``emit='verdict'`` returns
+    (id, n_hit_grams, contaminated) per document; ``emit='clean'``
+    returns only the uncontaminated rows of the input (filter
+    pushdown for the common drop-the-dirty case).
+
+    Runs as STATELESS tasks with a per-worker-process cache rather
+    than an actor pool: same once-per-process setup amortization,
+    none of the pool-spawn latency, and the streaming executor can
+    use every CPU. ``concurrency`` (int) optionally caps parallel
+    tasks; tuples from the former actor-pool signature are ignored.
     """
     import ray
 
@@ -287,10 +305,21 @@ def decontaminate(ds, bench_grams, k: int = 13, column: str = "text",
         raise ValueError(f"unknown emit mode {emit!r}")
     ref = (bench_grams if isinstance(bench_grams, ray.ObjectRef)
            else ray.put(bench_grams))
-    return ds.map_batches(
-        Decontaminator,
-        fn_constructor_kwargs={
-            "grams": ref, "k": k, "column": column, "id_col": id_col,
-            "hash_grams": hash_grams, "emit": emit},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+    key = (ref.hex(), k, column, id_col, hash_grams, emit)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        d = _PROC_CACHE.get(key)
+        if d is None:
+            if len(_PROC_CACHE) >= _PROC_CACHE_MAX:
+                _PROC_CACHE.pop(next(iter(_PROC_CACHE)))
+            d = Decontaminator(ref, k=k, column=column,
+                               id_col=id_col, hash_grams=hash_grams,
+                               emit=emit)
+            _PROC_CACHE[key] = d
+        return d(batch)
+
+    kwargs = {}
+    if isinstance(concurrency, int):
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          batch_size=batch_size, **kwargs)
