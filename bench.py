@@ -307,16 +307,14 @@ def run_once() -> dict:
     # warms the page cache)
     n_files = _corpus().count()
 
-    # warm the validator actor pool (process spawn + import cost is
-    # one-time and fully amortized in a real long-running job)
+    # warm the validator worker processes (first-task import + spec
+    # compile per worker is one-time and fully amortized in a real
+    # long-running job; the validator runs as cached stateless tasks
+    # since the task-mode change, so this warms imports, not a pool)
     from boon_ray.pipelines.flagship import corpus_schema_verdicts
     from boon_ray.sources.corpus import corpus_dataset
-    # leave >=1 CPU slot for the warm-up's UNmaterialized read stage:
-    # a pool covering every slot deadlocks the streaming executor at
-    # tiny num_cpus (actors hold all CPUs, read tasks never run)
-    warm_pool = max(1, min(NUM_CPUS - 1, max(2, NUM_CPUS - 2)))
-    corpus_schema_verdicts(corpus_dataset(SF_DIR), batch_size=1024,
-                           concurrency=warm_pool).count()
+    corpus_schema_verdicts(corpus_dataset(SF_DIR),
+                           batch_size=1024).count()
 
     only = os.environ.get("GRAFT_BENCH_ONLY")
     selected = (only.split(",") if only else list(QUERIES))

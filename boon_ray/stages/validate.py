@@ -1,20 +1,20 @@
-"""Actor-pool full JSON Schema validation stage (the "Row"/"Actor"
-rows of SURVEY.md §2.1).
+"""Full JSON Schema validation stage (the "Row"/"Actor" rows of
+SURVEY.md §2.1).
 
-One callable class per stage: the CompiledSpec (broadcast once via
-``ray.put`` on the driver) is fetched and the Evaluator + regex/format
-automata are built ONCE per actor in ``__init__``; ``__call__`` then
-validates a whole Arrow batch per invocation. Use with::
-
-    spec_ref = ray.put(spec)
-    ds.map_batches(JsonSchemaValidator,
-                   fn_constructor_kwargs={"spec": spec_ref, ...},
-                   batch_format="pyarrow", batch_size=4096,
-                   concurrency=8, num_cpus=1)
+The CompiledSpec is broadcast once via ``ray.put`` on the driver;
+the Evaluator + regex/format automata are built ONCE per worker
+PROCESS (``validate_dataset``'s per-process cache over stateless
+map_batches tasks — same amortization as an actor pool's
+``__init__``, none of the pool-spawn latency); each task then
+validates whole Arrow batches. ``JsonSchemaValidator`` remains a
+callable class, so an explicit actor pool
+(``map_batches(JsonSchemaValidator, fn_constructor_kwargs=...,
+concurrency=N)``) is still available where long-lived placement
+matters.
 
 This is the compile-once / validate-many split of the reference
 (Schemas immutable after compile, shared by &self —
-/root/reference/src/lib.rs:186-195) mapped onto Ray actor pools.
+/root/reference/src/lib.rs:186-195) mapped onto Ray Data.
 """
 
 from __future__ import annotations
@@ -196,29 +196,56 @@ class JsonSchemaValidator:
             {name: pa.array(vals, pa.string()) for name, vals in rows.items()})
 
 
+# per-worker-process validator cache for the stateless-task path:
+# Ray reuses worker processes across a job's tasks, so the first
+# task on each worker pays one spec ray.get + Evaluator/colvec build
+# and every later task hits the cache — actor-pool amortization
+# without the pool SPAWN (which dominated the cold scaling legs and
+# the decontamination stage before the same change there). The
+# validator is read-only after construction and batches are pure
+# maps, so task retries are safe (the ADVICE r2 double-count hazard
+# applies to long-lived mutable actors like the sessionizer, not
+# here).
+_PROC_CACHE: dict = {}
+_PROC_CACHE_MAX = 4
+
+
 def validate_dataset(ds, spec, *, column=None, from_columns=None,
                      emit="verdict", key_columns=KEY_COLUMNS,
-                     batch_size: int = 4096, concurrency=(1, 8),
+                     batch_size: int = 4096, concurrency=None,
                      include_errors: bool = True):
-    """Attach the validation actor-pool stage to a Dataset.
+    """Attach the validation stage to a Dataset.
 
     The spec is put in the object store ONCE here (broadcast, not
-    re-shipped per batch). ``concurrency`` is the actor-pool size
-    ((min, max) autoscales with the streaming executor's backpressure).
+    re-shipped per batch) and resolved once per worker process via
+    the cache above. ``concurrency`` (int) optionally caps parallel
+    tasks; (min, max) tuples from the former actor-pool signature
+    are ignored (the streaming executor already backpressures).
     """
     import ray
 
     if isinstance(spec, dict):
         spec = compile_schema(spec)
     spec_ref = ray.put(spec) if isinstance(spec, CompiledSpec) else spec
-    if concurrency is None:
-        concurrency = (1, 8)
-    return ds.map_batches(
-        JsonSchemaValidator,
-        fn_constructor_kwargs={
-            "spec": spec_ref, "column": column,
-            "from_columns": from_columns, "emit": emit,
-            "key_columns": tuple(key_columns),
-            "include_errors": include_errors},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+    key = (spec_ref.hex() if isinstance(spec_ref, ray.ObjectRef)
+           else id(spec_ref), column,
+           tuple(from_columns) if from_columns else None, emit,
+           tuple(key_columns), include_errors)
+
+    def validate(batch: pa.Table) -> pa.Table:
+        v = _PROC_CACHE.get(key)
+        if v is None:
+            if len(_PROC_CACHE) >= _PROC_CACHE_MAX:
+                _PROC_CACHE.pop(next(iter(_PROC_CACHE)))
+            v = JsonSchemaValidator(
+                spec_ref, column=column, from_columns=from_columns,
+                emit=emit, key_columns=tuple(key_columns),
+                include_errors=include_errors)
+            _PROC_CACHE[key] = v
+        return v(batch)
+
+    kwargs = {}
+    if isinstance(concurrency, int):
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(validate, batch_format="pyarrow",
+                          batch_size=batch_size, num_cpus=1, **kwargs)
