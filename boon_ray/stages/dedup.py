@@ -628,12 +628,12 @@ def verify_jaccard(ds, pairs_ds, text_col: str, id_col: str,
         return rd.from_arrow(out_schema.empty_table())
     pair_refs = mat.to_arrow_refs()
 
-    exploded = ds.map_batches(
-        _PairIncidence, batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(
-            pair_refs=pair_refs, id_col=id_col, text_col=text_col,
-            shingle_k=shingle_k, word=word, num_buckets=num_buckets))
+    from boon_ray.stages.taskcache import cached_map_batches
+    exploded = cached_map_batches(
+        ds, _PairIncidence,
+        dict(pair_refs=pair_refs, id_col=id_col, text_col=text_col,
+             shingle_k=shingle_k, word=word, num_buckets=num_buckets),
+        batch_size=None, concurrency=concurrency)
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         payload = g[g["d"] >= 0].drop_duplicates("d")
@@ -720,12 +720,12 @@ def embedding_duplicate_pairs(ds, vec_col: str, id_col: str, dim: int,
                               seed: int = 7, batch_size=None):
     """Near-duplicate pairs by cosine >= threshold, bucketed by random
     hyperplane LSH (scale path; brute-force per bucket)."""
-    exploded = ds.map_batches(
-        HyperplaneBuckets, fn_constructor_kwargs={
-            "vec_col": vec_col, "id_col": id_col, "dim": dim,
-            "nbits": nbits, "seed": seed},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 8))
+    from boon_ray.stages.taskcache import cached_map_batches
+    exploded = cached_map_batches(
+        ds, HyperplaneBuckets,
+        {"vec_col": vec_col, "id_col": id_col, "dim": dim,
+         "nbits": nbits, "seed": seed},
+        batch_size=batch_size)
     pairs = _pairs_blocked(
         exploded, id_col, ("key",),
         lambda g: _cosine_pairs(g, id_col, threshold))

@@ -69,10 +69,11 @@ def broadcast_join(ds, right, on: Sequence[str], how: str = "inner",
     import ray
 
     right_ref = ray.put(right)
-    return ds.map_batches(
-        _BroadcastJoin,
-        fn_constructor_kwargs={"right_ref": right_ref, "on": tuple(on),
-                               "how": how, "suffix": suffix},
+    from boon_ray.stages.taskcache import cached_map_batches
+    return cached_map_batches(
+        ds, _BroadcastJoin,
+        {"right_ref": right_ref, "on": tuple(on),
+         "how": how, "suffix": suffix},
         batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency)
 

@@ -189,13 +189,15 @@ class FrameSample:
         })
 
 
-def decode_images(ds, batch_size: int = 64, concurrency=(1, 4), **kw):
-    return ds.map_batches(ImageDecode, fn_constructor_kwargs=kw,
-                          batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency)
+def decode_images(ds, batch_size: int = 64, concurrency=None, **kw):
+    from boon_ray.stages.taskcache import cached_map_batches
+    return cached_map_batches(ds, ImageDecode, kw,
+                              batch_size=batch_size,
+                              concurrency=concurrency)
 
 
-def media_features(ds, batch_size: int = 64, concurrency=(1, 4), **kw):
-    return ds.map_batches(MediaFeatures, fn_constructor_kwargs=kw,
-                          batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency)
+def media_features(ds, batch_size: int = 64, concurrency=None, **kw):
+    from boon_ray.stages.taskcache import cached_map_batches
+    return cached_map_batches(ds, MediaFeatures, kw,
+                              batch_size=batch_size,
+                              concurrency=concurrency)

@@ -72,11 +72,9 @@ def referential_violations(ds, dim_table: pa.Table,
     keys = _combined_key(dim_table, pk)
     keys = pc.unique(keys)
     keys_ref = ray.put(keys)
-    if concurrency is None:
-        concurrency = (1, 8)
-    return ds.map_batches(
-        AntiJoin,
-        fn_constructor_kwargs={"keys_ref": keys_ref, "fk": tuple(fk),
-                               "emit_columns": emit_columns},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+    from boon_ray.stages.taskcache import cached_map_batches
+    return cached_map_batches(
+        ds, AntiJoin,
+        {"keys_ref": keys_ref, "fk": tuple(fk),
+         "emit_columns": emit_columns},
+        batch_size=batch_size, concurrency=concurrency)

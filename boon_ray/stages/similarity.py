@@ -83,13 +83,14 @@ def ann_topk(ds, queries: np.ndarray, vec_col: str = "embedding",
     the ranking is deterministic."""
     import ray
 
+    from boon_ray.stages.taskcache import cached_map_batches
+
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
-    partial = ds.map_batches(
-        _PartialTopK,
-        fn_constructor_kwargs={"queries_ref": q_ref, "vec_col": vec_col,
-                               "id_col": id_col, "k": k},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+    partial = cached_map_batches(
+        ds, _PartialTopK,
+        {"queries_ref": q_ref, "vec_col": vec_col,
+         "id_col": id_col, "k": k},
+        batch_size=batch_size, concurrency=concurrency)
     df = partial.to_pandas()  # small: n_batches * nq * k rows
     df = df.sort_values(["query_id", "score", id_col],
                         ascending=[True, False, True])
@@ -175,13 +176,13 @@ def ivf_topk(ds, queries: np.ndarray, vec_col: str = "embedding",
     cents = train_centroids(np.stack(sample[vec_col].to_list()), n_lists)
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
     c_ref = ray.put(cents)
-    partial = ds.map_batches(
-        _IVFPartial,
-        fn_constructor_kwargs={"queries_ref": q_ref, "centroids_ref": c_ref,
-                               "vec_col": vec_col, "id_col": id_col,
-                               "k": k, "nprobe": nprobe},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+    from boon_ray.stages.taskcache import cached_map_batches
+    partial = cached_map_batches(
+        ds, _IVFPartial,
+        {"queries_ref": q_ref, "centroids_ref": c_ref,
+         "vec_col": vec_col, "id_col": id_col,
+         "k": k, "nprobe": nprobe},
+        batch_size=batch_size, concurrency=concurrency)
     df = partial.to_pandas()
     df = df.sort_values(["query_id", "score", id_col],
                         ascending=[True, False, True])

@@ -1,0 +1,65 @@
+"""Cached stateless-task execution for read-only-state stages.
+
+Measured repo-wide rule (docs/SCALE.md round-3): an actor pool is
+the right tool only when a stage holds MUTABLE state. For stages
+whose "state" is a read-only broadcast (compiled schema spec, query
+matrix, gram set, key set, codec), run plain ``map_batches`` tasks
+with a per-worker-process instance cache: Ray reuses worker
+processes across a job's tasks, so the first task on each worker
+pays the one-time construction (``ray.get`` of the broadcast —
+zero-copy for numpy — plus any build/sort/compile) and every later
+task hits the cache. Same amortization as an actor ``__init__``,
+none of the pool-spawn latency (measured 2-7 s per query at 16-30
+actors), no pool-size tuning, no actor-slot/read-task deadlock.
+
+Retries: safe exactly because the stage is a pure per-batch map
+over immutable state. Do NOT route mutable-actor work through this.
+"""
+from __future__ import annotations
+
+# per-worker-process instance cache (bounded FIFO)
+_CACHE: dict = {}
+_CACHE_MAX = 8
+
+
+def _freeze(v):
+    """Stable cache-key projection of a constructor argument."""
+    try:
+        import ray
+        if isinstance(v, ray.ObjectRef):
+            return ("ref", v.hex())
+    except ImportError:
+        pass
+    if isinstance(v, (str, int, float, bool, bytes, type(None))):
+        return v
+    if isinstance(v, (tuple, list)):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, frozenset):
+        return ("fs", tuple(sorted(map(_freeze, v))))
+    # driver-side identity: stable for the lifetime of the stage
+    # closure that embeds this key
+    return ("id", id(v))
+
+
+def cached_map_batches(ds, cls, kwargs: dict, *, batch_size=None,
+                       concurrency=None, batch_format="pyarrow",
+                       **map_kwargs):
+    """``ds.map_batches(cls, fn_constructor_kwargs=kwargs, ...)`` as
+    cached stateless tasks. ``concurrency`` (int) caps parallel
+    tasks; actor-pool (min, max) tuples are ignored."""
+    key = (cls.__module__, cls.__qualname__,
+           tuple(sorted((k, _freeze(v)) for k, v in kwargs.items())))
+
+    def apply(batch):
+        inst = _CACHE.get(key)
+        if inst is None:
+            if len(_CACHE) >= _CACHE_MAX:
+                _CACHE.pop(next(iter(_CACHE)))
+            inst = cls(**kwargs)
+            _CACHE[key] = inst
+        return inst(batch)
+
+    if isinstance(concurrency, int):
+        map_kwargs["concurrency"] = concurrency
+    return ds.map_batches(apply, batch_format=batch_format,
+                          batch_size=batch_size, **map_kwargs)

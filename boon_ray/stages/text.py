@@ -298,11 +298,11 @@ class LangId:
 
 
 def lang_id(ds, column: str = "text", id_col: str = "doc_id",
-            batch_size=None, concurrency=(1, 8)):
-    return ds.map_batches(
-        LangId, fn_constructor_kwargs={"column": column, "id_col": id_col},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+            batch_size=None, concurrency=None):
+    from boon_ray.stages.taskcache import cached_map_batches
+    return cached_map_batches(
+        ds, LangId, {"column": column, "id_col": id_col},
+        batch_size=batch_size, concurrency=concurrency)
 
 
 # -------------------------------------------------------- fingerprints

@@ -164,11 +164,11 @@ def uniqueness_violations(ds, key: Sequence[str] = DEFAULT_KEY,
         import ray.data as rd
         return rd.from_arrow(pa.table(empty))
     cand_ref = ray.put(cand)
-    candidates = ds.map_batches(
-        _CandidateFilter,
-        fn_constructor_kwargs={"cand_ref": cand_ref, "key": key},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=(1, 8))
+    from boon_ray.stages.taskcache import cached_map_batches
+    candidates = cached_map_batches(
+        ds, _CandidateFilter,
+        {"cand_ref": cand_ref, "key": key},
+        batch_size=batch_size)
     # exact confirm on the (small) candidate subset
     return exact_key_counts(candidates, key, num_salts, batch_size)
 
