@@ -396,8 +396,10 @@ def run_scaling() -> dict:
     columnar tier runs at memory speed, so on ONE shared-memory box
     its apparent scaling measures the host's bandwidth ceiling, not
     the engine; a 4N-node cluster brings 4x bandwidth with it). Legs
-    report COLD (1 epoch: pool spawn + imports included) and
-    STEADY-STATE (per-epoch through one long-lived pool) numbers, and
+    report COLD (1 epoch: per-worker first-task imports + spec
+    compile included; since the validator moved to cached stateless
+    tasks there is no pool spawn, so cold is a meaningful signal
+    again) and STEADY-STATE (per-epoch through warmed workers), and
     a Ray-free pure-CPU host calibration at the same worker counts
     bounds what any engine could show on this host today."""
     def run(ncpu: int, epochs: int) -> dict:
