@@ -873,6 +873,21 @@ def _q_rarity_scores(sf_dir: str):
     return rarity_scores(ds)
 
 
+def _q_span_dedup(sf_dir: str):
+    """Cross-document duplicate-span stats (Lee et al.
+    arXiv:2107.06499 at 5-gram granularity): per doc, how many
+    token 5-gram positions are covered by a gram occurring in >= 2
+    distinct docs, plus the exact fixed-point duplicated ratio.
+    Shuffles only 32-byte (gram-hash, doc) rows — never gram text."""
+    import ray.data as rd
+
+    from boon_ray.stages.spans import span_dedup_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return span_dedup_stats(ds, n=5)
+
+
 def _q_cluster_coreset(sf_dir: str):
     """Coreset selection: the 5 vectors CLOSEST to their assigned
     centroid per cluster (exact int64 distances, deterministic
@@ -999,6 +1014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_train_set": _q_curated_train_set,
         "rarity_scores": _q_rarity_scores,
         "cluster_coreset": _q_cluster_coreset,
+        "span_dedup": _q_span_dedup,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1584,6 +1600,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, assigned, d2, ROW_NUMBER() OVER ("
             "PARTITION BY assigned ORDER BY d2 ASC, vec_id ASC) "
             "AS rn FROM a) WHERE rn <= 5",
+        "span_dedup":
+            r"WITH toks AS (SELECT doc_id, "
+            r"regexp_split_to_array(trim(text), '\s+') AS ts "
+            r"FROM documents WHERE length(trim(text)) > 0), "
+            r"pos AS (SELECT doc_id, ts, unnest(generate_series(1, "
+            r"greatest(len(ts) - 4, 0))) AS i FROM toks), "
+            r"grams AS (SELECT doc_id, "
+            r"array_to_string(ts[i:i+4], ' ') AS gram FROM pos), "
+            r"df AS (SELECT gram, COUNT(DISTINCT doc_id) AS ndocs "
+            r"FROM grams GROUP BY gram), "
+            r"perdoc AS (SELECT g.doc_id, "
+            r"CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            r"CAST(SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END) "
+            r"AS BIGINT) AS n_dup_grams "
+            r"FROM grams g JOIN df d USING (gram) GROUP BY g.doc_id) "
+            r"SELECT doc_id, n_grams, n_dup_grams, "
+            r"CAST(n_dup_grams * 1048576 // n_grams AS BIGINT) "
+            r"AS dup_ratio_fp FROM perdoc",
         "rarity_scores":
             r"WITH toks AS (SELECT doc_id, "
             r"unnest(regexp_split_to_array(trim(text), '\s+')) AS "

@@ -1,0 +1,189 @@
+"""Cross-document duplicate-span detection at token n-gram
+granularity — the "substring dedup" signal of Lee et al.,
+*Deduplicating Training Data Makes Language Models Better*
+(arXiv:2107.06499), re-expressed Ray-Data-first.
+
+For every document, count how many of its token n-gram positions are
+covered by an n-gram that also appears in at least one OTHER document
+(cross-doc duplicated spans), and report the duplicated-span ratio as
+an exact fixed-point integer so the result is reproducible and
+DuckDB-oracle-checkable (no floats anywhere).
+
+Scale shape (the part that must survive 100 TB):
+  - Stage A is one vectorized map_batches pass: Arrow split ->
+    flattened token values + offsets -> numpy rolling polynomial hash
+    (two independent 64-bit lanes = 128-bit gram key, collision-safe
+    past 10^18 grams) -> per-(doc, gram) occurrence counts. Only
+    those 4-int64 rows leave the stage — never gram STRINGS, so
+    shuffle bytes are ~32 B/occurrence-class regardless of n.
+  - Stage B shuffles the (gram, doc) pairs into ``num_buckets``
+    coarse hash buckets (never per-gram groups — millions of tiny
+    Ray groups are pathological, the measured repo-wide rule) and
+    reduces each bucket in vectorized pandas: a gram is duplicated
+    iff its (gram, doc) group has >= 2 distinct docs; emit per-doc
+    duplicated-position partial sums.
+  - Stage C unions those partials with the per-doc totals from Stage
+    A and sums per doc under a second coarse bucket keyed by doc_id.
+    Output is one row per document: linear, streamable to a sink.
+
+Reference anchor: the reference engine (santhosh-tekuri/boon) has no
+corpus-level operator family; this belongs to the L2 training-data
+layer mandated by SURVEY.md §4.3 alongside dedup.py / text.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from boon_ray.sketches import hash64
+
+_WS = r"\s+"
+# second independent 64-bit lane (16-byte key, like hash64's)
+_KEY2 = "boon_ray_spans!!"
+# odd multipliers for the rolling polynomial hash (uint64 wraparound)
+_P1 = np.uint64(0x9E3779B97F4A7C15)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _hash64_2(values) -> np.ndarray:
+    arr = np.asarray(pd.array(values), dtype=object)
+    return pd.util.hash_array(arr, hash_key=_KEY2)
+
+
+def _gram_hashes(h: np.ndarray, n: int, p: np.uint64) -> np.ndarray:
+    """Polynomial hash of every length-n window of h (uint64 wrap):
+    g[i] = ((h[i]*P + h[i+1])*P + ...) + h[i+n-1]. Vectorized as n
+    passes over the flat array — O(n) kernels, no Python per-row."""
+    m = len(h) - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    g = h[:m].copy()
+    for j in range(1, n):
+        g *= p
+        g += h[j:j + m]
+    return g
+
+
+def _batch_gram_counts(batch: pa.Table, *, n: int, column: str,
+                       id_col: str, num_buckets: int):
+    """Per-batch (doc, gram) occurrence counts + per-doc totals.
+
+    Returns (parts_df, totals_df): parts has columns
+    (_g1, _g2, doc, cnt); totals has (doc, n_grams) for docs with at
+    least one n-gram. Docs never span batches, so per-doc grouping
+    is complete here.
+    """
+    trimmed = pc.utf8_trim_whitespace(
+        batch.column(column).combine_chunks())
+    toks = pc.split_pattern_regex(trimmed, _WS)
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = toks.offsets.to_numpy()
+    flat = toks.values.to_pandas().to_numpy()
+    counts = offsets[1:] - offsets[:-1]
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+
+    # empty/whitespace-only text: split yields [''] -> 1 token, which
+    # mirrors the SQL oracle's exclusion (filtered below by < n).
+    n_grams = np.maximum(counts - (n - 1), 0).astype(np.int64)
+
+    h1 = hash64(flat)
+    h2 = _hash64_2(flat)
+    g1 = _gram_hashes(h1, n, _P1)
+    g2 = _gram_hashes(h2, n, _P2)
+
+    # mask windows that cross a document boundary: window starting at
+    # flat position p is valid iff p and p+n-1 are in the same doc
+    m = len(g1)
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    valid = doc_of[:m] == doc_of[n - 1:n - 1 + m] if m else \
+        np.empty(0, dtype=bool)
+    vg1 = g1[valid].view(np.int64)
+    vg2 = g2[valid].view(np.int64)
+    vdoc = ids[doc_of[:m][valid]]
+
+    parts = (pd.DataFrame({"_g1": vg1, "_g2": vg2, "doc": vdoc})
+             .groupby(["_g1", "_g2", "doc"], sort=False)
+             .size().rename("cnt").reset_index())
+    parts["cnt"] = parts["cnt"].astype(np.int64)
+    parts["_bucket"] = (parts["_g1"].to_numpy().view(np.uint64)
+                        % np.uint64(num_buckets)).astype(np.int64)
+
+    keep = n_grams > 0
+    totals = pd.DataFrame({"doc": ids[keep],
+                           "n_grams": n_grams[keep]})
+    return parts, totals
+
+
+def span_dedup_stats(ds, *, n: int = 5, column: str = "text",
+                     id_col: str = "doc_id", num_buckets: int = 128,
+                     doc_buckets: int = 64, scale: int = 1 << 20,
+                     batch_size=None):
+    """Per-document cross-corpus duplicated-span statistics.
+
+    Output (one row per doc with >= n tokens):
+      doc_id, n_grams, n_dup_grams, dup_ratio_fp
+    where n_dup_grams counts n-gram POSITIONS whose gram occurs in
+    >= 2 distinct documents and
+    dup_ratio_fp = n_dup_grams * scale // n_grams (exact integer).
+    """
+
+    def parts_stage(b: pa.Table) -> pa.Table:
+        parts, _ = _batch_gram_counts(b, n=n, column=column,
+                                      id_col=id_col,
+                                      num_buckets=num_buckets)
+        return pa.Table.from_pandas(parts, preserve_index=False)
+
+    def totals_stage(b: pa.Table) -> pd.DataFrame:
+        # returns a pandas block so union(dup_partials) is
+        # homogeneous (mixed Arrow/pandas blocks break the
+        # groupby sort's block-type inference)
+        _, totals = _batch_gram_counts(b, n=n, column=column,
+                                       id_col=id_col,
+                                       num_buckets=num_buckets)
+        totals = totals.rename(columns={"doc": id_col})
+        totals["n_grams"] = totals["n_grams"].astype(np.int64)
+        totals["n_dup_grams"] = np.int64(0)
+        totals["_dbucket"] = (hash64(totals[id_col].to_numpy())
+                              % np.uint64(doc_buckets)).astype(np.int64)
+        return totals[[id_col, "n_grams", "n_dup_grams", "_dbucket"]]
+
+    def reduce_gram_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """A gram is cross-doc duplicated iff its (gram, doc) group
+        spans >= 2 rows (rows are already distinct per doc)."""
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "n_grams": pd.Series([], dtype=np.int64),
+                                 "n_dup_grams": pd.Series([], dtype=np.int64),
+                                 "_dbucket": pd.Series([], dtype=np.int64)})
+        ndocs = df.groupby(["_g1", "_g2"], sort=False)["doc"] \
+                  .transform("size")
+        dup = df[ndocs.to_numpy() >= 2]
+        per_doc = dup.groupby("doc", sort=False)["cnt"].sum() \
+                     .astype(np.int64).reset_index()
+        per_doc = per_doc.rename(columns={"doc": id_col,
+                                          "cnt": "n_dup_grams"})
+        per_doc["n_grams"] = np.int64(0)
+        per_doc["_dbucket"] = (hash64(per_doc[id_col].to_numpy())
+                               % np.uint64(doc_buckets)).astype(np.int64)
+        return per_doc[[id_col, "n_grams", "n_dup_grams", "_dbucket"]]
+
+    def reduce_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(id_col, sort=False)[["n_grams", "n_dup_grams"]] \
+              .sum().astype(np.int64).reset_index()
+        g = g[g["n_grams"] > 0]
+        g["dup_ratio_fp"] = (g["n_dup_grams"] * np.int64(scale)
+                             // g["n_grams"]).astype(np.int64)
+        return g
+
+    parts = ds.map_batches(parts_stage, batch_format="pyarrow",
+                           batch_size=batch_size)
+    dup_partials = parts.groupby("_bucket").map_groups(
+        reduce_gram_bucket, batch_format="pandas")
+    totals = ds.map_batches(totals_stage, batch_format="pyarrow",
+                            batch_size=batch_size)
+    unioned = totals.union(dup_partials)
+    return unioned.groupby("_dbucket").map_groups(
+        reduce_doc_bucket, batch_format="pandas")

@@ -832,3 +832,93 @@ def test_bloom_filter_basics():
     a.add_hashes(items[:100]); b.add_hashes(items[100:200])
     a.merge(b)
     assert a.contains(items[:200]).all()
+
+
+# ---------------------------------------------------------------- spans
+
+
+def _span_docs(texts, ids=None):
+    import ray.data as rd
+    ids = ids or list(range(len(texts)))
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts)}))
+
+
+def test_span_dedup_planted(ray_session):
+    """A shared 5-gram is counted for every doc carrying it; unique
+    text contributes zero; ratios are exact fixed-point."""
+    from boon_ray.stages.spans import span_dedup_stats
+
+    shared = "alpha beta gamma delta epsilon"
+    texts = [
+        f"{shared} one two three four five",     # 10 toks, grams 6
+        f"zero {shared} six seven eight",        # 9 toks, grams 5
+        "totally different words with no overlap at all",  # 8 toks
+        "tiny doc",                              # < 5 toks: excluded
+    ]
+    out = (span_dedup_stats(_span_docs(texts), n=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [0, 1, 2]      # doc 3 has no grams
+    assert list(out["n_grams"]) == [6, 5, 4]
+    # only the one exactly-shared 5-gram window is cross-doc
+    assert list(out["n_dup_grams"]) == [1, 1, 0]
+    assert list(out["dup_ratio_fp"]) == [
+        1 * (1 << 20) // 6, 1 * (1 << 20) // 5, 0]
+
+
+def test_span_dedup_within_doc_repeat_not_dup(ray_session):
+    """A gram repeated INSIDE one doc is not cross-doc duplicated;
+    once another doc shares it, every occurrence counts."""
+    from boon_ray.stages.spans import span_dedup_stats
+
+    g = "a b c d e"
+    texts = [f"{g} x {g}",      # gram 'a b c d e' at 2 positions
+             "unrelated filler text goes right here now"]
+    out = (span_dedup_stats(_span_docs(texts), n=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "n_dup_grams"] == 0       # within-doc only
+
+    texts.append(f"prefix {g} suffix words")     # now cross-doc
+    out = (span_dedup_stats(_span_docs(texts), n=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 0: both planted positions count (others overlap-windows
+    # like 'd e x a b' exist but differ), doc 2: one position
+    assert out.loc[0, "n_dup_grams"] == 2
+    assert out.loc[2, "n_dup_grams"] == 1
+
+
+def test_span_dedup_matches_bruteforce(ray_session):
+    """Differential oracle on real sf0.001 documents: exact Python
+    recount of cross-doc duplicated 5-gram positions."""
+    import pyarrow.parquet as pq
+    from collections import Counter, defaultdict
+
+    from boon_ray.stages.spans import span_dedup_stats
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    texts = t.column("text").to_pylist()
+    ids = t.column("doc_id").to_pylist()
+
+    n = 5
+    gram_docs = defaultdict(set)
+    per_doc = {}
+    for d, txt in zip(ids, texts):
+        toks = txt.strip().split()
+        grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        per_doc[d] = grams
+        for gr in set(grams):
+            gram_docs[gr].add(d)
+    expect = {}
+    for d, grams in per_doc.items():
+        if not grams:
+            continue
+        dup = sum(1 for gr in grams if len(gram_docs[gr]) > 1)
+        expect[d] = (len(grams), dup, dup * (1 << 20) // len(grams))
+
+    out = (span_dedup_stats(_span_docs(texts, ids), n=n)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = {r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_ratio_fp)
+           for r in out.itertuples()}
+    assert got == expect
