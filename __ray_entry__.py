@@ -888,6 +888,55 @@ def _q_span_dedup(sf_dir: str):
     return span_dedup_stats(ds, n=5)
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII-style regex scrubbing: per-doc non-overlapping match
+    counts + sequentially redacted text, Arrow RE2 kernels (the same
+    engine as the DuckDB oracle, so parity is byte-exact). The
+    term pattern exercises real matches on this corpus; the
+    email/ssn patterns exercise the zero-match path."""
+    import ray.data as rd
+
+    from boon_ray.stages.scrub import redact
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return redact(ds, {
+        "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                  "<EMAIL>"),
+        "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+        "term": (r"\b(key|hash)\b", "<TERM>"),
+    })
+
+
+def _q_bpe_pairs(sf_dir: str):
+    """BPE iteration-0 statistics: corpus-wide adjacent character-
+    pair counts inside words. One corpus pass aggregates word
+    frequencies (vocab-sized shuffle); pairs are derived from the
+    distinct-word table, so pair expansion never touches the corpus
+    again — the published-BPE-trainer plan shape."""
+    import ray.data as rd
+
+    from boon_ray.stages.bpe import char_pair_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return char_pair_counts(ds)
+
+
+def _q_bpe_merges(sf_dir: str):
+    """First 20 BPE merges (Sennrich et al. 1508.07909): merge loop
+    over the aggregated vocab table, deterministic (count desc, pair
+    asc) tie-break. Iterative + vocab-stateful, hence no SQL oracle;
+    the pytest oracle is a from-scratch naive trainer."""
+    import ray.data as rd
+
+    from boon_ray.stages.bpe import bpe_merges
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return bpe_merges(ds, num_merges=20)
+
+
 def _q_cluster_coreset(sf_dir: str):
     """Coreset selection: the 5 vectors CLOSEST to their assigned
     centroid per cluster (exact int64 distances, deterministic
@@ -1015,6 +1064,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rarity_scores": _q_rarity_scores,
         "cluster_coreset": _q_cluster_coreset,
         "span_dedup": _q_span_dedup,
+        "pii_redact": _q_pii_redact,
+        "bpe_pairs": _q_bpe_pairs,
+        "bpe_merges": _q_bpe_merges,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1600,6 +1652,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, assigned, d2, ROW_NUMBER() OVER ("
             "PARTITION BY assigned ORDER BY d2 ASC, vec_id ASC) "
             "AS rn FROM a) WHERE rn <= 5",
+        "bpe_pairs":
+            r"WITH words AS (SELECT "
+            r"unnest(regexp_split_to_array(trim(text), '\s+')) AS w "
+            r"FROM documents WHERE length(trim(text)) > 0), "
+            r"pos AS (SELECT w, unnest(generate_series(1, "
+            r"length(w) - 1)) AS i FROM words) "
+            r'SELECT substr(w, i, 1) AS "left", '
+            r'substr(w, i + 1, 1) AS "right", '
+            r"CAST(COUNT(*) AS BIGINT) AS n "
+            r"FROM pos GROUP BY 1, 2",
+        "pii_redact":
+            r"SELECT doc_id, "
+            r"CAST(len(regexp_extract_all(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) "
+            r"AS BIGINT) AS n_email, "
+            r"CAST(len(regexp_extract_all(text, "
+            r"'\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn, "
+            r"CAST(len(regexp_extract_all(text, "
+            r"'\b(key|hash)\b')) AS BIGINT) AS n_term, "
+            r"regexp_replace(regexp_replace(regexp_replace(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', "
+            r"'<EMAIL>', 'g'), "
+            r"'\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'), "
+            r"'\b(key|hash)\b', '<TERM>', 'g') AS redacted "
+            r"FROM documents",
         "span_dedup":
             r"WITH toks AS (SELECT doc_id, "
             r"regexp_split_to_array(trim(text), '\s+') AS ts "

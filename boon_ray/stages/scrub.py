@@ -1,0 +1,66 @@
+"""Regex scrubbing / PII-style redaction over a text column.
+
+A single vectorized map_batches pass: per-pattern non-overlapping
+match counts (on the ORIGINAL text, each pattern independent) plus
+the redacted text produced by applying the replacements sequentially
+in the given pattern order. Both kernels are Arrow RE2
+(`count_substring_regex` / `replace_substring_regex`), which is
+byte-for-byte the same regex engine DuckDB uses — the oracle is
+`len(regexp_extract_all(...))` + nested `regexp_replace(..., 'g')`.
+
+Semantics note (stated, not hidden): counts are per-pattern on the
+original text; if two patterns overlap, the redacted text reflects
+sequential application while counts do not — identical on both the
+Ray and SQL sides by construction.
+
+Scale shape: stateless, zero-shuffle, streams block-by-block; regex
+compilation is C-level inside Arrow per kernel call (no per-row
+Python). Part of the L2 training-data layer (SURVEY.md §4.3); the
+reference engine's pattern machinery lives in src/ecma.rs — here the
+host regex IS the semantics, so no translation layer is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2-safe defaults a training-data pipeline would ship with.
+DEFAULT_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def redact_batch(batch: pa.Table, *,
+                 patterns: Mapping[str, tuple[str, str]],
+                 column: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    col = batch.column(column)
+    cols = {id_col: batch.column(id_col)}
+    red = col
+    for label, (pattern, repl) in patterns.items():
+        cols[f"n_{label}"] = pc.cast(
+            pc.count_substring_regex(col, pattern), pa.int64())
+        red = pc.replace_substring_regex(red, pattern, repl)
+    cols["redacted"] = red
+    return pa.table(cols)
+
+
+def redact(ds, patterns: Mapping[str, tuple[str, str]] | None = None,
+           *, column: str = "text", id_col: str = "doc_id",
+           batch_size=None):
+    """Per-doc match counts (``n_<label>`` per pattern) + redacted
+    text. Pattern order is the replacement order."""
+    patterns = dict(DEFAULT_PATTERNS if patterns is None else patterns)
+
+    def f(b: pa.Table) -> pa.Table:
+        return redact_batch(b, patterns=patterns, column=column,
+                            id_col=id_col)
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -922,3 +922,121 @@ def test_span_dedup_matches_bruteforce(ray_session):
     got = {r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_ratio_fp)
            for r in out.itertuples()}
     assert got == expect
+
+
+# ---------------------------------------------------------------- scrub
+
+
+def test_redact_counts_and_text(ray_session):
+    from boon_ray.stages.scrub import redact
+
+    texts = ["mail bob@x.co and eve@y.org ok",
+             "ssn 123-45-6789 twice 111-22-3333",
+             "ip 10.0.0.1 plain text", "nothing here"]
+    ds = _span_docs(texts)
+    out = redact(ds).to_pandas().sort_values("doc_id") \
+                    .reset_index(drop=True)
+    assert list(out["n_email"]) == [2, 0, 0, 0]
+    assert list(out["n_ssn"]) == [0, 2, 0, 0]
+    assert list(out["n_ipv4"]) == [0, 0, 1, 0]
+    assert out.loc[0, "redacted"] == "mail <EMAIL> and <EMAIL> ok"
+    assert out.loc[1, "redacted"] == "ssn <SSN> twice <SSN>"
+    assert out.loc[2, "redacted"] == "ip <IP> plain text"
+    assert out.loc[3, "redacted"] == "nothing here"
+
+
+def test_redact_sequential_order(ray_session):
+    """Later patterns see earlier replacements (sequential
+    application), while counts are on the original text."""
+    from boon_ray.stages.scrub import redact
+
+    ds = _span_docs(["alpha beta"])
+    out = redact(ds, {"a": (r"alpha", "beta"),
+                      "b": (r"beta", "X")}).to_pandas()
+    assert out.loc[0, "redacted"] == "X X"
+    assert out.loc[0, "n_a"] == 1 and out.loc[0, "n_b"] == 1
+
+
+# ---------------------------------------------------------------- bpe
+
+
+def test_bpe_char_pairs_bruteforce(ray_session):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from boon_ray.stages.bpe import char_pair_counts
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    expect = Counter()
+    for t in texts:
+        for w in t.strip().split():
+            for i in range(len(w) - 1):
+                expect[(w[i], w[i + 1])] += 1
+
+    out = char_pair_counts(_span_docs(texts)).to_pandas()
+    got = {(r.left, r.right): r.n for r in out.itertuples()}
+    assert got == dict(expect)
+
+
+def _naive_bpe(word_freqs, k):
+    """Independent reference trainer: list-of-symbols rewrite per
+    merge, ties by lexicographically smallest pair."""
+    from collections import Counter
+    words = [(list(w), n) for w, n in word_freqs.items() if w]
+    merges = []
+    for _ in range(k):
+        c = Counter()
+        for sym, n in words:
+            for a, b in zip(sym, sym[1:]):
+                c[(a, b)] += n
+        if not c:
+            break
+        top = max(c.values())
+        l, r = min(p for p, n in c.items() if n == top)
+        merges.append((l, r, top))
+        nxt = []
+        for sym, n in words:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == (l, r):
+                    out.append(l + r); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            nxt.append((out, n))
+        words = nxt
+    return merges
+
+
+def test_bpe_merges_match_naive(ray_session):
+    from boon_ray.stages.bpe import train_bpe
+
+    freqs = {"lower": 5, "low": 7, "newest": 6, "widest": 3,
+             "new": 2, "wider": 1}
+    assert train_bpe(freqs, 10) == _naive_bpe(freqs, 10)
+    # overlapping-merge edge: 'aaa' merges leftmost-first
+    freqs2 = {"aaa": 3, "aab": 2, "baa": 1}
+    assert train_bpe(freqs2, 6) == _naive_bpe(freqs2, 6)
+
+
+def test_bpe_merges_corpus(ray_session):
+    """First merge on real docs == top char pair with deterministic
+    tie-break; merge counts are non-increasing is NOT guaranteed in
+    BPE, but every count must be positive and pairs distinct."""
+    import pyarrow.parquet as pq
+
+    from boon_ray.stages.bpe import bpe_merges, char_pair_counts
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    ds = _span_docs(texts)
+    pairs = char_pair_counts(ds).to_pandas()
+    top = pairs.sort_values(["n", "left", "right"],
+                            ascending=[False, True, True]).iloc[0]
+    m = bpe_merges(_span_docs(texts), num_merges=12).to_pandas()
+    assert (m.loc[0, "left"], m.loc[0, "right"], m.loc[0, "n"]) == \
+        (top["left"], top["right"], top["n"])
+    assert (m["n"] > 0).all()
+    assert not m.duplicated(["left", "right"]).any()
+    assert list(m["rank"]) == list(range(len(m)))
