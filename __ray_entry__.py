@@ -937,6 +937,43 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_merges(ds, num_merges=20)
 
 
+_MIX_WEIGHTS = {f"src{i}": i + 1 for i in range(20)}
+
+
+def _domain_mix_sql() -> str:
+    from boon_ray.stages.training import domain_mix_sql
+
+    return domain_mix_sql(_MIX_WEIGHTS)
+
+
+def _q_domain_mix(sf_dir: str):
+    """Weighted domain-mixing sampler: largest deterministic sample
+    whose per-source proportions track integer target weights with
+    no oversampling — exact integer capacity/quota/threshold rule on
+    a salted splitmix64, shuffle-free on the corpus side."""
+    import ray.data as rd
+
+    from boon_ray.stages.training import domain_mix
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return domain_mix(ds, _MIX_WEIGHTS)
+
+
+def _q_bigram_surprisal(sf_dir: str):
+    """Bigram-LM surprisal scoring (integer inverse conditional
+    probability, the exact-arithmetic analogue of CCNet perplexity
+    filtering): bigram-vocab-bounded count table broadcast into one
+    streaming scoring pass."""
+    import ray.data as rd
+
+    from boon_ray.stages.retrieval import bigram_surprisal
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bigram_surprisal(ds)
+
+
 def _q_cluster_coreset(sf_dir: str):
     """Coreset selection: the 5 vectors CLOSEST to their assigned
     centroid per cluster (exact int64 distances, deterministic
@@ -1067,6 +1104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "bpe_pairs": _q_bpe_pairs,
         "bpe_merges": _q_bpe_merges,
+        "domain_mix": _q_domain_mix,
+        "bigram_surprisal": _q_bigram_surprisal,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1652,6 +1691,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, assigned, d2, ROW_NUMBER() OVER ("
             "PARTITION BY assigned ORDER BY d2 ASC, vec_id ASC) "
             "AS rn FROM a) WHERE rn <= 5",
+        "domain_mix": _domain_mix_sql(),
+        "bigram_surprisal":
+            r"WITH toks AS (SELECT doc_id, "
+            r"regexp_split_to_array(trim(text), '\s+') AS ts "
+            r"FROM documents WHERE length(trim(text)) > 0), "
+            r"pos AS (SELECT doc_id, ts, unnest(generate_series(1, "
+            r"len(ts) - 1)) AS i FROM toks), "
+            r"big AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 "
+            r"FROM pos), "
+            r"c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 "
+            r"FROM big GROUP BY w1, w2), "
+            r"c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1 "
+            r"FROM big GROUP BY w1) "
+            r"SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            r"CAST(SUM(c1.n1 * 1048576 // c12.n12) AS BIGINT) "
+            r"AS surprisal_sum "
+            r"FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) "
+            r"GROUP BY doc_id",
         "bpe_pairs":
             r"WITH words AS (SELECT "
             r"unnest(regexp_split_to_array(trim(text), '\s+')) AS w "

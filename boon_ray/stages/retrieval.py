@@ -235,3 +235,78 @@ def rarity_scores(ds, column: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(score_batch, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def bigram_surprisal(ds, column: str = "text", id_col: str = "doc_id",
+                     batch_size=None):
+    """Per-document bigram-LM surprisal — the exact-integer analogue
+    of KenLM-style perplexity filtering (CCNet, arXiv:1911.00359):
+    documents whose adjacent-token transitions are globally unlikely
+    score high.
+
+    For every in-doc adjacent pair (w1, w2):
+      score = (c1(w1) * 2**20) // c12(w1, w2)
+    where c12 counts corpus-wide occurrences of the bigram and c1
+    counts bigrams with left token w1 — the integer inverse of the
+    conditional probability p(w2 | w1), monotone in -log p. Output:
+    (doc_id, n_bigrams, surprisal_sum); docs with < 2 tokens emit no
+    row (mirrors the oracle's inner join).
+
+    Scale shape: pass 1 reduces per-batch bigram-count partials to a
+    BIGRAM-vocab-bounded table (the only shuffle; Heaps-law bounded,
+    min-count flooring applies upstream at web scale), broadcast
+    back into a streaming scoring pass as a pandas merge (vectorized
+    hash join per batch). Exact strings end-to-end — no hash-
+    collision caveat.
+    """
+
+    def _bigram_rows(b: pa.Table) -> pd.DataFrame:
+        d = _token_rows(b, column)
+        if d.empty:
+            return pd.DataFrame({"row": pd.Series([], dtype=np.int64),
+                                 "w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object)})
+        row = d["row"].to_numpy()
+        tok = d["token"].to_numpy()
+        keep = row[:-1] == row[1:]
+        return pd.DataFrame({"row": row[:-1][keep],
+                             "w1": tok[:-1][keep],
+                             "w2": tok[1:][keep]})
+
+    def c12_partial(b: pa.Table) -> pd.DataFrame:
+        d = _bigram_rows(b)
+        g = d.groupby(["w1", "w2"], sort=False).size() \
+             .rename("n12").reset_index()
+        g["n12"] = g["n12"].astype(np.int64)
+        return g[["w1", "w2", "n12"]]
+
+    c12 = (ds.map_batches(c12_partial, batch_format="pyarrow",
+                          batch_size=batch_size)
+           .groupby(["w1", "w2"]).sum("n12").to_pandas())
+    c12 = c12.rename(columns={"sum(n12)": "n12"})
+    c1 = c12.groupby("w1", sort=False)["n12"].sum() \
+            .rename("n1").reset_index()
+    counts = c12.merge(c1, on="w1")
+    counts["score"] = (counts["n1"].to_numpy(np.int64) * SCALE
+                       // counts["n12"].to_numpy(np.int64))
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks()
+        d = _bigram_rows(b)
+        m = d.merge(counts[["w1", "w2", "score"]], on=["w1", "w2"],
+                    how="left")
+        grp = m.groupby(m["row"].to_numpy())
+        g = pd.DataFrame({
+            "n_bigrams": grp.size().astype(np.int64),
+            "surprisal_sum": grp["score"].sum().astype(np.int64),
+        })
+        return pa.table({
+            id_col: ids.take(pa.array(g.index.to_numpy(np.int64))),
+            "n_bigrams": pa.array(g["n_bigrams"].to_numpy(np.int64),
+                                  pa.int64()),
+            "surprisal_sum": pa.array(
+                g["surprisal_sum"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(score_batch, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -215,3 +215,91 @@ def pack_sequences(ds, id_col: str, len_col: str, capacity: int,
 
     return ds.map_batches(pack, batch_format="pandas",
                           batch_size=batch_size)
+
+
+def domain_mix(ds, weights: dict[str, int], *, id_col: str = "doc_id",
+               source_col: str = "source", salt: str = "mix",
+               batch_size=None):
+    """Deterministic weighted domain-mixing sampler: draw the largest
+    sample whose source proportions match integer target ``weights``
+    without oversampling any source, using a salted splitmix64 keep
+    rule (no RNG state, no shuffle on the big side — reproducible
+    across runs, machines and partitionings).
+
+    Exact integer rule (oracle-expressible, no floats):
+      T = sum(weights);  M = min_s(n_s * T // t_s)   (max total size)
+      quota_s = t_s * M // T
+      keep doc iff quota_s >= n_s  (degenerate: keep all)
+             or splitmix64(id ^ salt64) < quota_s * 2**64 // n_s
+    Expected kept per source ~ quota_s, so kept proportions track
+    t_s / T as closely as the no-oversampling constraint allows.
+
+    Scale shape: pass 1 aggregates per-source counts via per-batch
+    partials (driver holds one row per SOURCE — the documented bound,
+    like every vocab-bounded stage); pass 2 is a stateless streaming
+    filter with the tiny threshold dict in the task closure. Sources
+    absent from ``weights`` are dropped (inner-join semantics).
+    """
+    if not weights or any(t <= 0 for t in weights.values()):
+        raise ValueError("weights must be positive integers")
+
+    def cnt(b: pa.Table) -> pd.DataFrame:
+        vc = b.column(source_col).to_pandas().value_counts()
+        return pd.DataFrame({source_col: vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype(np.int64)})
+
+    obs = (ds.map_batches(cnt, batch_format="pyarrow",
+                          batch_size=batch_size)
+           .to_pandas().groupby(source_col)["n"].sum())
+    obs = {s: int(n) for s, n in obs.items()
+           if s in weights and n > 0}
+    if not obs:
+        raise ValueError("no weighted source present in the data")
+
+    T = sum(weights.values())
+    M = min(n * T // weights[s] for s, n in obs.items())
+    th: dict[str, int | None] = {}   # None -> keep all
+    for s, n in obs.items():
+        quota = weights[s] * M // T
+        th[s] = None if quota >= n else quota * (1 << 64) // n
+
+    s64 = np.uint64(_salt_u64(salt))
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        src = b.column(source_col).to_pandas().to_numpy()
+        h = splitmix64(ids.astype(np.int64).view(np.uint64) ^ s64)
+        mask = np.zeros(len(ids), dtype=bool)
+        for s, t in th.items():
+            sel = src == s
+            mask |= sel if t is None else \
+                sel & (h < np.uint64(min(t, (1 << 64) - 1)))
+        return b.filter(pa.array(mask)).select([id_col, source_col])
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def domain_mix_sql(weights: dict[str, int], *, table: str = "documents",
+                   id_col: str = "doc_id", source_col: str = "source",
+                   salt: str = "mix") -> str:
+    """The exact SQL replay of :func:`domain_mix` (DuckDB): same
+    integer capacity/quota/threshold arithmetic (``//`` truncation ==
+    floor on the all-positive operands), same splitmix64 hash."""
+    vals = ", ".join(f"('{s}', {t})" for s, t in weights.items())
+    h = splitmix64_sql(f"d.{id_col}", salt)
+    return (
+        f"WITH w({source_col}, t) AS (VALUES {vals}), "
+        f"obs AS (SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM {table} GROUP BY {source_col}), "
+        f"tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tw FROM w), "
+        f"cap AS (SELECT MIN(n * tw // t) AS M "
+        f"FROM obs JOIN w USING ({source_col}), tot), "
+        f"th AS (SELECT {source_col}, n, t * M // tw AS quota, "
+        f"CAST(t * M // tw AS UHUGEINT) * "
+        f"CAST('{1 << 64}' AS UHUGEINT) // CAST(n AS UHUGEINT) AS th "
+        f"FROM obs JOIN w USING ({source_col}), tot, cap) "
+        f"SELECT d.{id_col}, d.{source_col} "
+        f"FROM {table} d JOIN th USING ({source_col}) "
+        f"WHERE th.quota >= th.n OR CAST({h} AS UHUGEINT) < th.th"
+    )

@@ -1040,3 +1040,53 @@ def test_bpe_merges_corpus(ray_session):
     assert (m["n"] > 0).all()
     assert not m.duplicated(["left", "right"]).any()
     assert list(m["rank"]) == list(range(len(m)))
+
+
+# ---------------------------------------------------------------- mix
+
+
+def test_domain_mix_proportions_and_determinism(ray_session):
+    """Per-source kept counts land within binomial noise of the
+    integer quotas; two runs (different partitionings) agree row-
+    for-row; unweighted sources are dropped."""
+    import ray.data as rd
+
+    from boon_ray.stages.training import domain_mix
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    srcs = np.array(["web", "code", "books", "junk"])[
+        rng.integers(0, 4, n)]
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "source": pa.array(srcs)})
+    weights = {"web": 6, "code": 3, "books": 1}   # junk unweighted
+
+    out1 = domain_mix(rd.from_arrow(t), weights).to_pandas()
+    out2 = domain_mix(rd.from_arrow(t).repartition(7),
+                      weights).to_pandas()
+    key = lambda d: sorted(map(tuple, d.to_numpy()))
+    assert key(out1) == key(out2)
+    assert set(out1["source"]) <= set(weights)
+
+    obs = {s: int((srcs == s).sum()) for s in weights}
+    T = sum(weights.values())
+    M = min(obs[s] * T // w for s, w in weights.items())
+    got = out1["source"].value_counts()
+    for s, w in weights.items():
+        quota = w * M // T
+        sd = max((quota * (obs[s] - quota) / obs[s]) ** 0.5, 1.0)
+        assert abs(got.get(s, 0) - quota) <= 5 * sd, (s, quota,
+                                                      got.get(s, 0))
+        assert got.get(s, 0) <= obs[s]
+
+
+def test_domain_mix_degenerate_keep_all(ray_session):
+    """A source whose quota reaches its count keeps every row."""
+    import ray.data as rd
+
+    from boon_ray.stages.training import domain_mix
+
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "source": pa.array(["only"] * 100)})
+    out = domain_mix(rd.from_arrow(t), {"only": 1}).to_pandas()
+    assert len(out) == 100

@@ -191,3 +191,57 @@ def test_cluster_coreset_closest_per_cluster(ray_session):
         have = (got[got["assigned"] == lab]
                 .sort_values(["d2", "vec_id"])["vec_id"].tolist())
         assert have == want
+
+
+def test_bigram_surprisal_bruteforce(ray_session):
+    """Exact recount: score = c1(w1)*2^20 // c12(w1,w2) summed per
+    doc; unseen-free by construction (counts come from the same
+    corpus); docs with < 2 tokens emit no row."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.retrieval import bigram_surprisal
+
+    texts = ["a b a b c", "b c b c", "a", "x y", ""]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts)}))
+
+    c12, c1 = Counter(), Counter()
+    for t in texts:
+        w = t.split()
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    expect = {}
+    for i, t in enumerate(texts):
+        w = t.split()
+        bigs = list(zip(w, w[1:]))
+        if not bigs:
+            continue
+        expect[i] = (len(bigs),
+                     sum(c1[a] * (1 << 20) // c12[(a, b)]
+                         for a, b in bigs))
+
+    out = bigram_surprisal(ds).to_pandas()
+    got = {r.doc_id: (r.n_bigrams, r.surprisal_sum)
+           for r in out.itertuples()}
+    assert got == expect
+
+
+def test_bigram_surprisal_partition_invariant(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from boon_ray.stages.retrieval import bigram_surprisal
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    a = bigram_surprisal(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = bigram_surprisal(rd.from_arrow(t).repartition(5)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
