@@ -1106,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "domain_mix": _q_domain_mix,
         "bigram_surprisal": _q_bigram_surprisal,
+        "shuffle_positions": _q_shuffle_positions,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1131,6 +1132,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": _q_distinct_langs,
         "customers_per_region": _q_customers_per_region,
     }
+
+
+def _q_shuffle_positions(sf_dir: str):
+    """Seeded epoch-shuffle order as a distributed global rank
+    (two-pass bucket-offset zip-with-index; stages/rank.py): pos is a
+    bit-exact permutation of [0, n), reproducible in SQL as
+    ROW_NUMBER() OVER (ORDER BY splitmix64(id ^ seed), id) - 1."""
+    import ray.data as rd
+
+    from boon_ray.stages.rank import seeded_shuffle_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return seeded_shuffle_rank(ds, "doc_id", seed="epoch0",
+                               num_buckets=16)
 
 
 def _q_streaming_sessions(sf_dir: str):
@@ -1928,6 +1944,10 @@ def oracle_sql() -> dict[str, str]:
             "AND s_nationkey = n_nationkey "
             "AND n_regionkey = r_regionkey AND r_name = 'ASIA' "
             "GROUP BY n_name",
+        "shuffle_positions":
+            f"SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
+            f"{_splitmix64_sql('doc_id', 'epoch0')}, doc_id) - 1 "
+            f"AS BIGINT) AS pos FROM documents",
         "train_test_split":
             f"SELECT doc_id, CASE WHEN "
             f"{_splitmix64_sql('doc_id', 'split')} % 256 < 26 "

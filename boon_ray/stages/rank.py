@@ -1,0 +1,113 @@
+"""Distributed global rank — seeded epoch-shuffle order and generic
+zip-with-index over a hashed key.
+
+A training run wants every epoch to visit the corpus in a fresh but
+REPRODUCIBLE pseudo-random order (seeded shuffle).  Expressing "the
+i-th element of a global permutation" needs a global rank, which Ray
+Data has no primitive for; materializing + enumerating on the driver
+is out at 10^12 rows.  This stage computes it distributed in two
+passes (the classic sample-free bucket-offset zip-with-index):
+
+1. **Count pass** — ``h = splitmix64(id ^ md5_64(seed))`` per row
+   (vectorized, boon_ray.stages.training.splitmix64); the bucket is
+   the TOP ``bits`` of ``h``, so the global (h, id) order equals
+   (bucket, within-bucket order).  Per-batch bucket histograms reduce
+   through a tiny groupby (``num_buckets`` rows) to the driver, where
+   an exclusive cumsum over ascending bucket id yields each bucket's
+   global offset.
+2. **Rank pass** — rows shuffle once by bucket
+   (``groupby(bucket).map_groups``); each group sorts by (h, id) —
+   a total order, ties in ``h`` broken by the unique id — and emits
+   ``pos = offset[bucket] + arange(len)``.
+
+Output: (id, pos) with ``pos`` a bit-exact permutation of
+[0, n), independent of input partitioning, reproducible in SQL as
+``ROW_NUMBER() OVER (ORDER BY splitmix64(id ^ seed), id) - 1``
+(training.splitmix64_sql gives the exact DuckDB expression).
+
+Scale shape: the only full-table exchange ships (id, h, bucket) =
+24 B/row; per-group memory is n / num_buckets rows (splitmix64 is
+uniform, so buckets are balanced regardless of id skew — size
+``num_buckets`` so one bucket fits a task, e.g. 2^14 buckets for
+10^12 rows keeps groups at ~60M ids).  The count pass re-executes the
+upstream pipeline; rank a cheap projection (ids), not a derived view,
+or materialize upstream first.
+
+Reference anchor: the epoch-shuffle step of any LLM training-data
+pipeline; same two-pass rank used by Spark's zipWithIndex.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from boon_ray.stages.training import _salt_u64, splitmix64
+
+
+def seeded_shuffle_rank(ds, id_col: str, seed: str = "epoch0",
+                        num_buckets: int = 256, batch_size=None):
+    """Add the global seeded-shuffle position of every row.
+
+    Returns a Dataset with columns (id_col, pos): ``pos`` is the
+    row's 0-based rank under the permutation ``sort by
+    (splitmix64(id ^ md5_64(seed)), id)``.
+    """
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two")
+    shift = np.uint64(64 - int(num_buckets).bit_length() + 1)
+    s64 = np.uint64(_salt_u64(seed))
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.int64).view(np.uint64) ^ s64)
+        return pa.table({
+            id_col: pa.array(ids.astype(np.int64), pa.int64()),
+            "h": pa.array(h, pa.uint64()),
+            "bucket": pa.array((h >> shift).astype(np.int64),
+                               pa.int64()),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    # pass 1: bucket histogram (num_buckets rows through the groupby)
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        bk, n = np.unique(
+            b.column("bucket").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"bucket": pa.array(bk, pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    counts = (keyed_ds.map_batches(bucket_counts,
+                                   batch_format="pyarrow",
+                                   batch_size=batch_size)
+              .groupby("bucket").sum("n").to_pandas())  # <= num_buckets rows
+    counts = counts.sort_values("bucket")
+    offsets = dict(zip(
+        counts["bucket"].to_numpy(np.int64),
+        np.concatenate(([0], np.cumsum(
+            counts["sum(n)"].to_numpy(np.int64))[:-1]))))
+
+    # pass 2: within-bucket rank + broadcast offset
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h", id_col], kind="mergesort")
+        off = offsets[int(df["bucket"].iloc[0])]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "pos": off + np.arange(len(df), dtype=np.int64),
+        })
+
+    return keyed_ds.groupby("bucket").map_groups(
+        rank_group, batch_format="pandas")
+
+
+def shuffle_rank_sql(table: str, id_col: str, seed: str = "epoch0") \
+        -> str:
+    """The DuckDB oracle for :func:`seeded_shuffle_rank` (bit-exact)."""
+    from boon_ray.stages.training import splitmix64_sql
+    h = splitmix64_sql(id_col, seed)
+    return (f"SELECT {id_col}, CAST(ROW_NUMBER() OVER "
+            f"(ORDER BY {h}, {id_col}) - 1 AS BIGINT) AS pos "
+            f"FROM {table}")

