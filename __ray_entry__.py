@@ -1107,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix": _q_domain_mix,
         "bigram_surprisal": _q_bigram_surprisal,
         "shuffle_positions": _q_shuffle_positions,
+        "doc_chunks": _q_doc_chunks,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1147,6 +1148,19 @@ def _q_shuffle_positions(sf_dir: str):
                          columns=["doc_id"])
     return seeded_shuffle_rank(ds, "doc_id", seed="epoch0",
                                num_buckets=16)
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Context-window chunking: 32-word windows every 24 words
+    (stages/chunking.py) — shuffle-free map; the oracle reproduces it
+    with generate_series + list slices."""
+    import ray.data as rd
+
+    from boon_ray.stages.chunking import chunk_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return chunk_documents(ds, width=32, stride=24)
 
 
 def _q_streaming_sessions(sf_dir: str):
@@ -1448,6 +1462,11 @@ dirty AS (SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (gram))
 SELECT doc_id, CASE WHEN {_splitmix64_sql('doc_id', 'split')} % 256 < 26
   THEN 'test' ELSE 'train' END AS split
 FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM dirty)"""
+
+
+def _chunk_sql() -> str:
+    from boon_ray.stages.chunking import chunk_documents_sql
+    return chunk_documents_sql("documents", 32, 24)
 
 
 def _repetition_sql() -> str:
@@ -1948,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
             f"{_splitmix64_sql('doc_id', 'epoch0')}, doc_id) - 1 "
             f"AS BIGINT) AS pos FROM documents",
+        "doc_chunks": _chunk_sql(),
         "train_test_split":
             f"SELECT doc_id, CASE WHEN "
             f"{_splitmix64_sql('doc_id', 'split')} % 256 < 26 "

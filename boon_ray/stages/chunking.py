@@ -1,0 +1,123 @@
+"""Context-window document chunking — the pre-training step that
+splits long documents into fixed-width overlapping token windows
+(width ``W``, stride ``S``), so every chunk fits a model's context
+and overlap preserves cross-boundary continuations.
+
+Pure map, no shuffle: each batch tokenizes its documents (vectorized
+pandas ``str.split`` + ``explode``, the same whitespace rule as the
+rest of the text stack), assigns every token to the <= ceil(W/S)
+windows covering it (a constant-bound loop over window offsets, each
+iteration fully vectorized), and joins tokens back per (doc, chunk).
+Chunk starts are 0, S, 2S, ... while start < n_tokens, so the final
+chunk may be short (n_words < W) but no token is dropped.
+
+Output: (id_col, chunk_id, n_words, chunk_text); empty documents
+emit no chunk.  Deterministic and partition-independent (chunking
+never crosses document boundaries), exactly reproducible in SQL via
+``generate_series(1, len(tokens), S)`` + list slices.
+
+Scale shape: output bytes ~= input bytes x W/S overlap factor;
+chunk rows inherit the input partitioning so downstream packing
+(stages/training.pack_sequences) streams without a shuffle.  The
+per-(doc,chunk) string join is the inherent cost of materializing
+chunk text; pass ``emit_text=False`` to keep only (id, chunk_id,
+n_words) when downstream stages re-tokenize anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _chunk_batch(b: pa.Table, column: str, id_col: str, width: int,
+                 stride: int, emit_text: bool) -> pa.Table:
+    ids = b.column(id_col).to_numpy(zero_copy_only=False)
+    s = b.column(column).to_pandas().fillna("")
+    ex = s.str.split().explode().dropna()
+    out_schema = {
+        id_col: pa.int64(), "chunk_id": pa.int64(),
+        "n_words": pa.int64(),
+    }
+    if emit_text:
+        out_schema["chunk_text"] = pa.string()
+    if ex.empty:
+        return pa.table({k: pa.array([], t)
+                         for k, t in out_schema.items()})
+
+    row = ex.index.to_numpy(np.int64)
+    tok = ex.to_numpy()
+    # token position within its doc (vectorized cumcount)
+    starts_of_run = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+    run_id = np.cumsum(np.r_[False, row[1:] != row[:-1]])
+    pos = np.arange(len(row)) - starts_of_run[run_id]
+
+    # each token i joins chunks c with c*stride <= i < c*stride+width
+    k_max = -(-width // stride)          # ceil(W/S) window offsets
+    parts = []
+    for k in range(k_max):
+        c = pos // stride - k
+        keep = (c >= 0) & (pos < c * stride + width)
+        parts.append((row[keep], c[keep], pos[keep],
+                      tok[keep] if emit_text else None))
+    rows = np.concatenate([p[0] for p in parts])
+    cs = np.concatenate([p[1] for p in parts])
+    ps = np.concatenate([p[2] for p in parts])
+    order = np.lexsort((ps, cs, rows))
+    rows, cs = rows[order], cs[order]
+
+    if emit_text:
+        toks = np.concatenate([p[3] for p in parts])[order]
+        df = pd.DataFrame({"row": rows, "c": cs, "tok": toks})
+        g = df.groupby(["row", "c"], sort=True)
+        agg = g["tok"].agg(" ".join)
+        sizes = g.size()
+        idx = agg.index
+    else:
+        df = pd.DataFrame({"row": rows, "c": cs})
+        sizes = df.groupby(["row", "c"], sort=True).size()
+        idx = sizes.index
+
+    r_idx = idx.get_level_values(0).to_numpy(np.int64)
+    out = {
+        id_col: pa.array(ids[r_idx].astype(np.int64), pa.int64()),
+        "chunk_id": pa.array(
+            idx.get_level_values(1).to_numpy(np.int64), pa.int64()),
+        "n_words": pa.array(sizes.to_numpy(np.int64), pa.int64()),
+    }
+    if emit_text:
+        out["chunk_text"] = pa.array(agg.to_numpy(), pa.string())
+    return pa.table(out)
+
+
+def chunk_documents(ds, column: str = "text", id_col: str = "doc_id",
+                    width: int = 32, stride: int = 24,
+                    emit_text: bool = True, batch_size=None):
+    """Split documents into overlapping ``width``-word windows every
+    ``stride`` words (see module docstring)."""
+    if stride <= 0 or width <= 0:
+        raise ValueError("width and stride must be positive")
+    return ds.map_batches(
+        lambda b: _chunk_batch(b, column, id_col, width, stride,
+                               emit_text),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+def chunk_documents_sql(table: str, width: int, stride: int,
+                        id_col: str = "doc_id",
+                        column: str = "text") -> str:
+    """DuckDB oracle for :func:`chunk_documents` (emit_text=True)."""
+    return (
+        rf"WITH toks AS (SELECT {id_col}, "
+        rf"regexp_split_to_array(trim({column}), '\s+') AS ts "
+        rf"FROM {table} WHERE length(trim({column})) > 0), "
+        rf"starts AS (SELECT {id_col}, ts, "
+        rf"unnest(generate_series(1, len(ts), {stride})) AS i "
+        rf"FROM toks) "
+        rf"SELECT {id_col}, CAST((i - 1) // {stride} AS BIGINT) "
+        rf"AS chunk_id, "
+        rf"CAST(least(i + {width - 1}, len(ts)) - i + 1 AS BIGINT) "
+        rf"AS n_words, "
+        rf"array_to_string(ts[i:least(i + {width - 1}, len(ts))], ' ') "
+        rf"AS chunk_text FROM starts")

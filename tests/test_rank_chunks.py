@@ -56,6 +56,43 @@ def test_shuffle_rank_is_permutation_and_partition_independent(
     assert sorted(a["pos"]) == list(range(len(a)))
 
 
+# --------------------------------------------- context-window chunking
+
+def test_chunks_match_oracle(ray_session, oracle):
+    from boon_ray.stages.chunking import (
+        chunk_documents, chunk_documents_sql,
+    )
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    got = _sorted(chunk_documents(ds, width=16, stride=8).to_pandas())
+    want = _sorted(oracle.sql(
+        chunk_documents_sql("documents", 16, 8)).df())
+    pd.testing.assert_frame_equal(
+        got, want.astype({"chunk_id": "int64", "n_words": "int64"}))
+
+
+def test_chunks_cover_every_token_without_loss(ray_session):
+    from boon_ray.stages.chunking import chunk_documents
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    w, s = 20, 20  # disjoint windows: chunk word counts sum to doc's
+    chunks = chunk_documents(ds, width=w, stride=s,
+                             emit_text=False).to_pandas()
+    per_doc = chunks.groupby("doc_id")["n_words"].sum()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_tok = docs.set_index("doc_id")["text"].str.split().str.len()
+    assert (per_doc == n_tok.loc[per_doc.index]).all()
+    # short chunks only at the tail
+    last = chunks.sort_values(["doc_id", "chunk_id"]) \
+                 .groupby("doc_id").apply(
+        lambda d: (d["n_words"].iloc[:-1] == w).all(),
+        include_groups=False)
+    assert last.all()
+
+
 def test_shuffle_rank_seeds_differ(ray_session):
     from boon_ray.stages.rank import seeded_shuffle_rank
 
