@@ -1108,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_surprisal": _q_bigram_surprisal,
         "shuffle_positions": _q_shuffle_positions,
         "doc_chunks": _q_doc_chunks,
+        "semdedup_keep": _q_semdedup_keep,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1148,6 +1149,28 @@ def _q_shuffle_positions(sf_dir: str):
                          columns=["doc_id"])
     return seeded_shuffle_rank(ds, "doc_id", seed="epoch0",
                                num_buckets=16)
+
+
+def _q_semdedup_keep(sf_dir: str):
+    """SemDeDup (cluster-then-prune semantic dedup): exact-integer
+    nearest-centroid routing + within-cluster cosine keep-first rule
+    (stages/dedup.semdedup). Threshold 0.4 sits >= 8e-4 away from
+    every pair's cosine at test scales, so the float64 comparison is
+    oracle-stable (same contract as embedding_neardup)."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import semdedup
+    from boon_ray.stages.similarity import (
+        embedding_centroids, fixed_point_centroids,
+    )
+
+    labeled = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["label", "embedding"])
+    cent = embedding_centroids(labeled).to_pandas()
+    labels, c_fp = fixed_point_centroids(cent)
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    return semdedup(vecs, labels, c_fp, threshold=0.4)
 
 
 def _q_doc_chunks(sf_dir: str):
@@ -1968,6 +1991,17 @@ def oracle_sql() -> dict[str, str]:
             f"{_splitmix64_sql('doc_id', 'epoch0')}, doc_id) - 1 "
             f"AS BIGINT) AS pos FROM documents",
         "doc_chunks": _chunk_sql(),
+        "semdedup_keep":
+            f"WITH a AS ({_kmeans_sql()}), "
+            "dup AS (SELECT DISTINCT y.vec_id AS v "
+            "FROM a x JOIN a y ON x.assigned = y.assigned "
+            "AND x.vec_id < y.vec_id "
+            "JOIN embeddings ex ON ex.vec_id = x.vec_id "
+            "JOIN embeddings ey ON ey.vec_id = y.vec_id "
+            "WHERE list_cosine_similarity(ex.embedding, ey.embedding)"
+            " >= 0.4) "
+            "SELECT vec_id, assigned AS cluster, "
+            "vec_id NOT IN (SELECT v FROM dup) AS kept FROM a",
         "train_test_split":
             f"SELECT doc_id, CASE WHEN "
             f"{_splitmix64_sql('doc_id', 'split')} % 256 < 26 "

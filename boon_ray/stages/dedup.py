@@ -821,3 +821,82 @@ def dedup_near(ds, text_col: str, id_col: str, threshold: float = 0.8,
 
     return ds.map_batches(_Keep, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=(1, 8))
+
+
+# ------------------------------------------------------------ SemDeDup
+
+def semdedup(ds, labels, centroids_fp, vec_col: str = "embedding",
+             id_col: str = "vec_id", threshold: float = 0.4,
+             scale_bits: int = 20, batch_size=None):
+    """Semantic deduplication (SemDeDup, arXiv:2303.09540): route
+    every vector to its nearest centroid, then prune near-duplicate
+    PAIRS inside each cluster — a vector is dropped when some
+    smaller-id vector in the SAME cluster has cosine >= threshold
+    with it (deterministic keep-first rule; pairwise work never
+    crosses clusters, which is the whole point of the method).
+
+    ``labels``/``centroids_fp`` come from
+    similarity.fixed_point_centroids — the assignment is the same
+    EXACT-int64 nearest-centroid rule as similarity.centroid_assign
+    (bit-reproducible, ties to the smallest label), so the cluster
+    routing is oracle-checkable; the cosine itself is float64 with
+    the threshold chosen away from any pair's value (same contract
+    as embedding_duplicate_pairs_exact).
+
+    Returns (id_col, cluster, kept): every input vector with its
+    cluster and a bool — survivors are ``kept``.
+
+    Scale shape: one streaming assignment pass (centroid matrix in
+    the task closure / ray.put), then ONE shuffle that co-locates
+    each cluster's vectors (d x 4 B per row) for the per-group
+    pairwise pass. A cluster is the unit of memory and of O(size^2)
+    compute — size k so clusters stay ~1-10k vectors (the published
+    SemDeDup operating point); a skewed mega-cluster needs k raised
+    or its tail sub-sharded upstream, same contract as the other
+    map_groups stages.
+    """
+    scale = float(1 << scale_bits)
+    lab = np.asarray(labels, dtype=np.int64)
+    cen = np.asarray(centroids_fp, dtype=np.int64)
+    cc = np.einsum("ij,ij->i", cen, cen)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks()
+        col = b.column(vec_col).combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             vec_col: pa.array([], col.type)})
+        d = int(widths[0])
+        if not (widths == d).all() or d != cen.shape[1]:
+            raise ValueError("ragged or mismatched embedding column")
+        fp = np.floor(flat.reshape(-1, d) * scale).astype(np.int64)
+        vv = np.einsum("ij,ij->i", fp, fp)
+        d2 = vv[:, None] + cc[None, :] - 2 * (fp @ cen.T)
+        j = np.argmin(d2, axis=1)       # first hit = smallest label
+        return pa.table({id_col: ids,
+                         "cluster": pa.array(lab[j], pa.int64()),
+                         vec_col: col})
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        v = np.stack(df[vec_col].to_list()).astype(np.float64)
+        n = np.linalg.norm(v, axis=1)
+        n[n == 0] = 1.0
+        vn = v / n[:, None]
+        sim = np.triu(vn @ vn.T, k=1)
+        dropped = (sim >= threshold).any(axis=0)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "cluster": df["cluster"].to_numpy(np.int64),
+            "kept": ~dropped,
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              batch_size=batch_size)
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pandas")

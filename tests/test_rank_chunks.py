@@ -93,6 +93,55 @@ def test_chunks_cover_every_token_without_loss(ray_session):
     assert last.all()
 
 
+# ------------------------------------------------------------ SemDeDup
+
+def _semdedup_run(ds, threshold=0.4):
+    from boon_ray.stages.dedup import semdedup
+    from boon_ray.stages.similarity import (
+        embedding_centroids, fixed_point_centroids,
+    )
+
+    labeled = rd.read_parquet(f"{SF}/embeddings.parquet",
+                              columns=["label", "embedding"])
+    labels, c_fp = fixed_point_centroids(
+        embedding_centroids(labeled).to_pandas())
+    return semdedup(ds, labels, c_fp, threshold=threshold).to_pandas()
+
+
+def test_semdedup_planted_duplicate_dropped(ray_session):
+    """An exact copy of a vector (larger id) must be dropped; the
+    original (smallest id of the pair) must survive."""
+    import pyarrow.parquet as pq
+
+    import pyarrow as pa
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    clone_src = int(df["vec_id"].iloc[0])
+    clone_id = int(df["vec_id"].max()) + 1
+    aug = pa.table({
+        "vec_id": pa.array(
+            list(df["vec_id"]) + [clone_id], pa.int64()),
+        "embedding": pa.array(
+            [list(v) for v in df["embedding"]]
+            + [list(df["embedding"].iloc[0])],
+            pa.list_(pa.float32())),
+    })
+    out = _semdedup_run(rd.from_arrow(aug)).set_index("vec_id")
+    assert bool(out.loc[clone_src, "kept"])
+    assert not bool(out.loc[clone_id, "kept"])
+
+
+def test_semdedup_partition_independent(ray_session):
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    a = _sorted(_semdedup_run(ds))
+    b = _sorted(_semdedup_run(ds.repartition(5)))
+    pd.testing.assert_frame_equal(a, b)
+    assert (~a["kept"]).sum() > 0  # the synthetic corpus has dups
+
+
 def test_shuffle_rank_seeds_differ(ray_session):
     from boon_ray.stages.rank import seeded_shuffle_rank
 
