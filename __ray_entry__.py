@@ -1109,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_positions": _q_shuffle_positions,
         "doc_chunks": _q_doc_chunks,
         "semdedup_keep": _q_semdedup_keep,
+        "importance_scores": _q_importance_scores,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1149,6 +1150,19 @@ def _q_shuffle_positions(sf_dir: str):
                          columns=["doc_id"])
     return seeded_shuffle_rank(ds, "doc_id", seed="epoch0",
                                num_buckets=16)
+
+
+def _q_importance_scores(sf_dir: str):
+    """DSIR-style domain-importance scoring: target-domain (lang=en)
+    bigram model contrasted against the raw-corpus model in exact
+    fixed-point integers (stages/retrieval.importance_scores)."""
+    import ray.data as rd
+
+    from boon_ray.stages.retrieval import importance_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return importance_scores(ds, target_col="lang", target_value="en")
 
 
 def _q_semdedup_keep(sf_dir: str):
@@ -1991,6 +2005,28 @@ def oracle_sql() -> dict[str, str]:
             f"{_splitmix64_sql('doc_id', 'epoch0')}, doc_id) - 1 "
             f"AS BIGINT) AS pos FROM documents",
         "doc_chunks": _chunk_sql(),
+        "importance_scores":
+            r"WITH toks AS (SELECT doc_id, lang, "
+            r"regexp_split_to_array(trim(text), '\s+') AS ts "
+            r"FROM documents WHERE length(trim(text)) > 0), "
+            r"pos AS (SELECT doc_id, lang, ts, "
+            r"unnest(generate_series(1, len(ts) - 1)) AS i FROM toks), "
+            r"big AS (SELECT doc_id, lang, ts[i] AS w1, ts[i+1] AS w2 "
+            r"FROM pos), "
+            r"c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_all, "
+            r"CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) "
+            r"AS BIGINT) AS n_tgt FROM big GROUP BY w1, w2), "
+            r"cf AS (SELECT * FROM c WHERE n_tgt > 0), "
+            r"n1 AS (SELECT w1, CAST(SUM(n_all) AS BIGINT) AS n1_raw, "
+            r"CAST(SUM(n_tgt) AS BIGINT) AS n1_tgt FROM cf "
+            r"GROUP BY w1), "
+            r"tab AS (SELECT cf.w1, cf.w2, "
+            r"n1.n1_raw * 1048576 // cf.n_all "
+            r"- n1.n1_tgt * 1048576 // cf.n_tgt AS imp "
+            r"FROM cf JOIN n1 USING (w1)) "
+            r"SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored, "
+            r"CAST(SUM(imp) AS BIGINT) AS imp_sum "
+            r"FROM big JOIN tab USING (w1, w2) GROUP BY doc_id",
         "semdedup_keep":
             f"WITH a AS ({_kmeans_sql()}), "
             "dup AS (SELECT DISTINCT y.vec_id AS v "

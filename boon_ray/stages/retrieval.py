@@ -237,6 +237,22 @@ def rarity_scores(ds, column: str = "text", id_col: str = "doc_id",
                           batch_size=batch_size)
 
 
+def _bigram_rows_of(b: pa.Table, column: str) -> pd.DataFrame:
+    """Explode a batch's text column to in-document adjacent token
+    pairs (row, w1, w2), fully vectorized."""
+    d = _token_rows(b, column)
+    if d.empty:
+        return pd.DataFrame({"row": pd.Series([], dtype=np.int64),
+                             "w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object)})
+    row = d["row"].to_numpy()
+    tok = d["token"].to_numpy()
+    keep = row[:-1] == row[1:]
+    return pd.DataFrame({"row": row[:-1][keep],
+                         "w1": tok[:-1][keep],
+                         "w2": tok[1:][keep]})
+
+
 def bigram_surprisal(ds, column: str = "text", id_col: str = "doc_id",
                      batch_size=None):
     """Per-document bigram-LM surprisal — the exact-integer analogue
@@ -261,17 +277,7 @@ def bigram_surprisal(ds, column: str = "text", id_col: str = "doc_id",
     """
 
     def _bigram_rows(b: pa.Table) -> pd.DataFrame:
-        d = _token_rows(b, column)
-        if d.empty:
-            return pd.DataFrame({"row": pd.Series([], dtype=np.int64),
-                                 "w1": pd.Series([], dtype=object),
-                                 "w2": pd.Series([], dtype=object)})
-        row = d["row"].to_numpy()
-        tok = d["token"].to_numpy()
-        keep = row[:-1] == row[1:]
-        return pd.DataFrame({"row": row[:-1][keep],
-                             "w1": tok[:-1][keep],
-                             "w2": tok[1:][keep]})
+        return _bigram_rows_of(b, column)
 
     def c12_partial(b: pa.Table) -> pd.DataFrame:
         d = _bigram_rows(b)
@@ -306,6 +312,96 @@ def bigram_surprisal(ds, column: str = "text", id_col: str = "doc_id",
                                   pa.int64()),
             "surprisal_sum": pa.array(
                 g["surprisal_sum"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(score_batch, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def importance_scores(ds, target_col: str, target_value: str,
+                      column: str = "text", id_col: str = "doc_id",
+                      batch_size=None):
+    """DSIR-style importance scoring (data selection with importance
+    resampling, arXiv:2302.03169): contrast a TARGET-domain bigram
+    model against the RAW-corpus model, so documents whose adjacent-
+    token transitions look like the target domain (low target
+    surprisal) but not like the corpus at large (high raw surprisal)
+    score high — the distributed selection signal for domain-targeted
+    pre-training mixes.
+
+    All-integer analogue of the log-likelihood ratio: for each in-doc
+    bigram present in BOTH models,
+      imp = raw_score - target_score,  score_X = (n1_X * 2**20) // n12_X
+    (the inverse conditional probability under corpus X, monotone in
+    -log p; the difference is monotone in log p_target - log p_raw at
+    matched n1 magnitudes and is exactly SQL-reproducible, unlike a
+    float log ratio). Output: (id, n_scored, imp_sum); documents with
+    no both-model bigram emit no row (mirrors the oracle's inner
+    joins).
+
+    Scale shape: ONE counting pass produces per-batch partials of
+    (w1, w2, n_all, n_tgt) — target membership is a vectorized
+    predicate on ``target_col`` — reduced through a bigram-vocab-
+    bounded groupby; the count table broadcasts back into a streaming
+    scoring pass (pandas hash-join per batch). Same two-pass shape,
+    same Heaps-law bound, as :func:`bigram_surprisal`.
+    """
+
+    def count_partial(b: pa.Table) -> pd.DataFrame:
+        d = _bigram_rows_of(b, column)
+        tgt = (b.column(target_col).to_pandas().to_numpy()
+               == target_value)
+        if d.empty:
+            return pd.DataFrame({
+                "w1": pd.Series([], dtype=object),
+                "w2": pd.Series([], dtype=object),
+                "n_all": pd.Series([], dtype=np.int64),
+                "n_tgt": pd.Series([], dtype=np.int64)})
+        d["is_tgt"] = tgt[d["row"].to_numpy()].astype(np.int64)
+        g = d.groupby(["w1", "w2"], sort=False)["is_tgt"] \
+             .agg(n_all="size", n_tgt="sum").reset_index()
+        g["n_all"] = g["n_all"].astype(np.int64)
+        g["n_tgt"] = g["n_tgt"].astype(np.int64)
+        return g
+
+    counts = (ds.map_batches(count_partial, batch_format="pyarrow",
+                             batch_size=batch_size)
+              .groupby(["w1", "w2"]).sum(["n_all", "n_tgt"])
+              .to_pandas())   # bigram-vocab bounded
+    counts = counts.rename(columns={"sum(n_all)": "n_all",
+                                    "sum(n_tgt)": "n_tgt"})
+    counts = counts[counts["n_tgt"] > 0].reset_index(drop=True)
+    for side, n12 in (("raw", "n_all"), ("tgt", "n_tgt")):
+        n1 = counts.groupby("w1", sort=False)[n12].sum() \
+                   .rename(f"n1_{side}").reset_index()
+        counts = counts.merge(n1, on="w1")
+    counts["imp"] = (
+        counts["n1_raw"].to_numpy(np.int64) * SCALE
+        // counts["n_all"].to_numpy(np.int64)
+        - counts["n1_tgt"].to_numpy(np.int64) * SCALE
+        // counts["n_tgt"].to_numpy(np.int64))
+    table = counts[["w1", "w2", "imp"]]
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks()
+        d = _bigram_rows_of(b, column)
+        m = d.merge(table, on=["w1", "w2"], how="inner")
+        if m.empty:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_scored": pa.array([], pa.int64()),
+                "imp_sum": pa.array([], pa.int64())})
+        grp = m.groupby(m["row"].to_numpy())
+        g = pd.DataFrame({
+            "n_scored": grp.size().astype(np.int64),
+            "imp_sum": grp["imp"].sum().astype(np.int64),
+        })
+        return pa.table({
+            id_col: ids.take(pa.array(g.index.to_numpy(np.int64))),
+            "n_scored": pa.array(g["n_scored"].to_numpy(np.int64),
+                                 pa.int64()),
+            "imp_sum": pa.array(g["imp_sum"].to_numpy(np.int64),
+                                pa.int64()),
         })
 
     return ds.map_batches(score_batch, batch_format="pyarrow",

@@ -142,6 +142,32 @@ def test_semdedup_partition_independent(ray_session):
     assert (~a["kept"]).sum() > 0  # the synthetic corpus has dups
 
 
+# ----------------------------------------- DSIR importance scoring
+
+def test_importance_scores_match_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["importance_scores"](SF).to_pandas())
+    want = _sorted(oracle.sql(
+        E.oracle_sql()["importance_scores"]).df())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_importance_favors_target_domain(ray_session):
+    """Mean importance of target-domain (lang=en) documents must
+    exceed the rest — the selection signal points the right way."""
+    from boon_ray.stages.retrieval import importance_scores
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    out = importance_scores(ds, "lang", "en").to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    m = out.merge(docs, on="doc_id")
+    means = m.groupby(m["lang"] == "en")["imp_sum"].mean()
+    assert means[True] > means[False]
+
+
 def test_shuffle_rank_seeds_differ(ray_session):
     from boon_ray.stages.rank import seeded_shuffle_rank
 
