@@ -1110,6 +1110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "semdedup_keep": _q_semdedup_keep,
         "importance_scores": _q_importance_scores,
+        "probe_moments": _q_probe_moments,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1163,6 +1164,21 @@ def _q_importance_scores(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     return importance_scores(ds, target_col="lang", target_value="en")
+
+
+def _q_probe_moments(sf_dir: str):
+    """Distributed linear-probe training reduction: exact-int64 upper
+    triangle of the [1, n_words, n_chars, y]^T x [...] moment matrix
+    in one streaming pass (stages/probe.py) — the oracle-checkable
+    half of closed-form quality-classifier training; the float solve
+    is deterministic given these sums (tests/test_rank_chunks.py)."""
+    import ray.data as rd
+
+    from boon_ray.stages.probe import moment_matrix, text_probe_features
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return moment_matrix(ds, text_probe_features(), d=4)
 
 
 def _q_semdedup_keep(sf_dir: str):
@@ -2027,6 +2043,28 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored, "
             r"CAST(SUM(imp) AS BIGINT) AS imp_sum "
             r"FROM big JOIN tab USING (w1, w2) GROUP BY doc_id",
+        "probe_moments":
+            r"WITH f AS (SELECT 1 AS f0, "
+            r"CAST(len(regexp_split_to_array(trim(text), '\s+')) "
+            r"AS BIGINT) AS f1, "
+            r"CAST(length(text) AS BIGINT) AS f2, "
+            r"CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END "
+            r"AS BIGINT) AS f3 "
+            r"FROM documents WHERE length(trim(text)) > 0), "
+            r"m AS (SELECT "
+            r"CAST(SUM(f0*f0) AS BIGINT) AS s00, "
+            r"CAST(SUM(f0*f1) AS BIGINT) AS s01, "
+            r"CAST(SUM(f0*f2) AS BIGINT) AS s02, "
+            r"CAST(SUM(f0*f3) AS BIGINT) AS s03, "
+            r"CAST(SUM(f1*f1) AS BIGINT) AS s11, "
+            r"CAST(SUM(f1*f2) AS BIGINT) AS s12, "
+            r"CAST(SUM(f1*f3) AS BIGINT) AS s13, "
+            r"CAST(SUM(f2*f2) AS BIGINT) AS s22, "
+            r"CAST(SUM(f2*f3) AS BIGINT) AS s23, "
+            r"CAST(SUM(f3*f3) AS BIGINT) AS s33 FROM f) "
+            r"SELECT CAST(substr(k, 2, 1) AS BIGINT) AS i, "
+            r"CAST(substr(k, 3, 1) AS BIGINT) AS j, s "
+            r"FROM (UNPIVOT m ON COLUMNS(*) INTO NAME k VALUE s)",
         "semdedup_keep":
             f"WITH a AS ({_kmeans_sql()}), "
             "dup AS (SELECT DISTINCT y.vec_id AS v "

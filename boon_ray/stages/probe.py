@@ -1,0 +1,102 @@
+"""Distributed linear-probe training via exact-integer normal
+equations — the quality-classifier step of a curation pipeline
+(e.g. a "looks-like-target-domain" linear model over cheap integer
+features), trained in ONE streaming pass with no SGD and no float
+nondeterminism in the distributed part.
+
+For the design matrix ``A = [1, f_1 .. f_d, y]`` (intercept, integer
+features, 0/1 label as the last column), the upper triangle of the
+moment matrix ``M = A^T A`` contains everything linear regression /
+least-squares classification needs: ``X^T X`` (top-left block),
+``X^T y`` (last column) and ``y^T y``.  Every entry is an EXACT int64
+sum of products of integer features, so:
+
+- each batch reduces to one (d+2)x(d+2) partial matrix (a single
+  ``A.T @ A`` matmul — vectorized, order-free integer adds);
+- partials stream through a tiny keyed groupby (``(d+2)(d+3)/2``
+  rows total — the only exchange, constant-size regardless of corpus);
+- the distributed result is bit-reproducible and SQL-expressible
+  (one SUM per moment), making the TRAINING REDUCTION itself
+  oracle-checkable — unlike SGD, where float order breaks parity;
+- the driver solves the d+1-unknown system in float64 from exact
+  integers (deterministic given the sums): closed-form ridge
+  ``w = (X^T X + lam I)^-1 X^T y``.
+
+Scale shape: with n rows and integer features bounded by F, moments
+are <= n * F^2 — int64-safe for 10^12 rows when F <= ~50k.  The
+corpus streams once; nothing else moves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def moment_matrix(ds, feature_fn, d: int, batch_size=None):
+    """Upper-triangle moments of ``A^T A`` as a (i, j, s) Dataset.
+
+    ``feature_fn(batch) -> (n, d) int64 ndarray`` builds the design
+    matrix (intercept/label columns included by the caller); ``d`` is
+    its column count.  Rows are emitted for i <= j only.
+    """
+    iu, ju = np.triu_indices(d)
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = feature_fn(b)
+        if a.shape[0] == 0:
+            m = np.zeros((d, d), dtype=np.int64)
+        else:
+            a = a.astype(np.int64, copy=False)
+            m = a.T @ a
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64), pa.int64()),
+            "j": pa.array(ju.astype(np.int64), pa.int64()),
+            "s": pa.array(m[iu, ju], pa.int64()),
+        })
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=batch_size)
+           .groupby(["i", "j"]).sum("s"))
+    return out.map_batches(
+        lambda b: b.rename_columns(["i", "j", "s"]),
+        batch_format="pyarrow", batch_size=None)
+
+
+def text_probe_features(column: str = "text", label_col: str = "lang",
+                        label_value: str = "en"):
+    """Design-matrix builder [1, n_words, n_chars, y] over a documents
+    batch — integer features with exact SQL analogues
+    (len(regexp_split_to_array(trim(text),'\\s+')), length(text));
+    rows with empty/whitespace-only text are excluded (mirrors the
+    oracle's WHERE length(trim(text)) > 0)."""
+
+    def f(b: pa.Table) -> np.ndarray:
+        s = b.column(column).to_pandas().fillna("")
+        lab = b.column(label_col).to_pandas().to_numpy()
+        n_words = s.str.split().str.len().to_numpy()
+        keep = n_words > 0
+        n = int(keep.sum())
+        a = np.empty((n, 4), dtype=np.int64)
+        a[:, 0] = 1
+        a[:, 1] = n_words[keep]
+        a[:, 2] = s.str.len().to_numpy()[keep]
+        a[:, 3] = (lab[keep] == label_value)
+        return a
+
+    return f
+
+
+def solve_probe(moments: pd.DataFrame, d: int, lam: float = 1e-6) \
+        -> np.ndarray:
+    """Ridge solve from moment rows (i, j, s): the last design column
+    is the label, the rest are features.  Returns the d-1-dim weight
+    vector (intercept first)."""
+    m = np.zeros((d, d), dtype=np.float64)
+    for i, j, s in moments[["i", "j", "s"]].itertuples(index=False):
+        m[int(i), int(j)] = m[int(j), int(i)] = float(s)
+    xtx = m[:d - 1, :d - 1]
+    xty = m[:d - 1, d - 1]
+    return np.linalg.solve(
+        xtx + lam * np.eye(d - 1) * max(1.0, np.trace(xtx)), xty)

@@ -168,6 +168,59 @@ def test_importance_favors_target_domain(ray_session):
     assert means[True] > means[False]
 
 
+# ------------------------------------ normal-equation linear probe
+
+def test_probe_moments_match_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["probe_moments"](SF).to_pandas())
+    want = _sorted(oracle.sql(E.oracle_sql()["probe_moments"]).df())
+    pd.testing.assert_frame_equal(
+        got, want.astype({"i": "int64", "j": "int64", "s": "int64"}))
+
+
+def test_probe_moments_partition_independent(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.probe import moment_matrix, text_probe_features
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    a = _sorted(moment_matrix(ds, text_probe_features(),
+                              d=4).to_pandas())
+    b = _sorted(moment_matrix(ds.repartition(7), text_probe_features(),
+                              d=4).to_pandas())
+    pd.testing.assert_frame_equal(a, b)  # exact ints: bit-equal
+
+
+def test_probe_solve_recovers_separable_labels(ray_session):
+    """On a linearly separable corpus (label = many words) the solved
+    probe must classify near-perfectly — the closed-form solve works
+    end-to-end from the distributed integer sums."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.probe import (
+        moment_matrix, solve_probe, text_probe_features,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    n_words = rng.integers(5, 100, n)
+    texts = [" ".join(["w"] * int(k)) for k in n_words]
+    lang = np.where(n_words >= 50, "en", "xx")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(lang, pa.string()),
+    }))
+    mom = moment_matrix(ds, text_probe_features(), d=4).to_pandas()
+    w = solve_probe(mom, d=4)
+    x = np.column_stack([np.ones(n), n_words, 2 * n_words - 1])
+    acc = ((x @ w > 0.5) == (lang == "en")).mean()
+    assert acc > 0.95
+
+
 def test_shuffle_rank_seeds_differ(ray_session):
     from boon_ray.stages.rank import seeded_shuffle_rank
 
