@@ -249,6 +249,82 @@ def q_tfidf_topk():
                         id_col="commit").count()
 
 
+def q_doc_chunks():
+    """Context-window chunking (32-word windows, stride 24) over the
+    amplified corpus — shuffle-free map; cost is tokenize + per-chunk
+    string join."""
+    from boon_ray.stages.chunking import chunk_documents
+
+    return chunk_documents(_corpus(), column="content",
+                           id_col="commit", width=32,
+                           stride=24).count()
+
+
+def q_shuffle_rank():
+    """Seeded global shuffle rank over 500k ids: count pass +
+    one (id, h, bucket) exchange + within-bucket rank."""
+    from boon_ray.stages.rank import seeded_shuffle_rank
+
+    def add_id(b):
+        import numpy as np
+        import pyarrow as pa
+        start = abs(hash(b.column("commit")[0].as_py())) % (1 << 40)
+        ids = np.arange(start, start + b.num_rows, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids)})
+
+    ids = _corpus().map_batches(add_id, batch_format="pyarrow",
+                                batch_size=None).materialize()
+    return seeded_shuffle_rank(ids, "doc_id", seed="bench",
+                               num_buckets=256).count()
+
+
+def q_importance():
+    """DSIR importance scoring over the amplified corpus: one
+    bigram-count pass (vocab-bounded shuffle) + one broadcast
+    scoring pass."""
+    from boon_ray.stages.retrieval import importance_scores
+
+    return importance_scores(_corpus(), target_col="lang",
+                             target_value="en", column="content",
+                             id_col="commit").count()
+
+
+def q_semdedup():
+    """SemDeDup over the embeddings table amplified 10x (50k vectors,
+    10 clusters -> ~5k-vector groups; the per-group pairwise cosine
+    dominates, the published SemDeDup operating point)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import semdedup
+    from boon_ray.stages.similarity import (
+        embedding_centroids, fixed_point_centroids,
+    )
+
+    labeled = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                              columns=["label", "embedding"])
+    labels, c_fp = fixed_point_centroids(
+        embedding_centroids(labeled).to_pandas())
+
+    def amplify(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        parts = []
+        for r in range(10):
+            parts.append(pa.table({
+                "vec_id": pa.array(
+                    ids.astype(np.int64) + r * 1_000_003, pa.int64()),
+                "embedding": b.column("embedding"),
+            }))
+        return pa.concat_tables(parts).combine_chunks()
+
+    vecs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .repartition(32).map_batches(amplify, batch_format="pyarrow",
+                                     batch_size=None)
+    return semdedup(vecs, labels, c_fp, threshold=0.4).count()
+
+
 def q_validate_conditional():
     """Full recursive engine against the conditional policy schema
     (allOf/if/not disqualify the columnar fast path by design —
@@ -281,6 +357,10 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "inverted_index": q_inverted_index,
     "tfidf_topk": q_tfidf_topk,
+    "doc_chunks": q_doc_chunks,
+    "shuffle_rank": q_shuffle_rank,
+    "importance": q_importance,
+    "semdedup": q_semdedup,
     # actor-pool queries last (pool teardown overlaps the next query)
     "decontaminate": q_decontaminate,
     "validate_full_engine": q_validate_full_engine,

@@ -33,11 +33,11 @@ import pyarrow as pa
 
 def _chunk_batch(b: pa.Table, column: str, id_col: str, width: int,
                  stride: int, emit_text: bool) -> pa.Table:
-    ids = b.column(id_col).to_numpy(zero_copy_only=False)
+    ids = b.column(id_col).combine_chunks()
     s = b.column(column).to_pandas().fillna("")
     ex = s.str.split().explode().dropna()
     out_schema = {
-        id_col: pa.int64(), "chunk_id": pa.int64(),
+        id_col: ids.type, "chunk_id": pa.int64(),
         "n_words": pa.int64(),
     }
     if emit_text:
@@ -81,7 +81,8 @@ def _chunk_batch(b: pa.Table, column: str, id_col: str, width: int,
 
     r_idx = idx.get_level_values(0).to_numpy(np.int64)
     out = {
-        id_col: pa.array(ids[r_idx].astype(np.int64), pa.int64()),
+        # Arrow take keeps the id column's type (int, string, ...)
+        id_col: ids.take(pa.array(r_idx)),
         "chunk_id": pa.array(
             idx.get_level_values(1).to_numpy(np.int64), pa.int64()),
         "n_words": pa.array(sizes.to_numpy(np.int64), pa.int64()),

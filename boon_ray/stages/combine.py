@@ -1,0 +1,61 @@
+"""Tree combine for KEY-BOUNDED partial aggregates.
+
+Measured rule (sf0.1/32, 128 blocks): Ray Data's sort-based
+``groupby().sum()`` costs ~20 s of fixed overhead even when every
+partial block is under 1k rows — the sample/sort/reduce machinery is
+priced for corpus-sized exchanges, not for reducing per-block count
+tables whose size is bounded by a VOCABULARY, not by the data.  For
+that shape (each map task already emitted one combined table per
+block; distinct keys are Heaps-law bounded) a two-level tree combine
+over the partial block REFS is ~6x faster end to end:
+
+1. ``to_arrow_refs`` — executes the upstream pipeline, moves nothing;
+2. if there are more than ``fanin`` blocks, remote combine tasks each
+   concat+groupby one group of blocks (object-store reads, no
+   driver);
+3. the driver concats the <= fanin combined tables (each <= distinct
+   keys) and does the final pandas groupby.
+
+Driver memory is fanin x |keys|; task memory is blocks/fanin x
+|keys| — both vocabulary-bounded, corpus-independent.  Use ONLY for
+partials whose key cardinality is bounded (bigram/token vocab,
+bucket ids); corpus-keyed aggregates belong in the real groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def combine_keyed_partials(parts_ds, key_cols, sum_cols,
+                           fanin: int = 32) -> pd.DataFrame:
+    """Sum ``sum_cols`` per ``key_cols`` across a Dataset of partial
+    count tables; returns ONE pandas frame (see module docstring)."""
+    import ray
+
+    key_cols = list(key_cols)
+    sum_cols = list(sum_cols)
+
+    def _combine_tables(tables) -> pd.DataFrame:
+        dfs = [t.to_pandas() for t in tables if t.num_rows]
+        if not dfs:
+            return pd.DataFrame(columns=key_cols + sum_cols)
+        df = pd.concat(dfs, ignore_index=True)
+        out = df.groupby(key_cols, sort=False)[sum_cols].sum() \
+                .reset_index()
+        for c in sum_cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    refs = parts_ds.to_arrow_refs()
+    if len(refs) > fanin:
+        @ray.remote
+        def combine_group(*tables) -> pa.Table:
+            return pa.Table.from_pandas(_combine_tables(tables),
+                                        preserve_index=False)
+
+        groups = [refs[i::fanin] for i in range(fanin) if refs[i::fanin]]
+        refs = [combine_group.remote(*g) for g in groups]
+    return _combine_tables(ray.get(list(refs)))

@@ -286,10 +286,11 @@ def bigram_surprisal(ds, column: str = "text", id_col: str = "doc_id",
         g["n12"] = g["n12"].astype(np.int64)
         return g[["w1", "w2", "n12"]]
 
-    c12 = (ds.map_batches(c12_partial, batch_format="pyarrow",
-                          batch_size=batch_size)
-           .groupby(["w1", "w2"]).sum("n12").to_pandas())
-    c12 = c12.rename(columns={"sum(n12)": "n12"})
+    from boon_ray.stages.combine import combine_keyed_partials
+    c12 = combine_keyed_partials(
+        ds.map_batches(c12_partial, batch_format="pyarrow",
+                       batch_size=batch_size),
+        ["w1", "w2"], ["n12"])  # bigram-vocab-bounded tree combine
     c1 = c12.groupby("w1", sort=False)["n12"].sum() \
             .rename("n1").reset_index()
     counts = c12.merge(c1, on="w1")
@@ -364,12 +365,11 @@ def importance_scores(ds, target_col: str, target_value: str,
         g["n_tgt"] = g["n_tgt"].astype(np.int64)
         return g
 
-    counts = (ds.map_batches(count_partial, batch_format="pyarrow",
-                             batch_size=batch_size)
-              .groupby(["w1", "w2"]).sum(["n_all", "n_tgt"])
-              .to_pandas())   # bigram-vocab bounded
-    counts = counts.rename(columns={"sum(n_all)": "n_all",
-                                    "sum(n_tgt)": "n_tgt"})
+    from boon_ray.stages.combine import combine_keyed_partials
+    counts = combine_keyed_partials(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       batch_size=batch_size),
+        ["w1", "w2"], ["n_all", "n_tgt"])  # vocab-bounded tree combine
     counts = counts[counts["n_tgt"] > 0].reset_index(drop=True)
     for side, n12 in (("raw", "n_all"), ("tgt", "n_tgt")):
         n1 = counts.groupby("w1", sort=False)[n12].sum() \
