@@ -56,12 +56,19 @@ def moment_matrix(ds, feature_fn, d: int, batch_size=None):
             "s": pa.array(m[iu, ju], pa.int64()),
         })
 
-    out = (ds.map_batches(partial, batch_format="pyarrow",
-                          batch_size=batch_size)
-           .groupby(["i", "j"]).sum("s"))
-    return out.map_batches(
-        lambda b: b.rename_columns(["i", "j", "s"]),
-        batch_format="pyarrow", batch_size=None)
+    import ray.data as rd
+
+    from boon_ray.stages.combine import combine_keyed_partials
+
+    out = combine_keyed_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=batch_size),
+        ["i", "j"], ["s"])           # (d+2)(d+3)/2 rows, constant
+    return rd.from_arrow(pa.table({
+        "i": pa.array(out["i"].to_numpy(np.int64), pa.int64()),
+        "j": pa.array(out["j"].to_numpy(np.int64), pa.int64()),
+        "s": pa.array(out["s"].to_numpy(np.int64), pa.int64()),
+    }))
 
 
 def text_probe_features(column: str = "text", label_col: str = "lang",

@@ -80,15 +80,16 @@ def seeded_shuffle_rank(ds, id_col: str, seed: str = "epoch0",
         return pa.table({"bucket": pa.array(bk, pa.int64()),
                          "n": pa.array(n.astype(np.int64), pa.int64())})
 
-    counts = (keyed_ds.map_batches(bucket_counts,
-                                   batch_format="pyarrow",
-                                   batch_size=batch_size)
-              .groupby("bucket").sum("n").to_pandas())  # <= num_buckets rows
+    from boon_ray.stages.combine import combine_keyed_partials
+    counts = combine_keyed_partials(
+        keyed_ds.map_batches(bucket_counts, batch_format="pyarrow",
+                             batch_size=batch_size),
+        ["bucket"], ["n"])           # <= num_buckets rows
     counts = counts.sort_values("bucket")
     offsets = dict(zip(
         counts["bucket"].to_numpy(np.int64),
         np.concatenate(([0], np.cumsum(
-            counts["sum(n)"].to_numpy(np.int64))[:-1]))))
+            counts["n"].to_numpy(np.int64))[:-1]))))
 
     # pass 2: within-bucket rank + broadcast offset
     def rank_group(df: pd.DataFrame) -> pd.DataFrame:

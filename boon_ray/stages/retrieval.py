@@ -104,12 +104,13 @@ def tf_idf_top_k(ds, query_terms, k: int = 10, column: str = "text",
             "df_n": pa.array(vc.to_numpy(np.int64), pa.int64()),
         })
 
-    dfs = (ds.map_batches(df_partial, batch_format="pyarrow",
-                          batch_size=batch_size)
-             .groupby("token").sum("df_n")
-             .to_pandas())  # bounded: <= |query_terms| rows
+    from boon_ray.stages.combine import combine_keyed_partials
+    dfs = combine_keyed_partials(
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       batch_size=batch_size),
+        ["token"], ["df_n"])  # bounded: <= |query_terms| rows
     idf = {t: (n_docs * SCALE) // int(n)
-           for t, n in zip(dfs["token"], dfs["sum(df_n)"]) if n > 0}
+           for t, n in zip(dfs["token"], dfs["df_n"]) if n > 0}
 
     def score_batch(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).combine_chunks()

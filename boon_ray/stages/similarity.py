@@ -239,15 +239,22 @@ def embedding_centroids(ds, label_col: str = "label",
                          "n": pa.array(out_n, pa.int64()),
                          "sum_fp": pa.array(out_s, pa.int64())})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow",
-                              batch_size=batch_size)
-    agg = partials.groupby([label_col, "dim"]).sum(["n", "sum_fp"])
+    import ray.data as rd
 
-    def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns([label_col, "dim", "n", "sum_fp"])
+    from boon_ray.stages.combine import combine_keyed_partials
 
-    return agg.map_batches(rename, batch_format="pyarrow",
-                           batch_size=None)
+    agg = combine_keyed_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=batch_size),
+        [label_col, "dim"], ["n", "sum_fp"])  # labels x dims rows
+    return rd.from_arrow(pa.table({
+        label_col: pa.array(agg[label_col].to_numpy(np.int64),
+                            pa.int64()),
+        "dim": pa.array(agg["dim"].to_numpy(np.int64), pa.int64()),
+        "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+        "sum_fp": pa.array(agg["sum_fp"].to_numpy(np.int64),
+                           pa.int64()),
+    }))
 
 
 def fixed_point_centroids(rows: pd.DataFrame, label_col: str = "label"
