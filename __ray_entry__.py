@@ -1111,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_keep": _q_semdedup_keep,
         "importance_scores": _q_importance_scores,
         "probe_moments": _q_probe_moments,
+        "snapshot_delta": _q_snapshot_delta,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1164,6 +1165,48 @@ def _q_importance_scores(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     return importance_scores(ds, target_col="lang", target_value="en")
+
+
+def _q_snapshot_delta(sf_dir: str):
+    """Incremental-ingest diff of two corpus snapshots
+    (stages/delta.py): the 'new' snapshot is a deterministic mutation
+    of documents (drop id%11==0, rewrite id%7==0, add clones of
+    id%13==0 under id+1000000); output is the delta only
+    (added/removed/changed), reproduced in SQL by a FULL OUTER
+    JOIN."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from boon_ray.stages.delta import snapshot_delta
+
+    old = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+
+    def mutate(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        text = b.column("text")
+        changed = pc.binary_join_element_wise(
+            pc.cast(text, pa.string()),
+            pa.array(np.full(len(ids), "v2"), pa.string()), " ")
+        base_text = pc.if_else(pa.array(ids % 7 == 0), changed, text)
+        keep = ids % 11 != 0
+        base = pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "text": base_text.filter(pa.array(keep)),
+        })
+        add = ids % 13 == 0
+        added = pa.table({
+            "doc_id": pa.array(ids[add] + 1_000_000, pa.int64()),
+            "text": text.filter(pa.array(add)),
+        })
+        return pa.concat_tables([base, added]).combine_chunks()
+
+    new = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"]).map_batches(
+        mutate, batch_format="pyarrow", batch_size=None)
+    return snapshot_delta(old, new, num_buckets=16)
 
 
 def _q_probe_moments(sf_dir: str):
@@ -2043,6 +2086,20 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored, "
             r"CAST(SUM(imp) AS BIGINT) AS imp_sum "
             r"FROM big JOIN tab USING (w1, w2) GROUP BY doc_id",
+        "snapshot_delta":
+            "WITH newt AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN text || ' v2' ELSE text END AS text "
+            "FROM documents WHERE doc_id % 11 != 0 "
+            "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
+            "FROM documents WHERE doc_id % 13 = 0), "
+            "j AS (SELECT o.doc_id AS oid, n.doc_id AS nid, "
+            "o.text AS ot, n.text AS nt FROM documents o "
+            "FULL OUTER JOIN newt n ON o.doc_id = n.doc_id) "
+            "SELECT CAST(COALESCE(oid, nid) AS BIGINT) AS doc_id, "
+            "CASE WHEN oid IS NULL THEN 'added' "
+            "WHEN nid IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS status FROM j "
+            "WHERE oid IS NULL OR nid IS NULL OR ot != nt",
         "probe_moments":
             r"WITH f AS (SELECT 1 AS f0, "
             r"CAST(len(regexp_split_to_array(trim(text), '\s+')) "

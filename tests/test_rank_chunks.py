@@ -221,6 +221,26 @@ def test_probe_solve_recovers_separable_labels(ray_session):
     assert acc > 0.95
 
 
+# ---------------------------------------------------- snapshot delta
+
+def test_snapshot_delta_matches_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["snapshot_delta"](SF).to_pandas())
+    want = _sorted(oracle.sql(E.oracle_sql()["snapshot_delta"]).df())
+    pd.testing.assert_frame_equal(got,
+                                  want.astype({"doc_id": "int64"}))
+
+
+def test_snapshot_delta_identity_is_empty(ray_session):
+    from boon_ray.stages.delta import snapshot_delta
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = snapshot_delta(ds, ds, num_buckets=4).to_pandas()
+    assert len(out) == 0
+
+
 def test_shuffle_rank_seeds_differ(ray_session):
     from boon_ray.stages.rank import seeded_shuffle_rank
 
