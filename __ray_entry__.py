@@ -1112,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_scores": _q_importance_scores,
         "probe_moments": _q_probe_moments,
         "snapshot_delta": _q_snapshot_delta,
+        "pretrain_chunks": _q_pretrain_chunks,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1165,6 +1166,16 @@ def _q_importance_scores(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
     return importance_scores(ds, target_col="lang", target_value="en")
+
+
+def _q_pretrain_chunks(sf_dir: str):
+    """Composed chunk-level pretraining set (pipelines/pretrain.py):
+    gopher quality filter -> 32/24 context-window chunking -> seeded
+    epoch-shuffle rank over chunk uids -> leakage-aware DOC-level
+    train/test split; one DuckDB statement replays the whole chain."""
+    from boon_ray.pipelines.pretrain import pretrain_chunks
+
+    return pretrain_chunks(sf_dir)
 
 
 def _q_snapshot_delta(sf_dir: str):
@@ -1563,6 +1574,27 @@ FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM dirty)"""
 def _chunk_sql() -> str:
     from boon_ray.stages.chunking import chunk_documents_sql
     return chunk_documents_sql("documents", 32, 24)
+
+
+def _pretrain_sql(min_words: int = 25, max_words: int = 80) -> str:
+    """One statement replaying pipelines/pretrain.py: gopher metrics
+    -> chunking -> splitmix64 rank over uid -> doc-level split."""
+    from boon_ray.stages.chunking import chunk_documents_sql
+    chunks = chunk_documents_sql("q", 32, 24)
+    return (
+        f"WITH m AS ({_gopher_m_body('documents')}), "
+        f"q AS (SELECT d.doc_id, d.text FROM documents d "
+        f"JOIN m USING (doc_id) "
+        f"WHERE {_gopher_pass_expr(min_words, max_words)}), "
+        f"chunks AS ({chunks}), "
+        f"u AS (SELECT doc_id, chunk_id, "
+        f"doc_id * 64 + chunk_id AS uid FROM chunks), "
+        f"r AS (SELECT doc_id, chunk_id, CAST(ROW_NUMBER() OVER "
+        f"(ORDER BY {_splitmix64_sql('uid', 'epoch0')}, uid) - 1 "
+        f"AS BIGINT) AS pos FROM u) "
+        f"SELECT doc_id, chunk_id, pos, CASE WHEN "
+        f"{_splitmix64_sql('doc_id', 'split')} % 256 < 26 "
+        f"THEN 'test' ELSE 'train' END AS split FROM r")
 
 
 def _repetition_sql() -> str:
@@ -2086,6 +2118,7 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored, "
             r"CAST(SUM(imp) AS BIGINT) AS imp_sum "
             r"FROM big JOIN tab USING (w1, w2) GROUP BY doc_id",
+        "pretrain_chunks": _pretrain_sql(),
         "snapshot_delta":
             "WITH newt AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
             "THEN text || ' v2' ELSE text END AS text "

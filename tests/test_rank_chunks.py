@@ -241,6 +241,28 @@ def test_snapshot_delta_identity_is_empty(ray_session):
     assert len(out) == 0
 
 
+# --------------------------------------- chunk-level pretrain pipeline
+
+def test_pretrain_chunks_match_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["pretrain_chunks"](SF).to_pandas())
+    want = _sorted(oracle.sql(E.oracle_sql()["pretrain_chunks"]).df())
+    pd.testing.assert_frame_equal(
+        got, want.astype({"chunk_id": "int64", "pos": "int64"}))
+
+
+def test_pretrain_chunks_invariants(ray_session):
+    """pos is a permutation of [0, n); a document's chunks never
+    straddle the train/test split (doc-level leakage guard)."""
+    from boon_ray.pipelines.pretrain import pretrain_chunks
+
+    out = pretrain_chunks(SF).to_pandas()
+    assert sorted(out["pos"]) == list(range(len(out)))
+    assert (out.groupby("doc_id")["split"].nunique() == 1).all()
+    assert set(out["split"]) <= {"train", "test"}
+
+
 def test_shuffle_rank_seeds_differ(ray_session):
     from boon_ray.stages.rank import seeded_shuffle_rank
 
