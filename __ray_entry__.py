@@ -1113,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "probe_moments": _q_probe_moments,
         "snapshot_delta": _q_snapshot_delta,
         "pretrain_chunks": _q_pretrain_chunks,
+        "pq_codes": _q_pq_codes,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1176,6 +1177,27 @@ def _q_pretrain_chunks(sf_dir: str):
     from boon_ray.pipelines.pretrain import pretrain_chunks
 
     return pretrain_chunks(sf_dir)
+
+
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization encoding (similarity.pq_codes): 64 dims
+    -> 8 subspaces, each subvector assigned its nearest per-subspace
+    codeword in exact int64 fixed point (ties to smallest label) —
+    the compressed representation an IVF-PQ index stores. ADC search
+    over the codes is accuracy-tested in tests/test_rank_chunks.py."""
+    import ray.data as rd
+
+    from boon_ray.stages.similarity import (
+        embedding_centroids, fixed_point_centroids, pq_codes,
+    )
+
+    labeled = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["label", "embedding"])
+    labels, c_fp = fixed_point_centroids(
+        embedding_centroids(labeled).to_pandas())
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    return pq_codes(vecs, labels, c_fp, m=8)
 
 
 def _q_snapshot_delta(sf_dir: str):
@@ -2119,6 +2141,29 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(SUM(imp) AS BIGINT) AS imp_sum "
             r"FROM big JOIN tab USING (w1, w2) GROUP BY doc_id",
         "pretrain_chunks": _pretrain_sql(),
+        "pq_codes":
+            "WITH fp AS (SELECT vec_id, "
+            "CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim, "
+            "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) "
+            "AS BIGINT) AS v FROM embeddings), "
+            "cent AS (SELECT CAST(label AS BIGINT) AS label, "
+            "CAST(pos AS BIGINT) AS dim, "
+            "CAST(CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1048576) "
+            "AS BIGINT)) AS BIGINT) // CAST(COUNT(*) AS BIGINT) "
+            "AS BIGINT) AS c "
+            "FROM (SELECT label, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) AS pos "
+            "FROM embeddings) GROUP BY label, pos), "
+            "d AS (SELECT fp.vec_id, (fp.dim - 1) // 8 AS sub, "
+            "cent.label, "
+            "CAST(SUM((fp.v - cent.c) * (fp.v - cent.c)) AS BIGINT) "
+            "AS d2 FROM fp JOIN cent USING (dim) "
+            "GROUP BY fp.vec_id, (fp.dim - 1) // 8, cent.label) "
+            "SELECT vec_id, CAST(sub AS BIGINT) AS sub, "
+            "CAST(label AS BIGINT) AS code "
+            "FROM (SELECT vec_id, sub, label, d2, ROW_NUMBER() OVER ("
+            "PARTITION BY vec_id, sub ORDER BY d2 ASC, label ASC) "
+            "AS rn FROM d) WHERE rn = 1",
         "snapshot_delta":
             "WITH newt AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
             "THEN text || ' v2' ELSE text END AS text "

@@ -334,3 +334,105 @@ def centroid_assign(ds, labels: np.ndarray, centroids_fp: np.ndarray,
 
     return ds.map_batches(assign, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ------------------------------------------------- product quantization
+
+def pq_codes(ds, labels, centroids_fp, m: int = 8,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             scale_bits: int = 20, batch_size=None):
+    """Product-quantization encoding (Jegou et al., TPAMI 2011): the
+    d-dim space splits into ``m`` contiguous subspaces and each
+    subvector is assigned its nearest per-subspace codeword — the
+    compressed representation an IVF-PQ index stores (d floats ->
+    m small ints; with m=8 that is 32 codebook bytes -> 8 bytes).
+
+    Codebooks here are the per-label fixed-point centroids restricted
+    to each subspace (labels play the role of a trained codebook;
+    the assignment math is what PQ runs regardless of how codebooks
+    were fit).  Distances are EXACT int64 per subspace — same
+    fixed-point contract as :func:`centroid_assign`, ties to the
+    smallest label — so the encoding is bit-reproducible and the SQL
+    oracle replays it with a (vec, subspace, label) GROUP BY.
+
+    Output: one (id, sub, code) row per vector per subspace (long
+    form keeps the schema fixed for any m).  Pure map, no shuffle;
+    the m codebook slices ride in the task closure.
+
+    ADC search over these codes: :func:`pq_adc_topk`.
+    """
+    order = np.argsort(labels, kind="stable")
+    lab = np.asarray(labels, np.int64)[order]
+    cen = np.asarray(centroids_fp, np.int64)[order]
+    d = cen.shape[1]
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    w = d // m
+    subs = [cen[:, s * w:(s + 1) * w] for s in range(m)]
+    ccs = [np.einsum("ij,ij->i", s_, s_) for s_ in subs]
+    scale = float(1 << scale_bits)
+
+    def encode(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks()
+        col = b.column(vec_col)
+        arr = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(ids)
+        if n == 0:
+            return pa.table({id_col: pa.array([], ids.type),
+                             "sub": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
+        fp = np.floor(flat.reshape(n, d) * scale).astype(np.int64)
+        codes = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            v = fp[:, s * w:(s + 1) * w]
+            vv = np.einsum("ij,ij->i", v, v)
+            d2 = vv[:, None] + ccs[s][None, :] - 2 * (v @ subs[s].T)
+            codes[:, s] = lab[np.argmin(d2, axis=1)]
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+        return pa.table({
+            id_col: ids.take(rep),
+            "sub": pa.array(np.tile(np.arange(m, dtype=np.int64), n),
+                            pa.int64()),
+            "code": pa.array(codes.reshape(-1), pa.int64()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def pq_adc_topk(codes_df, labels, centroids_fp, query: np.ndarray,
+                k: int = 10, m: int = 8, scale_bits: int = 20):
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query
+    builds one (m x n_codes) distance table against the codebooks,
+    and every encoded vector scores as the SUM of m table lookups —
+    no original vectors touched (the point of PQ at 100 TB: search
+    over 8-byte codes).  Driver-side over a codes frame; the
+    streaming variant is a map_batches over code blocks with the
+    table in the closure (same shape as ann_topk's partials).
+    Returns (id, d2_approx) for the k smallest approximate
+    distances; accuracy floor asserted in tests (recall vs exact)."""
+    order = np.argsort(labels, kind="stable")
+    lab = np.asarray(labels, np.int64)[order]
+    cen = np.asarray(centroids_fp, np.int64)[order].astype(np.float64)
+    d = cen.shape[1]
+    w = d // m
+    scale = float(1 << scale_bits)
+    qfp = np.floor(query.astype(np.float64) * scale)
+    # dist table: T[s, j] = ||q_s - c_{s,j}||^2
+    table = np.stack([
+        ((qfp[s * w:(s + 1) * w][None, :]
+          - cen[:, s * w:(s + 1) * w]) ** 2).sum(axis=1)
+        for s in range(m)])
+    pos = {int(l): i for i, l in enumerate(lab)}
+    piv = codes_df.pivot(index=codes_df.columns[0], columns="sub",
+                         values="code").sort_index()
+    code_pos = np.vectorize(pos.__getitem__)(piv.to_numpy())
+    d2 = table[np.arange(m)[None, :], code_pos].sum(axis=1)
+    top = np.lexsort((piv.index.to_numpy(), d2))[:k]
+    import pandas as pd
+    return pd.DataFrame({piv.index.name or "vec_id":
+                         piv.index.to_numpy()[top],
+                         "d2_approx": d2[top]})

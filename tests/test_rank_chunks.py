@@ -263,6 +263,56 @@ def test_pretrain_chunks_invariants(ray_session):
     assert set(out["split"]) <= {"train", "test"}
 
 
+# ------------------------------------------------ product quantization
+
+def _pq_setup():
+    import pyarrow.parquet as pq
+
+    from boon_ray.stages.similarity import (
+        embedding_centroids, fixed_point_centroids,
+    )
+
+    labeled = rd.read_parquet(f"{SF}/embeddings.parquet",
+                              columns=["label", "embedding"])
+    labels, c_fp = fixed_point_centroids(
+        embedding_centroids(labeled).to_pandas())
+    emb = pq.read_table(f"{SF}/embeddings.parquet") \
+        .to_pandas().sort_values("vec_id")
+    return labels, c_fp, emb
+
+
+def test_pq_codes_match_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["pq_codes"](SF).to_pandas())
+    want = _sorted(oracle.sql(E.oracle_sql()["pq_codes"]).df())
+    pd.testing.assert_frame_equal(
+        got, want.astype({"sub": "int64", "code": "int64"}))
+
+
+def test_pq_adc_recall_beats_chance(ray_session):
+    """ADC search over 8-byte PQ codes: with only a 10-codeword
+    codebook per subspace (label-derived) quantization is coarse, but
+    recall@10 must still be well above random (10/n). Production PQ
+    uses 256 codewords/subspace; the machinery is identical."""
+    from boon_ray.stages.similarity import pq_adc_topk, pq_codes
+
+    labels, c_fp, emb = _pq_setup()
+    vecs = rd.read_parquet(f"{SF}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    codes = pq_codes(vecs, labels, c_fp, m=8).to_pandas()
+    v = np.stack(emb["embedding"].to_list()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    rec = []
+    for qi in range(5):
+        d2 = ((v - v[qi]) ** 2).sum(axis=1)
+        exact = set(ids[np.lexsort((ids, d2))[:10]])
+        approx = pq_adc_topk(codes, labels, c_fp, v[qi], k=10, m=8)
+        rec.append(len(exact & set(approx.iloc[:, 0])) / 10)
+    chance = 10 / len(ids)
+    assert np.mean(rec) > 5 * chance
+
+
 def test_shuffle_rank_seeds_differ(ray_session):
     from boon_ray.stages.rank import seeded_shuffle_rank
 
