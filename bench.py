@@ -325,6 +325,47 @@ def q_semdedup():
     return semdedup(vecs, labels, c_fp, threshold=0.4).count()
 
 
+def q_snapshot_delta():
+    """Incremental-ingest diff: amplified corpus vs a mutated copy
+    (drop/rewrite/add rules); one hash-bucket exchange + vectorized
+    per-bucket outer merge."""
+    import numpy as np
+    import pyarrow as pa
+
+    from boon_ray.stages.delta import snapshot_delta
+
+    def add_id(b: pa.Table) -> pa.Table:
+        start = abs(hash(b.column("commit")[0].as_py())) % (1 << 40)
+        ids = np.arange(start, start + b.num_rows, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": b.column("content")})
+
+    old = _corpus().map_batches(add_id, batch_format="pyarrow",
+                                batch_size=None).materialize()
+
+    def mutate(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 11 != 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "text": b.column("text").filter(pa.array(keep)),
+        })
+
+    new = old.map_batches(mutate, batch_format="pyarrow",
+                          batch_size=None)
+    return snapshot_delta(old, new, num_buckets=64).count()
+
+
+def q_pretrain_chunks():
+    """Composed chunk pipeline over sf documents (not the amplified
+    corpus: the rank's count pass re-executes upstream, so this
+    benches the real composition at documents scale x1)."""
+    from boon_ray.pipelines.pretrain import pretrain_chunks
+
+    return pretrain_chunks(SF_DIR, min_words=10,
+                           max_words=200).count()
+
+
 def q_validate_conditional():
     """Full recursive engine against the conditional policy schema
     (allOf/if/not disqualify the columnar fast path by design —
@@ -361,6 +402,8 @@ QUERIES = {
     "shuffle_rank": q_shuffle_rank,
     "importance": q_importance,
     "semdedup": q_semdedup,
+    "snapshot_delta": q_snapshot_delta,
+    "pretrain_chunks": q_pretrain_chunks,
     # actor-pool queries last (pool teardown overlaps the next query)
     "decontaminate": q_decontaminate,
     "validate_full_engine": q_validate_full_engine,
