@@ -1114,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_delta": _q_snapshot_delta,
         "pretrain_chunks": _q_pretrain_chunks,
         "pq_codes": _q_pq_codes,
+        "novelty_scores": _q_novelty_scores,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1177,6 +1178,25 @@ def _q_pretrain_chunks(sf_dir: str):
     from boon_ray.pipelines.pretrain import pretrain_chunks
 
     return pretrain_chunks(sf_dir)
+
+
+def _q_novelty_scores(sf_dir: str):
+    """Bigram novelty vs the benchmark slice (doc_id % 50 == 0):
+    n_known counts a doc's bigrams present in the reference set —
+    the coverage complement of decontamination, used to rank data
+    for acquisition (stages/retrieval.novelty_scores)."""
+    import ray.data as rd
+
+    from boon_ray.stages.retrieval import novelty_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def ref(b):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return ids % 50 == 0
+
+    return novelty_scores(ds, ref)
 
 
 def _q_pq_codes(sf_dir: str):
@@ -2141,6 +2161,20 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(SUM(imp) AS BIGINT) AS imp_sum "
             r"FROM big JOIN tab USING (w1, w2) GROUP BY doc_id",
         "pretrain_chunks": _pretrain_sql(),
+        "novelty_scores":
+            r"WITH toks AS (SELECT doc_id, "
+            r"regexp_split_to_array(trim(text), '\s+') AS ts "
+            r"FROM documents WHERE length(trim(text)) > 0), "
+            r"pos AS (SELECT doc_id, ts, "
+            r"unnest(generate_series(1, len(ts) - 1)) AS i FROM toks), "
+            r"big AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2 "
+            r"FROM pos), "
+            r"ref AS (SELECT DISTINCT w1, w2 FROM big "
+            r"WHERE doc_id % 50 = 0) "
+            r"SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            r"CAST(SUM(CASE WHEN r.w1 IS NOT NULL THEN 1 ELSE 0 END) "
+            r"AS BIGINT) AS n_known FROM big b LEFT JOIN ref r "
+            r"ON b.w1 = r.w1 AND b.w2 = r.w2 GROUP BY b.doc_id",
         "pq_codes":
             "WITH fp AS (SELECT vec_id, "
             "CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim, "

@@ -407,3 +407,64 @@ def importance_scores(ds, target_col: str, target_value: str,
 
     return ds.map_batches(score_batch, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def novelty_scores(ds, ref_filter, column: str = "text",
+                   id_col: str = "doc_id", batch_size=None):
+    """N-gram novelty vs a reference slice: what fraction of a
+    document's adjacent-token bigrams NEVER occur in the reference
+    corpus — high novelty flags content the reference distribution
+    has not seen (the coverage complement of benchmark
+    decontamination: decontaminate REMOVES overlap, novelty MEASURES
+    non-overlap as a ranking signal for data acquisition).
+
+    ``ref_filter(batch) -> bool ndarray`` selects the reference rows
+    (e.g. the eval slice). Output: (id, n_bigrams, n_known) with
+    n_known = bigrams present in the reference set; novelty =
+    1 - n_known/n_bigrams left to the consumer so everything stays
+    exact-integer. Docs with < 2 tokens emit no row.
+
+    Scale shape: pass 1 reduces per-batch DISTINCT reference bigrams
+    to a ref-vocab-bounded set (tree combine); the set broadcasts
+    into one streaming membership-count pass (vectorized pandas
+    merge). Same two-pass bound as bigram_surprisal.
+    """
+
+    def ref_partial(b: pa.Table) -> pd.DataFrame:
+        mask = np.asarray(ref_filter(b), dtype=bool)
+        d = _bigram_rows_of(b, column)
+        d = d[mask[d["row"].to_numpy()]]
+        out = d[["w1", "w2"]].drop_duplicates()
+        out = out.assign(one=np.int64(1))
+        return out
+
+    from boon_ray.stages.combine import combine_keyed_partials
+    ref = combine_keyed_partials(
+        ds.map_batches(ref_partial, batch_format="pyarrow",
+                       batch_size=batch_size),
+        ["w1", "w2"], ["one"])[["w1", "w2"]]
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).combine_chunks()
+        d = _bigram_rows_of(b, column)
+        if d.empty:
+            return pa.table({id_col: pa.array([], ids.type),
+                             "n_bigrams": pa.array([], pa.int64()),
+                             "n_known": pa.array([], pa.int64())})
+        m = d.merge(ref.assign(_hit=np.int64(1)), on=["w1", "w2"],
+                    how="left")
+        grp = m.groupby(m["row"].to_numpy())
+        g = pd.DataFrame({
+            "n_bigrams": grp.size().astype(np.int64),
+            "n_known": grp["_hit"].sum().astype(np.int64),
+        })
+        return pa.table({
+            id_col: ids.take(pa.array(g.index.to_numpy(np.int64))),
+            "n_bigrams": pa.array(g["n_bigrams"].to_numpy(np.int64),
+                                  pa.int64()),
+            "n_known": pa.array(g["n_known"].to_numpy(np.int64),
+                                pa.int64()),
+        })
+
+    return ds.map_batches(score_batch, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -313,6 +313,32 @@ def test_pq_adc_recall_beats_chance(ray_session):
     assert np.mean(rec) > 5 * chance
 
 
+# ------------------------------------------------- bigram novelty
+
+def test_novelty_scores_match_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["novelty_scores"](SF).to_pandas())
+    want = _sorted(oracle.sql(E.oracle_sql()["novelty_scores"]).df())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_novelty_reference_docs_fully_known(ray_session):
+    """Every bigram of a reference-slice document is by definition in
+    the reference set: n_known == n_bigrams there."""
+    from boon_ray.stages.retrieval import novelty_scores
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = novelty_scores(
+        ds, lambda b: b.column("doc_id").to_numpy(
+            zero_copy_only=False) % 50 == 0).to_pandas()
+    ref = out[out["doc_id"] % 50 == 0]
+    assert (ref["n_known"] == ref["n_bigrams"]).all()
+    rest = out[out["doc_id"] % 50 != 0]
+    assert (rest["n_known"] < rest["n_bigrams"]).any()
+
+
 def test_shuffle_rank_seeds_differ(ray_session):
     from boon_ray.stages.rank import seeded_shuffle_rank
 
