@@ -1115,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretrain_chunks": _q_pretrain_chunks,
         "pq_codes": _q_pq_codes,
         "novelty_scores": _q_novelty_scores,
+        "length_tiles": _q_length_tiles,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1178,6 +1179,21 @@ def _q_pretrain_chunks(sf_dir: str):
     from boon_ray.pipelines.pretrain import pretrain_chunks
 
     return pretrain_chunks(sf_dir)
+
+
+def _q_length_tiles(sf_dir: str):
+    """Exact NTILE(4) by document length (rank.ntile_by_int_key):
+    length-stratified binning via an exact per-key histogram (the
+    histogram, not the corpus, bounds the driver) + one shuffle by
+    key value; bit-equal to NTILE(4) OVER (ORDER BY n_chars,
+    doc_id)."""
+    import ray.data as rd
+
+    from boon_ray.stages.rank import ntile_by_int_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return ntile_by_int_key(ds, "n_chars", "doc_id", n_tiles=4)
 
 
 def _q_novelty_scores(sf_dir: str):
@@ -2161,6 +2177,10 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(SUM(imp) AS BIGINT) AS imp_sum "
             r"FROM big JOIN tab USING (w1, w2) GROUP BY doc_id",
         "pretrain_chunks": _pretrain_sql(),
+        "length_tiles":
+            "SELECT doc_id, n_chars, CAST(NTILE(4) OVER ("
+            "ORDER BY n_chars, doc_id) AS BIGINT) AS tile "
+            "FROM documents",
         "novelty_scores":
             r"WITH toks AS (SELECT doc_id, "
             r"regexp_split_to_array(trim(text), '\s+') AS ts "

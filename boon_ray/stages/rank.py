@@ -112,3 +112,74 @@ def shuffle_rank_sql(table: str, id_col: str, seed: str = "epoch0") \
     return (f"SELECT {id_col}, CAST(ROW_NUMBER() OVER "
             f"(ORDER BY {h}, {id_col}) - 1 AS BIGINT) AS pos "
             f"FROM {table}")
+
+
+def ntile_by_int_key(ds, key_col: str, id_col: str, n_tiles: int = 4,
+                     batch_size=None):
+    """Exact NTILE over a BOUNDED-integer key — length-stratified
+    binning for curriculum ordering / stratified eval splits: every
+    row gets the tile its global (key, id) rank falls in, with SQL's
+    NTILE remainder rule (the first ``rank mod n_tiles`` tiles get
+    one extra row).
+
+    Works wherever the key has bounded cardinality (a length, a
+    score decile input, a small enum): pass 1 reduces per-batch
+    (key, count) histograms through the vocabulary tree combine —
+    the histogram, not the corpus, bounds driver memory — and the
+    driver turns exact per-key offsets into tile boundaries; pass 2
+    shuffles rows once by KEY VALUE and ranks within each key group
+    by id (groups are per distinct key: bounded count, sizes ~n/|keys|
+    unless one key dominates — the stated contract of every
+    map_groups stage here).
+
+    Output: (id_col, key_col, tile) with tile in [1, n_tiles],
+    bit-equal to ``NTILE(n) OVER (ORDER BY key, id)``.
+    """
+    from boon_ray.stages.combine import combine_keyed_partials
+
+    def hist(b: pa.Table) -> pa.Table:
+        k, n = np.unique(
+            b.column(key_col).to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({key_col: pa.array(k.astype(np.int64),
+                                           pa.int64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    proj = ds.map_batches(
+        lambda b: b.select([id_col, key_col]),
+        batch_format="pyarrow", batch_size=batch_size)
+    counts = combine_keyed_partials(
+        proj.map_batches(hist, batch_format="pyarrow",
+                         batch_size=batch_size),
+        [key_col], ["n"]).sort_values(key_col)
+    total = int(counts["n"].sum())
+    offsets = dict(zip(
+        counts[key_col].to_numpy(np.int64),
+        np.concatenate(([0], np.cumsum(
+            counts["n"].to_numpy(np.int64))[:-1]))))
+    # SQL NTILE: first (total % n) tiles have ceil(total/n) rows
+    big = total % n_tiles
+    size_big = -(-total // n_tiles) if total else 1
+    size_small = total // n_tiles if total else 1
+    cut = big * size_big  # ranks below cut sit in a "big" tile
+
+    def tile_of(rank: np.ndarray) -> np.ndarray:
+        in_big = rank < cut
+        t = np.where(
+            in_big,
+            rank // max(size_big, 1),
+            big + (rank - cut) // max(size_small, 1))
+        return (t + 1).astype(np.int64)
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        off = offsets[int(df[key_col].iloc[0])]
+        rank = off + np.arange(len(df), dtype=np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            key_col: df[key_col].to_numpy(np.int64),
+            "tile": tile_of(rank),
+        })
+
+    return proj.groupby(key_col).map_groups(rank_group,
+                                            batch_format="pandas")

@@ -339,6 +339,37 @@ def test_novelty_reference_docs_fully_known(ray_session):
     assert (rest["n_known"] < rest["n_bigrams"]).any()
 
 
+# ------------------------------------------------------ exact NTILE
+
+def test_length_tiles_match_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["length_tiles"](SF).to_pandas())
+    want = _sorted(oracle.sql(E.oracle_sql()["length_tiles"]).df())
+    pd.testing.assert_frame_equal(
+        got, want.astype({"tile": "int64"}))
+
+
+def test_ntile_remainder_rule_and_partition_independence(ray_session):
+    """43 rows into 4 tiles: NTILE gives 11/11/11/10 (first
+    total%n tiles get the extra row); result independent of input
+    partitioning."""
+    import pyarrow as pa
+
+    from boon_ray.stages.rank import ntile_by_int_key
+
+    n = 43
+    t = pa.table({"id": pa.array(np.arange(n), pa.int64()),
+                  "k": pa.array((np.arange(n) * 7) % 5, pa.int64())})
+    a = _sorted(ntile_by_int_key(rd.from_arrow(t), "k", "id",
+                                 n_tiles=4).to_pandas())
+    b = _sorted(ntile_by_int_key(rd.from_arrow(t).repartition(6),
+                                 "k", "id", n_tiles=4).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    sizes = a["tile"].value_counts().sort_index().to_list()
+    assert sizes == [11, 11, 11, 10]
+
+
 def test_shuffle_rank_seeds_differ(ray_session):
     from boon_ray.stages.rank import seeded_shuffle_rank
 
