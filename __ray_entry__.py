@@ -1116,6 +1116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": _q_pq_codes,
         "novelty_scores": _q_novelty_scores,
         "length_tiles": _q_length_tiles,
+        "budget_capped": _q_budget_capped,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1179,6 +1180,21 @@ def _q_pretrain_chunks(sf_dir: str):
     from boon_ray.pipelines.pretrain import pretrain_chunks
 
     return pretrain_chunks(sf_dir)
+
+
+def _q_budget_capped(sf_dir: str):
+    """Per-language 5000-char budget cap (training.budget_cap):
+    longest-first selection until the next doc would blow the
+    group's budget — SUM() OVER window parity in the oracle."""
+    import ray.data as rd
+
+    from boon_ray.stages.training import budget_cap
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return budget_cap(ds, group_col="lang", weight_col="n_chars",
+                      order_col="n_chars", id_col="doc_id",
+                      budget=5000)
 
 
 def _q_length_tiles(sf_dir: str):
@@ -2177,6 +2193,12 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(SUM(imp) AS BIGINT) AS imp_sum "
             r"FROM big JOIN tab USING (w1, w2) GROUP BY doc_id",
         "pretrain_chunks": _pretrain_sql(),
+        "budget_capped":
+            "SELECT lang, doc_id, n_chars FROM ("
+            "SELECT lang, doc_id, n_chars, SUM(n_chars) OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS cum FROM documents) WHERE cum <= 5000",
         "length_tiles":
             "SELECT doc_id, n_chars, CAST(NTILE(4) OVER ("
             "ORDER BY n_chars, doc_id) AS BIGINT) AS tile "

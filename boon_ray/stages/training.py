@@ -303,3 +303,43 @@ def domain_mix_sql(weights: dict[str, int], *, table: str = "documents",
         f"FROM {table} d JOIN th USING ({source_col}) "
         f"WHERE th.quota >= th.n OR CAST({h} AS UHUGEINT) < th.th"
     )
+
+
+def budget_cap(ds, group_col: str, weight_col: str, order_col: str,
+               id_col: str, budget: int, descending: bool = True,
+               batch_size=None):
+    """Per-group budget-capped selection — the token-budget step of a
+    mixture recipe: within each group (domain, lang, source), take
+    rows in priority order until the group's cumulative weight
+    (token count, bytes) would exceed ``budget``; the rest of the
+    group is dropped.  The inclusive rule (keep while cumsum
+    INCLUDING the row is <= budget) matches SQL's
+    ``SUM(w) OVER (PARTITION BY g ORDER BY o, id ROWS UNBOUNDED
+    PRECEDING) <= budget`` exactly, so the whole selection is
+    oracle-checkable.
+
+    Priority = (order_col desc|asc, id asc) — a total order, so the
+    output is partition-independent.
+
+    Scale shape: ONE shuffle co-locates each group; per-group work is
+    a vectorized sort + cumsum.  A group is the unit of memory
+    (domains are bounded; a mega-domain needs its rows to fit one
+    task — pre-filter rows that can never win, e.g. weight > budget,
+    upstream if that bound bites).  Output keeps (group, id, weight,
+    order) columns.
+    """
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([order_col, id_col],
+                            ascending=[not descending, True],
+                            kind="mergesort")
+        cum = df[weight_col].to_numpy(np.int64).cumsum()
+        return df[cum <= budget]
+
+    proj = ds.map_batches(
+        lambda b: b.select([group_col, id_col, weight_col, order_col])
+        if order_col != weight_col
+        else b.select([group_col, id_col, weight_col]),
+        batch_format="pyarrow", batch_size=batch_size)
+    return proj.groupby(group_col).map_groups(cap,
+                                              batch_format="pandas")

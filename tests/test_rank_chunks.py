@@ -370,6 +370,38 @@ def test_ntile_remainder_rule_and_partition_independence(ray_session):
     assert sizes == [11, 11, 11, 10]
 
 
+# ------------------------------------------------- budget-capped mix
+
+def test_budget_capped_matches_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["budget_capped"](SF).to_pandas())
+    want = _sorted(oracle.sql(E.oracle_sql()["budget_capped"]).df())
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n_chars": "int64"}))
+
+
+def test_budget_cap_never_exceeds_and_is_greedy(ray_session):
+    from boon_ray.stages.training import budget_cap
+
+    B = 3000
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    out = budget_cap(ds, "lang", "n_chars", "n_chars", "doc_id",
+                     budget=B).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    per = out.groupby("lang")["n_chars"].sum()
+    assert (per <= B).all()
+    # greedy: the next-priority unselected doc would overflow
+    for lang, g in docs.groupby("lang"):
+        sel = set(out[out["lang"] == lang]["doc_id"])
+        rest = g[~g["doc_id"].isin(sel)].sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True])
+        if len(rest):
+            assert per.get(lang, 0) + rest["n_chars"].iloc[0] > B
+
+
 def test_shuffle_rank_seeds_differ(ray_session):
     from boon_ray.stages.rank import seeded_shuffle_rank
 
