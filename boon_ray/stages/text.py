@@ -388,12 +388,13 @@ def vocab_top_k(ds, column: str = "text", k: int = 50,
             "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
         })
 
+    from boon_ray.stages.combine import bucketed_groupby_sum
+
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               batch_size=batch_size)
-    counts = partials.groupby("token").sum("n")
+    counts = bucketed_groupby_sum(partials, ["token"], ["n"])
 
     def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.rename(columns={"sum(n)": "n"})
         df = df.sort_values(["n", "token"], ascending=[False, True],
                             kind="mergesort")
         return df.head(k)
@@ -512,19 +513,22 @@ def cooccurrence_top_k(ds, column: str = "text", k: int = 25,
             "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
         })
 
-    # vocab-bounded token doc-frequency table, broadcast to scorers
-    cx = (ds.map_batches(df_partial, batch_format="pyarrow",
-                         batch_size=batch_size)
-            .groupby("token").sum("n").to_pandas())
-    cmap = dict(zip(cx["token"], cx["sum(n)"].astype(np.int64)))
+    from boon_ray.stages.combine import (
+        bucketed_groupby_sum, combine_keyed_partials,
+    )
 
-    pair_counts = (ds.map_batches(pair_partial,
-                                  batch_format="pyarrow",
-                                  batch_size=batch_size)
-                     .groupby(["ta", "tb"]).sum("n"))
+    # vocab-bounded token doc-frequency table, broadcast to scorers
+    cx = combine_keyed_partials(
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       batch_size=batch_size), ["token"], ["n"])
+    cmap = dict(zip(cx["token"], cx["n"].astype(np.int64)))
+
+    pair_counts = bucketed_groupby_sum(
+        ds.map_batches(pair_partial, batch_format="pyarrow",
+                       batch_size=batch_size), ["ta", "tb"], ["n"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.rename(columns={"sum(n)": "n_pair"})
+        df = df.rename(columns={"n": "n_pair"})
         df = df[df["n_pair"] >= min_pairs]
         if df.empty:
             return pd.DataFrame({"ta": pd.Series([], dtype=str),
