@@ -1117,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novelty_scores": _q_novelty_scores,
         "length_tiles": _q_length_tiles,
         "budget_capped": _q_budget_capped,
+        "embedding_dim_stats": _q_embedding_dim_stats,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1180,6 +1181,19 @@ def _q_pretrain_chunks(sf_dir: str):
     from boon_ray.pipelines.pretrain import pretrain_chunks
 
     return pretrain_chunks(sf_dir)
+
+
+def _q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension embedding moments (normalization parameters) in
+    exact 2**10 fixed point (similarity.embedding_dim_stats):
+    order-free int64 sums, dims-bounded tree combine."""
+    import ray.data as rd
+
+    from boon_ray.stages.similarity import embedding_dim_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    return embedding_dim_stats(ds)
 
 
 def _q_budget_capped(sf_dir: str):
@@ -2193,6 +2207,14 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(SUM(imp) AS BIGINT) AS imp_sum "
             r"FROM big JOIN tab USING (w1, w2) GROUP BY doc_id",
         "pretrain_chunks": _pretrain_sql(),
+        "embedding_dim_stats":
+            "SELECT CAST(dim AS BIGINT) AS dim, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(fp) AS BIGINT) AS sum_fp, "
+            "CAST(SUM(fp * fp) AS BIGINT) AS sumsq_fp FROM ("
+            "SELECT generate_subscripts(embedding, 1) AS dim, "
+            "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) "
+            "AS BIGINT) AS fp FROM embeddings) GROUP BY dim",
         "budget_capped":
             "SELECT lang, doc_id, n_chars FROM ("
             "SELECT lang, doc_id, n_chars, SUM(n_chars) OVER ("

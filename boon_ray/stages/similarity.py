@@ -436,3 +436,65 @@ def pq_adc_topk(codes_df, labels, centroids_fp, query: np.ndarray,
     return pd.DataFrame({piv.index.name or "vec_id":
                          piv.index.to_numpy()[top],
                          "d2_approx": d2[top]})
+
+
+def embedding_dim_stats(ds, vec_col: str = "embedding",
+                        scale_bits: int = 10, batch_size=None):
+    """Per-dimension moments of an embedding column — the
+    normalization parameters (mean, variance) a feature-scaling step
+    needs, in EXACT fixed point: components become
+    ``floor(float64(v) * 2**scale_bits)`` (power-of-two scaling of
+    float32 is bit-identical everywhere) and each batch reduces to
+    per-dim (n, sum_fp, sumsq_fp) int64 partials — order-free exact
+    sums, merged through the dims-bounded tree combine.
+
+    ``scale_bits`` defaults to 10 (precision 2**-10) rather than the
+    repo's usual 20 so ``sumsq`` stays inside int64 out to ~2**41
+    rows of unit-scale components ((2**10)^2 * 2**41 < 2**63); the
+    SQL oracle reproduces the exact integers.  Output: one row per
+    dimension (dim 1-based like SQL's generate_subscripts).
+    """
+    import ray.data as rd
+
+    from boon_ray.stages.combine import combine_keyed_partials
+
+    scale = float(1 << scale_bits)
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column(vec_col)
+        arr = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        widths = np.diff(arr.offsets.to_numpy())
+        if len(widths) == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_fp": pa.array([], pa.int64()),
+                             "sumsq_fp": pa.array([], pa.int64())})
+        d = int(widths[0])
+        if not (widths == d).all():
+            raise ValueError("ragged embedding column")
+        fp = np.floor(flat.reshape(-1, d) * scale).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64),
+                            pa.int64()),
+            "n": pa.array(np.full(d, fp.shape[0], dtype=np.int64),
+                          pa.int64()),
+            "sum_fp": pa.array(fp.sum(axis=0), pa.int64()),
+            "sumsq_fp": pa.array((fp * fp).sum(axis=0), pa.int64()),
+        })
+
+    agg = combine_keyed_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=batch_size),
+        ["dim"], ["n", "sum_fp", "sumsq_fp"])
+    agg = agg.sort_values("dim")
+    return rd.from_arrow(pa.table({
+        "dim": pa.array(agg["dim"].to_numpy(np.int64), pa.int64()),
+        "n": pa.array(agg["n"].to_numpy(np.int64), pa.int64()),
+        "sum_fp": pa.array(agg["sum_fp"].to_numpy(np.int64),
+                           pa.int64()),
+        "sumsq_fp": pa.array(agg["sumsq_fp"].to_numpy(np.int64),
+                             pa.int64()),
+    }))

@@ -402,6 +402,55 @@ def test_budget_cap_never_exceeds_and_is_greedy(ray_session):
             assert per.get(lang, 0) + rest["n_chars"].iloc[0] > B
 
 
+# ----------------------------------------------- combine primitives
+
+def test_combine_keyed_partials_fanin_path(ray_session):
+    """More blocks than fanin exercises the remote tree level; the
+    summed counts must equal a local groupby regardless."""
+    import pyarrow as pa
+
+    from boon_ray.stages.combine import combine_keyed_partials
+
+    n = 400
+    t = pa.table({"k": pa.array((np.arange(n) % 7).astype(np.int64)),
+                  "n": pa.array(np.ones(n, dtype=np.int64))})
+    parts = rd.from_arrow(t).repartition(40)  # 40 blocks > fanin 8
+    out = combine_keyed_partials(parts, ["k"], ["n"], fanin=8)
+    assert sorted(out["n"]) == sorted(
+        pd.Series(np.arange(n) % 7).value_counts().to_list())
+
+
+def test_bucketed_groupby_sum_matches_plain_groupby(ray_session):
+    import pyarrow as pa
+
+    from boon_ray.stages.combine import bucketed_groupby_sum
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    k = rng.integers(0, 300, n)
+    v = rng.integers(1, 10, n)
+    t = pa.table({"k": pa.array(k.astype(np.int64)),
+                  "v": pa.array(v.astype(np.int64))})
+    out = bucketed_groupby_sum(rd.from_arrow(t).repartition(9),
+                               ["k"], ["v"],
+                               num_buckets=16).to_pandas()
+    want = pd.DataFrame({"k": k, "v": v}).groupby("k")["v"].sum()
+    got = out.set_index("k")["v"].sort_index()
+    pd.testing.assert_series_equal(got, want.sort_index(),
+                                   check_names=False)
+
+
+# ------------------------------------------- embedding dim stats
+
+def test_embedding_dim_stats_match_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["embedding_dim_stats"](SF).to_pandas())
+    want = _sorted(oracle.sql(
+        E.oracle_sql()["embedding_dim_stats"]).df())
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_shuffle_rank_seeds_differ(ray_session):
     from boon_ray.stages.rank import seeded_shuffle_rank
 
