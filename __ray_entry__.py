@@ -1118,6 +1118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_tiles": _q_length_tiles,
         "budget_capped": _q_budget_capped,
         "embedding_dim_stats": _q_embedding_dim_stats,
+        "trending_types": _q_trending_types,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1181,6 +1182,27 @@ def _q_pretrain_chunks(sf_dir: str):
     from boon_ray.pipelines.pretrain import pretrain_chunks
 
     return pretrain_chunks(sf_dir)
+
+
+def _q_trending_types(sf_dir: str):
+    """Windowed top-k composition (trending items): per tumbling
+    hour, the top-2 event types by count — tumbling window partials
+    (keyed on event_type) through the bucketed merge, then the
+    per-group top-k operator; ties (n desc, type asc) total order."""
+    import ray.data as rd
+
+    from boon_ray.stages.topk import top_k_per_group
+    from boon_ray.stages.windows import tumbling_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    agg = tumbling_window_agg(ev, "ts", "event_type", "value",
+                              size_s=3600)
+    counts = agg.map_batches(
+        lambda df: df[["window_start", "event_type", "n_events"]],
+        batch_format="pandas", batch_size=None)
+    return top_k_per_group(counts, ["window_start"], "n_events",
+                           k=2, tiebreak="event_type")
 
 
 def _q_embedding_dim_stats(sf_dir: str):
@@ -2207,6 +2229,15 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(SUM(imp) AS BIGINT) AS imp_sum "
             r"FROM big JOIN tab USING (w1, w2) GROUP BY doc_id",
         "pretrain_chunks": _pretrain_sql(),
+        "trending_types":
+            "WITH w AS (SELECT event_type, "
+            "CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) "
+            "AS window_start, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT window_start, event_type, n_events FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start "
+            "ORDER BY n_events DESC, event_type) AS rn FROM w) "
+            "WHERE rn <= 2",
         "embedding_dim_stats":
             "SELECT CAST(dim AS BIGINT) AS dim, "
             "CAST(COUNT(*) AS BIGINT) AS n, "

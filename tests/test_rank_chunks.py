@@ -440,6 +440,19 @@ def test_bucketed_groupby_sum_matches_plain_groupby(ray_session):
                                    check_names=False)
 
 
+# ------------------------------------------- windowed top-k
+
+def test_trending_types_match_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    oracle.sql(f"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM "
+               f"read_parquet('{SF}/events.parquet')")
+    got = _sorted(E.queries()["trending_types"](SF).to_pandas())
+    want = _sorted(oracle.sql(E.oracle_sql()["trending_types"]).df())
+    pd.testing.assert_frame_equal(
+        got, want.astype({"n_events": "int64"}))
+
+
 # ------------------------------------------- embedding dim stats
 
 def test_embedding_dim_stats_match_oracle(ray_session, oracle):
