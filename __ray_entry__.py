@@ -1119,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_capped": _q_budget_capped,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "trending_types": _q_trending_types,
+        "partitioned_roundtrip": _q_partitioned_roundtrip,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1182,6 +1183,45 @@ def _q_pretrain_chunks(sf_dir: str):
     from boon_ray.pipelines.pretrain import pretrain_chunks
 
     return pretrain_chunks(sf_dir)
+
+
+def _q_partitioned_roundtrip(sf_dir: str):
+    """Sink-path coverage inside the correctness gate: write the
+    documents table as resumable per-lang partitions
+    (state/checkpoint.run_partitioned — atomic rename + manifest),
+    assert a second run skips every finished partition, read the
+    partition dirs back and return the rows; the oracle is the
+    original table, so the round trip must be lossless."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from boon_ray.state.checkpoint import run_partitioned
+
+    out = tempfile.mkdtemp(prefix="boonray_roundtrip_")
+    langs = sorted(set(
+        pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["lang"]).column("lang").to_pylist()))
+
+    def make(pid: str):
+        return rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"]).filter(
+            expr=f"lang == '{pid}'")
+
+    first = run_partitioned(langs, make, out)
+    again = run_partitioned(langs, make, out)
+    if again["ran"] or sorted(first["ran"]) != langs:
+        raise RuntimeError(f"resume contract broken: {first} {again}")
+    import os
+    files = [os.path.join(out, f"part={p}", f)
+             for p in langs
+             for f in sorted(os.listdir(os.path.join(out, f"part={p}")))
+             if f.endswith(".parquet")]
+    # drop the hive-inferred part= column: lang is already a column
+    return rd.read_parquet(files).select_columns(
+        ["doc_id", "lang", "n_chars"])
 
 
 def _q_trending_types(sf_dir: str):
@@ -2229,6 +2269,8 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(SUM(imp) AS BIGINT) AS imp_sum "
             r"FROM big JOIN tab USING (w1, w2) GROUP BY doc_id",
         "pretrain_chunks": _pretrain_sql(),
+        "partitioned_roundtrip":
+            "SELECT doc_id, lang, n_chars FROM documents",
         "trending_types":
             "WITH w AS (SELECT event_type, "
             "CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) "

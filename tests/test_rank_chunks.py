@@ -453,6 +453,17 @@ def test_trending_types_match_oracle(ray_session, oracle):
         got, want.astype({"n_events": "int64"}))
 
 
+# -------------------------------------------- sink-path roundtrip
+
+def test_partitioned_roundtrip_matches_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["partitioned_roundtrip"](SF).to_pandas())
+    want = _sorted(oracle.sql(
+        E.oracle_sql()["partitioned_roundtrip"]).df())
+    pd.testing.assert_frame_equal(got, want)
+
+
 # ------------------------------------------- embedding dim stats
 
 def test_embedding_dim_stats_match_oracle(ray_session, oracle):
