@@ -1120,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": _q_embedding_dim_stats,
         "trending_types": _q_trending_types,
         "partitioned_roundtrip": _q_partitioned_roundtrip,
+        "normalized_text": _q_normalized_text,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1183,6 +1184,18 @@ def _q_pretrain_chunks(sf_dir: str):
     from boon_ray.pipelines.pretrain import pretrain_chunks
 
     return pretrain_chunks(sf_dir)
+
+
+def _q_normalized_text(sf_dir: str):
+    """Canonical text normalization (lower/trim/collapse whitespace)
+    as a pure Arrow-kernel map (stages/text.normalize_text)."""
+    import ray.data as rd
+
+    from boon_ray.stages.text import normalize_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return normalize_text(ds)
 
 
 def _q_partitioned_roundtrip(sf_dir: str):
@@ -2271,6 +2284,9 @@ def oracle_sql() -> dict[str, str]:
         "pretrain_chunks": _pretrain_sql(),
         "partitioned_roundtrip":
             "SELECT doc_id, lang, n_chars FROM documents",
+        "normalized_text":
+            r"SELECT doc_id, lower(regexp_replace(trim(text), "
+            r"'\s+', ' ', 'g')) AS norm_text FROM documents",
         "trending_types":
             "WITH w AS (SELECT event_type, "
             "CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) "

@@ -570,3 +570,27 @@ def gopher_filter(ds, column: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(f, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def normalize_text(ds, column: str = "text", id_col: str = "doc_id",
+                   out_col: str = "norm_text", batch_size=None):
+    """Canonical text normalization (the first stage of every
+    cleaning recipe): lowercase, trim, collapse every whitespace run
+    to one space — pure Arrow-kernel map (utf8_lower +
+    replace_substring_regex), no shuffle, exactly reproducible in SQL
+    as ``lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))``.
+
+    Unicode note: ``utf8_lower`` is full Unicode lowercasing, same as
+    DuckDB's ``lower``; the whitespace class is regex ``\\s`` in both
+    engines. Output keeps (id, out_col).
+    """
+
+    def f(b: pa.Table) -> pa.Table:
+        col = b.column(column)
+        norm = pc.replace_substring_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(col)),
+            pattern=r"\s+", replacement=" ")
+        return pa.table({id_col: b.column(id_col), out_col: norm})
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -453,6 +453,32 @@ def test_trending_types_match_oracle(ray_session, oracle):
         got, want.astype({"n_events": "int64"}))
 
 
+# -------------------------------------------- text normalization
+
+def test_normalize_text_matches_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["normalized_text"](SF).to_pandas())
+    want = _sorted(oracle.sql(E.oracle_sql()["normalized_text"]).df())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_normalize_text_edge_cases(ray_session):
+    import pyarrow as pa
+
+    from boon_ray.stages.text import normalize_text
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["  A\t\tB  ", "", "MiXeD   Case\n x",
+                          "tab\there"], pa.string()),
+    })
+    out = normalize_text(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id")
+    assert out["norm_text"].to_list() == [
+        "a b", "", "mixed case x", "tab here"]
+
+
 # -------------------------------------------- sink-path roundtrip
 
 def test_partitioned_roundtrip_matches_oracle(ray_session, oracle):
