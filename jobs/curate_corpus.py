@@ -1,0 +1,89 @@
+"""Training-data curation job — the `ray job submit` entry point for
+the composed pipelines (document-level curation AND chunk-level
+pretraining set), with resumable partitioned Parquet output.
+
+    ray job submit --working-dir /root/repo -- \
+        python jobs/curate_corpus.py --sf-dir /root/testdata/sf0.01 \
+        --out /tmp/curate_out
+
+Partitions are the train/test splits of each pipeline (4 output
+dirs); re-submission skips completed partitions via the checkpoint
+manifests, so a failed 100 TB run resumes where it died. Exit 0 on
+success, 1 when either pipeline produced an empty train split
+(a curation recipe that drops everything is a config error).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# runnable from any cwd (and from `ray job submit --working-dir`):
+# the repo root goes on the driver's sys.path AND on PYTHONPATH so
+# Ray worker processes can import boon_ray too
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(
+    os.pathsep)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-words", type=int, default=25)
+    p.add_argument("--max-words", type=int, default=80)
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        kwargs = dict(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from boon_ray.pipelines.curate import curate_documents
+    from boon_ray.pipelines.pretrain import pretrain_chunks
+    from boon_ray.state.checkpoint import read_manifests, run_partitioned
+
+    def make(pid: str):
+        kind, split = pid.split("-")
+        if kind == "docs":
+            ds = curate_documents(args.sf_dir,
+                                  min_words=args.min_words,
+                                  max_words=args.max_words)
+        else:
+            ds = pretrain_chunks(args.sf_dir,
+                                 min_words=args.min_words,
+                                 max_words=args.max_words)
+        return ds.filter(expr=f"split == '{split}'")
+
+    parts = ["docs-train", "docs-test", "chunks-train", "chunks-test"]
+    summary = run_partitioned(
+        parts, make, args.out,
+        lineage=lambda pid: {"sf_dir": args.sf_dir,
+                             "min_words": args.min_words,
+                             "max_words": args.max_words})
+    rows = {m["partition"]: m["rows"] for m in read_manifests(args.out)}
+    print(json.dumps({
+        "ran": summary["ran"], "skipped": summary["skipped"],
+        "rows": rows,
+    }))
+    if owns_session:
+        ray.shutdown()
+    return 0 if rows.get("docs-train") and rows.get("chunks-train") \
+        else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

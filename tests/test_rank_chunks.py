@@ -453,6 +453,32 @@ def test_trending_types_match_oracle(ray_session, oracle):
         got, want.astype({"n_events": "int64"}))
 
 
+# -------------------------------------------- curation job script
+
+def test_curate_job_runs_and_resumes(ray_session, tmp_path):
+    """jobs/curate_corpus.py end to end: both composed pipelines write
+    partitioned output, a second invocation skips every partition
+    (resume contract), exit code 0."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_corpus", "/root/repo/jobs/curate_corpus.py")
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    out = str(tmp_path / "curate_out")
+    argv = ["--sf-dir", SF, "--out", out,
+            "--min-words", "10", "--max-words", "200"]
+    assert job.main(argv) == 0
+    from boon_ray.state.checkpoint import read_manifests
+
+    first = {m["partition"]: m["rows"] for m in read_manifests(out)}
+    assert set(first) == {"docs-train", "docs-test",
+                          "chunks-train", "chunks-test"}
+    assert job.main(argv) == 0  # pure resume: skips everything
+    again = {m["partition"]: m["rows"] for m in read_manifests(out)}
+    assert again == first
+
+
 # -------------------------------------------- text normalization
 
 def test_normalize_text_matches_oracle(ray_session, oracle):
