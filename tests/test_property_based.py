@@ -299,3 +299,44 @@ def test_colvec_unsupported_arrow_type_falls_back():
     assert fv is not None
     batch = pa.table({"a": pa.array([[1], [2]], pa.list_(pa.int64()))})
     assert fv.mask(batch) is None          # caller keeps per-row path
+
+
+# ---- chunking kernel vs brute-force reference ------------------------
+
+@st.composite
+def _chunk_case(draw):
+    n_docs = draw(st.integers(0, 5))
+    texts = [" ".join(draw(st.lists(
+        st.sampled_from(["a", "bb", "ccc", "dddd"]), max_size=30)))
+        for _ in range(n_docs)]
+    width = draw(st.integers(1, 12))
+    stride = draw(st.integers(1, 12))
+    return texts, width, stride
+
+
+@given(_chunk_case())
+@settings(max_examples=80, deadline=None)
+def test_chunk_batch_equals_bruteforce(case):
+    """stages/chunking._chunk_batch vs the obvious per-doc loop:
+    identical (doc, chunk_id, n_words, chunk_text) set for any texts,
+    width and stride."""
+    import pyarrow as pa
+
+    from boon_ray.stages.chunking import _chunk_batch
+
+    texts, width, stride = case
+    b = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = _chunk_batch(b, "text", "doc_id", width, stride,
+                       emit_text=True).to_pylist()
+    want = []
+    for i, t in enumerate(texts):
+        words = t.split()
+        for c, start in enumerate(range(0, len(words), stride)):
+            w = words[start:start + width]
+            want.append({"doc_id": i, "chunk_id": c,
+                         "n_words": len(w), "chunk_text": " ".join(w)})
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    assert sorted(got, key=key) == sorted(want, key=key)
