@@ -1205,6 +1205,8 @@ def _q_partitioned_roundtrip(sf_dir: str):
     assert a second run skips every finished partition, read the
     partition dirs back and return the rows; the oracle is the
     original table, so the round trip must be lossless."""
+    import os
+    import shutil
     import tempfile
 
     import pyarrow.parquet as pq
@@ -1212,7 +1214,11 @@ def _q_partitioned_roundtrip(sf_dir: str):
 
     from boon_ray.state.checkpoint import run_partitioned
 
-    out = tempfile.mkdtemp(prefix="boonray_roundtrip_")
+    # fixed scratch path, wiped at entry: repeated gate runs don't
+    # accumulate /tmp copies, and a fresh dir keeps the resume check
+    # meaningful
+    out = os.path.join(tempfile.gettempdir(), "boonray_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
     langs = sorted(set(
         pq.read_table(f"{sf_dir}/documents.parquet",
                       columns=["lang"]).column("lang").to_pylist()))
@@ -1227,7 +1233,6 @@ def _q_partitioned_roundtrip(sf_dir: str):
     again = run_partitioned(langs, make, out)
     if again["ran"] or sorted(first["ran"]) != langs:
         raise RuntimeError(f"resume contract broken: {first} {again}")
-    import os
     files = [os.path.join(out, f"part={p}", f)
              for p in langs
              for f in sorted(os.listdir(os.path.join(out, f"part={p}")))
@@ -2364,7 +2369,8 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN oid IS NULL THEN 'added' "
             "WHEN nid IS NULL THEN 'removed' "
             "ELSE 'changed' END AS status FROM j "
-            "WHERE oid IS NULL OR nid IS NULL OR ot != nt",
+            "WHERE oid IS NULL OR nid IS NULL "
+            "OR ot IS DISTINCT FROM nt",
         "probe_moments":
             r"WITH f AS (SELECT 1 AS f0, "
             r"CAST(len(regexp_split_to_array(trim(text), '\s+')) "

@@ -64,8 +64,11 @@ def pretrain_chunks(sf_dir: str, width: int = 32, stride: int = 24,
             did.astype(np.int64) * CHUNK_BOUND + cid.astype(np.int64),
             pa.int64())})
 
+    # materialize the 8-byte/row uid projection so the rank's count
+    # pass and rank pass don't each re-run filter+chunking (the
+    # stated rank.py contract: rank a materialized cheap projection)
     uids = chunks.map_batches(to_uid, batch_format="pyarrow",
-                              batch_size=None)
+                              batch_size=None).materialize()
     ranked = seeded_shuffle_rank(uids, "uid", seed=seed,
                                  num_buckets=num_buckets)
 

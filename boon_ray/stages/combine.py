@@ -43,11 +43,10 @@ def combine_keyed_partials(parts_ds, key_cols, sum_cols,
         if not dfs:
             return pd.DataFrame(columns=key_cols + sum_cols)
         df = pd.concat(dfs, ignore_index=True)
-        out = df.groupby(key_cols, sort=False)[sum_cols].sum() \
-                .reset_index()
-        for c in sum_cols:
-            out[c] = out[c].astype(np.int64)
-        return out
+        # dropna=False: a null key is a key (Arrow group_by keeps it);
+        # dtype-preserving: int sums stay int64, float sums float64
+        return df.groupby(key_cols, sort=False,
+                          dropna=False)[sum_cols].sum().reset_index()
 
     refs = parts_ds.to_arrow_refs()
     if len(refs) > fanin:
@@ -90,9 +89,10 @@ def bucketed_groupby_sum(parts_ds, key_cols, sum_cols,
             (h % np.uint64(num_buckets)).astype(np.int64), pa.int64()))
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: null keys aggregate like any other key;
         # dtype-preserving: int sums stay int64, float sums float64
-        return df.groupby(key_cols, sort=False)[sum_cols].sum() \
-                 .reset_index()
+        return df.groupby(key_cols, sort=False,
+                          dropna=False)[sum_cols].sum().reset_index()
 
     return (parts_ds.map_batches(bucketed, batch_format="pyarrow",
                                  batch_size=batch_size)

@@ -856,8 +856,12 @@ def semdedup(ds, labels, centroids_fp, vec_col: str = "embedding",
     map_groups stages.
     """
     scale = float(1 << scale_bits)
-    lab = np.asarray(labels, dtype=np.int64)
-    cen = np.asarray(centroids_fp, dtype=np.int64)
+    # ascending labels so argmin's first hit = smallest label on
+    # distance ties (same defensive sort as centroid_assign)
+    order = np.argsort(np.asarray(labels, dtype=np.int64),
+                       kind="stable")
+    lab = np.asarray(labels, dtype=np.int64)[order]
+    cen = np.asarray(centroids_fp, dtype=np.int64)[order]
     cc = np.einsum("ij,ij->i", cen, cen)
 
     def assign(b: pa.Table) -> pa.Table:
@@ -868,7 +872,7 @@ def semdedup(ds, labels, centroids_fp, vec_col: str = "embedding",
         offs = col.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(offs)
         if len(widths) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], ids.type),
                              "cluster": pa.array([], pa.int64()),
                              vec_col: pa.array([], col.type)})
         d = int(widths[0])

@@ -59,11 +59,15 @@ def snapshot_delta(old_ds, new_ds, id_col: str = "doc_id",
         n = df[df["_side"] == 1][[id_col, "_cmp"]]
         m = o.merge(n, on=id_col, how="outer",
                     suffixes=("_o", "_n"), indicator=True)
+        # null semantics = SQL IS DISTINCT FROM: null==null is
+        # UNCHANGED (else a null-text doc re-emits as 'changed' on
+        # every incremental run), null vs value IS a change
+        both_null = m["_cmp_o"].isna() & m["_cmp_n"].isna()
+        differs = (m["_cmp_o"] != m["_cmp_n"]) & ~both_null
         status = np.where(
             m["_merge"] == "right_only", "added",
             np.where(m["_merge"] == "left_only", "removed",
-                     np.where(m["_cmp_o"] != m["_cmp_n"],
-                              "changed", "unchanged")))
+                     np.where(differs, "changed", "unchanged")))
         out = pd.DataFrame({id_col: m[id_col].to_numpy(),
                             "status": status})
         if not include_unchanged:

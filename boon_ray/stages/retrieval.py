@@ -389,7 +389,7 @@ def importance_scores(ds, target_col: str, target_value: str,
         m = d.merge(table, on=["w1", "w2"], how="inner")
         if m.empty:
             return pa.table({
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], ids.type),
                 "n_scored": pa.array([], pa.int64()),
                 "imp_sum": pa.array([], pa.int64())})
         grp = m.groupby(m["row"].to_numpy())
@@ -443,6 +443,7 @@ def novelty_scores(ds, ref_filter, column: str = "text",
         ds.map_batches(ref_partial, batch_format="pyarrow",
                        batch_size=batch_size),
         ["w1", "w2"], ["one"])[["w1", "w2"]]
+    ref_hit = ref.assign(_hit=np.int64(1))  # built once, not per batch
 
     def score_batch(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).combine_chunks()
@@ -451,8 +452,7 @@ def novelty_scores(ds, ref_filter, column: str = "text",
             return pa.table({id_col: pa.array([], ids.type),
                              "n_bigrams": pa.array([], pa.int64()),
                              "n_known": pa.array([], pa.int64())})
-        m = d.merge(ref.assign(_hit=np.int64(1)), on=["w1", "w2"],
-                    how="left")
+        m = d.merge(ref_hit, on=["w1", "w2"], how="left")
         grp = m.groupby(m["row"].to_numpy())
         g = pd.DataFrame({
             "n_bigrams": grp.size().astype(np.int64),

@@ -56,17 +56,28 @@ def main(argv=None) -> int:
     from boon_ray.pipelines.pretrain import pretrain_chunks
     from boon_ray.state.checkpoint import read_manifests, run_partitioned
 
+    # each pipeline's (small, id+split) OUTPUT is materialized once
+    # and shared by its two split partitions — without this the whole
+    # chunking/curation chain re-executes per split filter
+    cache: dict = {}
+
+    def pipeline_output(kind: str):
+        if kind not in cache:
+            if kind == "docs":
+                ds = curate_documents(args.sf_dir,
+                                      min_words=args.min_words,
+                                      max_words=args.max_words)
+            else:
+                ds = pretrain_chunks(args.sf_dir,
+                                     min_words=args.min_words,
+                                     max_words=args.max_words)
+            cache[kind] = ds.materialize()
+        return cache[kind]
+
     def make(pid: str):
         kind, split = pid.split("-")
-        if kind == "docs":
-            ds = curate_documents(args.sf_dir,
-                                  min_words=args.min_words,
-                                  max_words=args.max_words)
-        else:
-            ds = pretrain_chunks(args.sf_dir,
-                                 min_words=args.min_words,
-                                 max_words=args.max_words)
-        return ds.filter(expr=f"split == '{split}'")
+        return pipeline_output(kind).filter(
+            expr=f"split == '{split}'")
 
     parts = ["docs-train", "docs-test", "chunks-train", "chunks-test"]
     summary = run_partitioned(

@@ -232,6 +232,27 @@ def test_snapshot_delta_matches_oracle(ray_session, oracle):
                                   want.astype({"doc_id": "int64"}))
 
 
+def test_snapshot_delta_null_semantics(ray_session):
+    """IS DISTINCT FROM semantics: null==null is unchanged (the doc
+    must NOT re-emit as 'changed' forever); null vs value IS a
+    change."""
+    import pyarrow as pa
+
+    from boon_ray.stages.delta import snapshot_delta
+
+    old = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([None, None, "x"], pa.string()),
+    }))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([None, "y", "x"], pa.string()),
+    }))
+    out = snapshot_delta(old, new, num_buckets=2).to_pandas()
+    assert out.to_dict("records") == [
+        {"doc_id": 2, "status": "changed"}]
+
+
 def test_snapshot_delta_identity_is_empty(ray_session):
     from boon_ray.stages.delta import snapshot_delta
 
