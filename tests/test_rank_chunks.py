@@ -474,6 +474,45 @@ def test_trending_types_match_oracle(ray_session, oracle):
         got, want.astype({"n_events": "int64"}))
 
 
+# ------------------------------------- sessionizer retry idempotence
+
+def test_session_actor_retry_replay_is_idempotent(ray_session):
+    """The feed-task retry contract (streaming.py module docstring):
+    reset + deterministic replay of the whole bucket must reproduce
+    EXACTLY the sessions of a single clean pass — a partially-applied
+    first attempt must not double-count."""
+    import ray
+
+    from boon_ray.stages.streaming import _session_actor_cls
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    keys = rng.integers(0, 40, n)
+    ts = np.sort(rng.integers(0, 10**9, n)).astype(np.int64)
+    vals = rng.integers(1, 100, n)
+    chunks = [(keys[i:i + 500], ts[i:i + 500], vals[i:i + 500])
+              for i in range(0, n, 500)]
+
+    actor = _session_actor_cls().remote(gap_us=10**6)
+
+    def run_all():
+        out = []
+        for c in chunks:
+            ray.get(actor.feed.remote(*c))
+            out += ray.get(actor.drain_closed.remote())
+        out += ray.get(actor.flush.remote())
+        return sorted(out)
+
+    clean = run_all()
+    # simulate a failed attempt that applied only part of the bucket
+    ray.get(actor.feed.remote(*chunks[0]))
+    ray.get(actor.feed.remote(*chunks[1]))
+    # ...the retry resets and replays everything
+    ray.get(actor.reset.remote())
+    replay = run_all()
+    assert replay == clean
+
+
 # -------------------------------------------- curation job script
 
 def test_curate_job_runs_and_resumes(ray_session, tmp_path):
