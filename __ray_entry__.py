@@ -1121,6 +1121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_types": _q_trending_types,
         "partitioned_roundtrip": _q_partitioned_roundtrip,
         "normalized_text": _q_normalized_text,
+        "distinct_sources_per_lang": _q_distinct_sources_per_lang,
+        "lang_moments": _q_lang_moments,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1184,6 +1186,77 @@ def _q_pretrain_chunks(sf_dir: str):
     from boon_ray.pipelines.pretrain import pretrain_chunks
 
     return pretrain_chunks(sf_dir)
+
+
+def _q_distinct_sources_per_lang(sf_dir: str):
+    """Grouped COUNT(DISTINCT ...): per-batch distinct pairs reduce
+    to a (groups x values)-bounded pair table (tree combine), then a
+    plain pandas distinct count — the grouped-distinct pattern whose
+    shuffle ships unique pairs, never rows."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.combine import combine_keyed_partials
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+
+    def pairs(b: pa.Table) -> pd.DataFrame:
+        df = b.select(["lang", "source"]).to_pandas().drop_duplicates()
+        return df.assign(one=1)
+
+    agg = combine_keyed_partials(
+        ds.map_batches(pairs, batch_format="pyarrow",
+                       batch_size=None),
+        ["lang", "source"], ["one"])
+    out = agg.groupby("lang", sort=True)["source"].nunique() \
+             .reset_index(name="n_sources")
+    import numpy as np
+    return pa.table({
+        "lang": pa.array(out["lang"].astype(str)),
+        "n_sources": pa.array(out["n_sources"].to_numpy(np.int64),
+                              pa.int64()),
+    })
+
+
+def _q_lang_moments(sf_dir: str):
+    """Per-language exact-int64 moment sums of (n_chars, n_words) —
+    the grouped normal-equation inputs for correlation / regression
+    per partition (same contract as probe_moments, keyed by lang)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.combine import combine_keyed_partials
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text", "n_chars"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        s = b.column("text").to_pandas().fillna("")
+        x = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = s.str.split().str.len().to_numpy().astype(np.int64)
+        keep = y > 0  # empty/whitespace text: mirror the oracle's
+        #               WHERE length(trim(text)) > 0
+        df = pd.DataFrame({
+            "lang": b.column("lang").to_pandas().to_numpy()[keep],
+            "n": np.int64(1), "sx": x[keep], "sy": y[keep],
+            "sxx": x[keep] * x[keep], "syy": y[keep] * y[keep],
+            "sxy": x[keep] * y[keep],
+        })
+        return df.groupby("lang", sort=False).sum().reset_index()
+
+    agg = combine_keyed_partials(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=None),
+        ["lang"], ["n", "sx", "sy", "sxx", "syy", "sxy"])
+    cols = {"lang": pa.array(agg["lang"].astype(str))}
+    for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+        cols[c] = pa.array(agg[c].to_numpy(np.int64), pa.int64())
+    return pa.table(cols)
 
 
 def _q_normalized_text(sf_dir: str):
@@ -2292,6 +2365,21 @@ def oracle_sql() -> dict[str, str]:
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",
+        "distinct_sources_per_lang":
+            "SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) "
+            "AS n_sources FROM documents GROUP BY lang",
+        "lang_moments":
+            r"WITH f AS (SELECT lang, CAST(n_chars AS BIGINT) AS x, "
+            r"CAST(len(regexp_split_to_array(trim(text), '\s+')) "
+            r"AS BIGINT) AS y FROM documents "
+            r"WHERE length(trim(text)) > 0) "
+            r"SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+            r"CAST(SUM(x) AS BIGINT) AS sx, "
+            r"CAST(SUM(y) AS BIGINT) AS sy, "
+            r"CAST(SUM(x*x) AS BIGINT) AS sxx, "
+            r"CAST(SUM(y*y) AS BIGINT) AS syy, "
+            r"CAST(SUM(x*y) AS BIGINT) AS sxy "
+            r"FROM f GROUP BY lang",
         "trending_types":
             "WITH w AS (SELECT event_type, "
             "CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) "

@@ -474,6 +474,21 @@ def test_trending_types_match_oracle(ray_session, oracle):
         got, want.astype({"n_events": "int64"}))
 
 
+# ------------------------------------- grouped distinct and moments
+
+def test_distinct_sources_and_lang_moments_match_oracle(ray_session,
+                                                        oracle):
+    import __ray_entry__ as E
+
+    for name in ("distinct_sources_per_lang", "lang_moments"):
+        r = E.queries()[name](SF)
+        got = _sorted(r.to_pandas() if hasattr(r, "to_pandas") else r)
+        want = _sorted(oracle.sql(E.oracle_sql()[name]).df())
+        pd.testing.assert_frame_equal(
+            got, want.astype({c: "int64" for c in want.columns
+                              if c != "lang"}))
+
+
 # ------------------------------------- sessionizer retry idempotence
 
 def test_session_actor_retry_replay_is_idempotent(ray_session):
