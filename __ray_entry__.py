@@ -1123,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_text": _q_normalized_text,
         "distinct_sources_per_lang": _q_distinct_sources_per_lang,
         "lang_moments": _q_lang_moments,
+        "jsonl_csv_sources": _q_jsonl_csv_sources,
         # windows / joins / aggregates
         "tumbling_events": _q_tumbling_events,
         "sliding_events": _q_sliding_events,
@@ -1257,6 +1258,52 @@ def _q_lang_moments(sf_dir: str):
     for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
         cols[c] = pa.array(agg[c].to_numpy(np.int64), pa.int64())
     return pa.table(cols)
+
+
+def _q_jsonl_csv_sources(sf_dir: str):
+    """Source-format coverage: the documents table written once as
+    JSONL and once as CSV (id-split halves), read back through Ray
+    Data's read_json / read_csv and unioned — the oracle is the
+    original table, so both ingestion paths must be lossless
+    (schema-stable ints + strings through each format)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    base = os.path.join(tempfile.gettempdir(), "boonray_sources")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang", "n_chars"])
+    df = t.to_pandas()
+    lo, hi = df[df.doc_id % 2 == 0], df[df.doc_id % 2 == 1]
+    jsonl = os.path.join(base, "docs.jsonl")
+    csvf = os.path.join(base, "docs.csv")
+    lo.to_json(jsonl, orient="records", lines=True)
+    hi.to_csv(csvf, index=False)
+    import pyarrow as pa
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(
+                b.column("doc_id").to_numpy(zero_copy_only=False)
+                .astype("int64"), pa.int64()),
+            "lang": pa.array(
+                [str(x) for x in b.column("lang").to_pylist()],
+                pa.string()),
+            "n_chars": pa.array(
+                b.column("n_chars").to_numpy(zero_copy_only=False)
+                .astype("int64"), pa.int64()),
+        })
+
+    a = rd.read_json(jsonl).map_batches(cast, batch_format="pyarrow",
+                                        batch_size=None)
+    b = rd.read_csv(csvf).map_batches(cast, batch_format="pyarrow",
+                                      batch_size=None)
+    return a.union(b)
 
 
 def _q_normalized_text(sf_dir: str):
@@ -2365,6 +2412,8 @@ def oracle_sql() -> dict[str, str]:
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",
+        "jsonl_csv_sources":
+            "SELECT doc_id, lang, n_chars FROM documents",
         "distinct_sources_per_lang":
             "SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) "
             "AS n_sources FROM documents GROUP BY lang",

@@ -474,6 +474,17 @@ def test_trending_types_match_oracle(ray_session, oracle):
         got, want.astype({"n_events": "int64"}))
 
 
+# ------------------------------------------ source-format coverage
+
+def test_jsonl_csv_sources_lossless(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["jsonl_csv_sources"](SF).to_pandas())
+    want = _sorted(oracle.sql(
+        E.oracle_sql()["jsonl_csv_sources"]).df())
+    pd.testing.assert_frame_equal(got, want)
+
+
 # ------------------------------------- grouped distinct and moments
 
 def test_distinct_sources_and_lang_moments_match_oracle(ray_session,
