@@ -1139,6 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ivf_recall": _q_ivf_recall,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_first_seen": _q_streaming_first_seen,
         "events_in_session": _q_events_in_session,
         # sort / limit / distinct / multi-hop joins
         "top_docs": _q_top_docs,
@@ -1556,6 +1557,21 @@ def _q_doc_chunks(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return chunk_documents(ds, width=32, stride=24)
+
+
+def _q_streaming_first_seen(sf_dir: str):
+    """Incremental exact dedup from an ordered stream (raw-actor
+    tier, streaming.streaming_first_seen): first event per user,
+    deterministic as ROW_NUMBER() OVER (PARTITION BY user ORDER BY
+    ts, event_id) = 1."""
+    import ray.data as rd
+
+    from boon_ray.stages.streaming import streaming_first_seen
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_id"])
+    return streaming_first_seen(ds, "ts", "user_id", "event_id",
+                                num_buckets=4)
 
 
 def _q_streaming_sessions(sf_dir: str):
@@ -2414,6 +2430,13 @@ def oracle_sql() -> dict[str, str]:
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",
         "jsonl_csv_sources":
             "SELECT doc_id, lang, n_chars FROM documents",
+        "streaming_first_seen":
+            "SELECT user_id, CAST(us AS BIGINT) AS first_ts_us, "
+            "CAST(event_id AS BIGINT) AS first_id FROM ("
+            "SELECT user_id, epoch_us(ts) AS us, event_id, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), event_id) AS rn FROM events) "
+            "WHERE rn = 1",
         "distinct_sources_per_lang":
             "SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) "
             "AS n_sources FROM documents GROUP BY lang",

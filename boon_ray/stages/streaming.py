@@ -221,3 +221,114 @@ def streaming_sessionize(ds, ts_col: str, key_col: str, value_col: str,
                          batch_size=None)
             .groupby("_bucket")
             .map_groups(feed_bucket, batch_format="pandas"))
+
+
+# --------------------------------------- streaming first-occurrence
+
+def _dedup_actor_cls():
+    import ray
+
+    @ray.remote
+    class FirstSeenActor:
+        """Seen-key set for one bucket: emits each key's FIRST event
+        (by arrival order = the feed task's (ts, id) sort) and drops
+        the rest — the incremental exact-dedup primitive a continuous
+        ingestion pipeline runs against an unbounded stream.
+
+        Memory: O(distinct keys in the bucket) for the seen set —
+        the irreducible state of exact streaming dedup (swap the set
+        for sketches.BloomFilter when approximate suffices)."""
+
+        def __init__(self):
+            self.seen: set = set()
+            self.firsts: list = []
+
+        def reset(self) -> None:
+            """Retry contract, same as SessionActor: a Ray Data task
+            retry replays its bucket against a clean slate."""
+            self.seen = set()
+            self.firsts = []
+
+        def feed(self, keys, ts_us, ids) -> int:
+            k = np.asarray(keys)
+            t = np.asarray(ts_us, dtype=np.int64)
+            i = np.asarray(ids, dtype=np.int64)
+            # vectorized within the slice: first index per new key
+            uniq, first_idx = np.unique(k, return_index=True)
+            n = 0
+            for u, fi in zip(uniq, first_idx):
+                if u not in self.seen:
+                    self.seen.add(u)
+                    self.firsts.append(
+                        (u, int(t[fi]), int(i[fi])))
+                    n += 1
+            return n
+
+        def drain(self) -> list:
+            out, self.firsts = self.firsts, []
+            return out
+
+    return FirstSeenActor
+
+
+def streaming_first_seen(ds, ts_col: str, key_col: str, id_col: str,
+                         num_buckets: int = 8,
+                         chunk_rows: int = 8192):
+    """First event per key from an ordered stream (incremental exact
+    dedup): returns a Dataset of (key, first_ts_us, first_id).
+
+    Same raw-actor shape as :func:`streaming_sessionize` — per-bucket
+    feed tasks deliver (ts, id)-sorted chunked slices, drain
+    first-occurrences after every chunk, reset-on-retry. "First" is
+    deterministic because the feed sort is a total order: exactly
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts, id) = 1``.
+    """
+    import ray
+
+    FirstSeenActor = _dedup_actor_cls()
+    actors = [FirstSeenActor.remote() for _ in range(num_buckets)]
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_pandas().to_numpy(dtype=object)
+        bucket = (hash64(keys) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            key_col: b.column(key_col),
+            ts_col: pa.compute.cast(b.column(ts_col), pa.int64()),
+            id_col: b.column(id_col),
+            "_bucket": pa.array(bucket),
+        })
+
+    def feed_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["_bucket"].iloc[0])
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        ts_us = g[ts_col].to_numpy(dtype=np.int64)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        actor = actors[bucket]
+        ray.get(actor.reset.remote())   # retry idempotence
+        rows: list = []
+        pending: list = []
+        for i in range(0, len(g), chunk_rows):
+            if len(pending) >= 4:
+                done, pending = ray.wait(pending, num_returns=1)
+                ray.get(done)
+                rows.extend(ray.get(actor.drain.remote()))
+            pending.append(actor.feed.remote(
+                keys[i:i + chunk_rows], ts_us[i:i + chunk_rows],
+                ids[i:i + chunk_rows]))
+        ray.get(pending)
+        rows.extend(ray.get(actor.drain.remote()))
+        if not rows:
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 "first_ts_us": pd.Series([], dtype=np.int64),
+                                 "first_id": pd.Series([], dtype=np.int64)})
+        out = pd.DataFrame(rows, columns=[key_col, "first_ts_us",
+                                          "first_id"])
+        out["first_ts_us"] = out["first_ts_us"].astype(np.int64)
+        out["first_id"] = out["first_id"].astype(np.int64)
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("_bucket")
+            .map_groups(feed_bucket, batch_format="pandas"))

@@ -474,6 +474,34 @@ def test_trending_types_match_oracle(ray_session, oracle):
         got, want.astype({"n_events": "int64"}))
 
 
+# ------------------------------------- streaming first-occurrence
+
+def test_streaming_first_seen_matches_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    oracle.sql(f"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM "
+               f"read_parquet('{SF}/events.parquet')")
+    got = _sorted(E.queries()["streaming_first_seen"](SF).to_pandas())
+    want = _sorted(oracle.sql(
+        E.oracle_sql()["streaming_first_seen"]).df())
+    pd.testing.assert_frame_equal(
+        got, want.astype({"first_ts_us": "int64",
+                          "first_id": "int64"}))
+
+
+def test_streaming_first_seen_partition_independent(ray_session):
+    from boon_ray.stages.streaming import streaming_first_seen
+
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["ts", "user_id", "event_id"])
+    a = _sorted(streaming_first_seen(
+        ds, "ts", "user_id", "event_id", num_buckets=2).to_pandas())
+    b = _sorted(streaming_first_seen(
+        ds.repartition(7), "ts", "user_id", "event_id",
+        num_buckets=8).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
 # ------------------------------------------ source-format coverage
 
 def test_jsonl_csv_sources_lossless(ray_session, oracle):
