@@ -1119,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_capped": _q_budget_capped,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "trending_types": _q_trending_types,
+        "window_unique_users": _q_window_unique_users,
         "partitioned_roundtrip": _q_partitioned_roundtrip,
         "normalized_text": _q_normalized_text,
         "distinct_sources_per_lang": _q_distinct_sources_per_lang,
@@ -1361,6 +1362,56 @@ def _q_partitioned_roundtrip(sf_dir: str):
     # drop the hive-inferred part= column: lang is already a column
     return rd.read_parquet(files).select_columns(
         ["doc_id", "lang", "n_chars"])
+
+
+def _q_window_unique_users(sf_dir: str):
+    """Grouped COUNT(DISTINCT) over tumbling windows (hourly unique
+    users): per-batch distinct (window, user) pairs -> bucketed pair
+    dedup (the only full exchange ships unique pairs) -> windows-
+    bounded count combine."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.combine import (
+        bucketed_groupby_sum, combine_keyed_partials,
+    )
+    from boon_ray.stages.windows import add_tumbling_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+
+    def pairs(b: pa.Table) -> pd.DataFrame:
+        w = add_tumbling_window(b, "ts", 3600)
+        df = pa.table({
+            "window_start": w.column("window_start"),
+            "user_id": w.column("user_id"),
+        }).to_pandas().drop_duplicates()
+        return df.assign(one=np.int64(1))
+
+    distinct_pairs = bucketed_groupby_sum(
+        ds.map_batches(pairs, batch_format="pyarrow",
+                       batch_size=None),
+        ["window_start", "user_id"], ["one"], num_buckets=16)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("window_start", sort=False).size() \
+              .reset_index(name="n_users")
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    counts = combine_keyed_partials(
+        distinct_pairs.map_batches(count_partial,
+                                   batch_format="pandas",
+                                   batch_size=None),
+        ["window_start"], ["n_users"])  # windows-bounded
+    return pa.table({
+        "window_start": pa.array(
+            counts["window_start"].to_numpy(np.int64), pa.int64()),
+        "n_users": pa.array(counts["n_users"].to_numpy(np.int64),
+                            pa.int64()),
+    })
 
 
 def _q_trending_types(sf_dir: str):
@@ -2452,6 +2503,11 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(SUM(y*y) AS BIGINT) AS syy, "
             r"CAST(SUM(x*y) AS BIGINT) AS sxy "
             r"FROM f GROUP BY lang",
+        "window_unique_users":
+            "SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) "
+            "AS window_start, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1",
         "trending_types":
             "WITH w AS (SELECT event_type, "
             "CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) "

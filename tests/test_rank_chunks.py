@@ -474,6 +474,20 @@ def test_trending_types_match_oracle(ray_session, oracle):
         got, want.astype({"n_events": "int64"}))
 
 
+# ------------------------------------- windowed distinct counts
+
+def test_window_unique_users_match_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    oracle.sql(f"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM "
+               f"read_parquet('{SF}/events.parquet')")
+    r = E.queries()["window_unique_users"](SF)
+    got = _sorted(r.to_pandas() if hasattr(r, "to_pandas") else r)
+    want = _sorted(oracle.sql(
+        E.oracle_sql()["window_unique_users"]).df())
+    pd.testing.assert_frame_equal(got, want)
+
+
 # ------------------------------------- streaming first-occurrence
 
 def test_streaming_first_seen_matches_oracle(ray_session, oracle):
