@@ -1116,6 +1116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": _q_pq_codes,
         "novelty_scores": _q_novelty_scores,
         "length_tiles": _q_length_tiles,
+        "length_rank_in_lang": _q_length_rank_in_lang,
         "budget_capped": _q_budget_capped,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "trending_types": _q_trending_types,
@@ -1461,6 +1462,21 @@ def _q_budget_capped(sf_dir: str):
     return budget_cap(ds, group_col="lang", weight_col="n_chars",
                       order_col="n_chars", id_col="doc_id",
                       budget=5000)
+
+
+def _q_length_rank_in_lang(sf_dir: str):
+    """Distributed ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+    n_chars, doc_id) via exact (lang, length) histogram offsets —
+    per-group ordering without a global sort
+    (rank.rank_in_partition_by_int_key)."""
+    import ray.data as rd
+
+    from boon_ray.stages.rank import rank_in_partition_by_int_key
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    return rank_in_partition_by_int_key(ds, "lang", "n_chars",
+                                        "doc_id")
 
 
 def _q_length_tiles(sf_dir: str):
@@ -2531,6 +2547,10 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY lang ORDER BY n_chars DESC, doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
             "AS cum FROM documents) WHERE cum <= 5000",
+        "length_rank_in_lang":
+            "SELECT lang, doc_id, n_chars, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) "
+            "AS rn FROM documents",
         "length_tiles":
             "SELECT doc_id, n_chars, CAST(NTILE(4) OVER ("
             "ORDER BY n_chars, doc_id) AS BIGINT) AS tile "

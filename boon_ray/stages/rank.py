@@ -183,3 +183,58 @@ def ntile_by_int_key(ds, key_col: str, id_col: str, n_tiles: int = 4,
 
     return proj.groupby(key_col).map_groups(rank_group,
                                             batch_format="pandas")
+
+
+def rank_in_partition_by_int_key(ds, part_col: str, key_col: str,
+                                 id_col: str, batch_size=None):
+    """Distributed ``ROW_NUMBER() OVER (PARTITION BY part ORDER BY
+    key, id)`` for a BOUNDED-integer key — per-group global ordering
+    (length rank within a language, score rank within a domain)
+    without a global sort.
+
+    Same two-pass shape as :func:`ntile_by_int_key`: the exact
+    (part, key) histogram reduces through the vocabulary tree combine
+    (bounded by |parts| x |keys|, not rows), the driver cumsums
+    offsets WITHIN each partition, and one shuffle co-locates each
+    (part, key) group, which ranks its rows by id and adds the
+    offset. Output: (part, id, key, rn) with rn 1-based like SQL.
+    """
+    from boon_ray.stages.combine import combine_keyed_partials
+
+    def hist(b: pa.Table) -> pa.Table:
+        df = pa.table({
+            part_col: b.column(part_col),
+            key_col: b.column(key_col),
+        }).to_pandas()
+        g = df.groupby([part_col, key_col], sort=False).size() \
+              .reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    proj = ds.map_batches(
+        lambda b: b.select([part_col, id_col, key_col]),
+        batch_format="pyarrow", batch_size=batch_size)
+    counts = combine_keyed_partials(
+        proj.map_batches(hist, batch_format="pyarrow",
+                         batch_size=batch_size),
+        [part_col, key_col], ["n"]).sort_values([part_col, key_col])
+    # exclusive cumsum restarting at each partition boundary
+    csum = counts.groupby(part_col, sort=False)["n"].cumsum() \
+        - counts["n"]
+    offsets = {
+        (p, int(k)): int(o)
+        for p, k, o in zip(counts[part_col], counts[key_col], csum)}
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        off = offsets[(df[part_col].iloc[0],
+                       int(df[key_col].iloc[0]))]
+        return pd.DataFrame({
+            part_col: df[part_col].to_numpy(),
+            id_col: df[id_col].to_numpy(np.int64),
+            key_col: df[key_col].to_numpy(np.int64),
+            "rn": off + 1 + np.arange(len(df), dtype=np.int64),
+        })
+
+    return proj.groupby([part_col, key_col]).map_groups(
+        rank_group, batch_format="pandas")

@@ -391,6 +391,33 @@ def test_ntile_remainder_rule_and_partition_independence(ray_session):
     assert sizes == [11, 11, 11, 10]
 
 
+# ------------------------------------------ per-partition ROW_NUMBER
+
+def test_length_rank_in_lang_matches_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    got = _sorted(E.queries()["length_rank_in_lang"](SF).to_pandas())
+    want = _sorted(oracle.sql(
+        E.oracle_sql()["length_rank_in_lang"]).df())
+    pd.testing.assert_frame_equal(got, want.astype({"rn": "int64"}))
+
+
+def test_rank_in_partition_partition_independent(ray_session):
+    from boon_ray.stages.rank import rank_in_partition_by_int_key
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    a = _sorted(rank_in_partition_by_int_key(
+        ds, "lang", "n_chars", "doc_id").to_pandas())
+    b = _sorted(rank_in_partition_by_int_key(
+        ds.repartition(9), "lang", "n_chars", "doc_id").to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    # rn is 1..group_size within every lang
+    sizes = a.groupby("lang")["rn"].agg(["min", "max", "count"])
+    assert (sizes["min"] == 1).all()
+    assert (sizes["max"] == sizes["count"]).all()
+
+
 # ------------------------------------------------- budget-capped mix
 
 def test_budget_capped_matches_oracle(ray_session, oracle):
