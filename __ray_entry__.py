@@ -1121,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": _q_embedding_dim_stats,
         "trending_types": _q_trending_types,
         "window_unique_users": _q_window_unique_users,
+        "hourly_event_delta": _q_hourly_event_delta,
         "partitioned_roundtrip": _q_partitioned_roundtrip,
         "normalized_text": _q_normalized_text,
         "distinct_sources_per_lang": _q_distinct_sources_per_lang,
@@ -1363,6 +1364,43 @@ def _q_partitioned_roundtrip(sf_dir: str):
     # drop the hive-inferred part= column: lang is already a column
     return rd.read_parquet(files).select_columns(
         ["doc_id", "lang", "n_chars"])
+
+
+def _q_hourly_event_delta(sf_dir: str):
+    """LAG window parity: hourly event counts with the hour-over-hour
+    delta. Counting is the distributed pass; the LAG runs on the
+    WINDOWS-BOUNDED count table (not the events), which is the
+    legitimate driver-side tier for a per-window series."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.combine import combine_keyed_partials
+    from boon_ray.stages.windows import add_tumbling_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def counts(b: pa.Table) -> pd.DataFrame:
+        w = add_tumbling_window(b, "ts", 3600)
+        g = pa.table({"window_start": w.column("window_start")}) \
+            .to_pandas().groupby("window_start", sort=False) \
+            .size().reset_index(name="n_events")
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g
+
+    agg = combine_keyed_partials(
+        ds.map_batches(counts, batch_format="pyarrow",
+                       batch_size=None),
+        ["window_start"], ["n_events"]).sort_values("window_start")
+    n = agg["n_events"].to_numpy(np.int64)
+    prev = np.r_[0, n[:-1]]
+    return pa.table({
+        "window_start": pa.array(
+            agg["window_start"].to_numpy(np.int64), pa.int64()),
+        "n_events": pa.array(n, pa.int64()),
+        "delta": pa.array(n - prev, pa.int64()),
+    })
 
 
 def _q_window_unique_users(sf_dir: str):
@@ -2519,6 +2557,14 @@ def oracle_sql() -> dict[str, str]:
             r"CAST(SUM(y*y) AS BIGINT) AS syy, "
             r"CAST(SUM(x*y) AS BIGINT) AS sxy "
             r"FROM f GROUP BY lang",
+        "hourly_event_delta":
+            "WITH w AS (SELECT "
+            "CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) "
+            "AS window_start, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1) "
+            "SELECT window_start, n_events, "
+            "CAST(n_events - COALESCE(LAG(n_events) OVER ("
+            "ORDER BY window_start), 0) AS BIGINT) AS delta FROM w",
         "window_unique_users":
             "SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) "
             "AS window_start, "

@@ -501,6 +501,27 @@ def test_trending_types_match_oracle(ray_session, oracle):
         got, want.astype({"n_events": "int64"}))
 
 
+# --------------------------------------------- LAG window parity
+
+def test_hourly_event_delta_matches_oracle(ray_session, oracle):
+    import __ray_entry__ as E
+
+    oracle.sql(f"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM "
+               f"read_parquet('{SF}/events.parquet')")
+    r = E.queries()["hourly_event_delta"](SF)
+    got = _sorted(r.to_pandas() if hasattr(r, "to_pandas") else r)
+    want = _sorted(oracle.sql(
+        E.oracle_sql()["hourly_event_delta"]).df())
+    pd.testing.assert_frame_equal(got, want)
+    srt = (r.to_pandas() if hasattr(r, "to_pandas") else r)
+    srt = srt.sort_values("window_start")
+    # delta telescopes: n_i - n_{i-1} everywhere, n_0 - 0 at the start
+    assert (srt["n_events"].to_numpy()[1:]
+            - srt["n_events"].to_numpy()[:-1]
+            == srt["delta"].to_numpy()[1:]).all()
+    assert srt["delta"].iloc[0] == srt["n_events"].iloc[0]
+
+
 # ------------------------------------- windowed distinct counts
 
 def test_window_unique_users_match_oracle(ray_session, oracle):
