@@ -31,6 +31,31 @@ REPLICAS = int(os.environ.get("GRAFT_BENCH_REPLICAS", "100"))
 _CORPUS = None  # materialized amplified corpus, built once per run
 
 
+_CORPUS_IDS = None  # (doc_id, text) view with deterministic ids
+
+
+def _corpus_ids():
+    """Amplified corpus keyed by the REAL deterministic doc_id
+    (keep_meta id stream: doc_id + replica*1_000_003 — globally
+    unique and identical run-to-run). The previous scheme derived id
+    ranges from abs(hash(first commit)), which is PYTHONHASHSEED-
+    randomized per process AND collides across amplified batches that
+    share a first commit — nondeterministic timings/row counts and a
+    broken unique-id assumption in snapshot_delta."""
+    global _CORPUS_IDS
+    if _CORPUS_IDS is None:
+        import pyarrow as pa
+
+        from boon_ray.sources.corpus import corpus_dataset
+
+        ds = corpus_dataset(SF_DIR, replicas=REPLICAS, keep_meta=True)
+        _CORPUS_IDS = ds.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"),
+                                "text": b.column("content")}),
+            batch_format="pyarrow", batch_size=None).materialize()
+    return _CORPUS_IDS
+
+
 def _corpus():
     """The amplified corpus, materialized ONCE (plays the role of the
     on-disk corpus a real deployment would read; queries then measure
@@ -104,20 +129,9 @@ def q_column_stats():
 def q_minhash_dedup():
     """MinHash-LSH near-dup pairs over the amplified corpus content
     (per-doc signature loop inside batches; LSH bucket shuffle)."""
-    import pyarrow as pa
-
     from boon_ray.stages.dedup import minhash_duplicate_pairs
 
-    def add_id(b: pa.Table) -> pa.Table:
-        import numpy as np
-        start = abs(hash(b.column("commit")[0].as_py())) % (1 << 40)
-        ids = np.arange(start, start + b.num_rows, dtype=np.int64)
-        return pa.table({"doc_id": pa.array(ids),
-                         "text": b.column("content")})
-
-    ds = _corpus().map_batches(add_id, batch_format="pyarrow",
-                               batch_size=None)
-    return minhash_duplicate_pairs(ds, "text", "doc_id",
+    return minhash_duplicate_pairs(_corpus_ids(), "text", "doc_id",
                                    threshold=0.9,
                                    verify=False).count()
 
@@ -181,16 +195,7 @@ def q_hash_split():
     """Deterministic salted-md5 train/test split (pure map)."""
     from boon_ray.stages.training import hash_split
 
-    def add_id(b):
-        import numpy as np
-        import pyarrow as pa
-        start = abs(hash(b.column("commit")[0].as_py())) % (1 << 40)
-        ids = np.arange(start, start + b.num_rows, dtype=np.int64)
-        return pa.table({"doc_id": pa.array(ids)})
-
-    ds = _corpus().map_batches(add_id, batch_format="pyarrow",
-                               batch_size=None)
-    return hash_split(ds, "doc_id", test_pct=10.0).count()
+    return hash_split(_corpus_ids(), "doc_id", test_pct=10.0).count()
 
 
 def q_gopher_quality():
@@ -263,17 +268,13 @@ def q_doc_chunks():
 def q_shuffle_rank():
     """Seeded global shuffle rank over 500k ids: count pass +
     one (id, h, bucket) exchange + within-bucket rank."""
+    import pyarrow as pa
+
     from boon_ray.stages.rank import seeded_shuffle_rank
 
-    def add_id(b):
-        import numpy as np
-        import pyarrow as pa
-        start = abs(hash(b.column("commit")[0].as_py())) % (1 << 40)
-        ids = np.arange(start, start + b.num_rows, dtype=np.int64)
-        return pa.table({"doc_id": pa.array(ids)})
-
-    ids = _corpus().map_batches(add_id, batch_format="pyarrow",
-                                batch_size=None).materialize()
+    ids = _corpus_ids().map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id")}),
+        batch_format="pyarrow", batch_size=None)
     return seeded_shuffle_rank(ids, "doc_id", seed="bench",
                                num_buckets=256).count()
 
@@ -329,19 +330,11 @@ def q_snapshot_delta():
     """Incremental-ingest diff: amplified corpus vs a mutated copy
     (drop/rewrite/add rules); one hash-bucket exchange + vectorized
     per-bucket outer merge."""
-    import numpy as np
     import pyarrow as pa
 
     from boon_ray.stages.delta import snapshot_delta
 
-    def add_id(b: pa.Table) -> pa.Table:
-        start = abs(hash(b.column("commit")[0].as_py())) % (1 << 40)
-        ids = np.arange(start, start + b.num_rows, dtype=np.int64)
-        return pa.table({"doc_id": pa.array(ids),
-                         "text": b.column("content")})
-
-    old = _corpus().map_batches(add_id, batch_format="pyarrow",
-                                batch_size=None).materialize()
+    old = _corpus_ids()
 
     def mutate(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)

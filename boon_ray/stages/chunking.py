@@ -99,6 +99,11 @@ def chunk_documents(ds, column: str = "text", id_col: str = "doc_id",
     ``stride`` words (see module docstring)."""
     if stride <= 0 or width <= 0:
         raise ValueError("width and stride must be positive")
+    if stride > width:
+        # tokens at positions p with p % stride >= width would fall in
+        # no window, breaking the module's no-token-dropped invariant
+        raise ValueError(
+            f"stride ({stride}) > width ({width}) would drop tokens")
     return ds.map_batches(
         lambda b: _chunk_batch(b, column, id_col, width, stride,
                                emit_text),

@@ -55,7 +55,8 @@ def combine_keyed_partials(parts_ds, key_cols, sum_cols,
             return pa.Table.from_pandas(_combine_tables(tables),
                                         preserve_index=False)
 
-        groups = [refs[i::fanin] for i in range(fanin) if refs[i::fanin]]
+        # len(refs) > fanin here, so every strided slice is non-empty
+        groups = [refs[i::fanin] for i in range(fanin)]
         refs = [combine_group.remote(*g) for g in groups]
     return _combine_tables(ray.get(list(refs)))
 
