@@ -165,18 +165,126 @@ class _IVFPartial:
         })
 
 
-def ivf_topk(ds, queries: np.ndarray, vec_col: str = "embedding",
-             id_col: str = "vec_id", k: int = 10, n_lists: int = 16,
-             nprobe: int = 4, sample_size: int = 2048,
-             batch_size=None, concurrency=(1, 8)) -> pa.Table:
-    """Approximate cosine top-k via IVF (inverted-file) probing."""
+def hash_sample(ds, id_col: str, target: int, salt: str = "ivf-train",
+                total: Optional[int] = None) -> pd.DataFrame:
+    """Deterministic hash-sample of ~``target`` rows: keep rows with
+    splitmix64(id ^ md5_64(salt)) % ceil(n/target) == 0. Unlike
+    ``ds.limit(target)`` (a non-random PREFIX — the round-3 IVF
+    training flaw) this draws uniformly from the whole dataset, is
+    reproducible across runs/partitionings, and streams (the filter
+    runs inside map_batches; only kept rows land on the driver)."""
+    import hashlib
+
+    from boon_ray.stages.training import splitmix64
+
+    n = ds.count() if total is None else total
+    denom = max(1, -(-n // target))
+    s64 = np.uint64(int.from_bytes(
+        hashlib.md5(salt.encode()).digest()[:8], "little"))
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = splitmix64(ids.view(np.uint64) ^ s64)
+        return b.filter(pa.array(h % np.uint64(denom) == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+
+
+def build_ivf_index(ds, index_dir: str, vec_col: str = "embedding",
+                    id_col: str = "vec_id", n_lists: int = 16,
+                    train_target: int = 2048, seed: int = 11) -> dict:
+    """One-time IVF (inverted-file) list-partitioned layout — the
+    100 TB similarity-search plan (Jegou et al., PAMI 2011; the
+    reference engine has no ANN, this is an LLM-pipeline extension):
+
+    1. spherical k-means centroids trained on a deterministic
+       HASH-SAMPLE of the corpus (:func:`hash_sample`, not a prefix);
+    2. one streaming pass assigns every row its nearest list
+       (broadcast centroids, vectorized argmax) — the ONLY time the
+       full corpus is read;
+    3. rows land once as hive-partitioned parquet
+       ``list=<id>/...parquet`` (Ray partitioned write), so a query
+       touching ``nprobe`` lists reads ~nprobe/n_lists of the bytes
+       AT THE READ — at scale the scan is the cost, so pruning must
+       happen before bytes leave storage, not at compute time (the
+       round-3 ``np.isin`` skip read everything and filtered late).
+
+    Returns meta (n rows, list sizes, centroids path). Rebuilds are
+    explicit: callers own index_dir lifecycle (a real deployment
+    re-shards on drift, exactly like any secondary index).
+    """
+    import json
+    import os
+
     import ray
 
-    sample = ds.limit(sample_size).to_pandas()
-    cents = train_centroids(np.stack(sample[vec_col].to_list()), n_lists)
+    os.makedirs(index_dir, exist_ok=True)
+    n_total = ds.count()
+    sample = hash_sample(ds, id_col, train_target, total=n_total)
+    cents = train_centroids(
+        np.stack(sample[vec_col].to_list()), n_lists, seed=seed)
+    c_ref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(c_ref) if not isinstance(c_ref, np.ndarray) else c_ref
+        _, vecs = _ids_and_matrix(b, id_col, vec_col)
+        lists = np.argmax(_normalize(vecs) @ c.T, axis=1) \
+            .astype(np.int64)
+        return b.append_column("list", pa.array(lists, pa.int64()))
+
+    data_dir = os.path.join(index_dir, "lists")
+    ds.map_batches(assign, batch_format="pyarrow",
+                   batch_size=None).write_parquet(
+        data_dir, partition_cols=["list"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    sizes = {}
+    for d in sorted(os.listdir(data_dir)):
+        if d.startswith("list="):
+            sizes[int(d.split("=")[1])] = None  # filled lazily on read
+    meta = {"n_rows": int(n_total), "n_lists": int(n_lists),
+            "vec_col": vec_col, "id_col": id_col,
+            "lists_present": sorted(sizes)}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
+               nprobe: int = 4, batch_size=None,
+               concurrency=(1, 8)) -> tuple[pa.Table, dict]:
+    """Query a :func:`build_ivf_index` layout: per query pick the
+    ``nprobe`` nearest centroids, read ONLY those ``list=`` partition
+    directories, brute-force inside them. Returns (topk table, stats)
+    where stats proves the partial read: ``rows_read`` counts rows
+    actually scanned vs ``n_rows`` in the index."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    nprobe = min(nprobe, meta["n_lists"])
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    needed = sorted(set(probes.reshape(-1).tolist())
+                    & set(meta["lists_present"]))
+    files = [os.path.join(index_dir, "lists", f"list={li}", f)
+             for li in needed
+             for f in sorted(os.listdir(
+                 os.path.join(index_dir, "lists", f"list={li}")))
+             if f.endswith(".parquet")]
+    ds = rd.read_parquet(files)  # ONLY the probed partitions' files
+    rows_read = ds.count()
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
     q_ref = ray.put(np.asarray(queries, dtype=np.float64))
     c_ref = ray.put(cents)
     from boon_ray.stages.taskcache import cached_map_batches
+
     partial = cached_map_batches(
         ds, _IVFPartial,
         {"queries_ref": q_ref, "centroids_ref": c_ref,
@@ -188,8 +296,41 @@ def ivf_topk(ds, queries: np.ndarray, vec_col: str = "embedding",
                         ascending=[True, False, True])
     df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     df["rank"] = df.groupby("query_id").cumcount() + 1
-    return pa.Table.from_pandas(
+    out = pa.Table.from_pandas(
         df[["query_id", id_col, "rank", "score"]], preserve_index=False)
+    stats = {"rows_read": int(rows_read),
+             "n_rows": int(meta["n_rows"]),
+             "lists_read": len(needed),
+             "n_lists": int(meta["n_lists"])}
+    return out, stats
+
+
+def ivf_topk(ds, queries: np.ndarray, vec_col: str = "embedding",
+             id_col: str = "vec_id", k: int = 10, n_lists: int = 16,
+             nprobe: int = 4, sample_size: int = 2048,
+             index_dir: Optional[str] = None, batch_size=None,
+             concurrency=(1, 8)) -> pa.Table:
+    """Approximate cosine top-k via a REAL partitioned IVF index:
+    builds (or reuses, if ``index_dir`` has a meta.json) the
+    list-partitioned layout, then serves the queries reading only the
+    probed lists. The convenience one-shot wrapper around
+    :func:`build_ivf_index` + :func:`ivf_search`; long-lived
+    deployments call those directly and amortize the build."""
+    import os
+    import tempfile
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="boonray_ivf_")
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_ivf_index(ds, index_dir, vec_col=vec_col, id_col=id_col,
+                        n_lists=n_lists, train_target=sample_size)
+    out, stats = ivf_search(index_dir, queries, k=k, nprobe=nprobe,
+                            batch_size=batch_size,
+                            concurrency=concurrency)
+    if stats["lists_read"] >= stats["n_lists"] and \
+            stats["n_lists"] > nprobe:
+        raise RuntimeError(f"IVF read every list: {stats}")
+    return out
 
 
 def embedding_centroids(ds, label_col: str = "label",

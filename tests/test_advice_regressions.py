@@ -168,3 +168,51 @@ def test_r3_scratch_dirs_unique_per_invocation():
     assert os.path.isdir(a) and os.path.isdir(b)
     os.rmdir(a)
     os.rmdir(b)
+
+
+def test_r3_streaming_stale_attempt_is_fenced(ray_session):
+    """VERDICT r3 'What's wrong' #3: a zombie/speculative duplicate
+    task attempt must not corrupt actor state. A newer attempt's
+    reset(epoch) supersedes the old one; the stale attempt's feed /
+    drain / flush raise StaleAttempt and the live attempt's output is
+    unchanged."""
+    import ray
+
+    from boon_ray.stages.streaming import (
+        StaleAttempt, _new_epoch, _session_actor_cls,
+    )
+
+    actor = _session_actor_cls().remote(1_000_000)
+    old, new = _new_epoch(), _new_epoch()
+    ray.get(actor.reset.remote(old))
+    ray.get(actor.feed.remote(old, ["u1"], [0], [1]))
+    # a retry (new attempt) takes over the bucket
+    ray.get(actor.reset.remote(new))
+    ray.get(actor.feed.remote(new, ["u1", "u1"], [0, 10], [1, 2]))
+    # the zombie old attempt keeps feeding / draining: fenced out
+    with pytest.raises((StaleAttempt, ray.exceptions.RayTaskError)):
+        ray.get(actor.feed.remote(old, ["u9"], [5], [7]))
+    with pytest.raises((StaleAttempt, ray.exceptions.RayTaskError)):
+        ray.get(actor.drain_closed.remote(old))
+    with pytest.raises((StaleAttempt, ray.exceptions.RayTaskError)):
+        ray.get(actor.flush.remote(old))
+    # live attempt's state is intact: one open session for u1, 3 evts
+    out = ray.get(actor.flush.remote(new))
+    assert out == [("u1", 0, 10, 2, 3)]
+
+
+def test_r3_first_seen_stale_attempt_is_fenced(ray_session):
+    import ray
+
+    from boon_ray.stages.streaming import (
+        StaleAttempt, _dedup_actor_cls, _new_epoch,
+    )
+
+    actor = _dedup_actor_cls().remote()
+    old, new = _new_epoch(), _new_epoch()
+    ray.get(actor.reset.remote(old))
+    ray.get(actor.reset.remote(new))
+    with pytest.raises((StaleAttempt, ray.exceptions.RayTaskError)):
+        ray.get(actor.feed.remote(old, ["k"], [1], [1]))
+    ray.get(actor.feed.remote(new, ["k", "k"], [1, 2], [10, 11]))
+    assert ray.get(actor.drain.remote(new)) == [("k", 1, 10)]

@@ -15,6 +15,18 @@ import ray.data as rd
 SF = "/root/testdata/sf0.001"
 
 
+
+def _reg(E):
+    """Registered + pre-r4 standalone queries (r4 folded the registry
+    to 50 driver entries; the standalone functions live on for these
+    per-operator tests)."""
+    return {**E.unregistered_queries(), **E.queries()}
+
+
+def _sql(E):
+    return {**E._base_oracle_sql(), **E.oracle_sql()}
+
+
 @pytest.fixture(scope="module")
 def oracle():
     con = duckdb.connect()
@@ -147,9 +159,9 @@ def test_semdedup_partition_independent(ray_session):
 def test_importance_scores_match_oracle(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["importance_scores"](SF).to_pandas())
+    got = _sorted(_reg(E)["importance_scores"](SF).to_pandas())
     want = _sorted(oracle.sql(
-        E.oracle_sql()["importance_scores"]).df())
+        _sql(E)["importance_scores"]).df())
     pd.testing.assert_frame_equal(got, want)
 
 
@@ -173,8 +185,8 @@ def test_importance_favors_target_domain(ray_session):
 def test_probe_moments_match_oracle(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["probe_moments"](SF).to_pandas())
-    want = _sorted(oracle.sql(E.oracle_sql()["probe_moments"]).df())
+    got = _sorted(_reg(E)["probe_moments"](SF).to_pandas())
+    want = _sorted(oracle.sql(_sql(E)["probe_moments"]).df())
     pd.testing.assert_frame_equal(
         got, want.astype({"i": "int64", "j": "int64", "s": "int64"}))
 
@@ -226,8 +238,8 @@ def test_probe_solve_recovers_separable_labels(ray_session):
 def test_snapshot_delta_matches_oracle(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["snapshot_delta"](SF).to_pandas())
-    want = _sorted(oracle.sql(E.oracle_sql()["snapshot_delta"]).df())
+    got = _sorted(_reg(E)["snapshot_delta"](SF).to_pandas())
+    want = _sorted(oracle.sql(_sql(E)["snapshot_delta"]).df())
     pd.testing.assert_frame_equal(got,
                                   want.astype({"doc_id": "int64"}))
 
@@ -267,8 +279,8 @@ def test_snapshot_delta_identity_is_empty(ray_session):
 def test_pretrain_chunks_match_oracle(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["pretrain_chunks"](SF).to_pandas())
-    want = _sorted(oracle.sql(E.oracle_sql()["pretrain_chunks"]).df())
+    got = _sorted(_reg(E)["pretrain_chunks"](SF).to_pandas())
+    want = _sorted(oracle.sql(_sql(E)["pretrain_chunks"]).df())
     pd.testing.assert_frame_equal(
         got, want.astype({"chunk_id": "int64", "pos": "int64"}))
 
@@ -305,8 +317,8 @@ def _pq_setup():
 def test_pq_codes_match_oracle(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["pq_codes"](SF).to_pandas())
-    want = _sorted(oracle.sql(E.oracle_sql()["pq_codes"]).df())
+    got = _sorted(_reg(E)["pq_codes"](SF).to_pandas())
+    want = _sorted(oracle.sql(_sql(E)["pq_codes"]).df())
     pd.testing.assert_frame_equal(
         got, want.astype({"sub": "int64", "code": "int64"}))
 
@@ -339,8 +351,8 @@ def test_pq_adc_recall_beats_chance(ray_session):
 def test_novelty_scores_match_oracle(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["novelty_scores"](SF).to_pandas())
-    want = _sorted(oracle.sql(E.oracle_sql()["novelty_scores"]).df())
+    got = _sorted(_reg(E)["novelty_scores"](SF).to_pandas())
+    want = _sorted(oracle.sql(_sql(E)["novelty_scores"]).df())
     pd.testing.assert_frame_equal(got, want)
 
 
@@ -365,8 +377,8 @@ def test_novelty_reference_docs_fully_known(ray_session):
 def test_length_tiles_match_oracle(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["length_tiles"](SF).to_pandas())
-    want = _sorted(oracle.sql(E.oracle_sql()["length_tiles"]).df())
+    got = _sorted(_reg(E)["length_tiles"](SF).to_pandas())
+    want = _sorted(oracle.sql(_sql(E)["length_tiles"]).df())
     pd.testing.assert_frame_equal(
         got, want.astype({"tile": "int64"}))
 
@@ -396,9 +408,9 @@ def test_ntile_remainder_rule_and_partition_independence(ray_session):
 def test_length_rank_in_lang_matches_oracle(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["length_rank_in_lang"](SF).to_pandas())
+    got = _sorted(_reg(E)["length_rank_in_lang"](SF).to_pandas())
     want = _sorted(oracle.sql(
-        E.oracle_sql()["length_rank_in_lang"]).df())
+        _sql(E)["length_rank_in_lang"]).df())
     pd.testing.assert_frame_equal(got, want.astype({"rn": "int64"}))
 
 
@@ -423,8 +435,8 @@ def test_rank_in_partition_partition_independent(ray_session):
 def test_budget_capped_matches_oracle(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["budget_capped"](SF).to_pandas())
-    want = _sorted(oracle.sql(E.oracle_sql()["budget_capped"]).df())
+    got = _sorted(_reg(E)["budget_capped"](SF).to_pandas())
+    want = _sorted(oracle.sql(_sql(E)["budget_capped"]).df())
     pd.testing.assert_frame_equal(
         got, want.astype({"n_chars": "int64"}))
 
@@ -495,8 +507,8 @@ def test_trending_types_match_oracle(ray_session, oracle):
 
     oracle.sql(f"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM "
                f"read_parquet('{SF}/events.parquet')")
-    got = _sorted(E.queries()["trending_types"](SF).to_pandas())
-    want = _sorted(oracle.sql(E.oracle_sql()["trending_types"]).df())
+    got = _sorted(_reg(E)["trending_types"](SF).to_pandas())
+    want = _sorted(oracle.sql(_sql(E)["trending_types"]).df())
     pd.testing.assert_frame_equal(
         got, want.astype({"n_events": "int64"}))
 
@@ -508,10 +520,10 @@ def test_hourly_event_delta_matches_oracle(ray_session, oracle):
 
     oracle.sql(f"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM "
                f"read_parquet('{SF}/events.parquet')")
-    r = E.queries()["hourly_event_delta"](SF)
+    r = _reg(E)["hourly_event_delta"](SF)
     got = _sorted(r.to_pandas() if hasattr(r, "to_pandas") else r)
     want = _sorted(oracle.sql(
-        E.oracle_sql()["hourly_event_delta"]).df())
+        _sql(E)["hourly_event_delta"]).df())
     pd.testing.assert_frame_equal(got, want)
     srt = (r.to_pandas() if hasattr(r, "to_pandas") else r)
     srt = srt.sort_values("window_start")
@@ -529,10 +541,10 @@ def test_window_unique_users_match_oracle(ray_session, oracle):
 
     oracle.sql(f"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM "
                f"read_parquet('{SF}/events.parquet')")
-    r = E.queries()["window_unique_users"](SF)
+    r = _reg(E)["window_unique_users"](SF)
     got = _sorted(r.to_pandas() if hasattr(r, "to_pandas") else r)
     want = _sorted(oracle.sql(
-        E.oracle_sql()["window_unique_users"]).df())
+        _sql(E)["window_unique_users"]).df())
     pd.testing.assert_frame_equal(got, want)
 
 
@@ -543,9 +555,9 @@ def test_streaming_first_seen_matches_oracle(ray_session, oracle):
 
     oracle.sql(f"CREATE VIEW IF NOT EXISTS events AS SELECT * FROM "
                f"read_parquet('{SF}/events.parquet')")
-    got = _sorted(E.queries()["streaming_first_seen"](SF).to_pandas())
+    got = _sorted(_reg(E)["streaming_first_seen"](SF).to_pandas())
     want = _sorted(oracle.sql(
-        E.oracle_sql()["streaming_first_seen"]).df())
+        _sql(E)["streaming_first_seen"]).df())
     pd.testing.assert_frame_equal(
         got, want.astype({"first_ts_us": "int64",
                           "first_id": "int64"}))
@@ -569,9 +581,9 @@ def test_streaming_first_seen_partition_independent(ray_session):
 def test_jsonl_csv_sources_lossless(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["jsonl_csv_sources"](SF).to_pandas())
+    got = _sorted(_reg(E)["jsonl_csv_sources"](SF).to_pandas())
     want = _sorted(oracle.sql(
-        E.oracle_sql()["jsonl_csv_sources"]).df())
+        _sql(E)["jsonl_csv_sources"]).df())
     pd.testing.assert_frame_equal(got, want)
 
 
@@ -582,9 +594,9 @@ def test_distinct_sources_and_lang_moments_match_oracle(ray_session,
     import __ray_entry__ as E
 
     for name in ("distinct_sources_per_lang", "lang_moments"):
-        r = E.queries()[name](SF)
+        r = _reg(E)[name](SF)
         got = _sorted(r.to_pandas() if hasattr(r, "to_pandas") else r)
-        want = _sorted(oracle.sql(E.oracle_sql()[name]).df())
+        want = _sorted(oracle.sql(_sql(E)[name]).df())
         pd.testing.assert_frame_equal(
             got, want.astype({c: "int64" for c in want.columns
                               if c != "lang"}))
@@ -660,8 +672,8 @@ def test_curate_job_runs_and_resumes(ray_session, tmp_path):
 def test_normalize_text_matches_oracle(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["normalized_text"](SF).to_pandas())
-    want = _sorted(oracle.sql(E.oracle_sql()["normalized_text"]).df())
+    got = _sorted(_reg(E)["normalized_text"](SF).to_pandas())
+    want = _sorted(oracle.sql(_sql(E)["normalized_text"]).df())
     pd.testing.assert_frame_equal(got, want)
 
 
@@ -686,9 +698,9 @@ def test_normalize_text_edge_cases(ray_session):
 def test_partitioned_roundtrip_matches_oracle(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["partitioned_roundtrip"](SF).to_pandas())
+    got = _sorted(_reg(E)["partitioned_roundtrip"](SF).to_pandas())
     want = _sorted(oracle.sql(
-        E.oracle_sql()["partitioned_roundtrip"]).df())
+        _sql(E)["partitioned_roundtrip"]).df())
     pd.testing.assert_frame_equal(got, want)
 
 
@@ -697,9 +709,9 @@ def test_partitioned_roundtrip_matches_oracle(ray_session, oracle):
 def test_embedding_dim_stats_match_oracle(ray_session, oracle):
     import __ray_entry__ as E
 
-    got = _sorted(E.queries()["embedding_dim_stats"](SF).to_pandas())
+    got = _sorted(_reg(E)["embedding_dim_stats"](SF).to_pandas())
     want = _sorted(oracle.sql(
-        E.oracle_sql()["embedding_dim_stats"]).df())
+        _sql(E)["embedding_dim_stats"]).df())
     pd.testing.assert_frame_equal(got, want)
 
 

@@ -622,16 +622,20 @@ def test_session_actor_closed_stays_drained(ray_session):
 
     from boon_ray.stages.streaming import _session_actor_cls
 
+    from boon_ray.stages.streaming import _new_epoch
+
     actor = _session_actor_cls().remote(5 * 10**6)
+    ep = _new_epoch()
+    ray.get(actor.reset.remote(ep))
     df = _skewed_events(n_hot=5000).sort_values("ts", kind="mergesort")
     keys = df["user_id"].to_numpy()
     ts = df["ts"].to_numpy()
     vals = df["value"].to_numpy()
     total_closed = 0
     for i in range(0, len(df), 512):
-        ray.get(actor.feed.remote(keys[i:i + 512], ts[i:i + 512],
+        ray.get(actor.feed.remote(ep, keys[i:i + 512], ts[i:i + 512],
                                   vals[i:i + 512]))
-        total_closed += len(ray.get(actor.drain_closed.remote()))
+        total_closed += len(ray.get(actor.drain_closed.remote(ep)))
     stats = ray.get(actor.stats.remote())
     assert stats["closed"] == 0
     assert total_closed > 50            # sessions really closed
@@ -652,20 +656,24 @@ def test_session_feed_retry_is_idempotent(ray_session):
     ts = df["ts"].to_numpy()
     vals = df["value"].to_numpy()
 
+    from boon_ray.stages.streaming import _new_epoch
+
     def run():
-        ray.get(actor.reset.remote())
+        ep = _new_epoch()
+        ray.get(actor.reset.remote(ep))
         rows = []
         for i in range(0, len(df), 256):
-            ray.get(actor.feed.remote(keys[i:i + 256], ts[i:i + 256],
-                                      vals[i:i + 256]))
-            rows.extend(ray.get(actor.drain_closed.remote()))
-        rows.extend(ray.get(actor.flush.remote()))
+            ray.get(actor.feed.remote(ep, keys[i:i + 256],
+                                      ts[i:i + 256], vals[i:i + 256]))
+            rows.extend(ray.get(actor.drain_closed.remote(ep)))
+        rows.extend(ray.get(actor.flush.remote(ep)))
         return sorted(rows)
 
     first = run()
     # simulate a failed attempt: partial feed with NO flush, then retry
-    ray.get(actor.reset.remote())
-    ray.get(actor.feed.remote(keys[:700], ts[:700], vals[:700]))
+    ep2 = _new_epoch()
+    ray.get(actor.reset.remote(ep2))
+    ray.get(actor.feed.remote(ep2, keys[:700], ts[:700], vals[:700]))
     retry = run()
     assert retry == first
     ray.kill(actor)
