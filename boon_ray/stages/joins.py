@@ -100,8 +100,9 @@ def _arrow_schema(ds) -> pa.Schema:
 
 
 def _key_hash(batch: pa.Table, on: Sequence[str]) -> np.ndarray:
+    # natural dtypes: int join keys take hash64's numeric fast path
     return hash64_combine(*(
-        batch.column(c).to_pandas().to_numpy(dtype=object) for c in on))
+        batch.column(c).to_pandas().to_numpy() for c in on))
 
 
 def _plan_union(left_schema: pa.Schema, right_schema: pa.Schema,

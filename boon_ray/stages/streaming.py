@@ -210,7 +210,7 @@ def streaming_sessionize(ds, ts_col: str, key_col: str, value_col: str,
     actors = [SessionActor.remote(gap_us) for _ in range(num_buckets)]
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        keys = b.column(key_col).to_pandas().to_numpy(dtype=object)
+        keys = b.column(key_col).to_pandas().to_numpy()
         bucket = (hash64(keys) % np.uint64(num_buckets)).astype(np.int64)
         return b.append_column("_bucket", pa.array(bucket))
 
@@ -329,7 +329,7 @@ def streaming_first_seen(ds, ts_col: str, key_col: str, id_col: str,
     actors = [FirstSeenActor.remote() for _ in range(num_buckets)]
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        keys = b.column(key_col).to_pandas().to_numpy(dtype=object)
+        keys = b.column(key_col).to_pandas().to_numpy()
         bucket = (hash64(keys) % np.uint64(num_buckets)).astype(np.int64)
         return pa.table({
             key_col: b.column(key_col),

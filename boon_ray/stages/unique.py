@@ -42,8 +42,10 @@ DEFAULT_KEY = ("repo", "path", "commit")
 
 def _key_hash(batch: pa.Table, key: Sequence[str]) -> np.ndarray:
     """Uniform 64-bit hash of the key tuple (vectorized)."""
+    # natural dtypes: int key columns take hash64's numeric fast
+    # path; string columns still come out as object arrays
     return hash64_combine(*(
-        batch.column(k).to_pandas().to_numpy(dtype=object) for k in key))
+        batch.column(k).to_pandas().to_numpy() for k in key))
 
 
 class PartialKeyCounts:
