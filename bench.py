@@ -359,6 +359,43 @@ def q_pretrain_chunks():
                            max_words=200).count()
 
 
+UNEVAL_SCHEMA_2019 = {
+    # 2019-draft, uneval-heavy: every property is evaluated across
+    # allOf branches, so unevaluatedProperties must merge annotations
+    # from all of them — the workload the per-node static shortcuts
+    # (compiler.rs:304-314 parity) accelerate
+    "$schema": "https://json-schema.org/draft/2019-09/schema",
+    "type": "object",
+    "allOf": [
+        {"properties": {"repo": {"type": "string"},
+                        "path": {"type": "string"}}},
+        {"properties": {"commit": {"type": "string",
+                                   "minLength": 8}},
+         "patternProperties": {"^la": {"type": "string"}}},
+        {"properties": {"content": {"type": "string"}},
+         "additionalProperties": True},
+    ],
+    "unevaluatedProperties": False,
+}
+
+
+def q_validate_uneval():
+    """Full engine against the 2019 uneval-heavy schema: annotation
+    tracking is ON for every row (unevaluatedProperties at the root;
+    allOf branch merges). Measures the static-uneval-shortcut path;
+    oracle: the schema accepts every corpus row (all five columns are
+    evaluated by the branches), so count == corpus size."""
+    from boon_ray.stages.validate import validate_dataset
+
+    pool = max(2, NUM_CPUS - 2)
+    ds = validate_dataset(
+        _corpus(), UNEVAL_SCHEMA_2019,
+        from_columns=("repo", "path", "commit", "lang", "content"),
+        emit="verdict", batch_size=32768, concurrency=pool,
+        include_errors=False)
+    return ds.count()
+
+
 def q_validate_conditional():
     """Full recursive engine against the conditional policy schema
     (allOf/if/not disqualify the columnar fast path by design —
@@ -401,6 +438,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "validate_full_engine": q_validate_full_engine,
     "validate_conditional": q_validate_conditional,
+    "validate_uneval": q_validate_uneval,
 }
 
 

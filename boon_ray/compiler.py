@@ -126,6 +126,13 @@ class SchemaNode:
     f_num: bool = False
     f_comb: bool = False
 
+    # static uneval shortcuts (boon compiler.rs:304-314): does this
+    # node's own keyword set evaluate every property / item, and how
+    # many leading items does its tuple form cover
+    all_props_evaluated: bool = False
+    all_items_evaluated: bool = False
+    num_items_evaluated: int = 0
+
 
 @dataclass(slots=True)
 class ResourceInfo:
@@ -866,6 +873,19 @@ class _CompileState:
         node.f_comb = bool(
             node.not_ is not None or node.all_of or node.any_of
             or node.one_of or node.if_ is not None)
+        # static uneval shortcuts (compiler.rs:304-314): a node whose
+        # own keywords already evaluate every property/item lets the
+        # evaluator skip per-name/per-index annotation churn
+        node.all_props_evaluated = node.additional_properties is not None
+        if node.draft < DRAFT2020:
+            node.all_items_evaluated = (
+                node.additional_items is not None
+                or node.items_all is not None)
+        else:
+            node.all_items_evaluated = node.items_all is not None
+        node.num_items_evaluated = (
+            len(node.items_tuple) if node.items_tuple is not None
+            else len(node.prefix_items))
         return node
 
 

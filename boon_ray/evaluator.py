@@ -380,10 +380,14 @@ class Evaluator:
                     ok, cev = apply_inplace(didx, f"dependentSchemas/{name}")
                     if ok:
                         ev.merge(cev)
+            if node.all_props_evaluated:
+                ev.all_props = True    # static shortcut, see _valid
+            track_props = not ev.all_props
             if node.properties:
                 for k, pidx in node.properties.items():
                     if k in v:
-                        ev.props.add(k)
+                        if track_props:
+                            ev.props.add(k)
                         eval_child(pidx, v[k], k,
                                    f"properties/{ju.escape_pointer_token(k)}")
             covered: set = set()
@@ -394,7 +398,8 @@ class Evaluator:
                     r = _regex(pat)
                     for k in v:
                         if r.search(k):
-                            ev.props.add(k)
+                            if track_props:
+                                ev.props.add(k)
                             covered.add(k)
                             eval_child(
                                 pidx, v[k], k,
@@ -443,11 +448,15 @@ class Evaluator:
                     errs.append(err(
                         "uniqueItems",
                         f"items at {dup[0]} and {dup[1]} are equal"))
+            if node.all_items_evaluated:
+                ev.all_items = True    # static shortcut, see _valid
+            track_items = not ev.all_items
             if node.items_tuple is not None:
                 npre = len(node.items_tuple)
                 for i, iidx in enumerate(node.items_tuple):
                     if i < n:
-                        ev.items.add(i)
+                        if track_items:
+                            ev.items.add(i)
                         eval_child(iidx, v[i], i, f"items/{i}")
                 if node.additional_items is not None:
                     if n > npre:
@@ -467,7 +476,8 @@ class Evaluator:
             if node.prefix_items:
                 for i, iidx in enumerate(node.prefix_items):
                     if i < n:
-                        ev.items.add(i)
+                        if track_items:
+                            ev.items.add(i)
                         eval_child(iidx, v[i], i, f"prefixItems/{i}")
             if node.items_all is not None and node.draft >= DRAFT2020:
                 start = len(node.prefix_items)
@@ -481,7 +491,7 @@ class Evaluator:
                                           ju.join_pointer(vloc, i), scope)
                     if not cerrs:
                         matched.append(i)
-                if node.draft >= DRAFT2020:
+                if node.draft >= DRAFT2020 and track_items:
                     ev.items.update(matched)
                 mn = node.min_contains if node.min_contains is not None else 1
                 if len(matched) < mn:
@@ -771,10 +781,16 @@ class Evaluator:
                 if name in v and not inplace(didx):
                     return False, ev
             covered = set()
+            if track and node.all_props_evaluated:
+                # static shortcut (compiler.rs:304-314): this node's
+                # own keywords evaluate every property — skip per-name
+                # annotation churn, the flag subsumes the set
+                ev.all_props = True
+            track_props = track and not ev.all_props
             for k, pidx in node.properties.items():
                 if k in v:
                     covered.add(k)
-                    if track:
+                    if track_props:
                         ev.props.add(k)
                     # inlined child() — hottest recursion site
                     ctr[0] += 1
@@ -786,7 +802,7 @@ class Evaluator:
                 for k in v:
                     if r.search(k):
                         covered.add(k)
-                        if track:
+                        if track_props:
                             ev.props.add(k)
                         if not child(pidx, v[k]):
                             return False, ev
@@ -815,10 +831,13 @@ class Evaluator:
                 return False, ev
             if node.unique_items and ju.find_duplicate(v) is not None:
                 return False, ev
+            if track and node.all_items_evaluated:
+                ev.all_items = True    # static shortcut, see objects
+            track_items = track and not ev.all_items
             if node.items_tuple is not None:
                 for i, iidx in enumerate(node.items_tuple):
                     if i < n:
-                        if track:
+                        if track_items:
                             ev.items.add(i)
                         if not child(iidx, v[i]):
                             return False, ev
@@ -842,7 +861,7 @@ class Evaluator:
             if node.prefix_items:
                 for i, iidx in enumerate(node.prefix_items):
                     if i < n:
-                        if track:
+                        if track_items:
                             ev.items.add(i)
                         if not child(iidx, v[i]):
                             return False, ev
@@ -861,7 +880,7 @@ class Evaluator:
                                         scope)
                     if ok:
                         n_match += 1
-                        if track and node.draft >= DRAFT2020:
+                        if track_items and node.draft >= DRAFT2020:
                             ev.items.add(i)
                 if n_match < mn:
                     return False, ev
