@@ -611,7 +611,7 @@ def test_session_actor_retry_replay_is_idempotent(ray_session):
     first attempt must not double-count."""
     import ray
 
-    from boon_ray.stages.streaming import _session_actor_cls
+    from boon_ray.stages.streaming import _new_epoch, _session_actor_cls
 
     rng = np.random.default_rng(5)
     n = 3000
@@ -624,19 +624,22 @@ def test_session_actor_retry_replay_is_idempotent(ray_session):
     actor = _session_actor_cls().remote(gap_us=10**6)
 
     def run_all():
+        ep = _new_epoch()      # each attempt resets under its epoch
+        ray.get(actor.reset.remote(ep))
         out = []
         for c in chunks:
-            ray.get(actor.feed.remote(*c))
-            out += ray.get(actor.drain_closed.remote())
-        out += ray.get(actor.flush.remote())
+            ray.get(actor.feed.remote(ep, *c))
+            out += ray.get(actor.drain_closed.remote(ep))
+        out += ray.get(actor.flush.remote(ep))
         return sorted(out)
 
     clean = run_all()
     # simulate a failed attempt that applied only part of the bucket
-    ray.get(actor.feed.remote(*chunks[0]))
-    ray.get(actor.feed.remote(*chunks[1]))
-    # ...the retry resets and replays everything
-    ray.get(actor.reset.remote())
+    ep_fail = _new_epoch()
+    ray.get(actor.reset.remote(ep_fail))
+    ray.get(actor.feed.remote(ep_fail, *chunks[0]))
+    ray.get(actor.feed.remote(ep_fail, *chunks[1]))
+    # ...the retry resets and replays everything under a fresh epoch
     replay = run_all()
     assert replay == clean
 
