@@ -1128,23 +1128,33 @@ def _long_metrics(ds, metrics, id_col: str = "doc_id"):
     """Doc-grain Dataset -> long rows (metric, doc_id, ival, sval):
     ints/bools fill ival, strings fill sval (the other is NULL). The
     driver's order-insensitive value hash then verifies every metric
-    of every component query in one table."""
-    import pyarrow as pa
+    of every component query in one table.
 
-    parts = []
-    for m, col, kind in metrics:
-        if kind == "i":
-            spec = [("metric", pa.string(), ("lit", m)),
-                    ("doc_id", pa.int64(), id_col),
-                    ("ival", pa.int64(), col),
-                    ("sval", pa.string(), ("lit", None))]
-        else:
-            spec = [("metric", pa.string(), ("lit", m)),
-                    ("doc_id", pa.int64(), id_col),
-                    ("ival", pa.int64(), ("lit", None)),
-                    ("sval", pa.string(), col)]
-        parts.append(_proj(ds, spec))
-    return _union_all(parts)
+    ALL metrics emit from ONE map_batches over the component dataset:
+    a per-metric union branch would re-execute the component's whole
+    upstream pipeline once per metric (Ray Data unions concatenate
+    plans; common subplans are not deduplicated)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def project(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ids = pc.cast(b.column(id_col), pa.int64())
+        outs = []
+        for m, col, kind in metrics:
+            cols = {"metric": pa.array([m] * n, pa.string()),
+                    "doc_id": ids}
+            if kind == "i":
+                cols["ival"] = pc.cast(b.column(col), pa.int64())
+                cols["sval"] = pa.nulls(n, pa.string())
+            else:
+                cols["ival"] = pa.nulls(n, pa.int64())
+                cols["sval"] = pc.cast(b.column(col), pa.string())
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    return _as_dataset(ds).map_batches(project, batch_format="pyarrow",
+                                       batch_size=None)
 
 
 def _long_sql(parts, id_col: str = "doc_id") -> str:
