@@ -169,6 +169,56 @@ def q_ann_topk():
     return ann_topk(ds, q, k=10).num_rows
 
 
+def q_ivf_search():
+    """IVF over the embeddings table amplified 10x (50k vectors):
+    one-time list-partitioned index build (hash-sampled training,
+    assignment pass, hive `list=` write) + a 32-query probe that
+    reads ONLY the probed lists (the r4 scale path for ANN; raises
+    if the scan was not partial). Build dominates — it is the one
+    full pass; serving reads ~nprobe/n_lists of the bytes."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from boon_ray.stages.similarity import build_ivf_index, ivf_search
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    # 8 queries x 4 probes <= 32 of 64 lists: the union of probed
+    # lists must stay a strict subset or the partial-read assertion
+    # below (the index's whole point) cannot hold
+    q = np.stack(emb.column("embedding").to_pylist()[:8]).astype(
+        np.float64)
+
+    def amplify(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        parts = []
+        for r in range(10):
+            parts.append(pa.table({
+                "vec_id": pa.array(
+                    ids.astype(np.int64) + r * 1_000_003, pa.int64()),
+                "embedding": b.column("embedding"),
+            }))
+        return pa.concat_tables(parts).combine_chunks()
+
+    vecs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .repartition(32).map_batches(amplify, batch_format="pyarrow",
+                                     batch_size=None)
+    idx = tempfile.mkdtemp(prefix="boonray_bench_ivf_")
+    try:
+        build_ivf_index(vecs, idx, n_lists=64, train_target=4096)
+        out, stats = ivf_search(idx, q, k=10, nprobe=4)
+        if stats["rows_read"] >= stats["n_rows"]:
+            raise RuntimeError(f"IVF scan was not partial: {stats}")
+        return out.num_rows
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 # actor-pool query last: its pool teardown otherwise overlaps the
 # next query's tasks and inflates shuffle timings
 def q_topk_per_group():
@@ -422,6 +472,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "windows": q_windows,
     "ann_topk": q_ann_topk,
+    "ivf_search": q_ivf_search,
     "topk_per_group": q_topk_per_group,
     "hash_split": q_hash_split,
     "gopher_quality": q_gopher_quality,
