@@ -332,119 +332,169 @@ def cluster_pairs(pairs_ds, max_iter: int = 64):
 
 def cluster_pairs_distributed(pairs_ds, num_buckets: int = 16,
                               max_rounds: int = 64):
-    """Connected components over duplicate pairs as ITERATED DATASET
-    ROUNDS — no driver-side edge materialization; the scale path for
-    corpus-sized edge sets. Returns a Dataset (id, cluster), cluster =
-    min id in component (same contract as :func:`cluster_pairs`).
+    """Connected components over duplicate pairs with BUCKETED
+    REF-ROUNDS — no driver-side edge materialization; the scale path
+    for corpus-sized edge sets. Returns a Dataset (id, cluster),
+    cluster = min id in component (same contract as
+    :func:`cluster_pairs`).
 
-    Per round: labels are co-located with the symmetric adjacency via
-    the schema-stable partitioned ``hash_join``, propagated across
-    each edge, and re-minimized per node with a grouped aggregate
-    (2 shuffles/round over the label+edge tables, which are
-    dup-pair-scale, not corpus-scale). Labels decrease monotonically,
-    so the per-round label sum is a convergence certificate: the loop
-    runs to fixed point and raises if ``max_rounds`` is hit while the
-    sum is still falling. Rounds needed = O(component diameter);
-    LSH dedup components are shallow (star/clique-ish), so this is
-    single-digit in practice."""
-    from ray.data.aggregate import Min
+    Design (r4 rewrite of the Dataset-rounds version): the symmetric
+    adjacency is hash-bucketed by node ONCE and pinned in the object
+    store — it is loop-invariant, so re-shuffling it every round (the
+    r3 hash_join plan) paid the dominant cost. Each round is then two
+    bucketed exchanges of (node, label) PAIRS ONLY, executed as waves
+    of ``num_buckets`` raw Ray tasks (SURVEY §2 custom-operator tier
+    (c): iterative algorithm with loop-invariant structure):
 
-    from boon_ray.stages.joins import hash_join
+      1. propagate: each bucket pushes its labels across its own
+         adjacency rows to the target node's bucket; receiving
+         buckets fold the pushed labels in with a vectorized min.
+      2. pointer doubling (label <- label[label]): each bucket asks
+         the label's home bucket for THAT node's current label and
+         folds the replies in — O(log diameter) rounds for chains.
 
-    edge_schema = pa.schema([("node", pa.int64()),
-                             ("other", pa.int64())])
-    label_schema = pa.schema([("node", pa.int64()),
-                              ("label", pa.int64())])
+    Labels decrease monotonically; the per-round label sum (computed
+    bucket-locally, only scalars reach the driver) is the convergence
+    certificate. Memory contract: one bucket's adjacency slice must
+    fit a task — size ``num_buckets`` to edges/bucket, exactly like
+    the LSH pair stage.
+    """
+    import ray
+    import ray.data as rd
 
-    def sym(b: pa.Table) -> pa.Table:
+    from boon_ray.stages.training import splitmix64
+
+    B = int(num_buckets)
+
+    def bucket_of(x: np.ndarray) -> np.ndarray:
+        return (splitmix64(x.astype(np.int64).view(np.uint64))
+                % np.uint64(B)).astype(np.int64)
+
+    def explode(b: pa.Table) -> pa.Table:
         a = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         bb = b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.Table.from_arrays(
-            [pa.array(np.concatenate([a, bb])),
-             pa.array(np.concatenate([bb, a]))],
-            schema=edge_schema)
+        node = np.concatenate([a, bb])
+        other = np.concatenate([bb, a])
+        return pa.table({"bk": pa.array(bucket_of(node)),
+                         "node": pa.array(node),
+                         "other": pa.array(other)})
 
-    adj = pairs_ds.map_batches(sym, batch_format="pyarrow",
-                               batch_size=None).materialize()
+    part_refs = pairs_ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=None).to_arrow_refs()
 
-    def to_labels(b: pa.Table) -> pa.Table:
-        # initial label = min(node, min neighbor): one propagation
-        # round for free
-        return pa.Table.from_arrays(
-            [pc.cast(b.column("node"), pa.int64()),
-             pc.cast(pc.min_element_wise(b.column("node"),
-                                         b.column("label")),
-                     pa.int64())],
-            schema=label_schema)
+    @ray.remote
+    def build_bucket(bkt: int, *tables):
+        """Assemble one bucket: its adjacency slice (sorted by node)
+        plus initial labels = min(node, min neighbor)."""
+        # empty upstream blocks can pass through map_batches with the
+        # PARENT schema (no bk/node/other): skip them — they carry no
+        # rows by construction
+        pieces = [t.filter(pc.equal(t.column("bk"), bkt))
+                  for t in tables if "bk" in t.schema.names]
+        if pieces:
+            t = pa.concat_tables(pieces)
+            an = t.column("node").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            ao = t.column("other").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            an = np.empty(0, np.int64)
+            ao = np.empty(0, np.int64)
+        order = np.argsort(an, kind="stable")
+        an, ao = an[order], ao[order]
+        nodes = np.unique(an)
+        labels = nodes.copy()
+        if len(an):
+            idx = np.searchsorted(nodes, an)
+            np.minimum.at(labels, idx, ao)
+            np.minimum.at(labels, idx, an)
+        return an, ao, nodes, labels
 
-    # the carried label table is re-pinned to num_buckets blocks per
-    # round: union + shuffle otherwise DOUBLE the block count every
-    # round (2^rounds tiny blocks -> task-scheduling blowup)
-    labels = adj.groupby("node").aggregate(
-        Min("other", alias_name="label")).map_batches(
-        to_labels, batch_format="pyarrow",
-        batch_size=None).repartition(num_buckets).materialize()
-    prev = labels.sum("label")
+    @ray.remote
+    def push_labels(state):
+        """Wave 1a: push each adjacency row's current label to the
+        target node's bucket; returns B (tgt_nodes, tgt_labels)."""
+        an, ao, nodes, labels = state
+        li = labels[np.searchsorted(nodes, an)]
+        tb = bucket_of(ao)
+        return [(ao[tb == c], li[tb == c]) for c in range(B)]
 
-    def prop(b: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [pc.cast(b.column("other"), pa.int64()),
-             pc.cast(b.column("label"), pa.int64())],
-            schema=label_schema)
+    @ray.remote
+    def fold_pushed(state, me, *pushed_lists):
+        """Wave 1b: min-fold pushed labels into this bucket's state.
+        (me and the ref varargs are separate: Ray materializes only
+        TOP-LEVEL ObjectRef arguments, not refs nested in tuples.)"""
+        an, ao, nodes, labels = state
+        labels = labels.copy()
+        for lst in pushed_lists:
+            tn, tl = lst[me]
+            if len(tn):
+                np.minimum.at(labels, np.searchsorted(nodes, tn), tl)
+        return an, ao, nodes, labels
 
-    ptr_schema = pa.schema([("label", pa.int64()),
-                            ("label2", pa.int64())])
+    @ray.remote
+    def request_parents(state):
+        """Wave 2a: route (node, label) to the label's home bucket."""
+        an, ao, nodes, labels = state
+        lb = bucket_of(labels)
+        return [(nodes[lb == c], labels[lb == c]) for c in range(B)]
 
-    def as_ptr(b: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [b.column("node"), b.column("label")], schema=ptr_schema)
+    @ray.remote
+    def resolve_parents(state, me, *request_lists):
+        """Wave 2b: label2 = label[label] for every request; replies
+        routed back by requesting bucket (reply i answers bucket i)."""
+        an, ao, nodes, labels = state
+        out = []
+        for lst in request_lists:
+            qn, ql = lst[me]
+            out.append((qn, labels[np.searchsorted(nodes, ql)]
+                        if len(qn) else ql))
+        return out
 
-    def jump_out(b: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [pc.cast(b.column("node"), pa.int64()),
-             pc.cast(b.column("label2"), pa.int64())],
-            schema=label_schema)
+    @ray.remote(num_returns=2)
+    def fold_parents(state, me, *reply_lists):
+        """Wave 2c: apply the label2 replies; emit (state, label_sum)
+        as separate returns so the driver fetches ONLY the scalar."""
+        an, ao, nodes, labels = state
+        labels = labels.copy()
+        for lst in reply_lists:
+            qn, l2 = lst[me]
+            if len(qn):
+                np.minimum.at(labels, np.searchsorted(nodes, qn), l2)
+        return (an, ao, nodes, labels), int(labels.sum())
 
+    @ray.remote
+    def to_table(state) -> pa.Table:
+        _, _, nodes, labels = state
+        return pa.table({"id": pa.array(nodes, pa.int64()),
+                         "cluster": pa.array(labels, pa.int64())})
+
+    states = [build_bucket.remote(b, *part_refs) for b in range(B)]
+    prev = None
     for _ in range(max_rounds):
-        cand = hash_join(adj, labels, on=["node"],
-                         num_buckets=num_buckets,
-                         left_schema=edge_schema,
-                         right_schema=label_schema)
-        pushed = cand.map_batches(prop, batch_format="pyarrow",
-                                  batch_size=None)
-        merged = pushed.union(labels).groupby("node").aggregate(
-            Min("label", alias_name="label")).map_batches(
-            to_labels, batch_format="pyarrow",
-            batch_size=None).materialize()
-        # pointer doubling: label <- label[label]. A label is always a
-        # node id present in the table, so a self-join on label = node
-        # jumps every pointer one extra hop — O(log diameter) rounds
-        # instead of O(diameter) for chain-shaped components.
-        ptr = merged.map_batches(as_ptr, batch_format="pyarrow",
-                                 batch_size=None)
-        labels = hash_join(merged, ptr, on=["label"],
-                           num_buckets=num_buckets,
-                           left_schema=label_schema,
-                           right_schema=ptr_schema).map_batches(
-            jump_out, batch_format="pyarrow",
-            batch_size=None).repartition(num_buckets).materialize()
-        s = labels.sum("label")
-        if s == prev:
+        pushed = [push_labels.remote(s) for s in states]
+        states = [fold_pushed.remote(states[b], b, *pushed)
+                  for b in range(B)]
+        reqs = [request_parents.remote(s) for s in states]
+        resolved = [resolve_parents.remote(states[c], c, *reqs)
+                    for c in range(B)]
+        sums = []
+        new_states = []
+        for b in range(B):
+            st, sm = fold_parents.remote(states[b], b, *resolved)
+            new_states.append(st)
+            sums.append(sm)
+        states = new_states
+        total = sum(ray.get(sums))   # scalars only
+        if total == prev:
             break
-        prev = s
+        prev = total
     else:
         raise RuntimeError(
             f"cluster_pairs_distributed did not converge in "
             f"{max_rounds} rounds")
 
-    def out(b: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [b.column("node"), b.column("label")],
-            schema=pa.schema([("id", pa.int64()),
-                              ("cluster", pa.int64())]))
-
-    return labels.map_batches(out, batch_format="pyarrow",
-                              batch_size=None)
+    return rd.from_arrow_refs([to_table.remote(s) for s in states])
 
 
 # ------------------------------------------------------------ SimHash
