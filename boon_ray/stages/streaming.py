@@ -373,3 +373,178 @@ def streaming_first_seen(ds, ts_col: str, key_col: str, id_col: str,
                            batch_size=None)
             .groupby("_bucket")
             .map_groups(feed_bucket, batch_format="pandas"))
+
+
+# ------------------------------------- watermarked tumbling windows
+
+def _window_actor_cls():
+    import ray
+
+    @ray.remote
+    class WindowActor:
+        """Watermarked tumbling-window aggregation state for one
+        bucket of keys — the streaming-window shape the batch
+        operator (windows.tumbling_window_agg) cannot express: events
+        arrive in PROCESS order, the EVENT-TIME watermark advances as
+        max(seen ts) - allowed_lateness, a window is emitted (and its
+        state evicted) once the watermark passes its end, and events
+        older than the watermark are counted to a late side-channel
+        instead of corrupting an already-emitted window (the
+        dataflow-model contract: Akidau et al., VLDB 2015).
+
+        Epoch-fenced like the other streaming actors. Memory: the
+        open-window dict only — emitted windows leave every drain."""
+
+        def __init__(self, size_us: int, lateness_us: int):
+            self.size_us = size_us
+            self.lateness_us = lateness_us
+            self.open: dict = {}      # (key, window_start_us) -> [n, sum]
+            self.emitted: list = []
+            self.n_late = 0
+            self.watermark = None
+            self.epoch = None
+
+        def reset(self, epoch: str) -> None:
+            self.open = {}
+            self.emitted = []
+            self.n_late = 0
+            self.watermark = None
+            self.epoch = epoch
+
+        def feed(self, epoch, keys, ts_us, values) -> int:
+            _check_epoch(self.epoch, epoch)
+            n_rows = len(keys)
+            if n_rows == 0:
+                return 0
+            k = np.asarray(keys)
+            t = np.asarray(ts_us, dtype=np.int64)
+            v = np.asarray(values)
+            # late = strictly below the CURRENT watermark (their
+            # window may already be emitted): side-channel count
+            if self.watermark is not None:
+                late = t < self.watermark
+                self.n_late += int(late.sum())
+                if late.all():
+                    return 0
+                k, t, v = k[~late], t[~late], v[~late]
+            ws = (t // self.size_us) * self.size_us
+            # segment-aggregate the slice before touching the dict
+            order = np.lexsort((ws, k))
+            k, ws, v = k[order], ws[order], v[order]
+            new = np.empty(len(k), dtype=bool)
+            new[0] = True
+            new[1:] = (k[1:] != k[:-1]) | (ws[1:] != ws[:-1])
+            starts = np.flatnonzero(new)
+            seg_n = np.diff(np.r_[starts, len(k)])
+            seg_sum = np.add.reduceat(v, starts)
+            for s in range(len(starts)):
+                kk = (k[starts[s]], int(ws[starts[s]]))
+                cur = self.open.get(kk)
+                if cur is None:
+                    self.open[kk] = [int(seg_n[s]), seg_sum[s].item()]
+                else:
+                    cur[0] += int(seg_n[s])
+                    cur[1] += seg_sum[s].item()
+            # advance the watermark and emit every closed window
+            new_wm = int(t.max()) - self.lateness_us
+            if self.watermark is None or new_wm > self.watermark:
+                self.watermark = new_wm
+            emitted = 0
+            for (key, w), agg in list(self.open.items()):
+                if w + self.size_us <= self.watermark:
+                    self.emitted.append((key, w, agg[0], agg[1]))
+                    del self.open[(key, w)]
+                    emitted += 1
+            return emitted
+
+        def drain(self, epoch) -> list:
+            _check_epoch(self.epoch, epoch)
+            out, self.emitted = self.emitted, []
+            return out
+
+        def flush(self, epoch) -> tuple:
+            """End-of-stream: emit everything still open + the late
+            count for this bucket."""
+            _check_epoch(self.epoch, epoch)
+            out = [(key, w, a[0], a[1])
+                   for (key, w), a in self.open.items()]
+            out += self.emitted
+            self.open = {}
+            self.emitted = []
+            return out, self.n_late
+
+    return WindowActor
+
+
+def streaming_tumbling_counts(ds, ts_col: str, key_col: str,
+                              value_col: str, size_s: int = 3600,
+                              allowed_lateness_s: int = 0,
+                              num_buckets: int = 8,
+                              chunk_rows: int = 8192):
+    """Watermarked streaming tumbling windows: per-key hourly (etc.)
+    counts/sums computed INCREMENTALLY from an arrival-ordered feed,
+    windows emitted as the event-time watermark passes them, late
+    events counted out-of-band.
+
+    Same raw-actor shape as :func:`streaming_sessionize` (per-bucket
+    feed tasks, bounded in-flight chunks, drain-per-chunk,
+    reset+epoch on retry) except the feed is NOT ts-sorted: arrival
+    order is the point — the watermark model handles the disorder.
+    Returns a Dataset of (key, window_start, n_events, sum_value,
+    n_late_in_bucket); with the input globally ts-ordered or
+    allowed_lateness >= the feed's max disorder, the (key, window)
+    rows equal windows.tumbling_window_agg exactly and n_late = 0
+    (the pytest oracle)."""
+    import ray
+
+    size_us = size_s * 1_000_000
+    late_us = allowed_lateness_s * 1_000_000
+    WindowActor = _window_actor_cls()
+    actors = [WindowActor.remote(size_us, late_us)
+              for _ in range(num_buckets)]
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_pandas().to_numpy()
+        bucket = (hash64(keys) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            key_col: b.column(key_col),
+            ts_col: pa.compute.cast(b.column(ts_col), pa.int64()),
+            value_col: b.column(value_col),
+            "_bucket": pa.array(bucket),
+        })
+
+    def feed_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["_bucket"].iloc[0])
+        # NO sort: arrival order is the stream order under test
+        keys = g[key_col].to_numpy()
+        ts_us = g[ts_col].to_numpy(dtype=np.int64)
+        vals = g[value_col].to_numpy()
+        actor = actors[bucket]
+        epoch = _new_epoch()
+        ray.get(actor.reset.remote(epoch))
+        rows: list = []
+        pending: list = []
+        for i in range(0, len(g), chunk_rows):
+            if len(pending) >= 4:
+                done, pending = ray.wait(pending, num_returns=1)
+                ray.get(done)
+                rows.extend(ray.get(actor.drain.remote(epoch)))
+            pending.append(actor.feed.remote(
+                epoch, keys[i:i + chunk_rows], ts_us[i:i + chunk_rows],
+                vals[i:i + chunk_rows]))
+        ray.get(pending)
+        tail, n_late = ray.get(actor.flush.remote(epoch))
+        rows.extend(tail)
+        out = pd.DataFrame(
+            rows, columns=[key_col, "window_start", "n_events",
+                           "sum_value"])
+        out["window_start"] = (out["window_start"].astype(np.int64)
+                               // 1_000_000)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["n_late_in_bucket"] = np.int64(n_late)
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("_bucket")
+            .map_groups(feed_bucket, batch_format="pandas"))

@@ -719,3 +719,87 @@ def test_dedup_near_injected_candidates(ray_session):
     out = dedup_near(rd.from_pandas(docs), "text", "doc_id",
                      threshold=0.0, candidate_pairs=edges).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [0, 3, 5]
+
+
+# ------------------------------- watermarked streaming windows (r4)
+
+def test_streaming_tumbling_matches_batch_when_ordered(ray_session):
+    """With a globally ts-ordered feed and zero lateness, the
+    watermarked streaming operator equals the batch tumbling window
+    exactly and reports zero late events."""
+    import numpy as np
+    import ray.data as rd
+
+    from boon_ray.stages.streaming import streaming_tumbling_counts
+    from boon_ray.stages.windows import tumbling_window_agg
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    ts = np.sort(rng.integers(0, 10**7, n)) * 1_000_000  # us, ordered
+    df = pd.DataFrame({
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "cents": rng.integers(1, 50, n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(6)
+    got = streaming_tumbling_counts(
+        ds, "ts", "user_id", "cents", size_s=3600,
+        allowed_lateness_s=0, num_buckets=3).to_pandas()
+    assert (got["n_late_in_bucket"] == 0).all()
+    want = tumbling_window_agg(
+        rd.from_pandas(df).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=None),
+        "ts", "user_id", "cents", size_s=3600).to_pandas()
+    key = ["user_id", "window_start"]
+    g = got[key + ["n_events", "sum_value"]].sort_values(key) \
+        .reset_index(drop=True)
+    w = want[key + ["n_events", "sum_value"]].sort_values(key) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w.astype(g.dtypes.to_dict()))
+
+
+def test_streaming_tumbling_late_events_side_channel(ray_session):
+    """An event arriving after the watermark passed its window is
+    counted late and must NOT mutate the already-emitted window."""
+    import ray
+
+    from boon_ray.stages.streaming import (
+        _new_epoch, _window_actor_cls,
+    )
+
+    actor = _window_actor_cls().remote(3600 * 1_000_000, 0)
+    ep = _new_epoch()
+    ray.get(actor.reset.remote(ep))
+    H = 3600 * 1_000_000
+    # chunk 1: two events in hour 0, one in hour 2 -> watermark = 2H+1,
+    # hours 0 and 1 close; hour-0 window emits with n=2
+    ray.get(actor.feed.remote(ep, ["u", "u", "u"],
+                              [10, 20, 2 * H + 1], [1, 2, 4]))
+    emitted = ray.get(actor.drain.remote(ep))
+    assert ("u", 0, 2, 3) in emitted
+    # chunk 2: a straggler for hour 0 — LATE (watermark is 2H+1)
+    ray.get(actor.feed.remote(ep, ["u"], [30], [100]))
+    rows, n_late = ray.get(actor.flush.remote(ep))
+    assert n_late == 1
+    # hour-0 does not reappear; only the open hour-2 window flushes
+    assert rows == [("u", 2 * H, 1, 4)]
+
+
+def test_streaming_tumbling_lateness_grace_accepts_stragglers(ray_session):
+    """With allowed_lateness covering the disorder, stragglers fold
+    into their window instead of going to the side channel."""
+    import ray
+
+    from boon_ray.stages.streaming import (
+        _new_epoch, _window_actor_cls,
+    )
+
+    H = 3600 * 1_000_000
+    actor = _window_actor_cls().remote(H, 3 * 3600 * 1_000_000)
+    ep = _new_epoch()
+    ray.get(actor.reset.remote(ep))
+    ray.get(actor.feed.remote(ep, ["u", "u"], [10, 2 * H + 1], [1, 4]))
+    ray.get(actor.feed.remote(ep, ["u"], [30], [100]))  # in grace
+    rows, n_late = ray.get(actor.flush.remote(ep))
+    assert n_late == 0
+    assert sorted(rows) == [("u", 0, 2, 101), ("u", 2 * H, 1, 4)]
