@@ -803,3 +803,42 @@ def test_streaming_tumbling_lateness_grace_accepts_stragglers(ray_session):
     rows, n_late = ray.get(actor.flush.remote(ep))
     assert n_late == 0
     assert sorted(rows) == [("u", 0, 2, 101), ("u", 2 * H, 1, 4)]
+
+
+def test_streaming_tumbling_any_arrival_order_with_full_grace(ray_session):
+    """With allowed_lateness covering the whole stream, ANY arrival
+    order yields the batch answer (watermark never evicts early).
+    Property-style sweep over seeded shuffles of the same events."""
+    import ray
+
+    from boon_ray.stages.streaming import (
+        _new_epoch, _window_actor_cls,
+    )
+
+    H = 3600 * 1_000_000
+    rng = np.random.default_rng(11)
+    ts = rng.integers(0, 6 * H, 400).astype(np.int64)
+    vals = rng.integers(1, 9, 400).astype(np.int64)
+
+    def batch_answer():
+        ws = (ts // H) * H
+        out = {}
+        for w, v in zip(ws, vals):
+            n, s = out.get(int(w), (0, 0))
+            out[int(w)] = (n + 1, s + int(v))
+        return sorted((("u", w, n, s)) for w, (n, s) in out.items())
+
+    want = batch_answer()
+    for seed in range(5):
+        order = np.random.default_rng(seed).permutation(len(ts))
+        actor = _window_actor_cls().remote(H, 100 * H)  # full grace
+        ep = _new_epoch()
+        ray.get(actor.reset.remote(ep))
+        for i in range(0, len(ts), 64):
+            sl = order[i:i + 64]
+            ray.get(actor.feed.remote(
+                ep, ["u"] * len(sl), ts[sl], vals[sl]))
+        rows, n_late = ray.get(actor.flush.remote(ep))
+        assert n_late == 0
+        assert sorted(rows) == want
+        ray.kill(actor)
