@@ -1416,8 +1416,14 @@ def _q_kmeans_coreset(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from boon_ray.stages.topk import top_k_per_group
+
     assigned = _q_kmeans_assign(sf_dir)
-    core = set(_q_cluster_coreset(sf_dir).to_pandas()["vec_id"])
+    # coreset from the SAME assignment dataset (not a second kmeans
+    # run); labels*5 rows -> broadcastable id set
+    core = set(top_k_per_group(assigned, ["assigned"], "d2", k=5,
+                               tiebreak="vec_id", descending=False)
+               .to_pandas()["vec_id"])
 
     def flag(b: pa.Table) -> pa.Table:
         return b.append_column(
