@@ -1141,3 +1141,23 @@ def test_domain_mix_degenerate_keep_all(ray_session):
                   "source": pa.array(["only"] * 100)})
     out = domain_mix(rd.from_arrow(t), {"only": 1}).to_pandas()
     assert len(out) == 100
+
+
+def test_cluster_pairs_distributed_empty_and_selfloop(ray_session):
+    """r4 ref-rounds CC edge cases: an empty pair set yields an empty
+    (id, cluster) dataset; self-loops don't break labeling."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import cluster_pairs_distributed
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}))
+    out_ds = cluster_pairs_distributed(empty, num_buckets=4)
+    assert out_ds.count() == 0
+    assert sorted(out_ds.schema().names) == ["cluster", "id"]
+
+    selfy = rd.from_pandas(pd.DataFrame({"a": [5, 5, 7],
+                                         "b": [5, 9, 7]}))
+    out = cluster_pairs_distributed(selfy, num_buckets=4).to_pandas()
+    got = dict(zip(out["id"], out["cluster"]))
+    assert got == {5: 5, 9: 5, 7: 7}
