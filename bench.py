@@ -169,6 +169,42 @@ def q_ann_topk():
     return ann_topk(ds, q, k=10).num_rows
 
 
+def q_streaming_windows():
+    """Watermarked streaming tumbling windows over the events log
+    amplified 50x (5M events through 8 epoch-fenced window actors,
+    arrival-ordered feed, zero-lateness watermark): measures the
+    incremental-state tier's throughput, not just its semantics."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from boon_ray.stages.streaming import streaming_tumbling_counts
+
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["ts", "user_id", "value"])
+
+    def amplify(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        users = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)),
+                        pa.int64())
+        parts = []
+        for r in range(50):
+            parts.append(pa.table({
+                "ts": ts,
+                "user_id": pa.array(users + r * 1_000_003, pa.int64()),
+                "cents": cents,
+            }))
+        return pa.concat_tables(parts).combine_chunks()
+
+    ds = ev.repartition(32).map_batches(amplify, batch_format="pyarrow",
+                                        batch_size=None)
+    return streaming_tumbling_counts(ds, "ts", "user_id", "cents",
+                                     size_s=3600, num_buckets=8).count()
+
+
 def q_ivf_search():
     """IVF over the embeddings table amplified 10x (50k vectors):
     one-time list-partitioned index build (hash-sampled training,
@@ -473,6 +509,7 @@ QUERIES = {
     "windows": q_windows,
     "ann_topk": q_ann_topk,
     "ivf_search": q_ivf_search,
+    "streaming_windows": q_streaming_windows,
     "topk_per_group": q_topk_per_group,
     "hash_split": q_hash_split,
     "gopher_quality": q_gopher_quality,
