@@ -1101,8 +1101,18 @@ def _proj(ds, spec):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    src_cols = [s for _, _, s in spec
+                if not (isinstance(s, tuple) and s[0] == "lit")]
+
     def f(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        if n == 0 and any(c not in b.schema.names for c in src_cols):
+            # empty upstream blocks can pass through map_batches with
+            # the PARENT schema (same hazard dedup.build_bucket
+            # guards): emit an empty block with the TARGET schema so
+            # the union stays schema-stable
+            return pa.table({name: pa.array([], typ)
+                             for name, typ, _ in spec})
         cols = {}
         for name, typ, src in spec:
             if isinstance(src, tuple) and src[0] == "lit":
@@ -1139,6 +1149,12 @@ def _long_metrics(ds, metrics, id_col: str = "doc_id"):
 
     def project(b: pa.Table) -> pa.Table:
         n = b.num_rows
+        if n == 0 and id_col not in b.schema.names:
+            # empty parent-schema pass-through block (see _proj)
+            return pa.table({"metric": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "ival": pa.array([], pa.int64()),
+                             "sval": pa.array([], pa.string())})
         ids = pc.cast(b.column(id_col), pa.int64())
         outs = []
         for m, col, kind in metrics:
@@ -1418,18 +1434,19 @@ def _q_kmeans_coreset(sf_dir: str):
 
     from boon_ray.stages.topk import top_k_per_group
 
-    assigned = _q_kmeans_assign(sf_dir)
-    # coreset from the SAME assignment dataset (not a second kmeans
-    # run); labels*5 rows -> broadcastable id set
-    core = set(top_k_per_group(assigned, ["assigned"], "d2", k=5,
-                               tiebreak="vec_id", descending=False)
-               .to_pandas()["vec_id"])
+    # materialized: the assignment pass (the dominant cost) runs ONCE
+    # and feeds both the coreset top-k and the flag map — without
+    # .materialize() the lazy plan would re-execute per consumer
+    assigned = _q_kmeans_assign(sf_dir).materialize()
+    core = top_k_per_group(assigned, ["assigned"], "d2", k=5,
+                           tiebreak="vec_id", descending=False) \
+        .to_pandas()["vec_id"]
+    core_set = pa.array(sorted(set(core)), pa.int64())  # built once
 
     def flag(b: pa.Table) -> pa.Table:
         return b.append_column(
-            "in_coreset",
-            pc.is_in(b.column("vec_id"),
-                     value_set=pa.array(sorted(core), pa.int64())))
+            "in_coreset", pc.is_in(b.column("vec_id"),
+                                   value_set=core_set))
 
     return assigned.map_batches(flag, batch_format="pyarrow",
                                 batch_size=None)
@@ -1482,8 +1499,12 @@ def _q_sources_roundtrip(sf_dir: str):
              for p in langs
              for f in sorted(os.listdir(os.path.join(out, f"part={p}")))
              if f.endswith(".parquet")]
-    return rd.read_parquet(files).select_columns(
-        ["doc_id", "lang", "n_chars"])
+    res = rd.read_parquet(files).select_columns(
+        ["doc_id", "lang", "n_chars"]).materialize()
+    import shutil
+
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return res
 
 
 def _q_user_windows(sf_dir: str):
@@ -1812,7 +1833,13 @@ def _q_jsonl_csv_sources(sf_dir: str):
                                         batch_size=None)
     b = rd.read_csv(csvf).map_batches(cast, batch_format="pyarrow",
                                       batch_size=None)
-    return a.union(b)
+    # materialize BEFORE deleting the scratch files (the union is
+    # lazy over them); per-run scratch must not accumulate in /tmp
+    out = a.union(b).materialize()
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def _q_normalized_text(sf_dir: str):
@@ -1862,9 +1889,14 @@ def _q_partitioned_roundtrip(sf_dir: str):
              for p in langs
              for f in sorted(os.listdir(os.path.join(out, f"part={p}")))
              if f.endswith(".parquet")]
-    # drop the hive-inferred part= column: lang is already a column
-    return rd.read_parquet(files).select_columns(
-        ["doc_id", "lang", "n_chars"])
+    # drop the hive-inferred part= column: lang is already a column;
+    # materialize before deleting the per-run scratch partitions
+    res = rd.read_parquet(files).select_columns(
+        ["doc_id", "lang", "n_chars"]).materialize()
+    import shutil
+
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return res
 
 
 def _q_hourly_event_delta(sf_dir: str):
@@ -2259,8 +2291,13 @@ def _q_ivf_recall(sf_dir: str):
 
     exact = ann_topk(data(), q, k=10).to_pandas()
     idx = _scratch_dir("ivf")
-    build_ivf_index(data(), idx, n_lists=16, train_target=2048)
-    approx_t, stats = ivf_search(idx, q, k=10, nprobe=4)
+    try:
+        build_ivf_index(data(), idx, n_lists=16, train_target=2048)
+        approx_t, stats = ivf_search(idx, q, k=10, nprobe=4)
+    finally:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
     if not (stats["rows_read"] < stats["n_rows"]
             and stats["lists_read"] < stats["n_lists"]):
         raise RuntimeError(f"IVF scan was not partial: {stats}")

@@ -208,7 +208,7 @@ def q_streaming_windows():
 def q_ivf_search():
     """IVF over the embeddings table amplified 10x (50k vectors):
     one-time list-partitioned index build (hash-sampled training,
-    assignment pass, hive `list=` write) + a 32-query probe that
+    assignment pass, hive `list=` write) + an 8-query probe that
     reads ONLY the probed lists (the r4 scale path for ANN; raises
     if the scan was not partial). Build dominates — it is the one
     full pass; serving reads ~nprobe/n_lists of the bytes."""

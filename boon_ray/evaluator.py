@@ -451,12 +451,14 @@ class Evaluator:
             if node.all_items_evaluated:
                 ev.all_items = True    # static shortcut, see _valid
             track_items = not ev.all_items
+            if track_items and node.num_items_evaluated:
+                # static prefix coverage, see _valid
+                ev.items.update(range(min(node.num_items_evaluated,
+                                          n)))
             if node.items_tuple is not None:
                 npre = len(node.items_tuple)
                 for i, iidx in enumerate(node.items_tuple):
                     if i < n:
-                        if track_items:
-                            ev.items.add(i)
                         eval_child(iidx, v[i], i, f"items/{i}")
                 if node.additional_items is not None:
                     if n > npre:
@@ -476,8 +478,6 @@ class Evaluator:
             if node.prefix_items:
                 for i, iidx in enumerate(node.prefix_items):
                     if i < n:
-                        if track_items:
-                            ev.items.add(i)
                         eval_child(iidx, v[i], i, f"prefixItems/{i}")
             if node.items_all is not None and node.draft >= DRAFT2020:
                 start = len(node.prefix_items)
@@ -834,11 +834,16 @@ class Evaluator:
             if track and node.all_items_evaluated:
                 ev.all_items = True    # static shortcut, see objects
             track_items = track and not ev.all_items
+            if track_items and node.num_items_evaluated:
+                # static prefix coverage (compiler.rs num_items_
+                # evaluated): items_tuple/prefixItems always evaluate
+                # exactly the first min(len, n) indices — one bulk
+                # update instead of per-index adds in the loops below
+                ev.items.update(range(min(node.num_items_evaluated,
+                                          n)))
             if node.items_tuple is not None:
                 for i, iidx in enumerate(node.items_tuple):
                     if i < n:
-                        if track_items:
-                            ev.items.add(i)
                         if not child(iidx, v[i]):
                             return False, ev
                 if node.additional_items is not None:
@@ -861,8 +866,6 @@ class Evaluator:
             if node.prefix_items:
                 for i, iidx in enumerate(node.prefix_items):
                     if i < n:
-                        if track_items:
-                            ev.items.add(i)
                         if not child(iidx, v[i]):
                             return False, ev
             if node.items_all is not None and node.draft >= DRAFT2020:

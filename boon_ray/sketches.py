@@ -20,6 +20,27 @@ import numpy as np
 import pandas as pd
 
 
+def hash_key_array(col):
+    """Schema-stable hash INPUT for an Arrow key column: integer
+    columns take hash64's numeric path with nulls pinned to a
+    sentinel, everything else goes through the object path. The path
+    choice depends on the column's ARROW TYPE (stable across every
+    batch of a dataset), never on batch content — a nullable int64
+    column otherwise converts to float64 only in batches that contain
+    a null, and the same key would hash into different buckets in
+    different batches (silent join/dedupe misses)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    is_arrow = isinstance(col, (_pa.Array, _pa.ChunkedArray))
+    if is_arrow and _pa.types.is_integer(col.type):
+        filled = _pc.fill_null(_pc.cast(col, _pa.int64()), -(1 << 62))
+        return filled.to_numpy(zero_copy_only=False).astype(np.int64)
+    if is_arrow:
+        return col.to_pandas().to_numpy(dtype=object)
+    return col
+
+
 def hash64_combine(*arrays) -> np.ndarray:
     """FNV-style combine of several hash64 columns into one key hash —
     THE key/bucket hash used by joins, uniqueness and the dedup

@@ -410,55 +410,56 @@ def cluster_pairs_distributed(pairs_ds, num_buckets: int = 16,
             np.minimum.at(labels, idx, an)
         return an, ao, nodes, labels
 
-    @ray.remote
+    # every wave function returns num_returns=B SEPARATE refs (one
+    # slice per target bucket), so a receiver fetches ONLY its slice —
+    # O(B) transfers per wave, not O(B^2) whole-output fetches
+    @ray.remote(num_returns=max(B, 2))
     def push_labels(state):
         """Wave 1a: push each adjacency row's current label to the
-        target node's bucket; returns B (tgt_nodes, tgt_labels)."""
+        target node's bucket; return slice c = (tgt_nodes, labels)
+        destined for bucket c."""
         an, ao, nodes, labels = state
         li = labels[np.searchsorted(nodes, an)]
         tb = bucket_of(ao)
-        return [(ao[tb == c], li[tb == c]) for c in range(B)]
+        out = [(ao[tb == c], li[tb == c]) for c in range(B)]
+        return out + [None] * (max(B, 2) - B)
 
     @ray.remote
-    def fold_pushed(state, me, *pushed_lists):
-        """Wave 1b: min-fold pushed labels into this bucket's state.
-        (me and the ref varargs are separate: Ray materializes only
-        TOP-LEVEL ObjectRef arguments, not refs nested in tuples.)"""
+    def fold_pushed(state, *pushed):
+        """Wave 1b: min-fold this bucket's pushed slices in."""
         an, ao, nodes, labels = state
         labels = labels.copy()
-        for lst in pushed_lists:
-            tn, tl = lst[me]
+        for tn, tl in pushed:
             if len(tn):
                 np.minimum.at(labels, np.searchsorted(nodes, tn), tl)
         return an, ao, nodes, labels
 
-    @ray.remote
+    @ray.remote(num_returns=max(B, 2))
     def request_parents(state):
         """Wave 2a: route (node, label) to the label's home bucket."""
         an, ao, nodes, labels = state
         lb = bucket_of(labels)
-        return [(nodes[lb == c], labels[lb == c]) for c in range(B)]
+        out = [(nodes[lb == c], labels[lb == c]) for c in range(B)]
+        return out + [None] * (max(B, 2) - B)
 
-    @ray.remote
-    def resolve_parents(state, me, *request_lists):
-        """Wave 2b: label2 = label[label] for every request; replies
-        routed back by requesting bucket (reply i answers bucket i)."""
+    @ray.remote(num_returns=max(B, 2))
+    def resolve_parents(state, *request_slices):
+        """Wave 2b: label2 = label[label] for each requesting
+        bucket's slice; reply c answers bucket c."""
         an, ao, nodes, labels = state
         out = []
-        for lst in request_lists:
-            qn, ql = lst[me]
+        for qn, ql in request_slices:
             out.append((qn, labels[np.searchsorted(nodes, ql)]
                         if len(qn) else ql))
-        return out
+        return out + [None] * (max(B, 2) - B)
 
     @ray.remote(num_returns=2)
-    def fold_parents(state, me, *reply_lists):
+    def fold_parents(state, *reply_slices):
         """Wave 2c: apply the label2 replies; emit (state, label_sum)
         as separate returns so the driver fetches ONLY the scalar."""
         an, ao, nodes, labels = state
         labels = labels.copy()
-        for lst in reply_lists:
-            qn, l2 = lst[me]
+        for qn, l2 in reply_slices:
             if len(qn):
                 np.minimum.at(labels, np.searchsorted(nodes, qn), l2)
         return (an, ao, nodes, labels), int(labels.sum())
@@ -473,15 +474,18 @@ def cluster_pairs_distributed(pairs_ds, num_buckets: int = 16,
     prev = None
     for _ in range(max_rounds):
         pushed = [push_labels.remote(s) for s in states]
-        states = [fold_pushed.remote(states[b], b, *pushed)
+        states = [fold_pushed.remote(states[b],
+                                     *(pushed[s][b] for s in range(B)))
                   for b in range(B)]
         reqs = [request_parents.remote(s) for s in states]
-        resolved = [resolve_parents.remote(states[c], c, *reqs)
-                    for c in range(B)]
+        resolved = [resolve_parents.remote(
+            states[c], *(reqs[b][c] for b in range(B)))
+            for c in range(B)]
         sums = []
         new_states = []
         for b in range(B):
-            st, sm = fold_parents.remote(states[b], b, *resolved)
+            st, sm = fold_parents.remote(
+                states[b], *(resolved[c][b] for c in range(B)))
             new_states.append(st)
             sums.append(sm)
         states = new_states

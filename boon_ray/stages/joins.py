@@ -100,9 +100,13 @@ def _arrow_schema(ds) -> pa.Schema:
 
 
 def _key_hash(batch: pa.Table, on: Sequence[str]) -> np.ndarray:
-    # natural dtypes: int join keys take hash64's numeric fast path
+    # schema-stable inputs: int join keys take hash64's numeric fast
+    # path with nulls pinned (path chosen by ARROW type, not batch
+    # content — see sketches.hash_key_array)
+    from boon_ray.sketches import hash_key_array
+
     return hash64_combine(*(
-        batch.column(c).to_pandas().to_numpy() for c in on))
+        hash_key_array(batch.column(c)) for c in on))
 
 
 def _plan_union(left_schema: pa.Schema, right_schema: pa.Schema,

@@ -239,13 +239,12 @@ def build_ivf_index(ds, index_dir: str, vec_col: str = "embedding",
                    batch_size=None).write_parquet(
         data_dir, partition_cols=["list"])
     np.save(os.path.join(index_dir, "centroids.npy"), cents)
-    sizes = {}
-    for d in sorted(os.listdir(data_dir)):
-        if d.startswith("list="):
-            sizes[int(d.split("=")[1])] = None  # filled lazily on read
+    present = sorted(int(d.split("=")[1])
+                     for d in os.listdir(data_dir)
+                     if d.startswith("list="))
     meta = {"n_rows": int(n_total), "n_lists": int(n_lists),
             "vec_col": vec_col, "id_col": id_col,
-            "lists_present": sorted(sizes)}
+            "lists_present": present}
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -317,9 +316,11 @@ def ivf_topk(ds, queries: np.ndarray, vec_col: str = "embedding",
     :func:`build_ivf_index` + :func:`ivf_search`; long-lived
     deployments call those directly and amortize the build."""
     import os
+    import shutil
     import tempfile
 
-    if index_dir is None:
+    own_dir = index_dir is None
+    if own_dir:
         index_dir = tempfile.mkdtemp(prefix="boonray_ivf_")
     if not os.path.exists(os.path.join(index_dir, "meta.json")):
         build_ivf_index(ds, index_dir, vec_col=vec_col, id_col=id_col,
@@ -327,9 +328,18 @@ def ivf_topk(ds, queries: np.ndarray, vec_col: str = "embedding",
     out, stats = ivf_search(index_dir, queries, k=k, nprobe=nprobe,
                             batch_size=batch_size,
                             concurrency=concurrency)
-    if stats["lists_read"] >= stats["n_lists"] and \
-            stats["n_lists"] > nprobe:
+    # the partial-read property is PER QUERY; the union of a large or
+    # diverse batch may legitimately cover every list. Only a batch
+    # whose probes CANNOT cover all lists proves the index broken by
+    # reading them all.
+    if (stats["lists_read"] >= stats["n_lists"]
+            and len(np.atleast_2d(queries)) * nprobe
+            < stats["n_lists"]):
         raise RuntimeError(f"IVF read every list: {stats}")
+    if own_dir:
+        # one-shot convenience mode: the result is an in-memory
+        # table, so the throwaway index must not leak into /tmp
+        shutil.rmtree(index_dir, ignore_errors=True)
     return out
 
 

@@ -70,16 +70,33 @@ class StaleAttempt(RuntimeError):
     (attempt-epoch fencing; module docstring)."""
 
 
-def _new_epoch() -> str:
+def _new_epoch() -> tuple:
+    """ORDERED attempt-epoch token: (wall ns, uuid). Ordering lets
+    ``reset`` reject a zombie attempt that minted its token BEFORE
+    the live attempt (the stuck-then-resumed case) instead of letting
+    it wipe live state and steal the fence. A zombie that starts
+    executing after the live attempt began necessarily carries a
+    newer token and will win the fence — that case degrades to the
+    replaced attempt failing LOUDLY via StaleAttempt (never silent
+    corruption), which is the strongest guarantee available without
+    an external attempt ordinal from the scheduler."""
+    import time
     import uuid
 
-    return uuid.uuid4().hex
+    return (time.time_ns(), uuid.uuid4().hex)
 
 
 def _check_epoch(current, presented):
     if presented != current:
         raise StaleAttempt(
             f"stale attempt epoch {presented!r} (current {current!r})")
+
+
+def _check_reset_order(current, presented):
+    if current is not None and presented <= current:
+        raise StaleAttempt(
+            f"reset from stale attempt epoch {presented!r} "
+            f"(current {current!r})")
 
 
 def _session_actor_cls():
@@ -97,12 +114,15 @@ def _session_actor_cls():
             self.peak_closed = 0   # high-water mark, memory-contract
             #                        observability for tests
 
-        def reset(self, epoch: str) -> None:
+        def reset(self, epoch) -> None:
             """Drop ALL state and pin the caller's attempt epoch.
             Called at the start of every feed task so a Ray Data task
             retry replays its bucket against a clean slate; the epoch
-            fences out any zombie earlier attempt (module
-            docstring)."""
+            fences out any zombie earlier attempt, and reset ITSELF
+            rejects tokens older than the pinned one so a late-
+            arriving zombie reset cannot wipe live state (module
+            docstring + _new_epoch)."""
+            _check_reset_order(self.epoch, epoch)
             self.open = {}
             self.closed = []
             self.epoch = epoch
@@ -210,7 +230,9 @@ def streaming_sessionize(ds, ts_col: str, key_col: str, value_col: str,
     actors = [SessionActor.remote(gap_us) for _ in range(num_buckets)]
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        keys = b.column(key_col).to_pandas().to_numpy()
+        from boon_ray.sketches import hash_key_array
+
+        keys = hash_key_array(b.column(key_col))
         bucket = (hash64(keys) % np.uint64(num_buckets)).astype(np.int64)
         return b.append_column("_bucket", pa.array(bucket))
 
@@ -279,10 +301,11 @@ def _dedup_actor_cls():
             self.firsts: list = []
             self.epoch = None
 
-        def reset(self, epoch: str) -> None:
+        def reset(self, epoch) -> None:
             """Retry contract, same as SessionActor: a Ray Data task
-            retry replays its bucket against a clean slate; the epoch
-            fences out zombie attempts."""
+            retry replays its bucket against a clean slate; stale
+            resets are rejected (ordered epochs, see _new_epoch)."""
+            _check_reset_order(self.epoch, epoch)
             self.seen = set()
             self.firsts = []
             self.epoch = epoch
@@ -329,7 +352,9 @@ def streaming_first_seen(ds, ts_col: str, key_col: str, id_col: str,
     actors = [FirstSeenActor.remote() for _ in range(num_buckets)]
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        keys = b.column(key_col).to_pandas().to_numpy()
+        from boon_ray.sketches import hash_key_array
+
+        keys = hash_key_array(b.column(key_col))
         bucket = (hash64(keys) % np.uint64(num_buckets)).astype(np.int64)
         return pa.table({
             key_col: b.column(key_col),
@@ -404,7 +429,8 @@ def _window_actor_cls():
             self.watermark = None
             self.epoch = None
 
-        def reset(self, epoch: str) -> None:
+        def reset(self, epoch) -> None:
+            _check_reset_order(self.epoch, epoch)
             self.open = {}
             self.emitted = []
             self.n_late = 0
@@ -504,7 +530,9 @@ def streaming_tumbling_counts(ds, ts_col: str, key_col: str,
               for _ in range(num_buckets)]
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        keys = b.column(key_col).to_pandas().to_numpy()
+        from boon_ray.sketches import hash_key_array
+
+        keys = hash_key_array(b.column(key_col))
         bucket = (hash64(keys) % np.uint64(num_buckets)).astype(np.int64)
         return pa.table({
             key_col: b.column(key_col),

@@ -42,10 +42,13 @@ DEFAULT_KEY = ("repo", "path", "commit")
 
 def _key_hash(batch: pa.Table, key: Sequence[str]) -> np.ndarray:
     """Uniform 64-bit hash of the key tuple (vectorized)."""
-    # natural dtypes: int key columns take hash64's numeric fast
-    # path; string columns still come out as object arrays
+    # schema-stable inputs (see sketches.hash_key_array): int key
+    # columns take the numeric fast path regardless of per-batch
+    # null content; strings stay on the object path
+    from boon_ray.sketches import hash_key_array
+
     return hash64_combine(*(
-        batch.column(k).to_pandas().to_numpy() for k in key))
+        hash_key_array(batch.column(k)) for k in key))
 
 
 class PartialKeyCounts:

@@ -216,3 +216,24 @@ def test_r3_first_seen_stale_attempt_is_fenced(ray_session):
         ray.get(actor.feed.remote(old, ["k"], [1], [1]))
     ray.get(actor.feed.remote(new, ["k", "k"], [1, 2], [10, 11]))
     assert ray.get(actor.drain.remote(new)) == [("k", 1, 10)]
+
+
+def test_r4_review_stale_reset_cannot_wipe_live_state(ray_session):
+    """r4 code-review finding: reset() itself must be fenced — a
+    zombie attempt whose (older) token arrives after the live
+    attempt's reset must NOT wipe state or steal the epoch."""
+    import ray
+
+    from boon_ray.stages.streaming import (
+        StaleAttempt, _new_epoch, _session_actor_cls,
+    )
+
+    actor = _session_actor_cls().remote(1_000_000)
+    old, new = _new_epoch(), _new_epoch()
+    ray.get(actor.reset.remote(new))
+    ray.get(actor.feed.remote(new, ["u"], [0], [1]))
+    with pytest.raises((StaleAttempt, ray.exceptions.RayTaskError)):
+        ray.get(actor.reset.remote(old))   # zombie reset rejected
+    # live attempt unaffected
+    out = ray.get(actor.flush.remote(new))
+    assert out == [("u", 0, 0, 1, 1)]
