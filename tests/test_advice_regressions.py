@@ -237,3 +237,21 @@ def test_r4_review_stale_reset_cannot_wipe_live_state(ray_session):
     # live attempt unaffected
     out = ray.get(actor.flush.remote(new))
     assert out == [("u", 0, 0, 1, 1)]
+
+
+def test_r4_review_nullable_int_keys_bucket_stably():
+    """r4 code-review finding: a nullable int64 key column converts
+    to float64 only in batches containing a null — the hash-path
+    choice must depend on the ARROW type, never batch content, or the
+    same key buckets differently across batches."""
+    from boon_ray.sketches import hash64, hash_key_array
+
+    clean = pa.chunked_array([pa.array([42, 7, 9], pa.int64())])
+    dirty = pa.chunked_array([pa.array([42, None, 9], pa.int64())])
+    h_clean = hash64(hash_key_array(clean))
+    h_dirty = hash64(hash_key_array(dirty))
+    assert h_clean[0] == h_dirty[0]   # 42 hashes identically
+    assert h_clean[2] == h_dirty[2]   # 9 too
+    # string columns stay on the object path
+    s = hash_key_array(pa.chunked_array([pa.array(["a", None])]))
+    assert s.dtype == object
