@@ -340,3 +340,27 @@ def test_chunk_batch_equals_bruteforce(case):
                          "n_words": len(w), "chunk_text": " ".join(w)})
     key = lambda r: (r["doc_id"], r["chunk_id"])
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+@settings(max_examples=200, deadline=None)
+@given(schema=schemas(), value=json_values)
+def test_static_uneval_shortcuts_change_nothing(schema, value):
+    """r4 differential fuzz for the per-node static uneval shortcuts
+    (all_props/all_items_evaluated, num_items_evaluated): verdicts
+    from the optimized spec must equal a spec with the static flags
+    forcibly DISABLED post-compile, on BOTH evaluator paths."""
+    from boon_ray.compiler import compile_schema
+    from boon_ray.evaluator import Evaluator
+
+    try:
+        fast_spec = compile_schema(schema)
+        slow_spec = compile_schema(schema)
+    except Exception:
+        return  # invalid schemas rejected identically; other tests pin
+    for n in slow_spec.nodes:
+        n.all_props_evaluated = False
+        n.all_items_evaluated = False
+        n.num_items_evaluated = 0
+    fast, slow = Evaluator(fast_spec), Evaluator(slow_spec)
+    assert fast.is_valid(value) == slow.is_valid(value)
+    assert (fast.errors(value) is None) == (slow.errors(value) is None)
