@@ -564,6 +564,7 @@ def run_once() -> dict:
 
     only = os.environ.get("GRAFT_BENCH_ONLY")
     selected = (only.split(",") if only else list(QUERIES))
+    load_start = os.getloadavg()
     # best-of-2 by default: single-trial numbers on this shared host
     # carry ~2-4x cold-start noise (first touch of each operator pays
     # scheduler + import warmup); override with GRAFT_BENCH_TRIALS=1
@@ -596,6 +597,11 @@ def run_once() -> dict:
             if times.get("validate_vectorized") else None),
         "validate_sec": round(times.get("validate_vectorized", 0.0)
                               + times.get("validate_full_engine", 0.0), 3),
+        # 1-min system load BEFORE/AFTER the timed section: on this
+        # shared host a loadavg far above NUM_CPUS at start means the
+        # sample is contention-perturbed (see BASELINE.md noise notes)
+        "loadavg_1m_start": round(load_start[0], 1),
+        "loadavg_1m_end": round(os.getloadavg()[0], 1),
     }
 
 
@@ -731,6 +737,12 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
+    for a in sys.argv[1:]:
+        # --only q1,q2  (CLI alias for GRAFT_BENCH_ONLY)
+        if a.startswith("--only"):
+            val = (a.split("=", 1)[1] if "=" in a
+                   else sys.argv[sys.argv.index(a) + 1])
+            os.environ["GRAFT_BENCH_ONLY"] = val
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
