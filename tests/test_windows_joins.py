@@ -842,3 +842,104 @@ def test_streaming_tumbling_any_arrival_order_with_full_grace(ray_session):
         assert n_late == 0
         assert sorted(rows) == want
         ray.kill(actor)
+
+
+# ---- differential fuzz: hash_join vs pandas.merge -------------------
+
+def _join_rows(df):
+    """Canonical row set: tuples with NaN/None normalized to None and
+    integral floats (nullable-int promotion) folded back to int."""
+    out = []
+    for t in df.itertuples(index=False):
+        row = []
+        for v in t:
+            if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NA:
+                row.append(None)
+            elif isinstance(v, float) and v.is_integer():
+                row.append(int(v))
+            else:
+                row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=lambda r: tuple((x is None, x) for x in r))
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _keys = st.lists(st.integers(min_value=0, max_value=6),
+                     min_size=0, max_size=10)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(lk=_keys, rk=_keys, how=st.sampled_from(["inner", "left"]),
+           buckets=st.sampled_from([1, 2, 5]))
+    def test_hash_join_fuzz_matches_pandas(ray_session, lk, rk, how,
+                                           buckets):
+        """Randomized differential check: hash_join must agree with a
+        single-process pandas merge for any key multiset (dup keys,
+        misses, empty sides), both modes, any bucket count."""
+        import ray.data as rd
+
+        from boon_ray.stages.joins import hash_join
+
+        lt = pa.table({"k": pa.array(lk, pa.int64()),
+                       "lv": pa.array(range(len(lk)), pa.int64())})
+        rt = pa.table({"k": pa.array(rk, pa.int64()),
+                       "rv": pa.array([x * 10 for x in range(len(rk))],
+                                      pa.int64())})
+        got = hash_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                        on=["k"], how=how,
+                        num_buckets=buckets).to_pandas()
+        want = lt.to_pandas().merge(rt.to_pandas(), on="k", how=how)
+        if len(want):
+            assert list(got.columns) == list(want.columns)
+        assert _join_rows(got) == _join_rows(want)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _lrows = st.lists(st.tuples(st.integers(0, 4), st.integers(0, 20)),
+                      min_size=0, max_size=12)
+    _rrows = st.lists(st.tuples(st.integers(0, 4), st.integers(0, 20)),
+                      min_size=0, max_size=12, unique=True)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(lrows=_lrows, rrows=_rrows, buckets=st.sampled_from([1, 3]))
+    def test_asof_join_fuzz_matches_pandas(ray_session, lrows, rrows,
+                                           buckets):
+        """Randomized differential check: bucketed asof_join must agree
+        with one global pd.merge_asof. Right (key, ts) pairs are unique
+        by construction — duplicate right timestamps per key are
+        documented as partition-order-dependent."""
+        import ray.data as rd
+
+        from boon_ray.stages.joins import asof_join
+
+        lt = pa.table({"k": pa.array([a for a, _ in lrows], pa.int64()),
+                       "ts": pa.array([b for _, b in lrows], pa.int64()),
+                       "lv": pa.array(range(len(lrows)), pa.int64())})
+        rt = pa.table({"k": pa.array([a for a, _ in rrows], pa.int64()),
+                       "ts": pa.array([b for _, b in rrows], pa.int64()),
+                       "rv": pa.array([x * 10 for x in range(len(rrows))],
+                                      pa.int64())})
+        got = asof_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                        key="k", ts_col="ts",
+                        num_buckets=buckets).to_pandas()
+        ldf = lt.to_pandas().sort_values("ts", kind="mergesort")
+        rdf = rt.to_pandas().sort_values("ts", kind="mergesort")
+        if len(ldf) == 0:
+            want = ldf.assign(rv=pd.Series(dtype="float64"))
+        elif len(rdf) == 0:
+            want = ldf.assign(rv=np.nan)
+        else:
+            want = pd.merge_asof(ldf, rdf, on="ts", by="k",
+                                 direction="backward")
+        assert _join_rows(got) == _join_rows(want)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
