@@ -943,3 +943,61 @@ try:
         assert _join_rows(got) == _join_rows(want)
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _pts = st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20)),
+                    min_size=0, max_size=10)
+    _ivs = st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20),
+                              st.integers(0, 8)),
+                    min_size=0, max_size=8)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(pts=_pts, ivs=_ivs, how=st.sampled_from(["inner", "left"]),
+           buckets=st.sampled_from([1, 3]))
+    def test_range_join_fuzz_matches_bruteforce(ray_session, pts, ivs,
+                                                how, buckets):
+        """Randomized differential check against an O(n*m) brute force:
+        every (point, interval) combination per key with
+        start <= ts <= end, including OVERLAPPING intervals (documented:
+        every covering interval matches) and unmatched-left rows."""
+        import ray.data as rd
+
+        from boon_ray.stages.joins import range_join
+
+        lt = pa.table({"k": pa.array([a for a, _ in pts], pa.int64()),
+                       "ts": pa.array([b for _, b in pts], pa.int64()),
+                       "lv": pa.array(range(len(pts)), pa.int64())})
+        rt = pa.table({"k": pa.array([a for a, _, _ in ivs], pa.int64()),
+                       "s": pa.array([b for _, b, _ in ivs], pa.int64()),
+                       "e": pa.array([b + w for _, b, w in ivs],
+                                     pa.int64()),
+                       "rv": pa.array([x * 10 for x in range(len(ivs))],
+                                      pa.int64())})
+        got = range_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                         key="k", ts_col="ts", start_col="s",
+                         end_col="e", how=how,
+                         num_buckets=buckets).to_pandas()
+        want = []
+        for i, (ka, ts) in enumerate(pts):
+            hits = [(ka, ts, i, s, s + w, j * 10)
+                    for j, (kb, s, w) in enumerate(ivs)
+                    if kb == ka and s <= ts <= s + w]
+            if hits:
+                want.extend(hits)
+            elif how == "left":
+                want.append((ka, ts, i, None, None, None))
+        if len(got) == 0:
+            # Ray's to_pandas drops the schema of a fully-empty
+            # Dataset; bucket-level empty-schema is pinned elsewhere
+            assert want == []
+            return
+        got_rows = _join_rows(got[["k", "ts", "lv", "s", "e", "rv"]])
+        assert got_rows == sorted(
+            want, key=lambda r: tuple((x is None, x) for x in r))
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
