@@ -1001,3 +1001,80 @@ try:
             want, key=lambda r: tuple((x is None, x) for x in r))
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _events = st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100),
+                                 st.integers(-5, 5)),
+                       min_size=1, max_size=25)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(ev=_events, size_s=st.sampled_from([1, 3, 7]),
+           nblocks=st.sampled_from([1, 4]))
+    def test_tumbling_window_fuzz_matches_bruteforce(ray_session, ev,
+                                                     size_s, nblocks):
+        """Random events split across blocks: per-batch partials plus
+        the bucketed merge must equal a single-pass brute force for any
+        block split (the partial/merge algebra is what's under test)."""
+        import ray.data as rd
+
+        from boon_ray.stages.windows import tumbling_window_agg
+
+        t = pa.table({
+            "k": pa.array([a for a, _, _ in ev], pa.int64()),
+            "ts": pa.array([b * 1_000_000 for _, b, _ in ev],
+                           pa.timestamp("us")),
+            "v": pa.array([c for _, _, c in ev], pa.int64())})
+        ds = rd.from_arrow(t).repartition(nblocks)
+        got = tumbling_window_agg(ds, "ts", "k", "v",
+                                  size_s=size_s, batch_size=3).to_pandas()
+        want: dict = {}
+        for k, ts, v in ev:
+            w = (ts // size_s) * size_s
+            n, s = want.get((k, w), (0, 0))
+            want[(k, w)] = (n + 1, s + v)
+        got_set = {(int(r.k), int(r.window_start)):
+                   (int(r.n_events), int(r.sum_value))
+                   for r in got.itertuples()}
+        assert got_set == want
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(ev=_events, gap_s=st.sampled_from([1, 5]))
+    def test_session_window_fuzz_matches_bruteforce(ray_session, ev,
+                                                    gap_s):
+        """Random events incl. duplicate timestamps: per-key session
+        splitting at inactivity gaps > gap_s vs a sorted brute force."""
+        import ray.data as rd
+
+        from boon_ray.stages.windows import session_window_agg
+
+        t = pa.table({
+            "k": pa.array([a for a, _, _ in ev], pa.int64()),
+            "ts": pa.array([b * 1_000_000 for _, b, _ in ev],
+                           pa.timestamp("us")),
+            "v": pa.array([c for _, _, c in ev], pa.int64())})
+        got = session_window_agg(rd.from_arrow(t), "ts", "k", "v",
+                                 gap_s=gap_s).to_pandas()
+        want = set()
+        for k in {a for a, _, _ in ev}:
+            rows = sorted((b, c) for a, b, c in ev if a == k)
+            sess: list = []
+            for b, c in rows:
+                if sess and b - sess[-1][0] > gap_s:
+                    want.add((k, sess[0][0], sess[-1][0], len(sess),
+                              sum(x for _, x in sess)))
+                    sess = []
+                sess.append((b, c))
+            want.add((k, sess[0][0], sess[-1][0], len(sess),
+                      sum(x for _, x in sess)))
+        got_set = {(int(r.k), int(r.session_start), int(r.session_end),
+                    int(r.n_events), int(r.sum_value))
+                   for r in got.itertuples()}
+        assert got_set == want
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
