@@ -725,3 +725,59 @@ def test_shuffle_rank_seeds_differ(ray_session):
     a = _sorted(seeded_shuffle_rank(ds, "doc_id", seed="e0").to_pandas())
     b = _sorted(seeded_shuffle_rank(ds, "doc_id", seed="e1").to_pandas())
     assert (a["pos"].to_numpy() != b["pos"].to_numpy()).any()
+
+
+# ---- differential fuzz: rank family vs DuckDB window functions ------
+
+try:
+    import pyarrow as pa
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _kp = st.lists(st.tuples(st.integers(0, 5), st.integers(0, 2)),
+                   min_size=1, max_size=20)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=_kp, n_tiles=st.sampled_from([1, 3, 4]))
+    def test_ntile_fuzz_matches_duckdb(ray_session, rows, n_tiles):
+        """Random bounded keys (unique ids) vs DuckDB's
+        NTILE(n) OVER (ORDER BY key, id) — remainder rule included."""
+        from boon_ray.stages.rank import ntile_by_int_key
+
+        t = pa.table({"id": pa.array(range(len(rows)), pa.int64()),
+                      "key": pa.array([k for k, _ in rows], pa.int64())})
+        got = ntile_by_int_key(rd.from_arrow(t), "key", "id",
+                               n_tiles=n_tiles).to_pandas()
+        df = t.to_pandas()
+        want = duckdb.sql(
+            f"SELECT id, key, NTILE({n_tiles}) OVER (ORDER BY key, id)"
+            " AS tile FROM df").df()
+        got = got.sort_values("id").reset_index(drop=True)
+        want = want.sort_values("id").reset_index(drop=True)
+        assert got["tile"].astype(int).tolist() == \
+            want["tile"].astype(int).tolist()
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=_kp)
+    def test_rank_in_partition_fuzz_matches_duckdb(ray_session, rows):
+        """Random (part, key) rows (unique ids) vs DuckDB's
+        ROW_NUMBER() OVER (PARTITION BY part ORDER BY key, id)."""
+        from boon_ray.stages.rank import rank_in_partition_by_int_key
+
+        t = pa.table({"part": pa.array([p for _, p in rows], pa.int64()),
+                      "id": pa.array(range(len(rows)), pa.int64()),
+                      "key": pa.array([k for k, _ in rows], pa.int64())})
+        got = rank_in_partition_by_int_key(
+            rd.from_arrow(t), "part", "key", "id").to_pandas()
+        df = t.to_pandas()
+        want = duckdb.sql(
+            "SELECT part, id, key, ROW_NUMBER() OVER"
+            " (PARTITION BY part ORDER BY key, id) AS rn FROM df").df()
+        got = got.sort_values("id").reset_index(drop=True)
+        want = want.sort_values("id").reset_index(drop=True)
+        assert got["rn"].astype(int).tolist() == \
+            want["rn"].astype(int).tolist()
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
