@@ -781,3 +781,48 @@ try:
             want["rn"].astype(int).tolist()
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    import pyarrow as pa
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _snap = st.dictionaries(st.integers(0, 12),
+                            st.one_of(st.none(),
+                                      st.sampled_from(["x", "y", "z"])),
+                            max_size=10)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(old=_snap, new=_snap, unchanged=st.booleans())
+    def test_snapshot_delta_fuzz_matches_bruteforce(ray_session, old,
+                                                    new, unchanged):
+        """Random snapshot pairs incl. null texts: added/removed/
+        changed/unchanged must match a dict diff with IS DISTINCT FROM
+        null semantics (null==null unchanged, null vs value changed)."""
+        from boon_ray.stages.delta import snapshot_delta
+
+        def mk(d):
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array(list(d.keys()), pa.int64()),
+                "text": pa.array(list(d.values()), pa.string())}))
+
+        got = snapshot_delta(mk(old), mk(new),
+                             include_unchanged=unchanged,
+                             num_buckets=4).to_pandas()
+        want = {}
+        for i in set(old) | set(new):
+            if i not in old:
+                want[i] = "added"
+            elif i not in new:
+                want[i] = "removed"
+            elif old[i] != new[i]:
+                want[i] = "changed"
+            elif unchanged:
+                want[i] = "unchanged"
+        got_map = ({} if len(got) == 0 else
+                   dict(zip(got["doc_id"].astype(int), got["status"])))
+        assert got_map == want
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
