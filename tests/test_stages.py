@@ -219,3 +219,55 @@ def test_conditional_schema_forces_recursion(ray_session):
                 & (df["lang"] == "fr")))
     assert (got["valid"] == want).all()
     assert 0 < want.sum() < len(want)      # non-trivial verdict mix
+
+
+# ---- differential fuzz: column_stats partial-merge algebra ----------
+
+try:
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _srows = st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.one_of(st.none(),
+                            st.text(alphabet="xé ", max_size=6))),
+        min_size=1, max_size=20)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=_srows, nblocks=st.sampled_from([1, 5]))
+    def test_column_stats_fuzz_matches_bruteforce(ray_session, rows,
+                                                  nblocks):
+        """Random (group, text|null) rows across random block splits:
+        the per-batch Arrow partials + pandas merge must equal a
+        single-pass brute force — incl. all-null groups (null min/max/
+        sum) and codepoint (not byte) lengths."""
+        t = pa.table({
+            "lang": pa.array([g for g, _ in rows], pa.string()),
+            "content": pa.array([c for _, c in rows], pa.string())})
+        got = column_stats(
+            rd.from_arrow(t).repartition(nblocks),
+            batch_size=3).to_pandas()
+        want = {}
+        for g, c in rows:
+            n, nn, lens = want.get(g, (0, 0, []))
+            want[g] = (n + 1, nn + (c is None),
+                       lens + ([len(c)] if c is not None else []))
+        got_map = {
+            r.lang: (int(r.n_rows), int(r.n_null),
+                     None if pd.isna(r.min_chars) else int(r.min_chars),
+                     None if pd.isna(r.max_chars) else int(r.max_chars),
+                     None if pd.isna(r.sum_chars) else int(r.sum_chars))
+            for r in got.itertuples()}
+        want_map = {
+            g: (n, nn,
+                min(lens) if lens else None,
+                max(lens) if lens else None,
+                sum(lens) if lens else None)
+            for g, (n, nn, lens) in want.items()}
+        assert got_map == want_map
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
