@@ -271,3 +271,45 @@ try:
         assert got_map == want_map
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _trows = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 3)),
+                      min_size=1, max_size=20)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=_trows, k=st.sampled_from([1, 2, 4]),
+           descending=st.booleans(), nblocks=st.sampled_from([1, 4]))
+    def test_top_k_per_group_fuzz_tiebreaks(ray_session, rows, k,
+                                            descending, nblocks):
+        """Random heavily-tied scores across block splits: the local
+        pre-reduce + grouped reduce must pick exactly the brute-force
+        winners (ties -> min id first), independent of partitioning."""
+        from boon_ray.stages.topk import top_k_per_group
+
+        t = pa.table({
+            "g": pa.array([a for a, _ in rows], pa.int64()),
+            "score": pa.array([b for _, b in rows], pa.int64()),
+            "id": pa.array(range(len(rows)), pa.int64())})
+        got = top_k_per_group(
+            rd.from_arrow(t).repartition(nblocks), ["g"], "score",
+            k=k, tiebreak="id", descending=descending,
+            batch_size=3).to_pandas()
+        want = set()
+        for g in {a for a, _ in rows}:
+            members = [(s, i) for i, (a, s) in enumerate(rows) if a == g]
+            members.sort(key=lambda p: (-p[0] if descending else p[0],
+                                        p[1]))
+            want |= {(g, s, i) for s, i in members[:k]}
+        got_set = {(int(r.g), int(r.score), int(r.id))
+                   for r in got.itertuples()}
+        assert got_set == want
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
