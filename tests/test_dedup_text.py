@@ -1161,3 +1161,25 @@ def test_cluster_pairs_distributed_empty_and_selfloop(ray_session):
     out = cluster_pairs_distributed(selfy, num_buckets=4).to_pandas()
     got = dict(zip(out["id"], out["cluster"]))
     assert got == {5: 5, 9: 5, 7: 7}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _wfreqs = st.dictionaries(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        st.integers(min_value=1, max_value=9), max_size=8)
+
+    @settings(max_examples=300, deadline=None)
+    @given(freqs=_wfreqs, k=st.integers(min_value=1, max_value=12))
+    def test_bpe_merges_fuzz_match_naive(freqs, k):
+        """Random word-frequency tables (tiny alphabet forces heavy
+        pair ties and overlapping runs like 'aaa') against the
+        independent list-rewrite reference — both trainers must emit
+        identical (left, right, count) merge sequences."""
+        from boon_ray.stages.bpe import train_bpe
+
+        assert train_bpe(freqs, k) == _naive_bpe(freqs, k)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
