@@ -1183,3 +1183,43 @@ try:
         assert train_bpe(freqs, k) == _naive_bpe(freqs, k)
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _lens = st.lists(st.integers(min_value=1, max_value=130),
+                     min_size=1, max_size=25)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(lens=_lens, capacity=st.sampled_from([50, 100]),
+           nblocks=st.sampled_from([1, 4]))
+    def test_pack_sequences_fuzz_invariants(ray_session, lens, capacity,
+                                            nblocks):
+        """Random lengths incl. oversized docs across block splits:
+        every id packed exactly once, every multi-doc bin within
+        capacity, oversized docs alone in their bin, bin_fill equal to
+        the recomputed member sum, bin_id the min member id."""
+        import ray.data as rd
+
+        from boon_ray.stages.training import pack_sequences
+
+        df = pd.DataFrame({"doc_id": np.arange(len(lens)),
+                           "n": np.array(lens, dtype=np.int64)})
+        out = pack_sequences(rd.from_pandas(df).repartition(nblocks),
+                             "doc_id", "n", capacity=capacity).to_pandas()
+        assert sorted(out["id"]) == list(range(len(lens)))
+        assert (out["len"].to_numpy() ==
+                df.set_index("doc_id").loc[out["id"], "n"].to_numpy()).all()
+        for bid, g in out.groupby("bin_id"):
+            assert bid == g["id"].min()
+            fill = int(g["len"].sum())
+            assert (g["bin_fill"] == fill).all()
+            if len(g) > 1:
+                assert fill <= capacity
+            elif fill > capacity:
+                assert len(g) == 1  # oversized doc isolated
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
