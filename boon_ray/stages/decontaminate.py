@@ -72,7 +72,9 @@ def benchmark_gram_set(bench_ds, column: str = "text",
 
     parts = bench_ds.map_batches(grams, batch_format="pyarrow",
                                  batch_size=None)
-    return frozenset(parts.unique("gram"))
+    # unique() returns None when no benchmark doc reaches k tokens —
+    # an empty gram set must mean "nothing is contaminated", not crash
+    return frozenset(parts.unique("gram") or ())
 
 
 def benchmark_gram_hashes(bench_ds, column: str = "text",
@@ -107,7 +109,8 @@ def benchmark_gram_hashes(bench_ds, column: str = "text",
 
     parts = bench_ds.map_batches(gram_hashes, batch_format="pyarrow",
                                  batch_size=None)
-    return np.sort(np.asarray(parts.unique("gram_hash"),
+    # same empty-benchmark guard as benchmark_gram_set
+    return np.sort(np.asarray(parts.unique("gram_hash") or [],
                               dtype=np.int64).view(np.uint64))
 
 

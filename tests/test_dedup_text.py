@@ -1223,3 +1223,53 @@ try:
                 assert len(g) == 1  # oversized doc isolated
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _word = st.sampled_from(["aa", "bb", "cc"])
+    _doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(_doc, min_size=1, max_size=8),
+           bench=st.lists(_doc, min_size=1, max_size=4),
+           k=st.sampled_from([2, 3]))
+    def test_decontaminate_fuzz_matches_bruteforce(ray_session, docs,
+                                                   bench, k):
+        """Random tiny-alphabet corpora and benchmark docs: verdicts
+        (hit count + flag) must equal brute-force token k-gram
+        containment, and emit='clean' must keep exactly the
+        uncontaminated ids."""
+        import ray.data as rd
+
+        from boon_ray.stages.decontaminate import (
+            _token_grams, benchmark_gram_set, decontaminate)
+
+        corpus = rd.from_pandas(pd.DataFrame(
+            {"doc_id": np.arange(len(docs)), "text": docs}))
+        bench_ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": np.arange(len(bench)), "text": bench}))
+        grams = benchmark_gram_set(bench_ds, k=k)
+        got = decontaminate(corpus, grams, k=k).to_pandas()
+        gset = set()
+        for b in bench:
+            gset.update(_token_grams(b, k))
+        want = {}
+        for i, d in enumerate(docs):
+            hits = {g for g in _token_grams(d, k) if g in gset}
+            want[i] = (len(hits), len(hits) > 0)
+        got_map = {int(r.doc_id): (int(r.n_hit_grams),
+                                   bool(r.contaminated))
+                   for r in got.itertuples()}
+        assert got_map == want
+        clean = decontaminate(corpus, grams, k=k,
+                              emit="clean").to_pandas()
+        want_clean = sorted(i for i, (_, c) in want.items() if not c)
+        got_clean = (sorted(clean["doc_id"].astype(int))
+                     if len(clean) else [])
+        assert got_clean == want_clean
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
