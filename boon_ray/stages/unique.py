@@ -162,9 +162,17 @@ def uniqueness_violations(ds, key: Sequence[str] = DEFAULT_KEY,
                              batch_size=batch_size)
     totals = partial.groupby("h").aggregate(Sum("cnt", alias_name="n"))
     cand_df = totals.filter(expr="n > 1").to_pandas()
-    cand = cand_df["h"].to_numpy()
+    # a zero-duplicate corpus leaves the filter empty, and an empty
+    # Dataset's to_pandas() loses the schema — no "h" column to index
+    cand = (cand_df["h"].to_numpy() if len(cand_df)
+            else np.empty(0, dtype=np.int64))
     if len(cand) == 0:
-        empty = {k: pa.array([], pa.string()) for k in key}
+        # empty result with the INPUT's key dtypes, so both plans are
+        # schema-stable whether or not violations exist
+        in_schema = ds.schema()
+        types = dict(zip(in_schema.names, in_schema.types))
+        empty = {k: pa.array([], types.get(k, pa.string()))
+                 for k in key}
         empty["n_dups"] = pa.array([], pa.int64())
         import ray.data as rd
         return rd.from_arrow(pa.table(empty))

@@ -313,3 +313,74 @@ try:
         assert got_set == want
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _keys2 = st.lists(st.integers(0, 6), min_size=1, max_size=20)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(keys=_keys2, prefilter=st.booleans(),
+           nblocks=st.sampled_from([1, 4]))
+    def test_uniqueness_fuzz_matches_bruteforce(ray_session, keys,
+                                                prefilter, nblocks):
+        """Random key multisets on both plans (full-shuffle and
+        hash-prefilter): duplicated keys with exact counts, nothing
+        else."""
+        from collections import Counter
+
+        from boon_ray.stages.unique import uniqueness_violations
+
+        t = pa.table({"k": pa.array(keys, pa.int64())})
+        ds = rd.from_arrow(t).repartition(nblocks).materialize()
+        got = uniqueness_violations(ds, key=("k",),
+                                    prefilter=prefilter).to_pandas()
+        want = {k: n for k, n in Counter(keys).items() if n > 1}
+        got_map = ({} if len(got) == 0 else
+                   dict(zip(got["k"].astype(int),
+                            got["n_dups"].astype(int))))
+        assert got_map == want
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(fks=_keys2, pks=st.lists(st.integers(0, 6), max_size=6))
+    def test_referential_fuzz_matches_bruteforce(ray_session, fks, pks):
+        """Random fact fks vs a random (possibly empty) dimension:
+        orphans are exactly the fks outside the pk set."""
+        from boon_ray.stages.referential import referential_violations
+
+        fact = pa.table({"fk": pa.array(fks, pa.int64()),
+                         "rid": pa.array(range(len(fks)), pa.int64())})
+        dim = pa.table({"fk": pa.array(pks, pa.int64())})
+        got = referential_violations(
+            rd.from_arrow(fact), dim, fk=("fk",)).to_pandas()
+        want = sorted(i for i, f in enumerate(fks) if f not in set(pks))
+        got_ids = (sorted(got["rid"].astype(int)) if len(got) else [])
+        assert got_ids == want
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(keys=_keys2, nblocks=st.sampled_from([1, 4]))
+    def test_dedup_exact_fuzz_matches_bruteforce(ray_session, keys,
+                                                 nblocks):
+        """min-per-key survivor set (unique order values, per the
+        contract) must match brute force for any block split."""
+        from boon_ray.stages.unique import dedup_exact
+
+        t = pa.table({"k": pa.array(keys, pa.int64()),
+                      "oid": pa.array(range(len(keys)), pa.int64())})
+        got = dedup_exact(rd.from_arrow(t).repartition(nblocks),
+                          key=["k"], order_col="oid").to_pandas()
+        want = {}
+        for i, k in enumerate(keys):
+            want.setdefault(k, i)
+        got_set = {(int(r.k), int(r.oid)) for r in got.itertuples()}
+        assert got_set == {(k, i) for k, i in want.items()}
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
