@@ -130,7 +130,8 @@ def main(argv=None) -> int:
         out = validate_dataset(ds, spec, column=args.column,
                                key_columns=key_cols or ("row",))
         df = out.to_pandas()
-        n_bad = int((~df["valid"]).sum())
+        # empty corpus file: empty-Dataset to_pandas has no columns
+        n_bad = int((~df["valid"]).sum()) if len(df) else 0
         any_invalid = n_bad > 0
         if not args.quiet:
             print(json.dumps({"rows": len(df), "invalid": n_bad,

@@ -133,7 +133,10 @@ def partition_verdicts(violations_ds, all_groups: pa.Table,
     violation rows (reference flag-output contract per partition)."""
     counts = violations_ds.groupby(group_key).count()
     cdf = counts.to_pandas()  # small: one row per partition with issues
-    bad = dict(zip(cdf[group_key], cdf["count()"]))
+    # an ALL-VALID corpus leaves the violation set empty, and an empty
+    # Dataset's to_pandas() loses the schema — every partition passes
+    bad = (dict(zip(cdf[group_key], cdf["count()"]))
+           if len(cdf) else {})
     groups = all_groups.column(group_key).to_pylist()
     return pa.table({
         group_key: groups,

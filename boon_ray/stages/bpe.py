@@ -151,7 +151,8 @@ def bpe_merges(ds, num_merges: int = 20, column: str = "text",
     (rank, left, right, n) for the first ``num_merges`` merges."""
     wc = word_counts(ds, column=column, num_buckets=num_buckets,
                      batch_size=batch_size).to_pandas()
-    freqs = dict(zip(wc["word"], wc["n"]))
+    # tokenless corpus: empty-Dataset to_pandas drops the schema
+    freqs = dict(zip(wc["word"], wc["n"])) if len(wc) else {}
     merges = train_bpe(freqs, num_merges)
     import ray.data as rd
     t = pa.table({

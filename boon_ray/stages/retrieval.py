@@ -340,6 +340,9 @@ def rarity_scores(ds, column: str = "text", id_col: str = "doc_id",
     dfs = (ds.map_batches(df_partial, batch_format="pyarrow",
                           batch_size=batch_size)
              .groupby("token").sum("df_n").to_pandas())
+    if len(dfs) == 0:  # tokenless corpus: empty-Dataset to_pandas
+        dfs = pd.DataFrame({"token": pd.Series(dtype=object),
+                            "sum(df_n)": pd.Series(dtype="int64")})
     dfs = dfs[dfs["sum(df_n)"] > 0]
     idf_table = pd.DataFrame({
         "token": dfs["token"].to_numpy().astype(str),

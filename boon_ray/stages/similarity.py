@@ -92,6 +92,10 @@ def ann_topk(ds, queries: np.ndarray, vec_col: str = "embedding",
          "id_col": id_col, "k": k},
         batch_size=batch_size, concurrency=concurrency)
     df = partial.to_pandas()  # small: n_batches * nq * k rows
+    if len(df) == 0:  # empty corpus: empty-Dataset to_pandas
+        df = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                           id_col: pd.Series(dtype="int64"),
+                           "score": pd.Series(dtype="float64")})
     df = df.sort_values(["query_id", "score", id_col],
                         ascending=[True, False, True])
     df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
@@ -291,6 +295,10 @@ def ivf_search(index_dir: str, queries: np.ndarray, k: int = 10,
          "k": k, "nprobe": nprobe},
         batch_size=batch_size, concurrency=concurrency)
     df = partial.to_pandas()
+    if len(df) == 0:  # no probed list had rows
+        df = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                           id_col: pd.Series(dtype="int64"),
+                           "score": pd.Series(dtype="float64")})
     df = df.sort_values(["query_id", "score", id_col],
                         ascending=[True, False, True])
     df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)

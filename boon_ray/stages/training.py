@@ -248,9 +248,12 @@ def domain_mix(ds, weights: dict[str, int], *, id_col: str = "doc_id",
         return pd.DataFrame({source_col: vc.index.to_numpy(),
                              "n": vc.to_numpy().astype(np.int64)})
 
-    obs = (ds.map_batches(cnt, batch_format="pyarrow",
-                          batch_size=batch_size)
-           .to_pandas().groupby(source_col)["n"].sum())
+    odf = ds.map_batches(cnt, batch_format="pyarrow",
+                         batch_size=batch_size).to_pandas()
+    # empty input: fall through to the clearer "no weighted source"
+    # error rather than a KeyError on the schema-less empty frame
+    obs = (odf.groupby(source_col)["n"].sum() if len(odf)
+           else pd.Series(dtype="int64"))
     obs = {s: int(n) for s, n in obs.items()
            if s in weights and n > 0}
     if not obs:

@@ -255,3 +255,45 @@ def test_r4_review_nullable_int_keys_bucket_stably():
     # string columns stay on the object path
     s = hash_key_array(pa.chunked_array([pa.array(["a", None])]))
     assert s.dtype == object
+
+
+def test_r4_empty_intermediate_to_pandas_hazards(ray_session):
+    """r4 fuzz-sweep finding: an empty intermediate Dataset's
+    to_pandas() has NO columns, so driver-side column indexing crashed
+    on perfectly legal inputs — an ALL-VALID corpus (partition
+    verdicts), a tokenless corpus (rarity idf / BPE word counts), an
+    empty ANN corpus, a zero-duplicate corpus (prefilter uniqueness,
+    pinned in test_stages fuzz). Each must degrade to its empty/clean
+    answer instead."""
+    import ray.data as rd
+
+    from boon_ray.pipelines.flagship import partition_verdicts
+    from boon_ray.stages.bpe import bpe_merges
+    from boon_ray.stages.retrieval import rarity_scores
+    from boon_ray.stages.similarity import ann_topk
+
+    # all-valid corpus: zero violation rows, every partition passes
+    empty_viol = rd.from_arrow(pa.table({
+        "repo": pa.array([], pa.string()),
+        "path": pa.array([], pa.string())}))
+    groups = pa.table({"repo": pa.array(["r1", "r2"])})
+    out = partition_verdicts(empty_viol, groups)
+    assert out.column("valid").to_pylist() == [True, True]
+    assert out.column("n_violations").to_pylist() == [0, 0]
+
+    # tokenless corpus: all-empty texts
+    blank = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["", "   "], pa.string())}))
+    scores = rarity_scores(blank, id_col="doc_id").to_pandas()
+    assert len(scores) == 2 or len(scores) == 0  # no crash is the bar
+    assert bpe_merges(blank, num_merges=3).count() == 0
+
+    # empty ANN corpus: no partial top-k rows at all
+    empty_vecs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    q = np.zeros((2, 4), dtype=np.float64)
+    res = ann_topk(empty_vecs, q, k=3, vec_col="embedding",
+                   id_col="vec_id")
+    assert res.num_rows == 0
