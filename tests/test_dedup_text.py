@@ -1273,3 +1273,52 @@ try:
         assert got_clean == want_clean
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _edges = st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                      min_size=1, max_size=25)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(edges=_edges, nbuckets=st.sampled_from([2, 4]))
+    def test_cc_fuzz_matches_union_find(ray_session, edges, nbuckets):
+        """Random graphs (self-loops, duplicate and reversed edges,
+        chains) through the bucketed ref-rounds CC vs a driver-side
+        union-find: every node labeled with its component's min id."""
+        import ray.data as rd
+
+        from boon_ray.stages.dedup import cluster_pairs_distributed
+
+        t = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                      "b": pa.array([b for _, b in edges], pa.int64())})
+        got = cluster_pairs_distributed(
+            rd.from_arrow(t), num_buckets=nbuckets).to_pandas()
+
+        parent = {}
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for e in edges for x in e}
+        want = {}
+        comp_min = {}
+        for x in nodes:
+            comp_min.setdefault(find(x), set()).add(x)
+        for root, members in comp_min.items():
+            m = min(members)
+            for x in members:
+                want[x] = m
+        got_map = dict(zip(got["id"].astype(int),
+                           got["cluster"].astype(int)))
+        assert got_map == want
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass

@@ -1078,3 +1078,85 @@ try:
         assert got_set == want
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _sevents = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60),
+                                  st.integers(-5, 5)),
+                        min_size=1, max_size=20)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(ev=_sevents, slide_s=st.sampled_from([2, 5]),
+           mult=st.sampled_from([2, 3]), nblocks=st.sampled_from([1, 4]))
+    def test_sliding_window_fuzz_matches_bruteforce(ray_session, ev,
+                                                    slide_s, mult,
+                                                    nblocks):
+        """Random events across block splits: the in-batch fan-out +
+        partial merge must equal per-event window membership by
+        definition (start <= ts < start + size, start >= 0 on the
+        slide grid)."""
+        import ray.data as rd
+
+        from boon_ray.stages.windows import sliding_window_agg
+
+        size_s = slide_s * mult
+        t = pa.table({
+            "k": pa.array([a for a, _, _ in ev], pa.int64()),
+            "ts": pa.array([b * 1_000_000 for _, b, _ in ev],
+                           pa.timestamp("us")),
+            "v": pa.array([c for _, _, c in ev], pa.int64())})
+        got = sliding_window_agg(
+            rd.from_arrow(t).repartition(nblocks), "ts", "k", "v",
+            size_s=size_s, slide_s=slide_s, batch_size=3).to_pandas()
+        want: dict = {}
+        for k, ts, v in ev:
+            last = (ts // slide_s) * slide_s
+            for j in range(mult):
+                s = last - j * slide_s
+                if s >= 0:
+                    n, sm = want.get((k, s), (0, 0))
+                    want[(k, s)] = (n + 1, sm + v)
+        got_map = {(int(r.k), int(r.window_start)):
+                   (int(r.n_events), int(r.sum_value))
+                   for r in got.itertuples()}
+        assert got_map == want
+
+    _bj_keys = st.lists(st.integers(0, 5), min_size=0, max_size=12)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(lk=_bj_keys, rk=st.lists(st.integers(0, 5), min_size=0,
+                                    max_size=6, unique=True),
+           how=st.sampled_from(["inner", "left", "semi", "anti"]))
+    def test_broadcast_join_fuzz_matches_pandas(ray_session, lk, rk,
+                                                how):
+        """Random fact keys vs a small unique-key dimension, all four
+        modes, against single-process pandas semantics."""
+        import ray.data as rd
+
+        from boon_ray.stages.joins import broadcast_join
+
+        lt = pa.table({"k": pa.array(lk, pa.int64()),
+                       "lv": pa.array(range(len(lk)), pa.int64())})
+        rt = pa.table({"k": pa.array(rk, pa.int64()),
+                       "rv": pa.array([x * 10 for x in range(len(rk))],
+                                      pa.int64())})
+        got = broadcast_join(rd.from_arrow(lt), rt, on=["k"],
+                             how=how).to_pandas()
+        ldf, rdf = lt.to_pandas(), rt.to_pandas()
+        rset = set(rk)
+        if how in ("inner", "left"):
+            want = ldf.merge(rdf, on="k", how=how)
+        elif how == "semi":
+            want = ldf[ldf["k"].isin(rset)]
+        else:
+            want = ldf[~ldf["k"].isin(rset)]
+        if len(got) == 0 and len(want) == 0:
+            return
+        assert _join_rows(got[list(want.columns)]) == _join_rows(want)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
