@@ -1322,3 +1322,55 @@ try:
         assert got_map == want
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _jdoc = st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                     min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(_jdoc, min_size=2, max_size=8),
+           pair_idx=st.lists(st.tuples(st.integers(0, 7),
+                                       st.integers(0, 7)),
+                             min_size=0, max_size=8),
+           thr=st.sampled_from([0.0, 0.5]))
+    def test_verify_jaccard_fuzz_matches_bruteforce(ray_session, docs,
+                                                    pair_idx, thr):
+        """Random candidate pairs over random tiny docs: distributed
+        exact Jaccard must equal the per-pair shingle-set brute force
+        (incl. empty-shingle docs, ids missing from the corpus, and
+        the threshold filter)."""
+        import ray.data as rd
+
+        from boon_ray.stages.dedup import _shingle_hashes, verify_jaccard
+
+        k = 2
+        corpus = rd.from_pandas(pd.DataFrame(
+            {"doc_id": np.arange(len(docs)), "text": docs}))
+        pairs = [(a, b) for a, b in pair_idx if a != b]
+        pairs_ds = rd.from_arrow(pa.table({
+            "a": pa.array([a for a, _ in pairs], pa.int64()),
+            "b": pa.array([b for _, b in pairs], pa.int64())}))
+        got = verify_jaccard(corpus, pairs_ds, "text", "doc_id",
+                             shingle_k=k, threshold=thr,
+                             num_buckets=4).to_pandas()
+        want = {}
+        for a, b in pairs:
+            if a >= len(docs) or b >= len(docs):
+                continue  # id missing from the corpus: pair dropped
+            sa = set(_shingle_hashes(docs[a], k).tolist())
+            sb = set(_shingle_hashes(docs[b], k).tolist())
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 0.0
+            if j >= thr:
+                want[(a, b)] = round(j, 9)
+        got_map = ({} if len(got) == 0 else
+                   {(int(r.a), int(r.b)): round(float(r.jaccard), 9)
+                    for r in got.itertuples()})
+        assert got_map == want
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
