@@ -1374,3 +1374,59 @@ try:
         assert got_map == want
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _vecs = st.lists(st.tuples(st.integers(-3, 3), st.integers(-3, 3)),
+                     min_size=1, max_size=12)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(vs=_vecs, thr=st.sampled_from([0.33, 0.77]))
+    def test_semdedup_fuzz_matches_bruteforce(ray_session, vs, thr):
+        """Random small int vectors vs a brute force that replicates
+        the spec: exact-int nearest-centroid routing (ties -> smallest
+        label), then per cluster drop any vector whose cosine with ANY
+        smaller-id vector reaches the threshold (zero vectors keep
+        norm 1)."""
+        import ray.data as rd
+
+        from boon_ray.stages.dedup import semdedup
+
+        scale = float(1 << 20)
+        cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+        labels = np.array([0, 1], dtype=np.int64)
+        cen_fp = np.floor(cents * scale).astype(np.int64)
+
+        t = pa.table({
+            "vec_id": pa.array(range(len(vs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vs],
+                                  pa.list_(pa.float32()))})
+        got = semdedup(rd.from_arrow(t), labels, cen_fp,
+                       vec_col="embedding", id_col="vec_id",
+                       threshold=thr).to_pandas()
+
+        v = np.array(vs, dtype=np.float64)
+        fp = np.floor(v * scale).astype(np.int64)
+        d2 = (np.einsum("ij,ij->i", fp, fp)[:, None]
+              + np.einsum("ij,ij->i", cen_fp, cen_fp)[None, :]
+              - 2 * (fp @ cen_fp.T))
+        cl = labels[np.argmin(d2, axis=1)]
+        nrm = np.linalg.norm(v, axis=1)
+        nrm[nrm == 0] = 1.0
+        vn = v / nrm[:, None]
+        want = {}
+        for c in np.unique(cl):
+            idx = np.where(cl == c)[0]  # ids are positions: sorted
+            for pos, j in enumerate(idx):
+                drop = any(float(vn[i] @ vn[j]) >= thr
+                           for i in idx[:pos])
+                want[int(j)] = (int(c), not drop)
+        got_map = {int(r.vec_id): (int(r.cluster), bool(r.kept))
+                   for r in got.itertuples()}
+        assert got_map == want
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
