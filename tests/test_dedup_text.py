@@ -1365,7 +1365,9 @@ try:
             sa = set(_shingle_hashes(docs[a], k).tolist())
             sb = set(_shingle_hashes(docs[b], k).tolist())
             union = len(sa | sb)
-            j = (len(sa & sb) / union) if union else 0.0
+            # two empty shingle sets are IDENTICAL docs: J = 1.0
+            # (dedup.py score_bucket's deliberate convention)
+            j = (len(sa & sb) / union) if union else 1.0
             if j >= thr:
                 want[(a, b)] = round(j, 9)
         got_map = ({} if len(got) == 0 else
