@@ -83,3 +83,55 @@ def test_format(name, value, valid):
 def test_non_string_always_passes(name):
     for v in (42, 1.5, None, True, [1], {"a": 1}):
         assert FORMATS[name](v) is None
+
+
+# ---- differential fuzz: date/time vs Python's own calendar ----------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from boon_ray.formats import check_date, check_time
+
+    @settings(max_examples=400, deadline=None)
+    @given(y=st.integers(0, 9999), mo=st.integers(0, 13),
+           d=st.integers(0, 32))
+    def test_date_fuzz_matches_calendar(y, mo, d):
+        """Random (y, m, d) triples: check_date must agree with the
+        proleptic Gregorian calendar (leap years, month lengths).
+        RFC 3339 allows year 0000 (4DIGIT), which datetime.date
+        rejects — calendar.monthrange handles it."""
+        import calendar
+
+        s = f"{y:04d}-{mo:02d}-{d:02d}"
+        valid = (1 <= mo <= 12
+                 and 1 <= d <= calendar.monthrange(y, mo)[1])
+        assert (check_date(s) is None) == valid, s
+
+    @settings(max_examples=400, deadline=None)
+    @given(h=st.integers(0, 25), mi=st.integers(0, 61),
+           sec=st.integers(0, 61),
+           oh=st.integers(0, 25), om=st.integers(0, 61),
+           sign=st.sampled_from(["+", "-", "Z"]))
+    def test_time_fuzz_matches_reference_rules(h, mi, sec, oh, om,
+                                               sign):
+        """Random time + offset fields vs a spelled-out RFC 3339 rule
+        set incl. the leap-second-only-at-23:59:60-UTC rule
+        (formats.rs:126-204 parity)."""
+        off = "Z" if sign == "Z" else f"{sign}{oh:02d}:{om:02d}"
+        s = f"{h:02d}:{mi:02d}:{sec:02d}{off}"
+        valid = h <= 23 and mi <= 59 and sec <= 60
+        if valid and sign != "Z":
+            valid = oh <= 23 and om <= 59
+        if valid and sec == 60:
+            if sign == "Z":
+                uh, um = h, mi
+            else:
+                delta = oh * 60 + om
+                total = (h * 60 + mi
+                         + (delta if sign == "-" else -delta))
+                uh, um = divmod(total % (24 * 60), 60)
+            valid = (uh, um) == (23, 59)
+        assert (check_time(s) is None) == valid, s
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
