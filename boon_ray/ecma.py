@@ -122,7 +122,7 @@ def convert(pattern: str) -> str:
 
 
 def compile_ecma(pattern: str):
-    """Convert + compile; raises EcmaError on an invalid pattern.
+    r"""Convert + compile; raises EcmaError on an invalid pattern.
 
     Unicode property escapes (\p{...} / \P{...}, supported by the
     reference's Rust regex engine) need the third-party ``regex``

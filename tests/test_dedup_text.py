@@ -1432,3 +1432,30 @@ try:
         assert got_map == want
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(hs=st.lists(st.integers(0, 50), min_size=0, max_size=30),
+           window=st.sampled_from([1, 3, 5]))
+    def test_winnow_fuzz_matches_bruteforce(hs, window):
+        """Random hash streams: the stride-tricks winnow must equal
+        the distinct set of per-window minima (short streams collapse
+        to the global min)."""
+        from boon_ray.stages.text import _winnow
+
+        h = np.array(hs, dtype=np.uint64)
+        got = _winnow(h, window).tolist()
+        if len(hs) == 0:
+            want = []
+        elif len(hs) <= window:
+            want = [min(hs)]
+        else:
+            want = sorted({min(hs[i:i + window])
+                           for i in range(len(hs) - window + 1)})
+        assert got == want
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
