@@ -51,3 +51,72 @@ def test_json_pointer():
     assert ju.pointer_lookup(doc, "/a/b~1c/1") == 20
     assert ju.pointer_lookup(doc, "/a/~0") == 5
     assert ju.join_pointer("/a", "b/c") == "/a/b~1c"
+
+
+# ---- differential fuzz: equals / canonical_key / find_duplicate -----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from boon_ray.json_util import canonical_key, equals, find_duplicate
+
+    _scalars = st.one_of(
+        st.none(), st.booleans(),
+        st.integers(min_value=-8, max_value=8),
+        st.sampled_from([0.0, 1.0, 2.0, 2.5, -1.0]),
+        st.sampled_from(["a", "b", "2"]))
+    _json = st.recursive(
+        _scalars,
+        lambda c: st.one_of(st.lists(c, max_size=3),
+                            st.dictionaries(st.sampled_from("xyz"), c,
+                                            max_size=3)),
+        max_leaves=8)
+
+    def _norm(v):
+        """Reference normal form: numbers unified (2 == 2.0, but
+        True != 1 — bool is its own JSON type)."""
+        if isinstance(v, bool):
+            return ("bool", v)
+        if isinstance(v, (int, float)):
+            return ("num", float(v))
+        if isinstance(v, list):
+            return ("arr", tuple(_norm(x) for x in v))
+        if isinstance(v, dict):
+            return ("obj", tuple(sorted((k, _norm(x))
+                                        for k, x in v.items())))
+        return (type(v).__name__, v)
+
+    @settings(max_examples=400, deadline=None)
+    @given(a=_json, b=_json)
+    def test_equals_fuzz_matches_normal_form(a, b):
+        assert equals(a, b) == (_norm(a) == _norm(b))
+
+    @settings(max_examples=400, deadline=None)
+    @given(v=_json)
+    def test_canonical_key_fuzz_hashable_and_stable(v):
+        # hashable, and equal values share a key
+        hash(canonical_key(v))
+        assert canonical_key(v) == canonical_key(v)
+
+    @settings(max_examples=300, deadline=None)
+    @given(items=st.lists(_json, max_size=6))
+    def test_find_duplicate_fuzz_matches_bruteforce(items):
+        got = find_duplicate(items)
+        want = None
+        for j in range(len(items)):
+            for i in range(j):
+                if _norm(items[i]) == _norm(items[j]):
+                    want = (i, j)
+                    break
+            if want:
+                break
+        if want is None:
+            assert got is None
+        else:
+            # any true duplicate pair is acceptable; check it IS one
+            assert got is not None
+            i, j = got
+            assert _norm(items[i]) == _norm(items[j]) and i != j
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
