@@ -1160,3 +1160,45 @@ try:
         assert _join_rows(got[list(want.columns)]) == _join_rows(want)
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _stream_ev = st.lists(st.tuples(st.integers(0, 3),
+                                    st.integers(0, 40),
+                                    st.integers(-3, 3)),
+                          min_size=1, max_size=24)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(ev=_stream_ev, gap_s=st.sampled_from([1, 4]),
+           chunk_rows=st.sampled_from([1, 3]))
+    def test_streaming_sessionize_fuzz_matches_batch(ray_session, ev,
+                                                     gap_s, chunk_rows):
+        """Random events (duplicate timestamps, sessions spanning many
+        tiny feed chunks) through the epoch-fenced session actors must
+        equal the batch session operator."""
+        import ray.data as rd
+
+        from boon_ray.stages.streaming import streaming_sessionize
+        from boon_ray.stages.windows import session_window_agg
+
+        t = pa.table({
+            "k": pa.array([a for a, _, _ in ev], pa.int64()),
+            "ts": pa.array([b * 1_000_000 for _, b, _ in ev],
+                           pa.timestamp("us")),
+            "v": pa.array([c for _, _, c in ev], pa.int64())})
+        got = streaming_sessionize(
+            rd.from_arrow(t), "ts", "k", "v", gap_s=gap_s,
+            num_buckets=2, chunk_rows=chunk_rows).to_pandas()
+        want = session_window_agg(rd.from_arrow(t), "ts", "k", "v",
+                                  gap_s=gap_s).to_pandas()
+        key = lambda df: sorted(
+            (int(r.k), int(r.session_start), int(r.session_end),
+             int(r.n_events), int(r.sum_value))
+            for r in df.itertuples())
+        assert key(got) == key(want)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
