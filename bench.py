@@ -435,6 +435,42 @@ def q_snapshot_delta():
     return snapshot_delta(old, new, num_buckets=64).count()
 
 
+def q_snapshot_delta_digest():
+    """Same diff through the documented SCALE path: compare an 8-byte
+    hash64 digest instead of raw text, so the exchange ships 16 B/row
+    (docs/SCALE.md extrapolation: ~24 TB vs ~300 TB at 100 TB corpus).
+    Same delta row count as q_snapshot_delta by construction."""
+    import pyarrow as pa
+
+    from boon_ray.sketches import hash64
+    from boon_ray.stages.delta import snapshot_delta
+
+    def dig(b: pa.Table) -> pa.Table:
+        import numpy as np
+        h = hash64(b.column("text").to_pandas().to_numpy(dtype=object))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "digest": pa.array(h.view(np.int64), pa.int64()),
+        })
+
+    old = _corpus_ids().map_batches(dig, batch_format="pyarrow",
+                                    batch_size=None)
+
+    def mutate(b: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 11 != 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "digest": b.column("digest").filter(pa.array(keep)),
+        })
+
+    new = old.map_batches(mutate, batch_format="pyarrow",
+                          batch_size=None)
+    return snapshot_delta(old, new, cmp_col="digest",
+                          num_buckets=64).count()
+
+
 def q_pretrain_chunks():
     """Composed chunk pipeline over sf documents (not the amplified
     corpus: the rank's count pass re-executes upstream, so this
@@ -521,6 +557,7 @@ QUERIES = {
     "importance": q_importance,
     "semdedup": q_semdedup,
     "snapshot_delta": q_snapshot_delta,
+    "snapshot_delta_digest": q_snapshot_delta_digest,
     "pretrain_chunks": q_pretrain_chunks,
     # actor-pool queries last (pool teardown overlaps the next query)
     "decontaminate": q_decontaminate,
