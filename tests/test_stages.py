@@ -384,3 +384,38 @@ try:
         assert got_set == {(k, i) for k, i in want.items()}
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+try:
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _pairs_keys = st.lists(st.tuples(st.integers(0, 3),
+                                     st.sampled_from(["x", "y"])),
+                           min_size=1, max_size=20)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(keys=_pairs_keys, prefilter=st.booleans())
+    def test_uniqueness_composite_key_fuzz(ray_session, keys, prefilter):
+        """Composite (int, string) keys on both plans: the tuple-hash
+        and per-group merge must count duplicates exactly."""
+        from collections import Counter
+
+        from boon_ray.stages.unique import uniqueness_violations
+
+        t = pa.table({"a": pa.array([a for a, _ in keys], pa.int64()),
+                      "b": pa.array([b for _, b in keys], pa.string())})
+        got = uniqueness_violations(
+            rd.from_arrow(t).materialize(), key=("a", "b"),
+            prefilter=prefilter).to_pandas()
+        want = {k: n for k, n in Counter(keys).items() if n > 1}
+        got_map = ({} if len(got) == 0 else
+                   {(int(r.a), r.b): int(r.n_dups)
+                    for r in got.itertuples()})
+        assert got_map == want
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
