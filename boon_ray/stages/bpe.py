@@ -31,7 +31,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from boon_ray.sketches import hash64
 
 
 def word_counts(ds, column: str = "text", num_buckets: int = 64,
@@ -43,21 +42,15 @@ def word_counts(ds, column: str = "text", num_buckets: int = 64,
         s = b.column(column).to_pandas().fillna("")
         ex = s.str.split().explode().dropna()
         vc = ex.value_counts()
-        df = pd.DataFrame({"word": vc.index.to_numpy().astype(str),
-                           "n": vc.to_numpy().astype(np.int64)})
-        df["_bucket"] = (hash64(df["word"].to_numpy())
-                         % np.uint64(num_buckets)).astype(np.int64)
-        return df
+        return pd.DataFrame({"word": vc.index.to_numpy().astype(str),
+                             "n": vc.to_numpy().astype(np.int64)})
 
-    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("word", sort=False)["n"].sum() \
-              .astype(np.int64).reset_index()
-        return g[["word", "n"]]
+    from boon_ray.stages.combine import bucketed_groupby_sum
 
     p = ds.map_batches(partial, batch_format="pyarrow",
                        batch_size=batch_size)
-    return p.groupby("_bucket").map_groups(reduce_bucket,
-                                           batch_format="pandas")
+    return bucketed_groupby_sum(p, ["word"], ["n"],
+                                num_buckets=num_buckets)
 
 
 def _pairs_of_words(words: np.ndarray, counts: np.ndarray
@@ -89,23 +82,15 @@ def char_pair_counts(ds, column: str = "text",
                      batch_size=batch_size)
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
-        out = _pairs_of_words(df["word"].to_numpy(),
-                              df["n"].to_numpy())
-        out["_bucket"] = (
-            hash64(out["left"].to_numpy())
-            % np.uint64(num_buckets)).astype(np.int64) \
-            if len(out) else pd.Series([], dtype=np.int64)
-        return out
+        return _pairs_of_words(df["word"].to_numpy(),
+                               df["n"].to_numpy())
 
-    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["left", "right"], sort=False)["n"].sum() \
-              .astype(np.int64).reset_index()
-        return g[["left", "right", "n"]]
+    from boon_ray.stages.combine import bucketed_groupby_sum
 
     p = wc.map_batches(expand, batch_format="pandas",
                        batch_size=batch_size)
-    return p.groupby("_bucket").map_groups(reduce_bucket,
-                                           batch_format="pandas")
+    return bucketed_groupby_sum(p, ["left", "right"], ["n"],
+                                num_buckets=num_buckets)
 
 
 def train_bpe(word_freqs: dict[str, int], num_merges: int

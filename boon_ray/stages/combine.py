@@ -76,18 +76,15 @@ def bucketed_groupby_sum(parts_ds, key_cols, sum_cols,
     Use combine_keyed_partials when |keys| is vocabulary-bounded and
     a driver table is wanted; use this when the keyed result must
     stay distributed.
-    """
-    from boon_ray.sketches import hash64_combine
 
+    r4: the exchange itself is now :func:`bucketed_map_groups` (raw
+    hash shuffle) instead of ``groupby(bucket).map_groups`` — same
+    partitioning (both route through hash64_combine), same merged
+    blocks, minus Ray's sample-sort fixed cost (measured another
+    ~2x on the windows partial merge).
+    """
     key_cols = list(key_cols)
     sum_cols = list(sum_cols)
-
-    def bucketed(b: pa.Table) -> pa.Table:
-        h = hash64_combine(*[
-            b.column(c).to_numpy(zero_copy_only=False)
-            for c in key_cols])
-        return b.append_column("_bucket", pa.array(
-            (h % np.uint64(num_buckets)).astype(np.int64), pa.int64()))
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         # dropna=False: null keys aggregate like any other key;
@@ -95,7 +92,160 @@ def bucketed_groupby_sum(parts_ds, key_cols, sum_cols,
         return df.groupby(key_cols, sort=False,
                           dropna=False)[sum_cols].sum().reset_index()
 
-    return (parts_ds.map_batches(bucketed, batch_format="pyarrow",
-                                 batch_size=batch_size)
-            .groupby("_bucket").map_groups(merge,
-                                           batch_format="pandas"))
+    return bucketed_map_groups(parts_ds, key_cols, merge,
+                               num_buckets=num_buckets)
+
+
+def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64,
+                        pass_bucket: bool = False,
+                        bucket_col: str | None = None):
+    """Hash-bucket exchange + one pandas ``fn`` call per bucket,
+    WITHOUT Ray Data's sort-based groupby machinery.
+
+    ``ds.groupby(bucket).map_groups(fn)`` pays the sample/sort/reduce
+    pipeline that is priced for corpus-keyed groupings — measured
+    ~6 s + ~12 s on minhash_dedup's two exchanges at sf0.1/32 even
+    though the key domain is just ``num_buckets`` values.  For a
+    SMALL KNOWN bucket domain the exchange is cheaper as a raw-Ray
+    hash shuffle (the same num_returns-fan-out shape as the
+    connected-components waves in stages/dedup.py):
+
+    1. ``to_arrow_refs`` executes the upstream pipeline (an exchange
+       is a barrier either way) and yields block refs — nothing moves;
+    2. one ``split`` task per block gathers rows per bucket with a
+       single argsort + ``take`` (compact fresh arrays, so each of
+       its ``num_returns=num_buckets`` outputs serializes just its
+       slice) — rows move straight block→bucket through the object
+       store, never the driver;
+    3. one ``merge`` task per bucket concats its ``n_blocks`` slices
+       and applies ``fn`` to the whole bucket (exactly what
+       ``groupby(bucket).map_groups`` delivered, minus the synthetic
+       bucket column);
+    4. the result is re-assembled as a Dataset via
+       ``from_arrow_refs`` — one block per bucket, driver holds refs
+       only.
+
+    Same exchange VOLUME as the groupby, none of its fixed cost.
+    Scale contract: the object count is ``n_blocks x num_buckets``
+    (tiny slices); with >~10k input blocks repartition first or raise
+    ``num_buckets`` coarseness — and one bucket's rows must fit a
+    task, the identical contract the groupby.map_groups had.  Keys
+    are hashed with hash64_combine's numeric path (int64 keys stay
+    unboxed); ``fn`` must tolerate an EMPTY frame (empty buckets call
+    it with the input schema's empty pandas form).  Set
+    ``pass_bucket=True`` for ``fn(df, bucket_idx)`` (streaming feed
+    tasks need their bucket's actor).
+
+    ``bucket_col``: route by a PRECOMPUTED int bucket column instead
+    of hashing ``key_cols`` (which are then ignored) — for stages
+    whose bucket value is load-bearing (seeded_shuffle_rank's bucket
+    is the top bits of h, giving a global order across buckets).
+    Values are taken mod ``num_buckets``; the column stays in the
+    frame ``fn`` sees, exactly as ``groupby(bucket_col).map_groups``
+    delivered it.
+    """
+    import ray
+    import ray.data as rd
+
+    from boon_ray.sketches import hash64_combine
+
+    key_cols = list(key_cols) if key_cols is not None else []
+    if not key_cols and bucket_col is None:
+        raise ValueError("need key_cols or bucket_col")
+    refs = ds.to_arrow_refs()          # executes upstream; moves nothing
+
+    def _as_table(b) -> pa.Table:
+        # to_arrow_refs can hand back PANDAS blocks untouched (seen on
+        # pandas-block unions in ray 2.49) — normalize at every entry
+        if isinstance(b, pa.Table):
+            return b
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    if refs:
+        # authoritative: take the schema from a real block — an empty
+        # input side can contribute a ZERO-COLUMN pandas block (seen
+        # on unions), and ds.schema() may be a PandasBlockSchema with
+        # numpy dtypes; prefer the first block with rows, else the
+        # widest schema
+        @ray.remote
+        def _block_meta(b) -> tuple:
+            t = _as_table(b)
+            return t.num_rows, t.schema
+
+        metas = ray.get([_block_meta.remote(r) for r in refs])
+        schema = next((s for n, s in metas if n > 0), None)
+        if schema is None:
+            schema = max((s for _, s in metas),
+                         key=lambda s: len(s.names))
+        if not schema.names:
+            # every block is a degenerate empty: groupby emitted no
+            # groups here — emit no rows, never call fn
+            return rd.from_arrow(pa.table({}))
+        empty_tbl = schema.empty_table()
+    else:
+        schema = ds.schema(fetch_if_missing=False)
+        if schema is None:             # zero blocks, no schema: empty in,
+            return rd.from_items([])   # empty out (matches groupby)
+        types = [t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+                 for t in schema.types]
+        empty_tbl = pa.table(
+            {name: pa.array([], type=typ)
+             for name, typ in zip(schema.names, types)})
+
+    def _apply(df: pd.DataFrame, i: int) -> pa.Table:
+        out = fn(df, i) if pass_bucket else fn(df)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    if not refs:
+        return rd.from_arrow(_apply(empty_tbl.to_pandas(), 0))
+
+    @ray.remote(num_returns=max(num_buckets, 2))
+    def split(t):
+        t = _as_table(t)
+        if t.num_rows == 0:
+            return tuple(empty_tbl for _ in range(num_buckets))
+        if bucket_col is not None:
+            bucket = (t.column(bucket_col)
+                      .to_numpy(zero_copy_only=False)
+                      .astype(np.int64) % num_buckets)
+        else:
+            h = hash64_combine(*[
+                np.asarray(t.column(c).to_numpy(zero_copy_only=False))
+                for c in key_cols])
+            bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        counts = np.bincount(bucket, minlength=num_buckets)
+        offs = np.r_[0, np.cumsum(counts)]
+        # per-bucket take (NOT slice-of-sorted): fresh compact arrays,
+        # so pickling ships the bucket's bytes, not the block's
+        return tuple(
+            t.take(order[offs[i]:offs[i + 1]]) if counts[i]
+            else empty_tbl
+            for i in range(num_buckets))
+
+    @ray.remote
+    def merge(i: int, *parts) -> pa.Table:
+        tables = [t for t in map(_as_table, parts) if t.num_rows]
+        # permissive: unify null-typed empties / string-width variants
+        # across mixed pandas- and arrow-born blocks
+        df = (pa.concat_tables(tables, promote_options="permissive")
+              .to_pandas() if tables else empty_tbl.to_pandas())
+        return _apply(df, i)
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    if num_buckets == 1:
+        out = [merge.remote(0, *refs)]
+    else:
+        splits = [split.remote(r) for r in refs]
+        out = [merge.remote(i, *[s[i] for s in splits])
+               for i in range(num_buckets)]
+    # drop empty bucket outputs (groupby never emitted empty groups;
+    # an all-object empty pandas frame would also land as a null-typed
+    # Arrow block and poison the dataset schema); keep one block if
+    # every bucket is empty so the result still has fn's columns
+    counts = ray.get([_nrows.remote(r) for r in out])
+    kept = [r for r, c in zip(out, counts) if c]
+    return rd.from_arrow_refs(kept or out[:1])

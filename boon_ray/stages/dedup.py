@@ -183,20 +183,19 @@ def _pairs_blocked(exploded, id_col: str, group_cols: tuple, inner,
     at corpus scale that is millions of 1-2 row groups, and the
     per-group scheduling/pandas overhead dwarfs the pair math.
     Instead: hash the bucket key into ``num_buckets`` coarse
-    partitions (one shuffle, bounded group count), then inside each
-    partition drop singleton buckets VECTORIZED (the overwhelming
-    majority) and only iterate the few real candidate groups."""
-
-    def add_bk(x: pd.DataFrame) -> pd.DataFrame:
-        # band/key are int64 -> numeric fast path
-        h = hash64_combine(*(x[c].to_numpy() for c in group_cols))
-        x = x.copy()
-        x["_bk"] = (h % np.uint64(num_buckets)).astype(np.int64)
-        return x
+    partitions via the raw hash exchange
+    (combine.bucketed_map_groups — Ray's sort-based groupby priced
+    this same exchange at ~6 s of fixed cost at sf0.1/32), then
+    inside each partition drop singleton buckets VECTORIZED (the
+    overwhelming majority) and only iterate the few real candidate
+    groups."""
+    from boon_ray.stages.combine import bucketed_map_groups
 
     cols = list(group_cols)
 
     def block(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return inner(g)
         sizes = g.groupby(cols)[id_col].transform("size")
         g = g[sizes >= 2]
         if g.empty:
@@ -204,38 +203,29 @@ def _pairs_blocked(exploded, id_col: str, group_cols: tuple, inner,
         outs = [inner(sub) for _, sub in g.groupby(cols, sort=False)]
         return pd.concat(outs, ignore_index=True)
 
-    return exploded.map_batches(
-        add_bk, batch_format="pandas", batch_size=None).groupby(
-        "_bk").map_groups(block, batch_format="pandas")
+    return bucketed_map_groups(exploded, cols, block,
+                               num_buckets=num_buckets)
 
 
 def _dedupe_pairs(pairs_ds, num_buckets: int = 64):
     """Dedupe (a, b) pairs surfaced by several LSH buckets: hash-bucket
-    by pair key, ONE shuffle, then a vectorized drop_duplicates per
-    bucket. (A per-pair grouped aggregate/map_groups is pathological
-    here: millions of two-row groups each handled in Python.) The
-    estimate column is identical across duplicates, so keep-first is
-    exact."""
-
-    def add_pk(x: pd.DataFrame) -> pd.DataFrame:
-        x = x.copy()
-        # pin id dtypes BEFORE hashing: a float64-promoted copy of a
-        # pair would hash to a different bucket than its int64 twin
-        # and the duplicate would survive drop_duplicates
-        x["a"] = x["a"].astype("int64")
-        x["b"] = x["b"].astype("int64")
-        # native int64 arrays: hash64's numeric fast path (no object
-        # boxing of millions of pair keys)
-        h = hash64_combine(x["a"].to_numpy(), x["b"].to_numpy())
-        x["_pk"] = (h % np.uint64(num_buckets)).astype(np.int64)
-        return x
+    by pair key through the raw exchange (combine.bucketed_map_groups
+    — this was minhash_dedup's single most expensive stage, ~12 s at
+    sf0.1/32, as a sort-based groupby), then a vectorized
+    drop_duplicates per bucket.  (A per-pair grouped
+    aggregate/map_groups is pathological here: millions of two-row
+    groups each handled in Python.)  The estimate column is identical
+    across duplicates, so keep-first is exact.  Pair blocks are
+    emitted by _bucket_pairs with PINNED int64 a/b dtypes — a
+    float-promoted stray block would fail the exchange's concat
+    loudly rather than hash-split a duplicate pair silently."""
+    from boon_ray.stages.combine import bucketed_map_groups
 
     def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"]).drop(columns="_pk")
+        return g.drop_duplicates(["a", "b"])
 
-    return pairs_ds.map_batches(add_pk, batch_format="pandas",
-                                batch_size=None).groupby(
-        "_pk").map_groups(dd, batch_format="pandas")
+    return bucketed_map_groups(pairs_ds, ["a", "b"], dd,
+                               num_buckets=num_buckets)
 
 
 def minhash_duplicate_pairs(ds, text_col: str, id_col: str,

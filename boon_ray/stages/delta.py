@@ -27,7 +27,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from boon_ray.stages.training import splitmix64
 
 
 def snapshot_delta(old_ds, new_ds, id_col: str = "doc_id",
@@ -37,15 +36,11 @@ def snapshot_delta(old_ds, new_ds, id_col: str = "doc_id",
 
     def tag(side: int):
         def f(b: pa.Table) -> pa.Table:
-            ids = b.column(id_col).to_numpy(zero_copy_only=False)
-            bucket = (splitmix64(ids.astype(np.int64).view(np.uint64))
-                      % np.uint64(num_buckets)).astype(np.int64)
             return pa.table({
                 id_col: b.column(id_col),
                 "_cmp": b.column(cmp_col),
                 "_side": pa.array(
-                    np.full(len(ids), side, dtype=np.int8), pa.int8()),
-                "_bucket": pa.array(bucket, pa.int64()),
+                    np.full(b.num_rows, side, dtype=np.int8), pa.int8()),
             })
         return f
 
@@ -74,5 +69,7 @@ def snapshot_delta(old_ds, new_ds, id_col: str = "doc_id",
             out = out[out["status"] != "unchanged"]
         return out.reset_index(drop=True)
 
-    return u.groupby("_bucket").map_groups(classify,
-                                           batch_format="pandas")
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    return bucketed_map_groups(u, [id_col], classify,
+                               num_buckets=num_buckets)

@@ -93,6 +93,10 @@ def seeded_shuffle_rank(ds, id_col: str, seed: str = "epoch0",
 
     # pass 2: within-bucket rank + broadcast offset
     def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                "pos": pd.Series([], dtype=np.int64)})
         df = df.sort_values(["h", id_col], kind="mergesort")
         off = offsets[int(df["bucket"].iloc[0])]
         return pd.DataFrame({
@@ -100,8 +104,10 @@ def seeded_shuffle_rank(ds, id_col: str, seed: str = "epoch0",
             "pos": off + np.arange(len(df), dtype=np.int64),
         })
 
-    return keyed_ds.groupby("bucket").map_groups(
-        rank_group, batch_format="pandas")
+    from boon_ray.stages.combine import bucketed_map_groups
+    return bucketed_map_groups(keyed_ds, None, rank_group,
+                               num_buckets=num_buckets,
+                               bucket_col="bucket")
 
 
 def shuffle_rank_sql(table: str, id_col: str, seed: str = "epoch0") \

@@ -178,12 +178,16 @@ def span_dedup_stats(ds, *, n: int = 5, column: str = "text",
                              // g["n_grams"]).astype(np.int64)
         return g
 
+    from boon_ray.stages.combine import bucketed_map_groups
+
     parts = ds.map_batches(parts_stage, batch_format="pyarrow",
                            batch_size=batch_size)
-    dup_partials = parts.groupby("_bucket").map_groups(
-        reduce_gram_bucket, batch_format="pandas")
+    dup_partials = bucketed_map_groups(
+        parts, None, reduce_gram_bucket, num_buckets=num_buckets,
+        bucket_col="_bucket")
     totals = ds.map_batches(totals_stage, batch_format="pyarrow",
                             batch_size=batch_size)
     unioned = totals.union(dup_partials)
-    return unioned.groupby("_dbucket").map_groups(
-        reduce_doc_bucket, batch_format="pandas")
+    return bucketed_map_groups(
+        unioned, None, reduce_doc_bucket, num_buckets=doc_buckets,
+        bucket_col="_dbucket")

@@ -9,15 +9,17 @@ operators, tier (c)):
 
 - one ``SessionActor`` per key-hash bucket holds the open sessions for
   its keys;
-- events are bucketed by key hash with ``map_batches`` and each
-  bucket's rows are delivered by its ``map_groups`` TASK: the task
-  sorts its bucket by ts and feeds the bucket's actor in ordered
-  chunked slices (actor tasks from one submitter execute in
+- events are routed bucket-wise by the raw hash exchange
+  (combine.bucketed_map_groups — same whole-bucket-per-task delivery
+  a ``groupby(bucket).map_groups`` gave, minus Ray's sample-sort
+  fixed cost) and each bucket's rows are delivered to its FEED task:
+  the task sorts its bucket by ts and feeds the bucket's actor in
+  ordered chunked slices (actor tasks from one submitter execute in
   submission order — the per-bucket ordering guarantee). The DRIVER
   never touches event rows OR session rows: closed sessions are
   drained back into the feed task incrementally (bounding actor
-  memory) and become the task's map_groups output, so the whole
-  operator returns a ``ray.data.Dataset`` of sessions;
+  memory) and become the task's output, so the whole operator
+  returns a ``ray.data.Dataset`` of sessions;
 - ``flush`` at the end of each bucket's feed drains what is still
   open at end-of-stream, inside the same task.
 
@@ -60,7 +62,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from boon_ray.sketches import hash64
 
 SESSION_COLS = ["session_start", "session_end", "n_events", "sum_value"]
 
@@ -229,19 +230,13 @@ def streaming_sessionize(ds, ts_col: str, key_col: str, value_col: str,
     SessionActor = _session_actor_cls()
     actors = [SessionActor.remote(gap_us) for _ in range(num_buckets)]
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        from boon_ray.sketches import hash_key_array
-
-        keys = hash_key_array(b.column(key_col))
-        bucket = (hash64(keys) % np.uint64(num_buckets)).astype(np.int64)
-        return b.append_column("_bucket", pa.array(bucket))
-
-    def feed_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def feed_bucket(g: pd.DataFrame, bucket: int) -> pd.DataFrame:
         """One task per bucket: ts-sort the bucket, stream ordered
         chunked slices into its actor, drain closed sessions back
         after each delivered chunk, flush at end-of-bucket. The
         drained + flushed sessions ARE the task's output."""
-        bucket = int(g["_bucket"].iloc[0])
+        if g.empty:
+            return _sessions_frame([], key_col)
         g = g.sort_values(ts_col, kind="mergesort")
         keys = g[key_col].to_numpy()
         ts_us = g[ts_col].to_numpy(dtype=np.int64)
@@ -272,12 +267,12 @@ def streaming_sessionize(ds, ts_col: str, key_col: str, value_col: str,
         cols[ts_col] = pc.cast(b.column(ts_col), pa.int64())
         return pa.table(cols)
 
-    return (ds.map_batches(to_us, batch_format="pyarrow",
-                           batch_size=None)
-            .map_batches(add_bucket, batch_format="pyarrow",
-                         batch_size=None)
-            .groupby("_bucket")
-            .map_groups(feed_bucket, batch_format="pandas"))
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(to_us, batch_format="pyarrow", batch_size=None),
+        [key_col], feed_bucket, num_buckets=num_buckets,
+        pass_bucket=True)
 
 
 # --------------------------------------- streaming first-occurrence
@@ -351,20 +346,19 @@ def streaming_first_seen(ds, ts_col: str, key_col: str, id_col: str,
     FirstSeenActor = _dedup_actor_cls()
     actors = [FirstSeenActor.remote() for _ in range(num_buckets)]
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        from boon_ray.sketches import hash_key_array
-
-        keys = hash_key_array(b.column(key_col))
-        bucket = (hash64(keys) % np.uint64(num_buckets)).astype(np.int64)
+    def project(b: pa.Table) -> pa.Table:
         return pa.table({
             key_col: b.column(key_col),
             ts_col: pa.compute.cast(b.column(ts_col), pa.int64()),
             id_col: b.column(id_col),
-            "_bucket": pa.array(bucket),
         })
 
-    def feed_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(g["_bucket"].iloc[0])
+    def feed_bucket(g: pd.DataFrame, bucket: int) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {key_col: g[key_col],
+                 "first_ts_us": pd.Series([], dtype=np.int64),
+                 "first_id": pd.Series([], dtype=np.int64)})
         g = g.sort_values([ts_col, id_col], kind="mergesort")
         keys = g[key_col].to_numpy()
         ts_us = g[ts_col].to_numpy(dtype=np.int64)
@@ -394,10 +388,13 @@ def streaming_first_seen(ds, ts_col: str, key_col: str, id_col: str,
         out["first_id"] = out["first_id"].astype(np.int64)
         return out
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow",
-                           batch_size=None)
-            .groupby("_bucket")
-            .map_groups(feed_bucket, batch_format="pandas"))
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(project, batch_format="pyarrow",
+                       batch_size=None),
+        [key_col], feed_bucket, num_buckets=num_buckets,
+        pass_bucket=True)
 
 
 # ------------------------------------- watermarked tumbling windows
@@ -529,20 +526,22 @@ def streaming_tumbling_counts(ds, ts_col: str, key_col: str,
     actors = [WindowActor.remote(size_us, late_us)
               for _ in range(num_buckets)]
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        from boon_ray.sketches import hash_key_array
-
-        keys = hash_key_array(b.column(key_col))
-        bucket = (hash64(keys) % np.uint64(num_buckets)).astype(np.int64)
+    def project(b: pa.Table) -> pa.Table:
         return pa.table({
             key_col: b.column(key_col),
             ts_col: pa.compute.cast(b.column(ts_col), pa.int64()),
             value_col: b.column(value_col),
-            "_bucket": pa.array(bucket),
         })
 
-    def feed_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(g["_bucket"].iloc[0])
+    def feed_bucket(g: pd.DataFrame, bucket: int) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                key_col: g[key_col],
+                "window_start": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "sum_value": g[value_col],
+                "n_late_in_bucket": pd.Series([], dtype=np.int64),
+            })
         # NO sort: arrival order is the stream order under test
         keys = g[key_col].to_numpy()
         ts_us = g[ts_col].to_numpy(dtype=np.int64)
@@ -572,7 +571,10 @@ def streaming_tumbling_counts(ds, ts_col: str, key_col: str,
         out["n_late_in_bucket"] = np.int64(n_late)
         return out
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow",
-                           batch_size=None)
-            .groupby("_bucket")
-            .map_groups(feed_bucket, batch_format="pandas"))
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(project, batch_format="pyarrow",
+                       batch_size=None),
+        [key_col], feed_bucket, num_buckets=num_buckets,
+        pass_bucket=True)

@@ -433,12 +433,9 @@ def inverted_index(ds, column: str = "text", id_col: str = "doc_id",
             "token": ex.to_numpy(),
             id_col: ids[ex.index.to_numpy()],
         }).drop_duplicates()
-        bucket = (hash64(df["token"].to_numpy())
-                  % np.uint64(num_buckets)).astype(np.int64)
         return pa.table({
             "token": pa.array(df["token"].to_numpy().astype(str)),
             id_col: pa.array(df[id_col].to_numpy()),
-            "_bucket": pa.array(bucket, pa.int64()),
         })
 
     def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -452,10 +449,12 @@ def inverted_index(ds, column: str = "text", id_col: str = "doc_id",
         }).reset_index()
         return out[out["df"] >= min_df][["token", "df", "postings"]]
 
+    from boon_ray.stages.combine import bucketed_map_groups
+
     p = ds.map_batches(pairs, batch_format="pyarrow",
                        batch_size=batch_size)
-    return p.groupby("_bucket").map_groups(reduce_bucket,
-                                           batch_format="pandas")
+    return bucketed_map_groups(p, ["token"], reduce_bucket,
+                               num_buckets=num_buckets)
 
 
 def cooccurrence_top_k(ds, column: str = "text", k: int = 25,
