@@ -185,19 +185,27 @@ def q_streaming_windows():
                          columns=["ts", "user_id", "value"])
 
     def amplify(b: pa.Table) -> pa.Table:
-        ts = pc.cast(b.column("ts"), pa.int64())
+        # ROW-repeat (not block-tile): each event becomes 50 events
+        # with distinct synthetic users at the SAME ts, so the
+        # amplified stream stays time-ordered like the source —
+        # block-tiling replayed the block's whole time range 50x and
+        # the zero-lateness watermark dropped ~87% of events as late,
+        # benching the late-filter instead of the window machinery.
+        reps = 50
+        ts = pc.cast(b.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
         users = b.column("user_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)),
-                        pa.int64())
-        parts = []
-        for r in range(50):
-            parts.append(pa.table({
-                "ts": ts,
-                "user_id": pa.array(users + r * 1_000_003, pa.int64()),
-                "cents": cents,
-            }))
-        return pa.concat_tables(parts).combine_chunks()
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        offs = np.tile(np.arange(reps, dtype=np.int64) * 1_000_003, n)
+        return pa.table({
+            "ts": pa.array(np.repeat(ts, reps), pa.int64()),
+            "user_id": pa.array(np.repeat(users, reps) + offs,
+                                pa.int64()),
+            "cents": pa.array(np.repeat(cents, reps), pa.int64()),
+        })
 
     ds = ev.repartition(32).map_batches(amplify, batch_format="pyarrow",
                                         batch_size=None)

@@ -98,7 +98,8 @@ def bucketed_groupby_sum(parts_ds, key_cols, sum_cols,
 
 def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64,
                         pass_bucket: bool = False,
-                        bucket_col: str | None = None):
+                        bucket_col: str | None = None,
+                        preserve_order: bool = False):
     """Hash-bucket exchange + one pandas ``fn`` call per bucket,
     WITHOUT Ray Data's sort-based groupby machinery.
 
@@ -143,6 +144,13 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64,
     Values are taken mod ``num_buckets``; the column stays in the
     frame ``fn`` sees, exactly as ``groupby(bucket_col).map_groups``
     delivered it.
+
+    ``preserve_order``: pin the executor's block order for the
+    upstream execution so each bucket's rows arrive in dataset order
+    (block i before block i+1). Aggregating ``fn``s don't care; the
+    ARRIVAL-ORDER-sensitive streaming tumbling feed does — without it
+    the streaming executor yields blocks in completion order and the
+    late-event counts are nondeterministic run to run.
     """
     import ray
     import ray.data as rd
@@ -152,6 +160,11 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64,
     key_cols = list(key_cols) if key_cols is not None else []
     if not key_cols and bucket_col is None:
         raise ValueError("need key_cols or bucket_col")
+    if preserve_order:
+        # each Dataset snapshots its DataContext at creation — the
+        # GLOBAL context is not consulted at execution time, so set
+        # the flag on the dataset's own snapshot
+        ds.context.execution_options.preserve_order = True
     refs = ds.to_arrow_refs()          # executes upstream; moves nothing
 
     def _as_table(b) -> pa.Table:

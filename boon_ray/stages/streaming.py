@@ -414,13 +414,26 @@ def _window_actor_cls():
         instead of corrupting an already-emitted window (the
         dataflow-model contract: Akidau et al., VLDB 2015).
 
-        Epoch-fenced like the other streaming actors. Memory: the
-        open-window dict only — emitted windows leave every drain."""
+        Epoch-fenced like the other streaming actors.
+
+        State layout: ``open[window_start_us] -> [(keys, n, sum)
+        array triples]`` — keyed by WINDOW first, so advancing the
+        watermark pops only the windows that actually closed (the
+        earlier flat (key, window) dict made the emit scan
+        O(open_keys x chunks)), and aggregation is DEFERRED: a feed
+        chunk appends its per-window segment arrays untouched; the
+        one stable sort + reduceat per window happens when the window
+        closes. Feed/emit/drain are columnar end to end — Python
+        loops only over the distinct windows a chunk spans.
+
+        Memory: raw segment triples for OPEN windows only (bounded by
+        events inside the watermark horizon, the window size +
+        allowed lateness) — closed windows leave every drain."""
 
         def __init__(self, size_us: int, lateness_us: int):
             self.size_us = size_us
             self.lateness_us = lateness_us
-            self.open: dict = {}      # (key, window_start_us) -> [n, sum]
+            self.open: dict = {}      # window_start_us -> {key: [n, sum]}
             self.emitted: list = []
             self.n_late = 0
             self.watermark = None
@@ -451,8 +464,11 @@ def _window_actor_cls():
                     return 0
                 k, t, v = k[~late], t[~late], v[~late]
             ws = (t // self.size_us) * self.size_us
-            # segment-aggregate the slice before touching the dict
-            order = np.lexsort((ws, k))
+            # segment-aggregate the slice, grouped by WINDOW first so
+            # each distinct window appends ONE (keys, n, sum) array
+            # triple — Python loops only over the handful of distinct
+            # windows a chunk spans, never over keys
+            order = np.lexsort((k, ws))
             k, ws, v = k[order], ws[order], v[order]
             new = np.empty(len(k), dtype=bool)
             new[0] = True
@@ -460,27 +476,49 @@ def _window_actor_cls():
             starts = np.flatnonzero(new)
             seg_n = np.diff(np.r_[starts, len(k)])
             seg_sum = np.add.reduceat(v, starts)
-            for s in range(len(starts)):
-                kk = (k[starts[s]], int(ws[starts[s]]))
-                cur = self.open.get(kk)
-                if cur is None:
-                    self.open[kk] = [int(seg_n[s]), seg_sum[s].item()]
-                else:
-                    cur[0] += int(seg_n[s])
-                    cur[1] += seg_sum[s].item()
-            # advance the watermark and emit every closed window
+            seg_w = ws[starts]
+            seg_k = k[starts]
+            w_new = np.empty(len(starts), dtype=bool)
+            w_new[0] = True
+            w_new[1:] = seg_w[1:] != seg_w[:-1]
+            w_starts = np.flatnonzero(w_new)
+            w_ends = np.r_[w_starts[1:], len(starts)]
+            for a, b in zip(w_starts, w_ends):
+                self.open.setdefault(int(seg_w[a]), []).append(
+                    (seg_k[a:b], seg_n[a:b], seg_sum[a:b]))
+            # advance the watermark; emit ONLY the windows it closed
             new_wm = int(t.max()) - self.lateness_us
+            emitted = 0
             if self.watermark is None or new_wm > self.watermark:
                 self.watermark = new_wm
-            emitted = 0
-            for (key, w), agg in list(self.open.items()):
-                if w + self.size_us <= self.watermark:
-                    self.emitted.append((key, w, agg[0], agg[1]))
-                    del self.open[(key, w)]
-                    emitted += 1
+                for w in [w for w in self.open
+                          if w + self.size_us <= new_wm]:
+                    quad = self._reduce_window(w, self.open.pop(w))
+                    self.emitted.append(quad)
+                    emitted += len(quad[0])
             return emitted
 
+        @staticmethod
+        def _reduce_window(w: int, parts: list) -> tuple:
+            """Deferred per-window aggregation: one stable sort +
+            reduceat over everything the window accumulated, at the
+            moment it closes. Returns (keys, w, n, sum) arrays."""
+            K = np.concatenate([p[0] for p in parts])
+            N = np.concatenate([p[1] for p in parts])
+            S = np.concatenate([p[2] for p in parts])
+            order = np.argsort(K, kind="stable")
+            K, N, S = K[order], N[order], S[order]
+            new = np.empty(len(K), dtype=bool)
+            new[0] = True
+            new[1:] = K[1:] != K[:-1]
+            starts = np.flatnonzero(new)
+            return (K[starts], w, np.add.reduceat(N, starts),
+                    np.add.reduceat(S, starts))
+
         def drain(self, epoch) -> list:
+            """Emitted windows leave as (keys, window_start, n, sum)
+            ARRAY quads — columnar end to end; the feed task
+            concatenates quads into its output frame."""
             _check_epoch(self.epoch, epoch)
             out, self.emitted = self.emitted, []
             return out
@@ -489,9 +527,9 @@ def _window_actor_cls():
             """End-of-stream: emit everything still open + the late
             count for this bucket."""
             _check_epoch(self.epoch, epoch)
-            out = [(key, w, a[0], a[1])
-                   for (key, w), a in self.open.items()]
-            out += self.emitted
+            out = self.emitted + [
+                self._reduce_window(w, parts)
+                for w, parts in self.open.items()]
             self.open = {}
             self.emitted = []
             return out, self.n_late
@@ -549,25 +587,36 @@ def streaming_tumbling_counts(ds, ts_col: str, key_col: str,
         actor = actors[bucket]
         epoch = _new_epoch()
         ray.get(actor.reset.remote(epoch))
-        rows: list = []
+        quads: list = []           # (keys, window_start, n, sum) arrays
         pending: list = []
         for i in range(0, len(g), chunk_rows):
             if len(pending) >= 4:
                 done, pending = ray.wait(pending, num_returns=1)
                 ray.get(done)
-                rows.extend(ray.get(actor.drain.remote(epoch)))
+                quads.extend(ray.get(actor.drain.remote(epoch)))
             pending.append(actor.feed.remote(
                 epoch, keys[i:i + chunk_rows], ts_us[i:i + chunk_rows],
                 vals[i:i + chunk_rows]))
         ray.get(pending)
         tail, n_late = ray.get(actor.flush.remote(epoch))
-        rows.extend(tail)
-        out = pd.DataFrame(
-            rows, columns=[key_col, "window_start", "n_events",
-                           "sum_value"])
-        out["window_start"] = (out["window_start"].astype(np.int64)
-                               // 1_000_000)
-        out["n_events"] = out["n_events"].astype(np.int64)
+        quads.extend(tail)
+        if quads:
+            out = pd.DataFrame({
+                key_col: np.concatenate([q[0] for q in quads]),
+                "window_start": np.concatenate([
+                    np.full(len(q[0]), q[1], dtype=np.int64)
+                    for q in quads]) // 1_000_000,
+                "n_events": np.concatenate(
+                    [q[2] for q in quads]).astype(np.int64),
+                "sum_value": np.concatenate([q[3] for q in quads]),
+            })
+        else:
+            out = pd.DataFrame({
+                key_col: pd.Series([], dtype=g[key_col].dtype),
+                "window_start": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "sum_value": pd.Series([], dtype=vals.dtype),
+            })
         out["n_late_in_bucket"] = np.int64(n_late)
         return out
 
@@ -577,4 +626,4 @@ def streaming_tumbling_counts(ds, ts_col: str, key_col: str,
         ds.map_batches(project, batch_format="pyarrow",
                        batch_size=None),
         [key_col], feed_bucket, num_buckets=num_buckets,
-        pass_bucket=True)
+        pass_bucket=True, preserve_order=True)
