@@ -99,7 +99,8 @@ def bucketed_groupby_sum(parts_ds, key_cols, sum_cols,
 def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64,
                         pass_bucket: bool = False,
                         bucket_col: str | None = None,
-                        preserve_order: bool = False):
+                        preserve_order: bool = False,
+                        fn_format: str = "pandas"):
     """Hash-bucket exchange + one pandas ``fn`` call per bucket,
     WITHOUT Ray Data's sort-based groupby machinery.
 
@@ -151,6 +152,12 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64,
     ARRIVAL-ORDER-sensitive streaming tumbling feed does — without it
     the streaming executor yields blocks in completion order and the
     late-event counts are nondeterministic run to run.
+
+    ``fn_format``: "pandas" (default) hands ``fn`` a DataFrame and
+    accepts a DataFrame or Arrow table back; "pyarrow" hands the
+    bucket as a (chunk-combined) ``pa.Table`` — for group fns that
+    are Arrow-native (the join buckets), skipping the pandas
+    round-trip entirely.
     """
     import ray
     import ray.data as rd
@@ -205,12 +212,17 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64,
             {name: pa.array([], type=typ)
              for name, typ in zip(schema.names, types)})
 
-    def _apply(df: pd.DataFrame, i: int) -> pa.Table:
-        out = fn(df, i) if pass_bucket else fn(df)
+    def _apply(data, i: int) -> pa.Table:
+        out = fn(data, i) if pass_bucket else fn(data)
+        if isinstance(out, pa.Table):
+            return out
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    def _as_fn_input(tbl: pa.Table):
+        return tbl if fn_format == "pyarrow" else tbl.to_pandas()
+
     if not refs:
-        return rd.from_arrow(_apply(empty_tbl.to_pandas(), 0))
+        return rd.from_arrow(_apply(_as_fn_input(empty_tbl), 0))
 
     @ray.remote(num_returns=max(num_buckets, 2))
     def split(t):
@@ -241,9 +253,9 @@ def bucketed_map_groups(ds, key_cols, fn, num_buckets: int = 64,
         tables = [t for t in map(_as_table, parts) if t.num_rows]
         # permissive: unify null-typed empties / string-width variants
         # across mixed pandas- and arrow-born blocks
-        df = (pa.concat_tables(tables, promote_options="permissive")
-              .to_pandas() if tables else empty_tbl.to_pandas())
-        return _apply(df, i)
+        tbl = (pa.concat_tables(tables, promote_options="permissive")
+               .combine_chunks() if tables else empty_tbl)
+        return _apply(_as_fn_input(tbl), i)
 
     @ray.remote
     def _nrows(t: pa.Table) -> int:

@@ -248,8 +248,11 @@ def hash_join(left, right, on: Sequence[str], how: str = "inner",
         m = ldf.merge(rdf, on=on, how=how)
         return _df_to_table(m, out_schema)
 
-    return both.groupby("_bucket").map_groups(join_bucket,
-                                              batch_format="pyarrow")
+    from boon_ray.stages.combine import bucketed_map_groups
+    return bucketed_map_groups(both, None, join_bucket,
+                               num_buckets=num_buckets,
+                               bucket_col="_bucket",
+                               fn_format="pyarrow")
 
 
 def asof_join(left, right, key: str, ts_col: str,
@@ -283,8 +286,11 @@ def asof_join(left, right, key: str, ts_col: str,
                           direction=direction)
         return _df_to_table(m, out_schema)
 
-    return both.groupby("_bucket").map_groups(join_bucket,
-                                              batch_format="pyarrow")
+    from boon_ray.stages.combine import bucketed_map_groups
+    return bucketed_map_groups(both, None, join_bucket,
+                               num_buckets=num_buckets,
+                               bucket_col="_bucket",
+                               fn_format="pyarrow")
 
 
 def range_join(left, right, key: str, ts_col: str,
@@ -331,5 +337,8 @@ def range_join(left, right, key: str, ts_col: str,
             return _df_to_table(out.drop(columns="_lidx"), out_schema)
         return _df_to_table(matched.drop(columns="_lidx"), out_schema)
 
-    return both.groupby("_bucket").map_groups(join_bucket,
-                                              batch_format="pyarrow")
+    from boon_ray.stages.combine import bucketed_map_groups
+    return bucketed_map_groups(both, None, join_bucket,
+                               num_buckets=num_buckets,
+                               bucket_col="_bucket",
+                               fn_format="pyarrow")

@@ -177,18 +177,37 @@ def ntile_by_int_key(ds, key_col: str, id_col: str, n_tiles: int = 4,
             big + (rank - cut) // max(size_small, 1))
         return (t + 1).astype(np.int64)
 
-    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="mergesort")
-        off = offsets[int(df[key_col].iloc[0])]
-        rank = off + np.arange(len(df), dtype=np.int64)
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Whole-bucket vectorized: sort by (key, id), per-group rank
+        = within-group position + the group's driver-computed offset
+        (a bucket holds every row of each of its keys)."""
+        if df.empty:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                key_col: pd.Series([], dtype=np.int64),
+                "tile": pd.Series([], dtype=np.int64)})
+        df = df.sort_values([key_col, id_col], kind="mergesort")
+        k = df[key_col].to_numpy(np.int64)
+        n = len(df)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.r_[starts, n])
+        idx = np.arange(n, dtype=np.int64)
+        pos_in_group = idx - np.repeat(idx[starts], sizes)
+        off = np.repeat(np.array([offsets[int(kk)]
+                                  for kk in k[starts]], dtype=np.int64),
+                        sizes)
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(np.int64),
-            key_col: df[key_col].to_numpy(np.int64),
-            "tile": tile_of(rank),
+            key_col: k,
+            "tile": tile_of(off + pos_in_group),
         })
 
-    return proj.groupby(key_col).map_groups(rank_group,
-                                            batch_format="pandas")
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    return bucketed_map_groups(proj, [key_col], rank_bucket)
 
 
 def rank_in_partition_by_int_key(ds, part_col: str, key_col: str,
@@ -231,16 +250,38 @@ def rank_in_partition_by_int_key(ds, part_col: str, key_col: str,
         (p, int(k)): int(o)
         for p, k, o in zip(counts[part_col], counts[key_col], csum)}
 
-    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="mergesort")
-        off = offsets[(df[part_col].iloc[0],
-                       int(df[key_col].iloc[0]))]
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Whole-bucket vectorized (see ntile_by_int_key): sort by
+        (part, key, id); a (part, key) group's rank = within-group
+        position + its driver offset."""
+        if df.empty:
+            return pd.DataFrame({
+                part_col: df[part_col],
+                id_col: pd.Series([], dtype=np.int64),
+                key_col: pd.Series([], dtype=np.int64),
+                "rn": pd.Series([], dtype=np.int64)})
+        df = df.sort_values([part_col, key_col, id_col],
+                            kind="mergesort")
+        p = df[part_col].to_numpy()
+        k = df[key_col].to_numpy(np.int64)
+        n = len(df)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (p[1:] != p[:-1]) | (k[1:] != k[:-1])
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.r_[starts, n])
+        idx = np.arange(n, dtype=np.int64)
+        pos_in_group = idx - np.repeat(idx[starts], sizes)
+        off = np.repeat(np.array(
+            [offsets[(p[s], int(k[s]))] for s in starts],
+            dtype=np.int64), sizes)
         return pd.DataFrame({
-            part_col: df[part_col].to_numpy(),
+            part_col: p,
             id_col: df[id_col].to_numpy(np.int64),
-            key_col: df[key_col].to_numpy(np.int64),
-            "rn": off + 1 + np.arange(len(df), dtype=np.int64),
+            key_col: k,
+            "rn": off + 1 + pos_in_group,
         })
 
-    return proj.groupby([part_col, key_col]).map_groups(
-        rank_group, batch_format="pandas")
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    return bucketed_map_groups(proj, [part_col, key_col], rank_bucket)

@@ -200,7 +200,12 @@ def dedup_exact(ds, key: Sequence[str], order_col: str,
     def batch_min(b: pd.DataFrame) -> pd.DataFrame:
         return b.loc[b.groupby(key, sort=False)[order_col].idxmin()]
 
+    from boon_ray.stages.combine import bucketed_map_groups
+
     reduced = ds.map_batches(batch_min, batch_format="pandas",
                              batch_size=batch_size)
-    return reduced.groupby(key).map_groups(batch_min,
-                                           batch_format="pandas")
+    # the merge is keyed by the tuple's HASH bucket (all rows of a
+    # key land in one bucket, so a per-key min inside the bucket is
+    # the global min) — the raw exchange instead of a corpus-keyed
+    # sort groupby
+    return bucketed_map_groups(reduced, key, batch_min)

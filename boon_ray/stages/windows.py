@@ -112,21 +112,43 @@ def sliding_window_agg(ds, ts_col: str, key_col: str, value_col: str,
 def session_window_agg(ds, ts_col: str, key_col: str, value_col: str,
                        gap_s: int = 1800):
     """(key, session_start, session_end, n_events, sum_value) with
-    sessions split at inactivity gaps > gap_s (per-key sorted group)."""
+    sessions split at inactivity gaps > gap_s.
+
+    Exchange: keys hash into buckets (combine.bucketed_map_groups —
+    the raw exchange instead of a corpus-keyed sort groupby) and the
+    WHOLE bucket is sessionized in one vectorized pass: stable sort
+    by (key, ts), session boundaries = key change OR gap exceeded,
+    segment aggregation via reduceat — no per-key pandas groups."""
     gap_us = gap_s * 1_000_000
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        us = g[ts_col].astype("int64")
-        new_sess = (us.diff().fillna(gap_us + 1) > gap_us).cumsum()
-        out = g.assign(_sess=new_sess, _us=us).groupby("_sess").agg(
-            **{key_col: (key_col, "first"),
-               "session_start": ("_us", "min"),
-               "session_end": ("_us", "max"),
-               "n_events": (value_col, "count"),
-               "sum_value": (value_col, "sum")})
-        out["session_start"] //= 1_000_000
-        out["session_end"] //= 1_000_000
-        return out.reset_index(drop=True)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype=g[key_col].dtype),
+                "session_start": pd.Series([], dtype=np.int64),
+                "session_end": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "sum_value": pd.Series([], dtype=g[value_col].dtype),
+            })
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        us = g[ts_col].astype("int64").to_numpy()
+        keys = g[key_col].to_numpy()
+        vals = g[value_col].to_numpy()
+        n = len(g)
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = ((keys[1:] != keys[:-1])
+                        | ((us[1:] - us[:-1]) > gap_us))
+        starts = np.flatnonzero(boundary)
+        ends = np.r_[starts[1:], n] - 1
+        return pd.DataFrame({
+            key_col: keys[starts],
+            "session_start": us[starts] // 1_000_000,
+            "session_end": us[ends] // 1_000_000,
+            "n_events": np.diff(np.r_[starts, n]).astype(np.int64),
+            "sum_value": np.add.reduceat(vals, starts),
+        })
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    return bucketed_map_groups(ds, [key_col], per_bucket)
