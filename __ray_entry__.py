@@ -381,16 +381,18 @@ def _q_train_test_split(sf_dir: str):
 
 
 def _q_packed_sequences(sf_dir: str):
-    """Greedy per-block sequence packing into 4096-char bins
-    (block-dependent bin assignment -> rows-only; capacity and
-    exactly-once invariants asserted in pytest)."""
+    """Concat-and-chunk sequence packing into 4096-char windows
+    (round 4: upgraded from the rows-only best-fit query to the
+    partition-independent concat layout, which carries an EXACT
+    window-function SQL oracle; the best-fit variant keeps its
+    capacity/exactly-once pytest invariants on the library fn)."""
     import ray.data as rd
 
-    from boon_ray.stages.training import pack_sequences
+    from boon_ray.stages.training import pack_concat_chunks
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "n_chars"])
-    return pack_sequences(ds, "doc_id", "n_chars", capacity=4096)
+    return pack_concat_chunks(ds, "doc_id", "n_chars", capacity=4096)
 
 
 def _q_partition_verdicts(sf_dir: str):
@@ -3458,9 +3460,18 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping": b["q3_shipping"],
         "q5_region_revenue": b["q5_region_revenue"],
         "top_docs_per_lang": b["top_docs_per_lang"],
-        # distinct_hll / neardup_pairs / bpe_merges / ivf_recall /
-        # packed_sequences: approximate, iterative or block-dependent
-        # by design -> rows-only driver checks, pytest accuracy
-        # oracles in tests/.
+        "packed_sequences": (
+            "WITH o AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS len, "
+            "CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id ROWS "
+            "BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+            " AS off FROM documents) "
+            "SELECT doc_id, len, off, "
+            "CAST(off // 4096 AS BIGINT) AS seq_id, "
+            "CAST(off % 4096 AS BIGINT) AS seq_pos, "
+            "CAST((off + len - 1) // 4096 - off // 4096 + 1 AS BIGINT)"
+            " AS n_seqs FROM o"),
+        # distinct_hll / neardup_pairs / bpe_merges / ivf_recall:
+        # approximate or iterative by design -> rows-only driver
+        # checks, pytest accuracy oracles in tests/.
     }
     return out

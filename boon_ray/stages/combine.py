@@ -39,7 +39,11 @@ def combine_keyed_partials(parts_ds, key_cols, sum_cols,
     sum_cols = list(sum_cols)
 
     def _combine_tables(tables) -> pd.DataFrame:
-        dfs = [t.to_pandas() for t in tables if t.num_rows]
+        # empty blocks of a pandas-born dataset pass through
+        # map_batches UNCONVERTED (Ray skips the UDF), so a "table"
+        # here may be an empty pandas frame — len() covers both
+        dfs = [t.to_pandas() if isinstance(t, pa.Table) else t
+               for t in tables if len(t)]
         if not dfs:
             return pd.DataFrame(columns=key_cols + sum_cols)
         df = pd.concat(dfs, ignore_index=True)

@@ -11,6 +11,10 @@ packing.
   from the minimum doc id in the bin so they are unique and stable
   given a block assignment). The classic context-window packing step
   before LLM training.
+- ``pack_concat_chunks``: concatenate-in-id-order-and-cut packing —
+  partition-independent (pure prefix-sum function), so it carries
+  the driver's exact SQL oracle; best-fit stays the fragmentation-
+  free variant for length-preserving batching.
 """
 
 from __future__ import annotations
@@ -306,6 +310,116 @@ def domain_mix_sql(weights: dict[str, int], *, table: str = "documents",
         f"FROM {table} d JOIN th USING ({source_col}) "
         f"WHERE th.quota >= th.n OR CAST({h} AS UHUGEINT) < th.th"
     )
+
+
+def pack_concat_chunks(ds, id_col: str, len_col: str, capacity: int,
+                       num_buckets: int = 64, id_bounds=None,
+                       batch_size=None):
+    """Concatenate-and-chunk sequence packing — the standard LLM
+    pretraining layout: documents are laid end to end in ``id_col``
+    order and the stream is cut every ``capacity`` units; a document
+    may straddle a cut.  Unlike :func:`pack_sequences` (best-fit
+    bins, block-dependent), the assignment is a pure function of the
+    global prefix sum, so it is partition-independent and exactly
+    SQL-expressible (``SUM(len) OVER (ORDER BY id ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``).
+
+    Output per row (``len >= 1`` contract):
+    (id, len, off, seq_id, seq_pos, n_seqs) where ``off`` is the
+    exclusive prefix sum, ``seq_id = off // capacity``,
+    ``seq_pos = off % capacity`` and ``n_seqs`` is how many chunks
+    the document touches.
+
+    Scale shape (sample-free bucket-offset prefix sum, the
+    seeded_shuffle_rank skeleton in stages/rank.py): ids are
+    range-bucketed (ordered buckets — dense ids land balanced;
+    skewed id spaces still compute exactly, just less evenly);
+    pass 1 reduces per-batch (bucket, sum_len) partials through a
+    ``num_buckets``-row groupby and the driver cumsums bucket base
+    offsets; pass 2 is ONE exchange by bucket — each bucket sorts
+    its own rows by id and adds a local cumsum to its base.  The
+    only full-table exchange ships (id, len, bucket) = 24 B/row.
+    ``id_bounds=(lo, hi)`` skips the bounds pass (at deployment the
+    bounds come free from parquet column stats).
+    """
+    import pyarrow.compute as pc
+
+    from boon_ray.stages.combine import (bucketed_map_groups,
+                                         combine_keyed_partials)
+
+    proj = ds.map_batches(
+        lambda b: b.select([id_col, len_col]),
+        batch_format="pyarrow", batch_size=batch_size)
+
+    if id_bounds is None:
+        agg = proj.aggregate(*_min_max_aggs(id_col))
+        lo, hi = agg[f"min({id_col})"], agg[f"max({id_col})"]
+    else:
+        lo, hi = id_bounds
+    empty = pd.DataFrame({
+        id_col: pd.Series([], dtype=np.int64),
+        "len": pd.Series([], dtype=np.int64),
+        "off": pd.Series([], dtype=np.int64),
+        "seq_id": pd.Series([], dtype=np.int64),
+        "seq_pos": pd.Series([], dtype=np.int64),
+        "n_seqs": pd.Series([], dtype=np.int64)})
+    if lo is None:
+        import ray.data as rd
+        return rd.from_pandas(empty)
+    width = max((int(hi) - int(lo)) // num_buckets + 1, 1)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+               .astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "len": pc.cast(b.column(len_col), pa.int64()),
+            "bucket": pa.array((ids - int(lo)) // width, pa.int64()),
+        })
+
+    keyed_ds = proj.map_batches(keyed, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+    def hist(b: pa.Table) -> pa.Table:
+        df = pa.table({"bucket": b.column("bucket"),
+                       "n": b.column("len")}).to_pandas()
+        g = df.groupby("bucket", sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = combine_keyed_partials(
+        keyed_ds.map_batches(hist, batch_format="pyarrow",
+                             batch_size=batch_size),
+        ["bucket"], ["n"]).sort_values("bucket")
+    bases = np.zeros(num_buckets, dtype=np.int64)
+    bk = counts["bucket"].to_numpy(np.int64)
+    bases[bk] = np.concatenate(
+        ([0], np.cumsum(counts["n"].to_numpy(np.int64))[:-1]))
+
+    def pack_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty
+        df = df.sort_values(id_col, kind="mergesort")
+        lens = df["len"].to_numpy(np.int64)
+        off = (bases[int(df["bucket"].iloc[0])]
+               + np.concatenate(([0], np.cumsum(lens)[:-1])))
+        seq_id = off // capacity
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "len": lens,
+            "off": off,
+            "seq_id": seq_id,
+            "seq_pos": off % capacity,
+            "n_seqs": (off + lens - 1) // capacity - seq_id + 1,
+        })
+
+    return bucketed_map_groups(keyed_ds, None, pack_bucket,
+                               num_buckets=num_buckets,
+                               bucket_col="bucket")
+
+
+def _min_max_aggs(col: str):
+    from ray.data.aggregate import Max, Min
+    return Min(col), Max(col)
 
 
 def budget_cap(ds, group_col: str, weight_col: str, order_col: str,

@@ -1221,6 +1221,44 @@ try:
                 assert fill <= capacity
             elif fill > capacity:
                 assert len(g) == 1  # oversized doc isolated
+
+    _ids = st.lists(st.integers(min_value=-5000, max_value=5000),
+                    min_size=1, max_size=30, unique=True)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(ids=_ids, capacity=st.sampled_from([50, 100]),
+           nblocks=st.sampled_from([1, 4]),
+           num_buckets=st.sampled_from([2, 8]))
+    def test_pack_concat_chunks_fuzz_vs_bruteforce(
+            ray_session, ids, capacity, nblocks, num_buckets):
+        """Sparse/negative/skewed ids across random block splits and
+        bucket counts must be BIT-EQUAL to the single-process prefix
+        sum (partition independence is the operator's contract)."""
+        import ray.data as rd
+
+        from boon_ray.stages.training import pack_concat_chunks
+
+        rng = np.random.RandomState(len(ids) * capacity)
+        lens = rng.randint(1, 130, size=len(ids)).astype(np.int64)
+        df = pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                           "n": lens})
+        out = pack_concat_chunks(
+            rd.from_pandas(df).repartition(nblocks), "doc_id", "n",
+            capacity=capacity, num_buckets=num_buckets,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        ref = df.sort_values("doc_id").reset_index(drop=True)
+        off = np.concatenate(
+            ([0], np.cumsum(ref["n"].to_numpy(np.int64))[:-1]))
+        assert (out["doc_id"].to_numpy() ==
+                ref["doc_id"].to_numpy()).all()
+        assert (out["len"].to_numpy() == ref["n"].to_numpy()).all()
+        assert (out["off"].to_numpy() == off).all()
+        assert (out["seq_id"].to_numpy() == off // capacity).all()
+        assert (out["seq_pos"].to_numpy() == off % capacity).all()
+        n_seqs = ((off + ref["n"].to_numpy(np.int64) - 1) // capacity
+                  - off // capacity + 1)
+        assert (out["n_seqs"].to_numpy() == n_seqs).all()
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
 
