@@ -899,6 +899,22 @@ def _q_span_dedup(sf_dir: str):
     return span_dedup_stats(ds, n=5)
 
 
+def _q_span_scrub(sf_dir: str):
+    """Duplicate-span REMOVAL (the Lee et al. rewrite step): excise
+    every maximal run of >= 10 consecutive tokens fully covered by
+    cross-doc duplicated 5-grams and emit the cleaned text — exact
+    duplicates collapse to '', short incidental overlap survives.
+    Deterministic + partition-independent, so the whole rewrite has
+    an exact DuckDB oracle (gaps-and-islands over covered tokens)."""
+    import ray.data as rd
+
+    from boon_ray.stages.spans import remove_duplicate_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return remove_duplicate_spans(ds, n=5, min_run=10)
+
+
 def _q_pii_redact(sf_dir: str):
     """PII-style regex scrubbing: per-doc non-overlapping match
     counts + sequentially redacted text, Arrow RE2 kernels (the same
@@ -1678,6 +1694,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": _q_distinct_langs,
         "customers_per_region": _q_customers_per_region,
         "doc_chunks": _q_doc_chunks,
+        "span_scrub": _q_span_scrub,
     }
 
 
@@ -2879,6 +2896,40 @@ def _base_oracle_sql() -> dict[str, str]:
             r"SELECT doc_id, n_grams, n_dup_grams, "
             r"CAST(n_dup_grams * 1048576 // n_grams AS BIGINT) "
             r"AS dup_ratio_fp FROM perdoc",
+        "span_scrub":
+            r"WITH toks AS (SELECT doc_id, "
+            r"regexp_split_to_array(trim(text), '\s+') AS ts "
+            r"FROM documents WHERE length(trim(text)) > 0), "
+            r"tok AS (SELECT doc_id, ts, unnest(generate_series(1, "
+            r"len(ts))) AS t FROM toks), "
+            r"pos AS (SELECT doc_id, ts, unnest(generate_series(1, "
+            r"greatest(len(ts) - 4, 0))) AS i FROM toks), "
+            r"grams AS (SELECT doc_id, i, "
+            r"array_to_string(ts[i:i+4], ' ') AS gram FROM pos), "
+            r"dupg AS (SELECT gram FROM grams GROUP BY gram "
+            r"HAVING COUNT(DISTINCT doc_id) >= 2), "
+            r"dstart AS (SELECT DISTINCT g.doc_id, g.i "
+            r"FROM grams g JOIN dupg USING (gram)), "
+            r"cov AS (SELECT doc_id, t FROM tok WHERE EXISTS ("
+            r"SELECT 1 FROM dstart d WHERE d.doc_id = tok.doc_id "
+            r"AND d.i BETWEEN tok.t - 4 AND tok.t)), "
+            r"isl AS (SELECT doc_id, t, t - ROW_NUMBER() OVER ("
+            r"PARTITION BY doc_id ORDER BY t) AS grp FROM cov), "
+            r"runs AS (SELECT doc_id, grp FROM isl "
+            r"GROUP BY doc_id, grp HAVING COUNT(*) >= 10), "
+            r"rem AS (SELECT isl.doc_id, isl.t FROM isl "
+            r"JOIN runs USING (doc_id, grp)), "
+            r"kept AS (SELECT tok.doc_id, "
+            r"string_agg(ts[t], ' ' ORDER BY t) AS txt FROM tok "
+            r"WHERE NOT EXISTS (SELECT 1 FROM rem "
+            r"WHERE rem.doc_id = tok.doc_id AND rem.t = tok.t) "
+            r"GROUP BY tok.doc_id) "
+            r"SELECT d.doc_id, CAST(len(d.ts) AS BIGINT) AS n_tokens, "
+            r"CAST(COALESCE(r.nr, 0) AS BIGINT) AS n_removed, "
+            r"COALESCE(k.txt, '') AS clean_text FROM toks d "
+            r"LEFT JOIN (SELECT doc_id, COUNT(*) AS nr FROM rem "
+            r"GROUP BY doc_id) r USING (doc_id) "
+            r"LEFT JOIN kept k USING (doc_id)",
         "rarity_scores":
             r"WITH toks AS (SELECT doc_id, "
             r"unnest(regexp_split_to_array(trim(text), '\s+')) AS "

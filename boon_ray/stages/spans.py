@@ -33,6 +33,8 @@ layer mandated by SURVEY.md §4.3 alongside dedup.py / text.py.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -115,6 +117,179 @@ def _batch_gram_counts(batch: pa.Table, *, n: int, column: str,
     totals = pd.DataFrame({"doc": ids[keep],
                            "n_grams": n_grams[keep]})
     return parts, totals
+
+
+def _batch_gram_positions(batch: pa.Table, *, n: int, column: str,
+                          id_col: str, num_buckets: int):
+    """Per-batch (gram, doc, window-start) rows — the position-level
+    sibling of :func:`_batch_gram_counts` for span REMOVAL, where the
+    rewrite needs to know WHERE each duplicated gram starts (0-based
+    token index within its document)."""
+    trimmed = pc.utf8_trim_whitespace(
+        batch.column(column).combine_chunks())
+    toks = pc.split_pattern_regex(trimmed, _WS)
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = toks.offsets.to_numpy()
+    flat = toks.values.to_pandas().to_numpy()
+    counts = offsets[1:] - offsets[:-1]
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+
+    h1 = hash64(flat)
+    h2 = _hash64_2(flat)
+    g1 = _gram_hashes(h1, n, _P1)
+    g2 = _gram_hashes(h2, n, _P2)
+
+    m = len(g1)
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    doc_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    valid = doc_of[:m] == doc_of[n - 1:n - 1 + m] if m else \
+        np.empty(0, dtype=bool)
+    vdoc_idx = doc_of[:m][valid]
+    parts = pd.DataFrame({
+        "_g1": g1[valid].view(np.int64),
+        "_g2": g2[valid].view(np.int64),
+        "doc": ids[vdoc_idx],
+        "i": (np.flatnonzero(valid) - doc_start[vdoc_idx])
+        .astype(np.int64),
+    })
+    parts["_bucket"] = (parts["_g1"].to_numpy().view(np.uint64)
+                        % np.uint64(num_buckets)).astype(np.int64)
+    return parts
+
+
+def remove_duplicate_spans(ds, *, n: int = 5, min_run: int = 10,
+                           column: str = "text",
+                           id_col: str = "doc_id",
+                           num_buckets: int = 128,
+                           doc_buckets: int = 64, batch_size=None):
+    """Cross-document duplicate-SPAN REMOVAL — the rewrite step of
+    Lee et al. substring dedup: excise every maximal run of at least
+    ``min_run`` consecutive tokens in which EVERY token is covered by
+    some n-gram that also occurs in another document.  Deterministic
+    and partition-independent (coverage is a pure function of the
+    corpus gram table), so the whole rewrite carries an exact DuckDB
+    oracle (tokens joined by single space = whitespace-normalized).
+
+    Output, one row per doc with >= 1 token:
+      (doc_id, n_tokens, n_removed, clean_text)
+    where exact-duplicate documents collapse to ``clean_text=''``
+    (fully covered) and incidental short phrase overlap (< min_run
+    covered run) is preserved.
+
+    Scale shape: Stage A ships (gram128, doc, pos) = 32 B/window —
+    never gram strings; Stage B buckets by gram hash (coarse, never
+    per-gram groups) and emits only DUPLICATED positions
+    (delta-sized); Stage C co-locates each doc's text with its
+    duplicated positions in ONE doc-keyed exchange (the corpus bytes
+    cross once, the snapshot_delta contract) and rewrites per doc
+    with numpy cover/run kernels.
+    """
+
+    def parts_stage(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(
+            _batch_gram_positions(b, n=n, column=column, id_col=id_col,
+                                  num_buckets=num_buckets),
+            preserve_index=False)
+
+    def reduce_gram_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Duplicated iff the gram occurs in >= 2 DISTINCT docs
+        (within-doc repetition alone is not cross-doc duplication)."""
+        if not len(df):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                column: pd.Series([], dtype=object),
+                "i": pd.Series([], dtype=np.int64),
+                "_dbucket": pd.Series([], dtype=np.int64)})
+        docs_per = df.drop_duplicates(["_g1", "_g2", "doc"]) \
+                     .groupby(["_g1", "_g2"], sort=False).size()
+        dup = df.merge(docs_per[docs_per >= 2].rename("nd")
+                       .reset_index()[["_g1", "_g2"]],
+                       on=["_g1", "_g2"], how="inner")
+        out = pd.DataFrame({id_col: dup["doc"].to_numpy(np.int64),
+                            column: None,
+                            "i": dup["i"].to_numpy(np.int64)})
+        out["_dbucket"] = (hash64(out[id_col].to_numpy())
+                           % np.uint64(doc_buckets)).astype(np.int64)
+        return out[[id_col, column, "i", "_dbucket"]]
+
+    def texts_stage(b: pa.Table) -> pd.DataFrame:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        texts = b.column(column).to_pylist()
+        out = pd.DataFrame({id_col: ids.astype(np.int64),
+                            column: texts})
+        out["i"] = np.int64(-1)  # text-row marker
+        out["_dbucket"] = (hash64(out[id_col].to_numpy())
+                           % np.uint64(doc_buckets)).astype(np.int64)
+        return out[[id_col, column, "i", "_dbucket"]]
+
+    def rewrite_doc_bucket(df: pd.DataFrame):
+        # Arrow-typed empty (NOT an object-dtype pandas frame, which
+        # lands as a null-typed column and degrades the result schema)
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_removed": pa.array([], pa.int64()),
+            "clean_text": pa.array([], pa.string())})
+        if not len(df):
+            return empty
+        texts = df[df["i"] < 0]
+        pos = df[df["i"] >= 0]
+        pos_by_doc = {k: g["i"].to_numpy(np.int64)
+                      for k, g in pos.groupby(id_col, sort=False)}
+        out_id, out_nt, out_nr, out_tx = [], [], [], []
+        for did, text in zip(texts[id_col].to_numpy(np.int64),
+                             texts[column]):
+            # same \s+ tokenizer as the gram stage (Arrow RE2) so
+            # positions can never misalign between detect and rewrite
+            stripped = (text or "").strip()
+            tok = re.split(_WS, stripped) if stripped else []
+            nt = len(tok)
+            if nt == 0:
+                continue
+            starts = pos_by_doc.get(did)
+            if starts is None or nt < n:
+                out_id.append(did); out_nt.append(nt)
+                out_nr.append(0); out_tx.append(" ".join(tok))
+                continue
+            # cover mask via a +-1 diff array: token t is covered iff
+            # some duplicated window start lies in [t-n+1, t]
+            diff = np.zeros(nt + 1, dtype=np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, np.minimum(starts + n, nt), -1)
+            cover = np.cumsum(diff[:-1]) > 0
+            # maximal covered runs of >= min_run tokens get removed
+            edges = np.flatnonzero(np.diff(
+                np.concatenate(([0], cover.view(np.int8), [0]))))
+            run_a, run_b = edges[::2], edges[1::2]
+            remove = np.zeros(nt, dtype=bool)
+            for a, b_ in zip(run_a, run_b):
+                if b_ - a >= min_run:
+                    remove[a:b_] = True
+            nr = int(remove.sum())
+            kept = [t for t, r in zip(tok, remove) if not r]
+            out_id.append(did); out_nt.append(nt)
+            out_nr.append(nr); out_tx.append(" ".join(kept))
+        if not out_id:
+            return empty
+        return pd.DataFrame({
+            id_col: np.array(out_id, dtype=np.int64),
+            "n_tokens": np.array(out_nt, dtype=np.int64),
+            "n_removed": np.array(out_nr, dtype=np.int64),
+            "clean_text": out_tx})
+
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    parts = ds.map_batches(parts_stage, batch_format="pyarrow",
+                           batch_size=batch_size)
+    dup_pos = bucketed_map_groups(
+        parts, None, reduce_gram_bucket, num_buckets=num_buckets,
+        bucket_col="_bucket")
+    texts = ds.map_batches(texts_stage, batch_format="pyarrow",
+                           batch_size=batch_size)
+    unioned = texts.union(dup_pos)
+    return bucketed_map_groups(
+        unioned, None, rewrite_doc_bucket, num_buckets=doc_buckets,
+        bucket_col="_dbucket")
 
 
 def span_dedup_stats(ds, *, n: int = 5, column: str = "text",

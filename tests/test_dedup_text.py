@@ -975,6 +975,101 @@ def test_span_dedup_matches_bruteforce(ray_session):
     assert got == expect
 
 
+def _scrub_bruteforce(texts, ids, n, min_run):
+    """Single-process reference for remove_duplicate_spans."""
+    import re as _re
+    toks = {}
+    for i, t in zip(ids, texts):
+        s = (t or "").strip()
+        toks[i] = _re.split(r"\s+", s) if s else []
+    gram_docs = {}
+    for i, tk in toks.items():
+        for p in range(len(tk) - n + 1):
+            gram_docs.setdefault(tuple(tk[p:p + n]), set()).add(i)
+    dup = {g for g, s in gram_docs.items() if len(s) >= 2}
+    out = {}
+    for i, tk in toks.items():
+        if not tk:
+            continue
+        cover = [False] * len(tk)
+        for p in range(len(tk) - n + 1):
+            if tuple(tk[p:p + n]) in dup:
+                for t in range(p, p + n):
+                    cover[t] = True
+        remove = [False] * len(tk)
+        p = 0
+        while p < len(tk):
+            if cover[p]:
+                q = p
+                while q < len(tk) and cover[q]:
+                    q += 1
+                if q - p >= min_run:
+                    for t in range(p, q):
+                        remove[t] = True
+                p = q
+            else:
+                p += 1
+        kept = [t for t, r in zip(tk, remove) if not r]
+        out[i] = (len(tk), sum(remove), " ".join(kept))
+    return out
+
+
+def test_remove_duplicate_spans_planted(ray_session):
+    """An exact duplicate pair collapses to ''; a short shared
+    phrase (< min_run covered run) survives untouched."""
+    from boon_ray.stages.spans import remove_duplicate_spans
+
+    dup = "one two three four five six seven eight nine ten"
+    texts = [dup, dup,
+             "unique stuff with one two three four five inside only",
+             "fully different words that never repeat anywhere else"]
+    out = (remove_duplicate_spans(_span_docs(texts), n=5, min_run=10)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["clean_text"][:2]) == ["", ""]
+    assert list(out["n_removed"][:2]) == [10, 10]
+    # doc 2 shares the 5-gram 'one two three four five' -> covered
+    # run of 5 < min_run=10: kept verbatim (normalized join)
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[2, "clean_text"] == texts[2]
+    assert out.loc[3, "n_removed"] == 0
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _sw = st.sampled_from(["aa", "bb", "cc", "dd"])
+    _sdoc = st.lists(_sw, min_size=0, max_size=24).map(" ".join)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(texts=st.lists(_sdoc, min_size=1, max_size=10),
+           n=st.sampled_from([2, 3]),
+           min_run=st.sampled_from([3, 5]),
+           nblocks=st.sampled_from([1, 3]))
+    def test_remove_duplicate_spans_fuzz_vs_bruteforce(
+            ray_session, texts, n, min_run, nblocks):
+        """Tiny-vocab random docs (heavy gram collisions) across
+        block splits must equal the single-process rewrite exactly —
+        text, counts and doc membership."""
+        from boon_ray.stages.spans import remove_duplicate_spans
+
+        ids = list(range(len(texts)))
+        expect = _scrub_bruteforce(texts, ids, n, min_run)
+        out = remove_duplicate_spans(
+            _span_docs(texts).repartition(nblocks), n=n,
+            min_run=min_run, num_buckets=8, doc_buckets=4).to_pandas()
+        if not expect:        # all docs token-less: empty result
+            assert len(out) == 0
+            return
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+               for r in out.itertuples()}
+        assert got == expect
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 # ---------------------------------------------------------------- scrub
 
 
