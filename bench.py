@@ -136,6 +136,19 @@ def q_minhash_dedup():
                                    verify=False).count()
 
 
+def q_span_scrub():
+    """Duplicate-span REMOVAL over the amplified corpus — worst case
+    by construction: every replica duplicates every doc, so EVERY
+    gram is cross-doc duplicated and the 'delta-sized' dup-position
+    stage degenerates to full corpus positions (the honest upper
+    bound for the rewrite's two exchanges)."""
+    from boon_ray.stages.spans import remove_duplicate_spans
+
+    return remove_duplicate_spans(_corpus_ids(), column="text",
+                                  id_col="doc_id", n=5,
+                                  min_run=10).count()
+
+
 def q_windows():
     """Tumbling + session windows over the events log."""
     import ray.data as rd
@@ -550,6 +563,7 @@ QUERIES = {
     "referential": q_referential,
     "column_stats": q_column_stats,
     "minhash_dedup": q_minhash_dedup,
+    "span_scrub": q_span_scrub,
     "windows": q_windows,
     "ann_topk": q_ann_topk,
     "ivf_search": q_ivf_search,
