@@ -1,0 +1,115 @@
+"""Crash-retry fault injection for the raw-Ray exchange primitives.
+
+`stages/combine.bucketed_map_groups` bypasses Ray Data's groupby and
+runs its own `@ray.remote` split/merge task graph; Ray retries a task
+whose WORKER DIES (default max_retries=3), so the exchange is
+exactly-once iff split/merge are deterministic, side-effect-free
+functions of their inputs.  These tests kill a worker mid-task
+(`os._exit`, not an exception — exceptions aren't retried by default)
+the FIRST time a chosen bucket is processed and assert the final
+result is bit-identical to an uninjected run: the multi-node story's
+"a node died mid-shuffle" case, in miniature.
+
+A tmpdir flag file (not process state) marks "already crashed once"
+because the retry lands in a FRESH worker process.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(n=400, nblocks=8):
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    return rd.from_arrow(pa.table({
+        "key": pa.array(rng.randint(0, 40, size=n), pa.int64()),
+        "val": pa.array(rng.randint(0, 1000, size=n), pa.int64()),
+    })).repartition(nblocks)
+
+
+def _sum_fn_with_crash(flag_path, crash_bucket):
+    """Group-sum fn that kills its worker the first time it sees
+    rows of `crash_bucket` (flag file marks the crash as spent)."""
+
+    def fn(df: pd.DataFrame, bucket: int) -> pd.DataFrame:
+        if (bucket == crash_bucket and len(df)
+                and not os.path.exists(flag_path)):
+            open(flag_path, "w").close()
+            os._exit(1)  # simulate a node/worker death mid-merge
+        if not len(df):
+            return pd.DataFrame({
+                "key": pd.Series([], dtype=np.int64),
+                "val": pd.Series([], dtype=np.int64)})
+        return (df.groupby("key", sort=False)["val"].sum()
+                .astype(np.int64).reset_index())
+
+    return fn
+
+
+def test_bucketed_map_groups_survives_worker_crash(ray_session):
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    def plain(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "key": pd.Series([], dtype=np.int64),
+                "val": pd.Series([], dtype=np.int64)})
+        return (df.groupby("key", sort=False)["val"].sum()
+                .astype(np.int64).reset_index())
+
+    expect = (bucketed_map_groups(_docs_ds(), ["key"], plain,
+                                  num_buckets=8)
+              .to_pandas().sort_values("key").reset_index(drop=True))
+
+    flag = os.path.join(tempfile.gettempdir(),
+                        f"boonray_crash_{uuid.uuid4().hex}")
+    try:
+        got = (bucketed_map_groups(
+            _docs_ds(), ["key"],
+            _sum_fn_with_crash(flag, crash_bucket=3),
+            num_buckets=8, pass_bucket=True)
+            .to_pandas().sort_values("key").reset_index(drop=True))
+    finally:
+        crashed = os.path.exists(flag)
+        if crashed:
+            os.remove(flag)
+    assert crashed, "the injected crash never fired"
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_map_batches_stage_survives_worker_crash(ray_session):
+    """Same contract for a plain Ray Data map stage (Ray Data's own
+    retry): one batch task dies once; totals are unchanged."""
+    import ray.data as rd
+
+    flag = os.path.join(tempfile.gettempdir(),
+                        f"boonray_crash_{uuid.uuid4().hex}")
+
+    def double(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if not os.path.exists(flag):
+            open(flag, "w").close()
+            os._exit(1)
+        return pa.table({"key": b.column("key"),
+                         "val": pc.multiply(b.column("val"), 2)})
+
+    try:
+        got = (_docs_ds().map_batches(double, batch_format="pyarrow")
+               .to_pandas())
+    finally:
+        crashed = os.path.exists(flag)
+        if crashed:
+            os.remove(flag)
+    assert crashed
+    ref = _docs_ds().to_pandas()
+    assert int(got["val"].sum()) == 2 * int(ref["val"].sum())
+    assert len(got) == len(ref)
