@@ -113,3 +113,52 @@ def test_map_batches_stage_survives_worker_crash(ray_session):
     ref = _docs_ds().to_pandas()
     assert int(got["val"].sum()) == 2 * int(ref["val"].sum())
     assert len(got) == len(ref)
+
+
+def test_partitioned_sink_crash_mid_job_resumes(ray_session, tmp_path):
+    """Driver dies mid-write of partition 'b' (after 'a' committed):
+    the orphaned tmp dir is cleared on resume, 'a' is skipped, 'b'
+    re-runs cleanly, and the final data is exactly what an
+    uninterrupted run produces — the sink side of the crash story."""
+    import ray.data as rd
+
+    from boon_ray.state.checkpoint import (read_manifests,
+                                           run_partitioned)
+
+    out = str(tmp_path / "out")
+    crashed = {"did": False}
+
+    def make(pid: str):
+        def emit(b: pa.Table) -> pa.Table:
+            return pa.table({"part": pa.array([pid] * 10),
+                             "i": pa.array(range(10), pa.int64())})
+        return rd.range(10, override_num_blocks=1).map_batches(
+            emit, batch_format="pyarrow", batch_size=None)
+
+    def make_crashing(pid: str):
+        if pid == "b" and not crashed["did"]:
+            crashed["did"] = True
+            # leave the orphaned tmp dir a real crash would leave
+            os.makedirs(os.path.join(out, "_tmp_part=b"), exist_ok=True)
+            open(os.path.join(out, "_tmp_part=b", "partial.parquet"),
+                 "w").close()
+            raise KeyboardInterrupt("driver killed mid-partition")
+        return make(pid)
+
+    with pytest.raises(KeyboardInterrupt):
+        run_partitioned(["a", "b"], make_crashing, out)
+    assert crashed["did"]
+    assert os.path.isdir(os.path.join(out, "_tmp_part=b"))
+    # partition 'a' committed before the crash; 'b' has no manifest
+    ms = read_manifests(out)
+    assert [m["partition"] for m in ms] == ["a"]
+
+    r = run_partitioned(["a", "b"], make_crashing, out)
+    assert r["ran"] == ["b"] and r["skipped"] == ["a"]
+    assert not os.path.isdir(os.path.join(out, "_tmp_part=b"))
+    got = pd.concat([
+        pd.read_parquet(os.path.join(out, d))
+        for d in sorted(os.listdir(out)) if d.startswith("part=")
+    ]).sort_values(["part", "i"]).reset_index(drop=True)
+    assert list(got["part"].unique()) == ["a", "b"]
+    assert len(got) == 20 and not got["i"].isna().any()
