@@ -58,6 +58,56 @@ def _shingle_hashes_batch(texts, k: int, word: bool) -> list:
             for i in range(len(texts))]
 
 
+_FOLD_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _shingle_hashes_batch_fold(texts, k: int) -> list:
+    """Word-shingle hash sets via numeric k-gram FOLDING — the scale
+    fast path: tokens are hashed ONCE (the hash input is the text,
+    not the ~k-times-duplicated joined shingle strings) and each
+    k-gram hash is a vectorized rolling polynomial over the k token
+    hashes.  2-3x cheaper than the string-join path on the signature
+    stage; the hash UNIVERSE differs from the join path, so candidate
+    sets near the J threshold may differ by LSH luck — same
+    statistical guarantees, not bit-identical banding.  Exact-Jaccard
+    verification downstream is unaffected (gram-set equality is
+    hash-value-independent)."""
+    all_toks: list = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for d, t in enumerate(texts):
+        tk = _TOKEN_RE.findall((t or "").lower())
+        all_toks.extend(tk)
+        counts[d] = len(tk)
+    if not all_toks:
+        return [np.array([], dtype=np.uint64) for _ in texts]
+    h = hash64(np.array(all_toks, dtype=object))
+    n = len(h)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    # one vectorized polynomial over the FLAT token-hash array;
+    # per-doc slices below keep only windows inside the doc
+    m = max(n - k + 1, 0)
+    if m:
+        g = h[:m].copy()
+        for j in range(1, k):
+            g *= _FOLD_P
+            g += h[j:j + m]
+    out = []
+    for d in range(len(texts)):
+        nt = int(counts[d])
+        if nt == 0:
+            out.append(np.array([], dtype=np.uint64))
+        elif nt < k:
+            th = h[offsets[d]:offsets[d + 1]]
+            s = th[0]                  # whole-doc shingle, like join
+            for j in range(1, nt):
+                s = s * _FOLD_P + th[j]
+            out.append(np.array([s], dtype=np.uint64))
+        else:
+            a = offsets[d]
+            out.append(np.unique(g[a:a + nt - k + 1]))
+    return out
+
+
 # ------------------------------------------------------- MinHash + LSH
 
 class MinHashBands:
@@ -69,7 +119,11 @@ class MinHashBands:
 
     def __init__(self, text_col: str, id_col: str, num_perm: int = 128,
                  bands: int = 16, shingle_k: int = 3, word: bool = True,
-                 include_sig: bool = True):
+                 include_sig: bool = True, shingle_mode: str = "join"):
+        if shingle_mode not in ("join", "fold"):
+            raise ValueError("shingle_mode must be 'join' or 'fold'")
+        if shingle_mode == "fold" and not word:
+            raise ValueError("fold mode is word-shingle only")
         self.text_col = text_col
         self.id_col = id_col
         self.num_perm = num_perm
@@ -77,11 +131,15 @@ class MinHashBands:
         self.shingle_k = shingle_k
         self.word = word
         self.include_sig = include_sig
+        self.shingle_mode = shingle_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         ids = batch.column(self.id_col).to_pylist()
-        hashes = _shingle_hashes_batch(texts, self.shingle_k, self.word)
+        hashes = (_shingle_hashes_batch_fold(texts, self.shingle_k)
+                  if self.shingle_mode == "fold"
+                  else _shingle_hashes_batch(texts, self.shingle_k,
+                                             self.word))
         sigs = minhash_signatures(hashes, self.num_perm)
         bk = band_keys(sigs, self.bands)
         n = len(ids)
@@ -232,7 +290,8 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str,
                             threshold: float = 0.8, num_perm: int = 128,
                             bands: int = 16, shingle_k: int = 3,
                             word: bool = True, batch_size=None,
-                            verify: bool = True):
+                            verify: bool = True,
+                            shingle_mode: str = "join"):
     """Near-duplicate pairs (a < b, jaccard_est) via MinHash LSH.
 
     ``verify=False`` is the recall-stage plan for huge corpora:
@@ -251,10 +310,17 @@ def minhash_duplicate_pairs(ds, text_col: str, id_col: str,
     that preserves semantics is exactly ``verify=False`` (24 B/row,
     ~40x less than sig mode) + exact verification afterwards — the
     documented 100 TB plan, and what bench.py measures.
+
+    ``shingle_mode="fold"`` is the signature-stage fast path: token
+    hashes folded numerically into k-gram hashes (no shingle string
+    construction, hash input = the text once instead of ~k times).
+    Different hash universe -> near-threshold candidates may differ
+    by LSH luck (same statistical guarantees); the default stays
+    "join" so existing outputs are bit-stable.
     """
     exploded = ds.map_batches(
         MinHashBands(text_col, id_col, num_perm, bands, shingle_k, word,
-                     include_sig=verify),
+                     include_sig=verify, shingle_mode=shingle_mode),
         batch_format="pyarrow", batch_size=batch_size)
     pairs = _pairs_blocked(
         exploded, id_col, ("band", "key"),

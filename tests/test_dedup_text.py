@@ -975,6 +975,43 @@ def test_span_dedup_matches_bruteforce(ray_session):
     assert got == expect
 
 
+def test_minhash_fold_mode_equivalent_recall(ray_session):
+    """shingle_mode='fold' (numeric k-gram folding, no shingle-string
+    construction) must produce the same per-doc gram-set CARDINALITY
+    as the join path and find the same planted duplicates; hash
+    universes differ, so only set-level properties are compared."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import (_shingle_hashes_batch,
+                                       _shingle_hashes_batch_fold,
+                                       minhash_duplicate_pairs)
+
+    base = [f"alpha beta {i} gamma delta epsilon zeta eta {i * 7} "
+            f"theta iota kappa" for i in range(60)]
+    texts = base + base[:15] + [
+        f"disjoint unique text {i} nothing shared {i * 3}"
+        for i in range(25)]
+    j = _shingle_hashes_batch(texts, 3, True)
+    f = _shingle_hashes_batch_fold(texts, 3)
+    assert [len(a) for a in j] == [len(b) for b in f]
+    # within-doc dup grams collapse identically (unique sets)
+    rep = ["w x y z w x y z w x y z", "short"]
+    jr = _shingle_hashes_batch(rep, 3, True)
+    fr = _shingle_hashes_batch_fold(rep, 3)
+    assert [len(a) for a in jr] == [len(b) for b in fr] == [4, 1]
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(4)
+    planted = {(i, i + 60) for i in range(15)}
+    for mode in ("join", "fold"):
+        out = minhash_duplicate_pairs(ds, "text", "doc_id",
+                                      threshold=0.9, verify=True,
+                                      shingle_mode=mode).to_pandas()
+        pairs = set(map(tuple, out[["a", "b"]].to_numpy()))
+        assert planted <= pairs, mode
+
+
 def _scrub_bruteforce(texts, ids, n, min_run):
     """Single-process reference for remove_duplicate_spans."""
     import re as _re
