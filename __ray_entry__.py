@@ -386,13 +386,29 @@ def _q_packed_sequences(sf_dir: str):
     partition-independent concat layout, which carries an EXACT
     window-function SQL oracle; the best-fit variant keeps its
     capacity/exactly-once pytest invariants on the library fn)."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from boon_ray.stages.training import pack_concat_chunks
 
+    # id bounds come FREE from the parquet footer (the documented
+    # deployment path) — skips the bounds aggregation pass
+    md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+    stats = [md.row_group(g).column(idx).statistics
+             for g in range(md.num_row_groups)]
+    bounds = ((min(s.min for s in stats), max(s.max for s in stats))
+              if stats and all(s and s.has_min_max for s in stats)
+              else None)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "n_chars"])
-    return pack_concat_chunks(ds, "doc_id", "n_chars", capacity=4096)
+    # bucket count tracks the id range (dense ids ~ rows): one
+    # exchange task per ~64k-id slice, floor 1 — tiny inputs skip
+    # the 64-way exchange entirely
+    nb = (max(1, min(64, (bounds[1] - bounds[0]) // 65536 + 1))
+          if bounds else 64)
+    return pack_concat_chunks(ds, "doc_id", "n_chars", capacity=4096,
+                              id_bounds=bounds, num_buckets=nb)
 
 
 def _q_partition_verdicts(sf_dir: str):
@@ -1589,7 +1605,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus": _q_corpus,
         "embedding_neardup": _q_embedding_neardup,
         "keyword_violations": _q_keyword_violations,
-        "packed_sequences": _q_packed_sequences,
         "embedding_centroids": _q_embedding_centroids,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "events_props_valid": _q_events_props_valid,
@@ -1598,6 +1613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "decontaminate": _q_decontaminate,
         "distinct_hll": _q_distinct_hll,
+        "packed_sequences": _q_packed_sequences,
         "gopher_verdicts": _q_gopher_verdicts_folded,
         "schema_verdicts": _q_schema_verdicts_folded,
         "q1_lineitem": _q_q1_lineitem,
