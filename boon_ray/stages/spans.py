@@ -157,11 +157,172 @@ def _batch_gram_positions(batch: pa.Table, *, n: int, column: str,
     return parts
 
 
+def _excise(tok: list, starts: np.ndarray, n: int,
+            min_run: int) -> tuple:
+    """Shared rewrite kernel: given a doc's tokens and the 0-based
+    start indices of its duplicated n-gram windows, remove every
+    maximal covered run of >= min_run tokens.  Returns
+    (n_removed, clean_text)."""
+    nt = len(tok)
+    diff = np.zeros(nt + 1, dtype=np.int64)
+    np.add.at(diff, starts, 1)
+    np.add.at(diff, np.minimum(starts + n, nt), -1)
+    cover = np.cumsum(diff[:-1]) > 0
+    edges = np.flatnonzero(np.diff(
+        np.concatenate(([0], cover.view(np.int8), [0]))))
+    run_a, run_b = edges[::2], edges[1::2]
+    remove = np.zeros(nt, dtype=bool)
+    for a, b_ in zip(run_a, run_b):
+        if b_ - a >= min_run:
+            remove[a:b_] = True
+    nr = int(remove.sum())
+    if nr == 0:
+        return 0, " ".join(tok)
+    return nr, " ".join(t for t, r in zip(tok, remove) if not r)
+
+
+class _SpanRewriter:
+    """Cached-task rewrite stage (broadcast plan): fetches the sorted
+    duplicated-gram table ONCE per worker (zero-copy numpy ray.get)
+    and rewrites each batch's docs locally — no doc-keyed exchange,
+    no position shipping, the corpus is read exactly where it already
+    lives.  Membership is EXACT: searchsorted on the g1 lane plus a
+    g2 confirm (vectorized for the unique-tie case, tiny loop for the
+    ~zero multi-tie collisions)."""
+
+    def __init__(self, dup_ref, n: int, min_run: int, column: str,
+                 id_col: str):
+        import ray
+        g1, g2 = ray.get(dup_ref)
+        self.g1 = g1
+        self.g2 = g2
+        self.n = n
+        self.min_run = min_run
+        self.column = column
+        self.id_col = id_col
+
+    def _member(self, q1: np.ndarray, q2: np.ndarray) -> np.ndarray:
+        lo = np.searchsorted(self.g1, q1, "left")
+        hi = np.searchsorted(self.g1, q1, "right")
+        member = hi > lo
+        ties = hi - lo
+        one = member & (ties == 1)
+        member[one] = self.g2[lo[one]] == q2[one]
+        for j in np.flatnonzero(ties > 1):
+            member[j] = bool(np.any(
+                self.g2[lo[j]:hi[j]] == q2[j]))
+        return member
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        trimmed = pc.utf8_trim_whitespace(
+            batch.column(self.column).combine_chunks())
+        toks = pc.split_pattern_regex(trimmed, _WS)
+        toks = (toks.combine_chunks()
+                if isinstance(toks, pa.ChunkedArray) else toks)
+        offsets = toks.offsets.to_numpy()
+        flat = toks.values.to_pandas().to_numpy()
+        counts = offsets[1:] - offsets[:-1]
+        ids = batch.column(self.id_col) \
+                   .to_numpy(zero_copy_only=False).astype(np.int64)
+
+        h1 = hash64(flat)
+        h2 = _hash64_2(flat)
+        g1 = _gram_hashes(h1, n, _P1).view(np.int64)
+        g2 = _gram_hashes(h2, n, _P2).view(np.int64)
+        member = (self._member(g1, g2) if len(g1)
+                  else np.empty(0, dtype=bool))
+
+        out_id, out_nt, out_nr, out_tx = [], [], [], []
+        for d in range(len(ids)):
+            nt = int(counts[d])
+            a = int(offsets[d])
+            tok = list(flat[a:a + nt])
+            if nt == 1 and tok[0] == "":
+                continue              # empty/whitespace-only doc
+            if nt < n:
+                out_id.append(ids[d]); out_nt.append(nt)
+                out_nr.append(0); out_tx.append(" ".join(tok))
+                continue
+            m = member[a:a + nt - n + 1]
+            starts = np.flatnonzero(m)
+            nr, tx = _excise(tok, starts, n, self.min_run)
+            out_id.append(ids[d]); out_nt.append(nt)
+            out_nr.append(nr); out_tx.append(tx)
+        return pa.table({
+            self.id_col: pa.array(
+                np.array(out_id, dtype=np.int64), pa.int64()),
+            "n_tokens": pa.array(
+                np.array(out_nt, dtype=np.int64), pa.int64()),
+            "n_removed": pa.array(
+                np.array(out_nr, dtype=np.int64), pa.int64()),
+            "clean_text": pa.array(out_tx, pa.string())})
+
+
+def _remove_spans_broadcast(ds, *, n: int, min_run: int, column: str,
+                            id_col: str, num_buckets: int,
+                            batch_size=None):
+    """Broadcast plan: detect duplicated grams with the (distinct
+    gram, doc) exchange already used by span_dedup_stats, gather the
+    sorted dup-gram table, ray.put it once, and rewrite docs in ONE
+    cached-task map pass."""
+    import ray
+
+    from boon_ray.stages.combine import bucketed_map_groups
+    from boon_ray.stages.taskcache import cached_map_batches
+
+    def parts_stage(b: pa.Table) -> pa.Table:
+        parts, _ = _batch_gram_counts(b, n=n, column=column,
+                                      id_col=id_col,
+                                      num_buckets=num_buckets)
+        return pa.Table.from_pandas(
+            parts[["_g1", "_g2", "doc", "_bucket"]],
+            preserve_index=False)
+
+    def dup_grams_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "_g1": pd.Series([], dtype=np.int64),
+                "_g2": pd.Series([], dtype=np.int64)})
+        sz = df.groupby(["_g1", "_g2"], sort=False)["doc"] \
+               .transform("size")           # rows distinct per doc
+        return (df[sz.to_numpy() >= 2][["_g1", "_g2"]]
+                .drop_duplicates())
+
+    parts = ds.map_batches(parts_stage, batch_format="pyarrow",
+                           batch_size=batch_size)
+    dup_ds = bucketed_map_groups(parts, None, dup_grams_bucket,
+                                 num_buckets=num_buckets,
+                                 bucket_col="_bucket")
+    # gather the dup-gram table (16 B/gram) and sort by (g1, g2)
+    tbls = ray.get(dup_ds.to_arrow_refs())
+    g1s, g2s = [], []
+    for t in tbls:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows:
+            g1s.append(t.column("_g1").to_numpy(zero_copy_only=False))
+            g2s.append(t.column("_g2").to_numpy(zero_copy_only=False))
+    g1 = (np.concatenate(g1s).astype(np.int64)
+          if g1s else np.empty(0, dtype=np.int64))
+    g2 = (np.concatenate(g2s).astype(np.int64)
+          if g2s else np.empty(0, dtype=np.int64))
+    order = np.lexsort((g2, g1))
+    dup_ref = ray.put((g1[order], g2[order]))
+
+    return cached_map_batches(
+        ds, _SpanRewriter,
+        {"dup_ref": dup_ref, "n": n, "min_run": min_run,
+         "column": column, "id_col": id_col},
+        batch_size=batch_size)
+
+
 def remove_duplicate_spans(ds, *, n: int = 5, min_run: int = 10,
                            column: str = "text",
                            id_col: str = "doc_id",
                            num_buckets: int = 128,
-                           doc_buckets: int = 64, batch_size=None):
+                           doc_buckets: int = 64, batch_size=None,
+                           mode: str = "broadcast"):
     """Cross-document duplicate-SPAN REMOVAL — the rewrite step of
     Lee et al. substring dedup: excise every maximal run of at least
     ``min_run`` consecutive tokens in which EVERY token is covered by
@@ -176,14 +337,28 @@ def remove_duplicate_spans(ds, *, n: int = 5, min_run: int = 10,
     (fully covered) and incidental short phrase overlap (< min_run
     covered run) is preserved.
 
-    Scale shape: Stage A ships (gram128, doc, pos) = 32 B/window —
-    never gram strings; Stage B buckets by gram hash (coarse, never
-    per-gram groups) and emits only DUPLICATED positions
-    (delta-sized); Stage C co-locates each doc's text with its
-    duplicated positions in ONE doc-keyed exchange (the corpus bytes
-    cross once, the snapshot_delta contract) and rewrites per doc
-    with numpy cover/run kernels.
+    Two plans, identical output:
+
+    - ``mode="broadcast"`` (default, the decontaminate.py pattern):
+      one DISTINCT (gram128, doc) exchange (24 B/row) finds the
+      duplicated grams; their sorted 16 B/gram table is ``ray.put``
+      once and every rewrite task reads it zero-copy — the corpus
+      text NEVER crosses an exchange and positions are never
+      shipped.  Driver + each worker hold the dup-gram table once
+      (16 B x distinct duplicated grams; the all-duplicated bench
+      corpus = ~400 MB, real corpora orders less).
+    - ``mode="exchange"``: fully distributed fallback for dup-gram
+      sets beyond single-node memory — Stage A ships (gram128, doc,
+      pos) = 32 B/window, gram buckets emit only duplicated
+      positions (delta-sized), and the text crosses ONE doc-keyed
+      exchange (the snapshot_delta contract).
     """
+    if mode not in ("broadcast", "exchange"):
+        raise ValueError("mode must be 'broadcast' or 'exchange'")
+    if mode == "broadcast":
+        return _remove_spans_broadcast(
+            ds, n=n, min_run=min_run, column=column, id_col=id_col,
+            num_buckets=num_buckets, batch_size=batch_size)
 
     def parts_stage(b: pa.Table) -> pa.Table:
         return pa.Table.from_pandas(

@@ -1083,19 +1083,21 @@ try:
     @given(texts=st.lists(_sdoc, min_size=1, max_size=10),
            n=st.sampled_from([2, 3]),
            min_run=st.sampled_from([3, 5]),
-           nblocks=st.sampled_from([1, 3]))
+           nblocks=st.sampled_from([1, 3]),
+           mode=st.sampled_from(["broadcast", "exchange"]))
     def test_remove_duplicate_spans_fuzz_vs_bruteforce(
-            ray_session, texts, n, min_run, nblocks):
+            ray_session, texts, n, min_run, nblocks, mode):
         """Tiny-vocab random docs (heavy gram collisions) across
         block splits must equal the single-process rewrite exactly —
-        text, counts and doc membership."""
+        text, counts and doc membership — under BOTH plans."""
         from boon_ray.stages.spans import remove_duplicate_spans
 
         ids = list(range(len(texts)))
         expect = _scrub_bruteforce(texts, ids, n, min_run)
         out = remove_duplicate_spans(
             _span_docs(texts).repartition(nblocks), n=n,
-            min_run=min_run, num_buckets=8, doc_buckets=4).to_pandas()
+            min_run=min_run, num_buckets=8, doc_buckets=4,
+            mode=mode).to_pandas()
         if not expect:        # all docs token-less: empty result
             assert len(out) == 0
             return
