@@ -258,34 +258,57 @@ def length_quantiles_exact(ds, group_key: str = "lang",
     (DuckDB ``quantile_cont`` parity — the oracle-checkable sibling of
     the histogram-based :func:`length_quantiles`).
 
-    Scale shape: the text column is dropped BEFORE the exchange, so
-    the shuffle moves only (group, int64 length) rows; each group's
-    lengths are sorted and quantiled inside its map_groups task
-    (per-group memory = 8 B × group rows — same per-key-group contract
-    as the session window operator). Returns a Dataset of
-    (group, n, q25, q50, q75, ...).
+    Scale shape (round 4: row-bound exchange -> VALUE-HISTOGRAM
+    partials): a char length is a BOUNDED int, so per-batch
+    (group, length, count) partials reduce through the vocabulary
+    tree combine and the driver interpolates each quantile exactly
+    from cumulative counts — the exchange is (groups x distinct
+    lengths)-bounded (KBs), never row-bounded (the previous plan
+    shipped 8 B x rows = 8 TB at 10^12 rows). Bit-equal to
+    np.quantile linear interpolation / DuckDB quantile_cont.
+    Returns a pandas frame of (group, n, q25, q50, q75, ...).
     """
+    from boon_ray.stages.combine import combine_keyed_partials
 
-    def project(b: pa.Table) -> pa.Table:
-        return pa.table({
+    def hist(b: pa.Table) -> pa.Table:
+        df = pa.table({
             group_key: b.column(group_key),
             "_len": pc.cast(pc.utf8_length(b.column(column)),
                             pa.int64()),
-        })
+        }).to_pandas()
+        g = (df.groupby([group_key, "_len"], sort=False)
+             .size().rename("cnt").reset_index())
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["_len"].to_numpy(dtype=np.float64))
-        out = {group_key: [g[group_key].iloc[0]],
-               "n": pd.Series([len(v)], dtype="int64")}
+    counts = combine_keyed_partials(
+        ds.map_batches(hist, batch_format="pyarrow",
+                       batch_size=None),
+        [group_key, "_len"], ["cnt"])
+
+    rows = []
+    for key, g in counts.groupby(group_key, sort=True):
+        g = g.sort_values("_len")
+        lens = g["_len"].to_numpy(np.float64)
+        cum = np.cumsum(g["cnt"].to_numpy(np.int64))
+        n = int(cum[-1])
+
+        def val(i: int) -> float:
+            return float(lens[np.searchsorted(cum, i, side="right")])
+
+        row = {group_key: key, "n": n}
         for q in qs:
-            out[f"q{int(q * 100)}"] = pd.Series(
-                [float(np.quantile(v, q))], dtype="float64")
-        return pd.DataFrame(out)
-
-    return (ds.map_batches(project, batch_format="pyarrow",
-                           batch_size=None)
-            .groupby(group_key)
-            .map_groups(agg, batch_format="pandas"))
+            h = q * (n - 1)
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            v_lo = val(lo)
+            row[f"q{int(q * 100)}"] = (
+                v_lo + (h - lo) * (val(hi) - v_lo))
+        rows.append(row)
+    out = pd.DataFrame(
+        rows, columns=[group_key, "n"]
+        + [f"q{int(q * 100)}" for q in qs])
+    out["n"] = out["n"].astype(np.int64)
+    return out
 
 
 def length_quantiles(ds, group_key: str = "lang",

@@ -687,8 +687,9 @@ def test_length_quantiles_exact_matches_duckdb(ray_session):
     from boon_ray.sources.corpus import CORPUS_CTE, corpus_dataset
     from boon_ray.stages.drift import length_quantiles_exact
 
-    got = (length_quantiles_exact(corpus_dataset(SF)).to_pandas()
-           .sort_values("lang").reset_index(drop=True))
+    got = length_quantiles_exact(corpus_dataset(SF))
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got) \
+        .sort_values("lang").reset_index(drop=True)
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{SF}/documents.parquet')")
