@@ -959,6 +959,132 @@ def dedup_near(ds, text_col: str, id_col: str, threshold: float = 0.8,
                           batch_size=batch_size, concurrency=(1, 8))
 
 
+# ----------------------------------------------- incremental LSH index
+
+def build_lsh_index(ds, index_dir: str, text_col: str, id_col: str,
+                    num_perm: int = 128, bands: int = 16,
+                    shingle_k: int = 3, word: bool = True,
+                    shingle_mode: str = "join",
+                    batch_size=None) -> dict:
+    """Persist the corpus's MinHash-LSH band keys as a
+    hive-partitioned parquet index ``band=<b>/...`` (24 B/row:
+    band, key, id) — the one-time artifact for INCREMENTAL near-dup:
+    each new snapshot queries the index instead of re-reading and
+    re-signing the old corpus (384 B/doc of index scan vs ~2 KB/doc
+    of text read + the signature CPU, the dominant ingest cost).
+
+    The signature parameters are written to ``meta.json`` and
+    enforced at query time — band keys from different parameters
+    never compare equal, so a silent mismatch is impossible.
+    Rebuilds are explicit (callers own index_dir), same lifecycle
+    contract as :func:`similarity.build_ivf_index`.
+    """
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    exploded = ds.map_batches(
+        MinHashBands(text_col, id_col, num_perm, bands, shingle_k,
+                     word, include_sig=False,
+                     shingle_mode=shingle_mode),
+        batch_format="pyarrow", batch_size=batch_size)
+    data_dir = os.path.join(index_dir, "bands")
+    exploded.write_parquet(data_dir, partition_cols=["band"])
+    import pyarrow.parquet as pq
+    n_rows = 0  # footer metadata only — no data read
+    for root, _, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_rows += pq.read_metadata(
+                    os.path.join(root, f)).num_rows
+    meta = {"num_perm": num_perm, "bands": bands,
+            "shingle_k": shingle_k, "word": word,
+            "shingle_mode": shingle_mode, "id_col": id_col,
+            "rows": n_rows}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def neardup_against_index(new_ds, index_dir: str, text_col: str,
+                          id_col: str, batch_size=None):
+    """Candidate near-dup pairs (new_id, old_id) between a NEW
+    snapshot and an indexed corpus — the ingest-time dedup step.
+
+    Plan: the new side (the DELTA — small by definition) computes its
+    band keys once and broadcasts them as a combined-key hash table
+    (``ray.put``, fetched once per worker); the index partitions
+    stream through a semi-join map (vectorized ``np.isin`` on the
+    combined band-key hash, then an id merge). The old corpus text
+    is never touched and nothing about the index re-shuffles — the
+    only exchange is the final pair dedupe, candidate-bound.
+
+    Parameters come FROM THE INDEX META (never from the caller), so
+    both sides always hash identically.
+    """
+    import json
+    import os
+
+    import ray
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    import ray.data as rd
+
+    new_keys = new_ds.map_batches(
+        MinHashBands(text_col, id_col, meta["num_perm"],
+                     meta["bands"], meta["shingle_k"], meta["word"],
+                     include_sig=False,
+                     shingle_mode=meta.get("shingle_mode", "join")),
+        batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    bk_new = hash64_combine(new_keys["band"].to_numpy(np.int64),
+                            new_keys["key"].to_numpy(np.int64))
+    order = np.argsort(bk_new, kind="mergesort")
+    table_ref = ray.put((bk_new[order],
+                         new_keys[id_col].to_numpy(np.int64)[order]))
+
+    old_id = f"old_{meta['id_col']}"
+
+    def probe(b: pa.Table) -> pd.DataFrame:
+        keys_sorted, new_ids = ray.get(table_ref)
+        bk = hash64_combine(
+            b.column("band").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            b.column("key").to_numpy(zero_copy_only=False)
+            .astype(np.int64))
+        lo = np.searchsorted(keys_sorted, bk, "left")
+        hi = np.searchsorted(keys_sorted, bk, "right")
+        counts = hi - lo
+        hit = counts > 0
+        if not hit.any():
+            return pd.DataFrame({
+                "new_id": pd.Series([], dtype=np.int64),
+                old_id: pd.Series([], dtype=np.int64)})
+        # expand: one pair per (index row, matching new row)
+        reps = counts[hit]
+        starts = lo[hit]
+        take = np.concatenate(
+            [np.arange(s, s + c) for s, c in zip(starts, reps)])
+        olds = np.repeat(
+            b.column(meta["id_col"])
+            .to_numpy(zero_copy_only=False).astype(np.int64)[hit],
+            reps)
+        return pd.DataFrame({
+            "new_id": new_ids[take],
+            old_id: olds}).drop_duplicates()
+
+    idx = rd.read_parquet(os.path.join(index_dir, "bands"))
+    pairs = idx.map_batches(probe, batch_format="pyarrow",
+                            batch_size=batch_size)
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["new_id", old_id])
+
+    from boon_ray.stages.combine import bucketed_map_groups
+    return bucketed_map_groups(pairs, ["new_id", old_id], dd,
+                               num_buckets=32)
+
+
 # ------------------------------------------------------------ SemDeDup
 
 def semdedup(ds, labels, centroids_fp, vec_col: str = "embedding",

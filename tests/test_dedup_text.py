@@ -1012,6 +1012,52 @@ def test_minhash_fold_mode_equivalent_recall(ray_session):
         assert planted <= pairs, mode
 
 
+def test_incremental_lsh_index(ray_session, tmp_path):
+    """build once, ingest twice: planted cross-snapshot dups surface
+    as (new_id, old_id) candidates, disjoint deltas surface nothing,
+    and the query reuses the INDEX's signature parameters."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import (build_lsh_index,
+                                       neardup_against_index)
+
+    old = [f"alpha beta {i} gamma delta epsilon zeta eta {i * 7} "
+           f"theta iota kappa" for i in range(50)]
+    idx_dir = str(tmp_path / "lsh")
+    meta = build_lsh_index(
+        rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(old)), pa.int64()),
+            "text": pa.array(old)})).repartition(3),
+        idx_dir, "text", "doc_id", bands=16)
+    assert meta["rows"] == 50 * 16
+    assert json.load(open(os.path.join(idx_dir, "meta.json")))[
+        "bands"] == 16
+
+    # delta with 10 exact dups of old docs (+5 novel)
+    new = [old[i] for i in range(10)] + [
+        f"completely novel text {i} nothing shared {i * 3}"
+        for i in range(5)]
+    new_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(1000, 1000 + len(new)), pa.int64()),
+        "text": pa.array(new)})).repartition(2)
+    pairs = neardup_against_index(new_ds, idx_dir, "text", "doc_id") \
+        .to_pandas()
+    got = set(map(tuple, pairs[["new_id", "old_doc_id"]].to_numpy()))
+    assert {(1000 + i, i) for i in range(10)} <= got
+    # novel docs never pair
+    assert not [p for p in got if p[0] >= 1010]
+
+    # disjoint delta: no candidates at all
+    none_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7777], pa.int64()),
+        "text": pa.array(["utterly disjoint vocabulary here only"])}))
+    assert len(neardup_against_index(
+        none_ds, idx_dir, "text", "doc_id").to_pandas()) == 0
+
+
 def _scrub_bruteforce(texts, ids, n, min_run):
     """Single-process reference for remove_duplicate_spans."""
     import re as _re
