@@ -149,6 +149,29 @@ def q_span_scrub():
                                   min_run=10).count()
 
 
+def q_incremental_dedup():
+    """Ingest-time near-dup: one-time LSH index build over the 500k
+    corpus (hive band=<b>/ write, 24 B/row) + a 5k-doc delta (1%)
+    probed against the index — the old corpus text is never re-read;
+    the delta broadcasts its band keys and the index streams through
+    a semi-join map."""
+    import shutil
+    import tempfile
+
+    from boon_ray.stages.dedup import (build_lsh_index,
+                                       neardup_against_index)
+
+    idx_dir = tempfile.mkdtemp(prefix="boonray_lsh_")
+    try:
+        build_lsh_index(_corpus_ids(), idx_dir, "text", "doc_id")
+        delta = _corpus_ids().limit(5000).materialize()
+        pairs = neardup_against_index(delta, idx_dir, "text",
+                                      "doc_id")
+        return pairs.count()
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+
 def q_windows():
     """Tumbling + session windows over the events log."""
     import ray.data as rd
@@ -564,6 +587,7 @@ QUERIES = {
     "column_stats": q_column_stats,
     "minhash_dedup": q_minhash_dedup,
     "span_scrub": q_span_scrub,
+    "incremental_dedup": q_incremental_dedup,
     "windows": q_windows,
     "ann_topk": q_ann_topk,
     "ivf_search": q_ivf_search,
