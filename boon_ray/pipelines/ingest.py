@@ -1,0 +1,97 @@
+"""Incremental-ingest pipeline: fold a NEW snapshot delta into an
+already-indexed corpus — the recurring production shape (a crawl
+lands every day; the corpus is petabytes; the delta is not).
+
+Chain (every stage is one of the repo's tested operators):
+
+  1. near-dup vs the corpus: the delta's band keys probe the
+     persisted LSH index (``stages/dedup.build_lsh_index`` /
+     ``neardup_against_index``) — the OLD corpus text is never
+     re-read; docs with any candidate pair are dropped (recall-
+     oriented: an LSH candidate is treated as a duplicate, the
+     standard ingest-side choice — verification would need the old
+     text this plan exists to avoid).
+  2. span scrub WITHIN the surviving delta
+     (``stages/spans.remove_duplicate_spans``): cross-doc duplicated
+     runs inside the same crawl (boilerplate, mirrored pages) are
+     excised before the docs ever join the corpus.
+  3. resumable partitioned output (``state/checkpoint.run_partitioned``)
+     keyed by a hash of the doc id, with per-partition lineage
+     manifests — a crashed ingest re-runs only unfinished partitions.
+
+Scale shape: index scan is 384 B/doc of the OLD corpus (vs ~2 KB/doc
+text re-read + signature CPU); the delta (small by definition)
+broadcasts its keys once and streams through scrub's distinct-gram
+exchange; output partitions are independent.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def ingest_delta(new_ds, lsh_index_dir: str, out_dir: str,
+                 *, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 5, min_run: int = 10,
+                 num_partitions: int = 4) -> dict:
+    """Run the full ingest chain; returns summary stats.
+
+    Output partitions: ``out_dir/part=<p>/`` with columns
+    (doc_id, n_tokens, n_removed, clean_text), p = splitmix64(id) %
+    num_partitions.  Resumable: re-running skips finished partitions.
+    """
+    import ray
+
+    from boon_ray.stages.dedup import neardup_against_index
+    from boon_ray.stages.spans import remove_duplicate_spans
+    from boon_ray.stages.training import splitmix64
+    from boon_ray.state.checkpoint import run_partitioned
+
+    # 1. candidates vs the indexed corpus -> drop those delta docs
+    pairs = neardup_against_index(new_ds, lsh_index_dir, text_col,
+                                  id_col).to_pandas()
+    dup_ids = np.unique(pairs["new_id"].to_numpy(np.int64)) \
+        if len(pairs) else np.empty(0, dtype=np.int64)
+    dup_ref = ray.put(np.sort(dup_ids))
+
+    def drop_dups(b: pa.Table) -> pa.Table:
+        drop = ray.get(dup_ref)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+               .astype(np.int64)
+        pos = np.searchsorted(drop, ids)
+        pos = np.clip(pos, 0, max(len(drop) - 1, 0))
+        hit = (drop[pos] == ids) if len(drop) else \
+            np.zeros(len(ids), dtype=bool)
+        return b.filter(pa.array(~hit))
+
+    survivors = new_ds.map_batches(drop_dups, batch_format="pyarrow")
+
+    # 2. span scrub within the delta (one computation, reused by
+    #    every output partition via materialize)
+    scrubbed = remove_duplicate_spans(
+        survivors, n=n, min_run=min_run, column=text_col,
+        id_col=id_col).materialize()
+
+    # 3. resumable partitioned write
+    def make(pid: str):
+        p = int(pid)
+
+        def part_filter(b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+                   .astype(np.int64)
+            m = (splitmix64(ids.view(np.uint64))
+                 % np.uint64(num_partitions)) == p
+            return b.filter(pa.array(m))
+
+        return scrubbed.map_batches(part_filter,
+                                    batch_format="pyarrow")
+
+    summary = run_partitioned(
+        [str(p) for p in range(num_partitions)], make, out_dir,
+        lineage=lambda pid: {"stage": "ingest_delta",
+                             "index": lsh_index_dir,
+                             "partition": pid})
+    n_dup = int(len(dup_ids))
+    return {"dropped_as_corpus_dup": n_dup,
+            "partitions": summary["manifests"],
+            "ran": summary["ran"], "skipped": summary["skipped"]}

