@@ -627,3 +627,66 @@ def streaming_tumbling_counts(ds, ts_col: str, key_col: str,
                        batch_size=None),
         [key_col], feed_bucket, num_buckets=num_buckets,
         pass_bucket=True, preserve_order=True)
+
+
+def streaming_sliding_counts(ds, ts_col: str, key_col: str,
+                             value_col: str, size_s: int = 3600,
+                             slide_s: int = 1800,
+                             allowed_lateness_s: int = 0,
+                             num_buckets: int = 8,
+                             chunk_rows: int = 8192):
+    """Watermarked streaming SLIDING windows by phase decomposition:
+    a sliding window (size S, slide s, S % s == 0) is the union of
+    S/s tumbling streams, phase p fed with ts + p*s and its emitted
+    window_start shifted back by p*s — so every watermark property
+    of :func:`streaming_tumbling_counts` (incremental emission as the
+    watermark passes, late-event side channel, lateness grace,
+    epoch-fenced retries) carries over per phase unchanged.
+
+    Output: (key, window_start, n_events, sum_value,
+    n_late_in_bucket) with one row per (key, sliding window);
+    n_late_in_bucket is per (phase, bucket) — sum for a stream
+    total.  With an ordered feed (or lateness >= max disorder) the
+    (key, window) rows equal windows.sliding_window_agg exactly.
+
+    Scale: the feed runs once per phase (S/s passes — 2 for the
+    standard 50% overlap); each phase is its own actor set, so
+    overlap does not serialize.
+    """
+    if size_s % slide_s:
+        raise ValueError("size must be a multiple of slide")
+    phases = size_s // slide_s
+    outs = []
+    for p in range(phases):
+        shift_us = p * slide_s * 1_000_000
+        shift_s = p * slide_s
+
+        def shifted(b: pa.Table, shift_us=shift_us) -> pa.Table:
+            return pa.table({
+                key_col: b.column(key_col),
+                ts_col: pa.compute.add(
+                    pa.compute.cast(b.column(ts_col), pa.int64()),
+                    shift_us),
+                value_col: b.column(value_col),
+            })
+
+        part = streaming_tumbling_counts(
+            ds.map_batches(shifted, batch_format="pyarrow",
+                           batch_size=None),
+            ts_col, key_col, value_col, size_s=size_s,
+            allowed_lateness_s=allowed_lateness_s,
+            num_buckets=num_buckets, chunk_rows=chunk_rows)
+
+        def unshift(df: pd.DataFrame, shift_s=shift_s) -> pd.DataFrame:
+            df = df.copy()
+            df["window_start"] = df["window_start"] - shift_s
+            # clip pre-epoch partial windows — same contract as
+            # windows.sliding_window_agg (flat_start >= 0)
+            return df[df["window_start"] >= 0]
+
+        outs.append(part.map_batches(unshift, batch_format="pandas",
+                                     batch_size=None))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

@@ -759,6 +759,41 @@ def test_streaming_tumbling_matches_batch_when_ordered(ray_session):
     pd.testing.assert_frame_equal(g, w.astype(g.dtypes.to_dict()))
 
 
+def test_streaming_sliding_matches_batch_when_ordered(ray_session):
+    """Phase-decomposed watermarked sliding windows equal the batch
+    sliding operator exactly on an ordered feed, zero late events."""
+    import numpy as np
+    import ray.data as rd
+
+    from boon_ray.stages.streaming import streaming_sliding_counts
+    from boon_ray.stages.windows import sliding_window_agg
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    ts = np.sort(rng.integers(0, 10**7, n)) * 1_000_000
+    df = pd.DataFrame({
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": rng.integers(0, 20, n).astype(np.int64),
+        "cents": rng.integers(1, 50, n).astype(np.int64),
+    })
+    got = streaming_sliding_counts(
+        rd.from_pandas(df).repartition(5), "ts", "user_id", "cents",
+        size_s=3600, slide_s=1800, allowed_lateness_s=0,
+        num_buckets=3).to_pandas()
+    assert (got["n_late_in_bucket"] == 0).all()
+    want = sliding_window_agg(
+        rd.from_pandas(df).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=None),
+        "ts", "user_id", "cents", size_s=3600,
+        slide_s=1800).to_pandas()
+    key = ["user_id", "window_start"]
+    g = got[key + ["n_events", "sum_value"]].sort_values(key) \
+        .reset_index(drop=True)
+    w = want[key + ["n_events", "sum_value"]].sort_values(key) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w.astype(g.dtypes.to_dict()))
+
+
 def test_streaming_tumbling_late_events_side_channel(ray_session):
     """An event arriving after the watermark passed its window is
     counted late and must NOT mutate the already-emitted window."""
