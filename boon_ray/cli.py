@@ -83,8 +83,8 @@ def main(argv=None) -> int:
                    choices=["simple", "alt", "flag", "basic",
                             "detailed"], default="simple")
     p.add_argument("-q", "--quiet", action="store_true")
-    # reference-CLI TLS flags, accepted for drop-in compatibility;
-    # this sandbox has no network, so they are no-ops
+    # reference-CLI TLS flags (main.rs:233-260), wired into the real
+    # HTTP(S) loader below — exercised against localhost in tests
     p.add_argument("--cacert", metavar="FILE", default=None)
     p.add_argument("-k", "--insecure", action="store_true")
     p.add_argument("--corpus", metavar="PARQUET",
@@ -99,6 +99,10 @@ def main(argv=None) -> int:
     compiler = Compiler(default_draft=_DRAFTS[args.draft],
                         formats_enabled=args.assert_format,
                         content_enabled=args.assert_content)
+    from boon_ray.loaders import http_url_loader
+
+    compiler.use_loader(http_url_loader(cacert=args.cacert,
+                                        insecure=args.insecure))
     try:
         schema_doc = _load_instance(args.schema)
         # absolutize so relative $refs resolve against the schema file

@@ -1,0 +1,58 @@
+"""Pluggable URL loaders — the reference CLI's loader stack
+(cli/src/main.rs:213-276: FileUrlLoader + HttpUrlLoader behind a
+scheme mux) re-expressed for `Compiler.use_loader`.
+
+`file:` URLs are handled natively by `Compiler._load_doc`; this
+module supplies the HTTP(S) side.  No-network sandboxes still
+exercise the full code path against a localhost `http.server`
+(tests/test_cli_extensions.py) — the loader itself is the real one.
+"""
+
+from __future__ import annotations
+
+import json
+import ssl
+import urllib.request
+
+
+def http_url_loader(timeout: float = 10.0, cacert: str | None = None,
+                    insecure: bool = False):
+    """Callable ``url -> doc | None`` for http/https resources
+    (main.rs:233-276 HttpUrlLoader parity):
+
+    - YAML when the url ends ``.yaml``/``.yml`` OR the response
+      content-type ends ``/yaml`` or ``-yaml``; JSON otherwise.
+    - ``cacert`` verifies the peer against the given PEM bundle;
+      ``insecure`` (-k) disables TLS verification — both map onto an
+      ``ssl.SSLContext`` exactly like the reference's rustls config.
+    - returns None for non-http(s) schemes so the compiler's mux
+      falls through to its own ``file:`` handling.
+    """
+    ctx = None
+    if cacert is not None:
+        ctx = ssl.create_default_context(cafile=cacert)
+    elif insecure:
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+
+    def load(url: str):
+        if not url.startswith(("http://", "https://")):
+            return None
+        with urllib.request.urlopen(url, timeout=timeout,
+                                    context=ctx) as r:
+            data = r.read()
+            ctype = r.headers.get_content_type() or ""
+        is_yaml = (url.endswith((".yaml", ".yml"))
+                   or ctype.endswith("/yaml")
+                   or ctype.endswith("-yaml"))
+        if is_yaml:
+            try:
+                import yaml
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError(
+                    "YAML resource but pyyaml not installed") from e
+            return yaml.safe_load(data)
+        return json.loads(data)
+
+    return load
