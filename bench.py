@@ -249,6 +249,52 @@ def q_streaming_windows():
                                      size_s=3600, num_buckets=8).count()
 
 
+def q_streaming_sliding():
+    """Watermarked streaming SLIDING windows (phase decomposition —
+    two shifted tumbling streams) over the same 5M-event amplified
+    arrival feed as q_streaming_windows. Phases run sequentially
+    (each with its own actor set + materialize barrier), so the cost
+    is ~2x tumbling plus two actor-pool spinups."""
+    from boon_ray.stages.streaming import streaming_sliding_counts
+
+    # reuse q_streaming_windows' amplified feed by rebuilding it —
+    # the amplify closure lives inside that query by design (its
+    # number must stay comparable across rounds)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["ts", "user_id", "value"])
+
+    def amplify(b: pa.Table) -> pa.Table:
+        reps = 50
+        ts = pc.cast(b.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        users = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        offs = np.tile(np.arange(reps, dtype=np.int64) * 1_000_003, n)
+        return pa.table({
+            "ts": pa.array(np.repeat(ts, reps), pa.int64()),
+            "user_id": pa.array(np.repeat(users, reps) + offs,
+                                pa.int64()),
+            "cents": pa.array(np.repeat(cents, reps), pa.int64()),
+        })
+
+    # materialized ONCE: each phase re-executes its upstream (S/s
+    # passes by design), so an unmaterialized feed would bench 2x
+    # synthetic amplification instead of the window machinery
+    ds = ev.repartition(32).map_batches(amplify, batch_format="pyarrow",
+                                        batch_size=None).materialize()
+    return streaming_sliding_counts(ds, "ts", "user_id", "cents",
+                                    size_s=3600, slide_s=1800,
+                                    num_buckets=8).count()
+
+
 def q_ivf_search():
     """IVF over the embeddings table amplified 10x (50k vectors):
     one-time list-partitioned index build (hash-sampled training,
@@ -592,6 +638,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ivf_search": q_ivf_search,
     "streaming_windows": q_streaming_windows,
+    "streaming_sliding": q_streaming_sliding,
     "topk_per_group": q_topk_per_group,
     "hash_split": q_hash_split,
     "gopher_quality": q_gopher_quality,

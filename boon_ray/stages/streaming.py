@@ -684,8 +684,15 @@ def streaming_sliding_counts(ds, ts_col: str, key_col: str,
             # windows.sliding_window_agg (flat_start >= 0)
             return df[df["window_start"] >= 0]
 
+        # materialize each phase BEFORE building the next: a lazy
+        # union would execute every phase's actor set and merge wave
+        # concurrently at consumption time — 2x the actors + 2x the
+        # feed tasks oversubscribes the node and thrashes (measured:
+        # the bench-scale feed never finished). Phase outputs are
+        # small aggregates, so materializing them is cheap; phases
+        # run sequentially at ~1x tumbling cost each.
         outs.append(part.map_batches(unshift, batch_format="pandas",
-                                     batch_size=None))
+                                     batch_size=None).materialize())
     out = outs[0]
     for o in outs[1:]:
         out = out.union(o)
