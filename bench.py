@@ -866,7 +866,34 @@ def run_scaling() -> dict:
     }
 
 
+def _wrapped_main() -> None:
+    """Crash-shielded entry: Ray's core worker can abort the whole
+    process on an internal race (task_manager.cc `Check failed:
+    it != submissible_tasks_.end()`, seen ~1/3 runs on this host,
+    ray-project class bug). The driver invokes bench.py ONCE per
+    round, so a single such abort would lose the round's BENCH JSON.
+    The outer process re-runs the real bench in a subprocess (same
+    argv/env + GRAFT_BENCH_INNER=1) and retries up to 2 times on a
+    nonzero exit, forwarding the inner stdout verbatim. Scaling-mode
+    child processes inherit GRAFT_BENCH_INNER=1 and skip the wrapper,
+    so process depth stays at 2."""
+    env = dict(os.environ, GRAFT_BENCH_INNER="1")
+    last = 1
+    for attempt in range(3):
+        res = subprocess.run([sys.executable] + sys.argv, env=env)
+        last = res.returncode
+        if last == 0:
+            return
+        print(f"bench attempt {attempt + 1} exited {last}; retrying",
+              file=sys.stderr)
+        time.sleep(5)
+    sys.exit(last)
+
+
 if __name__ == "__main__":
+    if os.environ.get("GRAFT_BENCH_INNER") != "1":
+        _wrapped_main()
+        sys.exit(0)
     for a in sys.argv[1:]:
         # --only q1,q2  (CLI alias for GRAFT_BENCH_ONLY)
         if a.startswith("--only"):
