@@ -980,6 +980,22 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_merges(ds, num_merges=20)
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Tokenizer APPLICATION (Sennrich apply step): train 40 merges
+    on the documents table, broadcast them, tokenize every doc in one
+    shuffle-free pass. n_tokens is not SQL-expressible (iterative
+    merge replay); the pytest oracle is an independent sequential-
+    replay encoder plus lossless-reconstruction + partition-
+    independence invariants (tests/test_dedup_text.py)."""
+    import ray.data as rd
+
+    from boon_ray.stages.bpe import bpe_encode
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return bpe_encode(ds, num_merges=40)
+
+
 _MIX_WEIGHTS = {f"src{i}": i + 1 for i in range(20)}
 
 
@@ -1711,6 +1727,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": _q_customers_per_region,
         "doc_chunks": _q_doc_chunks,
         "span_scrub": _q_span_scrub,
+        "bpe_encode": _q_bpe_encode,
     }
 
 

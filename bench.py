@@ -441,6 +441,16 @@ def q_doc_chunks():
                            stride=24).count()
 
 
+def q_bpe_encode():
+    """Tokenizer application: train 200 BPE merges (one vocab-sized
+    pass) then tokenize all 500k docs against the broadcast merge
+    table — per-worker distinct-word cache, no shuffle."""
+    from boon_ray.stages.bpe import bpe_encode
+
+    return bpe_encode(_corpus(), num_merges=200, column="content",
+                      id_col="commit").count()
+
+
 def q_shuffle_rank():
     """Seeded global shuffle rank over 500k ids: count pass +
     one (id, h, bucket) exchange + within-bucket rank."""
@@ -646,6 +656,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "tfidf_topk": q_tfidf_topk,
     "doc_chunks": q_doc_chunks,
+    "bpe_encode": q_bpe_encode,
     "shuffle_rank": q_shuffle_rank,
     "importance": q_importance,
     "semdedup": q_semdedup,

@@ -128,6 +128,154 @@ def train_bpe(word_freqs: dict[str, int], num_merges: int
     return merges
 
 
+def _merge_all(sym: list, left: str, right: str) -> list:
+    """One left-to-right non-overlapping pass replacing every
+    (left, right) adjacency with the concatenated symbol."""
+    merged = left + right
+    out = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def encode_word(word: str, ranks: dict) -> list[str]:
+    """Tokenize ONE word with trained merges: repeatedly merge the
+    lowest-rank pair present until none applies (the standard BPE
+    inference loop). Equivalent to replaying the merges in training
+    order — a merge can only create pairs involving its own (newer,
+    higher-rank) output token, so no lower-rank pair ever appears
+    after its turn; tests assert this equivalence against the
+    independent sequential-replay reference."""
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank = None
+        best = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best = (sym[i], sym[i + 1])
+        if best is None:
+            break
+        sym = _merge_all(sym, best[0], best[1])
+    return sym
+
+
+# merged tokens get ids above the Unicode codepoint space so base
+# (single-char) ids — plain ord(c) — can never collide with them
+_MERGED_ID_BASE = 0x110000
+
+
+class BpeEncodeBatch:
+    """Per-batch corpus tokenization against a broadcast merge table.
+
+    Scale plan: the merge list is ``ray.put`` once and fetched once
+    per worker (cached_map_batches), never pickled per batch; the
+    per-word BPE loop runs once per DISTINCT word per worker thanks
+    to a bounded FIFO word cache (natural-language corpora are heavy-
+    tailed, so the cache absorbs almost all occurrences — the same
+    trick production tokenizers use). One corpus pass, no shuffle.
+
+    Token ids are deterministic without a vocab pass: base tokens id
+    as their codepoint, merge-produced tokens as _MERGED_ID_BASE +
+    first rank producing that string.
+    """
+
+    def __init__(self, merges, text_col: str = "text",
+                 id_col: str = "doc_id", emit_ids: bool = False,
+                 cache_max: int = 200_000):
+        import ray
+        if isinstance(merges, ray.ObjectRef):
+            merges = ray.get(merges)
+        self.ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+        self.tok_ids: dict[str, int] = {}
+        for i, (l, r) in enumerate(merges):
+            self.tok_ids.setdefault(l + r, _MERGED_ID_BASE + i)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.emit_ids = emit_ids
+        self.cache_max = cache_max
+        self._cache: dict[str, list[int]] = {}
+
+    def _token_id(self, t: str) -> int:
+        return self.tok_ids[t] if len(t) > 1 else ord(t)
+
+    def _encode(self, word: str) -> list[int]:
+        ids = self._cache.get(word)
+        if ids is None:
+            ids = [self._token_id(t)
+                   for t in encode_word(word, self.ranks)]
+            if len(self._cache) >= self.cache_max:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[word] = ids
+        return ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        n = len(texts)
+        n_words = np.zeros(n, np.int64)
+        n_chars = np.zeros(n, np.int64)
+        n_tokens = np.zeros(n, np.int64)
+        ids_col: list[list[int]] = []
+        for j, t in enumerate(texts):
+            words = (t or "").split()
+            ids: list[int] = []
+            for w in words:
+                ids.extend(self._encode(w))
+            n_words[j] = len(words)
+            n_chars[j] = sum(len(w) for w in words)
+            n_tokens[j] = len(ids)
+            if self.emit_ids:
+                ids_col.append(ids)
+        cols = {
+            self.id_col: batch.column(self.id_col),
+            "n_words": pa.array(n_words),
+            "n_chars": pa.array(n_chars),
+            "n_tokens": pa.array(n_tokens),
+        }
+        if self.emit_ids:
+            cols["token_ids"] = pa.array(ids_col,
+                                         pa.list_(pa.int64()))
+        return pa.table(cols)
+
+
+def bpe_encode(ds, merges=None, num_merges: int = 200,
+               column: str = "text", id_col: str = "doc_id",
+               emit_ids: bool = False, num_buckets: int = 64,
+               batch_size=None, concurrency=None):
+    """Train-then-tokenize: learn ``num_merges`` BPE merges from the
+    corpus (one vocab-bounded pass, see bpe_merges) unless ``merges``
+    is given, broadcast them, and tokenize every document in a second
+    single pass. Output per doc: n_words / n_chars / n_tokens (and
+    ``token_ids`` list<int64> when emit_ids). Compression ratio =
+    n_chars / n_tokens.
+
+    Reference analogue: boon has no tokenizer; this is a north-rule
+    L2 training-data operator (Sennrich et al. 2016 inference step).
+    """
+    import ray
+
+    from boon_ray.stages.taskcache import cached_map_batches
+
+    if merges is None:
+        wc = word_counts(ds, column=column,
+                         num_buckets=num_buckets).to_pandas()
+        freqs = dict(zip(wc["word"], wc["n"])) if len(wc) else {}
+        merges = [(l, r) for l, r, _ in train_bpe(freqs, num_merges)]
+    merges_ref = ray.put(list(merges))
+    return cached_map_batches(
+        ds, BpeEncodeBatch,
+        {"merges": merges_ref, "text_col": column, "id_col": id_col,
+         "emit_ids": emit_ids},
+        batch_size=batch_size, concurrency=concurrency)
+
+
 def bpe_merges(ds, num_merges: int = 20, column: str = "text",
                num_buckets: int = 64, batch_size=None):
     """End-to-end BPE training: one corpus pass for word counts,

@@ -1329,6 +1329,100 @@ def test_bpe_merges_corpus(ray_session):
     assert list(m["rank"]) == list(range(len(m)))
 
 
+def _replay_encode(word, merges):
+    """Independent reference encoder: replay the merges in TRAINING
+    order, each as a full left-to-right non-overlapping pass (the
+    Sennrich apply_bpe shape) — deliberately a different algorithm
+    from encode_word's greedy lowest-rank loop."""
+    sym = list(word)
+    for l, r in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and (sym[i], sym[i + 1]) == (l, r):
+                out.append(l + r); i += 2
+            else:
+                out.append(sym[i]); i += 1
+        sym = out
+    return sym
+
+
+def _decode_ids(ids, merges):
+    """Test-side id -> token-string map (base = codepoint, merged =
+    0x110000 + rank)."""
+    toks = []
+    for i in ids:
+        if i < 0x110000:
+            toks.append(chr(i))
+        else:
+            l, r = merges[i - 0x110000]
+            toks.append(l + r)
+    return toks
+
+
+def test_bpe_encode_matches_sequential_replay(ray_session):
+    """Greedy lowest-rank inference == sequential training-order
+    replay, token for token, over real corpus words and adversarial
+    overlap cases."""
+    import pyarrow.parquet as pq
+
+    from boon_ray.stages.bpe import bpe_encode, bpe_merges
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    texts = texts[:40] + ["aaa aab baa aaaa", "ababab bababa", ""]
+    ds = _span_docs(texts)
+    m = bpe_merges(ds, num_merges=30).to_pandas()
+    merges = list(zip(m["left"], m["right"]))
+
+    out = bpe_encode(ds, merges=merges, emit_ids=True) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for j, t in enumerate(texts):
+        expect = []
+        for w in (t or "").split():
+            expect.extend(_replay_encode(w, merges))
+        got = _decode_ids(out.loc[j, "token_ids"], merges)
+        assert got == expect, (j, t)
+        assert out.loc[j, "n_tokens"] == len(expect)
+        # lossless within words: tokens concatenate back to the text
+        assert "".join(got) == "".join(t.split())
+        assert out.loc[j, "n_chars"] == sum(len(w) for w in t.split())
+
+
+def test_bpe_encode_zero_merges_and_nulls(ray_session):
+    import ray.data as rd
+
+    from boon_ray.stages.bpe import bpe_encode
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["ab cd", None, ""])}))
+    out = bpe_encode(ds, merges=[], emit_ids=True) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # no merges -> pure character tokenization
+    assert list(out["n_tokens"]) == [4, 0, 0]
+    assert list(out["n_chars"]) == [4, 0, 0]
+    assert list(out.loc[0, "token_ids"]) == [ord(c) for c in "abcd"]
+
+
+def test_bpe_encode_partition_independence(ray_session):
+    """Pure per-doc map: output identical whatever the block split,
+    and trained-merge compression strictly beats char tokenization
+    on the corpus."""
+    import pyarrow.parquet as pq
+
+    from boon_ray.stages.bpe import bpe_encode
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    a = bpe_encode(_span_docs(texts), num_merges=50) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = bpe_encode(_span_docs(texts).repartition(7), num_merges=50) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_tokens"] <= a["n_chars"]).all()
+    assert a["n_tokens"].sum() < a["n_chars"].sum()
+
+
 # ---------------------------------------------------------------- mix
 
 
