@@ -1728,6 +1728,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "span_scrub": _q_span_scrub,
         "bpe_encode": _q_bpe_encode,
+        "range_scan": _q_range_scan,
     }
 
 
@@ -1942,6 +1943,33 @@ def _q_partitioned_roundtrip(sf_dir: str):
     import shutil
 
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return res
+
+
+def _q_range_scan(sf_dir: str):
+    """Zone-map pruned range scan (state/layout): cluster documents
+    on doc_id into a hive layout + footer zone maps (one pass), then
+    serve doc_id BETWEEN 100 AND 350 by opening ONLY overlapping
+    partitions — raises unless the scan actually pruned. Oracle: the
+    same BETWEEN over the raw table, so pruning must be lossless."""
+    import shutil
+
+    import ray.data as rd
+
+    from boon_ray.state.layout import read_range, write_clustered
+
+    out = _scratch_dir("layout")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    write_clustered(ds, out, "doc_id", num_partitions=8,
+                    sample_rate=4)
+    stats: dict = {}
+    res = read_range(out, 100, 350,
+                     columns=["doc_id", "lang", "n_chars"],
+                     stats=stats).materialize()
+    shutil.rmtree(out, ignore_errors=True)
+    if not stats or stats["opened"] >= stats["total"]:
+        raise RuntimeError(f"scan was not partial: {stats}")
     return res
 
 
@@ -3169,6 +3197,9 @@ def _base_oracle_sql() -> dict[str, str]:
         "pretrain_chunks": _pretrain_sql(),
         "partitioned_roundtrip":
             "SELECT doc_id, lang, n_chars FROM documents",
+        "range_scan":
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id BETWEEN 100 AND 350",
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -1,0 +1,152 @@
+"""Range-clustered Parquet layout with zone-map pruned scans.
+
+The 100 TB point/range-lookup story (north_rule L2; the reference has
+no storage layer — boon reads whole JSON documents, cli/src/main.rs:
+213-276): cluster rows on a sort key ONCE at write time, then serve
+`key BETWEEN lo AND hi` scans by opening only the partitions whose
+zone (min/max of the key, read from the Parquet footers the writer
+already paid for) overlaps the range. At web scale this turns a
+full-corpus read into touching O(selectivity) partitions — the same
+contract as Iceberg/Delta file skipping, expressed over plain hive
+dirs + one JSON sidecar.
+
+Write plan (one corpus pass + one tiny driver table):
+  1. deterministic hash-sample of the key column (splitmix-style
+     ``hash64(key) % rate == 0`` — no RNG, partition-independent),
+     quantile cutpoints on the sample (driver-side, sample-sized);
+  2. one ``map_batches`` pass assigns ``part = searchsorted(cuts,
+     key)`` and a single hive-partitioned ``write_parquet`` lands
+     every partition — no per-partition re-scan;
+  3. zone maps come from the written footers (exact per-partition
+     key min/max — tighter than the cutpoints under skew) into
+     ``_zonemap.json``.
+
+Read plan: overlap-test the zones, read ONLY the surviving
+partitions' files, apply the exact residual filter. ``read_range``
+reports how many partitions it opened so callers (and tests) can
+assert the scan stayed partial.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+_ZONEMAP = "_zonemap.json"
+
+
+def _sample_cutpoints(ds, key: str, num_partitions: int,
+                      rate: int) -> np.ndarray:
+    """Equi-depth cutpoints from a deterministic hash-sample of the
+    key column. The sample (not the corpus) lands on the driver:
+    ~n/rate int64 values."""
+    from boon_ray.sketches import hash64
+
+    def sample(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        keep = hash64(k.astype(np.int64)) % np.uint64(rate) == 0
+        return pa.table({key: pa.array(k[keep], pa.int64())})
+
+    s = ds.map_batches(sample, batch_format="pyarrow",
+                       batch_size=None).to_pandas()[key].to_numpy()
+    if len(s) == 0:
+        return np.array([], dtype=np.int64)
+    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+    return np.unique(np.quantile(s, qs, method="nearest")
+                     .astype(np.int64))
+
+
+def write_clustered(ds, out_dir: str, key: str,
+                    num_partitions: int = 16,
+                    sample_rate: int = 16) -> dict:
+    """Cluster ``ds`` on integer column ``key`` into
+    ``out_dir/part=<i>/`` (hive layout, ONE pass) and write the
+    per-partition zone map. Returns the zone map dict."""
+    cuts = _sample_cutpoints(ds, key, num_partitions, sample_rate)
+
+    def assign(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(cuts, k, side="right").astype(np.int64)
+        return b.append_column("part", pa.array(part))
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow",
+                   batch_size=None).write_parquet(
+        out_dir, partition_cols=["part"])
+
+    # exact zones from the footers the write just produced (metadata
+    # reads only — no data pages touched)
+    zones: dict[str, list] = {}
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("part="):
+            continue
+        lo = hi = None
+        n_rows = 0
+        for f in sorted(os.listdir(os.path.join(out_dir, d))):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(
+                os.path.join(out_dir, d, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(key)
+            n_rows += md.num_rows
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        zones[d[len("part="):]] = [lo, hi, n_rows]
+    zm = {"key": key, "cutpoints": cuts.tolist(), "zones": zones}
+    tmp = os.path.join(out_dir, _ZONEMAP + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(zm, f)
+    os.rename(tmp, os.path.join(out_dir, _ZONEMAP))
+    return zm
+
+
+def read_range(out_dir: str, lo: int, hi: int, columns=None,
+               stats: dict | None = None):
+    """Dataset of rows with ``lo <= key <= hi``, reading ONLY the
+    partitions whose zone overlaps — never the full layout. Pass a
+    ``stats`` dict to receive {opened, total, pruned} partition
+    counts (tests assert opened < total)."""
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, _ZONEMAP)) as f:
+        zm = json.load(f)
+    key = zm["key"]
+    keep = [p for p, (zlo, zhi, _n) in zm["zones"].items()
+            if zlo is not None and not (zhi < lo or zlo > hi)]
+    if stats is not None:
+        stats.update(opened=len(keep), total=len(zm["zones"]),
+                     pruned=len(zm["zones"]) - len(keep))
+    if not keep:
+        return rd.from_arrow(pa.table({key: pa.array([], pa.int64())}))
+    files = [os.path.join(out_dir, f"part={p}", f)
+             for p in keep
+             for f in sorted(os.listdir(
+                 os.path.join(out_dir, f"part={p}")))
+             if f.endswith(".parquet")]
+    read_cols = (None if columns is None
+                 else sorted(set(columns) | {key}))
+    ds = rd.read_parquet(files, columns=read_cols)
+
+    # residual exact filter inside the surviving partitions; also
+    # drops the hive-inferred `part` column (present even for
+    # explicit file paths) and any key column read only for the
+    # filter's sake
+    def residual(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.and_(pc.greater_equal(b.column(key), pa.scalar(lo)),
+                    pc.less_equal(b.column(key), pa.scalar(hi))))
+        want = (columns if columns is not None else
+                [c for c in b.column_names if c != "part"])
+        return b.select(want)
+
+    return ds.map_batches(residual, batch_format="pyarrow",
+                          batch_size=None)

@@ -419,3 +419,91 @@ try:
         assert got_map == want
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+# ------------------------------------------------------ clustered layout
+
+
+def _layout_tmp():
+    import tempfile
+    return tempfile.mkdtemp(prefix="boonray_layout_test_")
+
+
+def test_layout_roundtrip_and_pruning(ray_session):
+    """Clustered write + zone-map read: exact BETWEEN semantics vs
+    DuckDB AND the scan provably opens only overlapping partitions."""
+    import shutil
+
+    import ray.data as rd
+
+    from boon_ray.state.layout import read_range, write_clustered
+
+    out = _layout_tmp()
+    try:
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "lang", "n_chars"])
+        zm = write_clustered(ds, out, "doc_id", num_partitions=8,
+                             sample_rate=4)
+        assert len(zm["zones"]) > 1
+        # zones cover every row exactly once
+        assert sum(n for _, _, n in zm["zones"].values()) == 500
+        stats = {}
+        got = read_range(out, 100, 350, stats=stats).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert stats["opened"] < stats["total"]
+        want = duckdb.sql(
+            f"SELECT doc_id, lang, n_chars FROM "
+            f"read_parquet('{SF}/documents.parquet') "
+            f"WHERE doc_id BETWEEN 100 AND 350 ORDER BY doc_id").df()
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "lang", "n_chars"]], want)
+        assert "part" not in got.columns
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_layout_empty_range_and_point_lookup(ray_session):
+    import shutil
+
+    import ray.data as rd
+
+    from boon_ray.state.layout import read_range, write_clustered
+
+    out = _layout_tmp()
+    try:
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "n_chars"])
+        write_clustered(ds, out, "doc_id", num_partitions=8,
+                        sample_rate=4)
+        stats = {}
+        empty = read_range(out, 10_000, 20_000, stats=stats)
+        assert stats["opened"] == 0 and empty.count() == 0
+        stats = {}
+        one = read_range(out, 42, 42, stats=stats).to_pandas()
+        assert stats["opened"] == 1
+        assert list(one["doc_id"]) == [42]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_layout_skewed_keys_stay_exact(ray_session):
+    """All-identical keys collapse to one partition; the scan still
+    returns exactly the matching rows (zone overlap on a point)."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.state.layout import read_range, write_clustered
+
+    out = _layout_tmp()
+    try:
+        t = pa.table({"k": pa.array([7] * 100 + [9] * 3, pa.int64()),
+                      "v": pa.array(range(103), pa.int64())})
+        write_clustered(rd.from_arrow(t), out, "k",
+                        num_partitions=4, sample_rate=1)
+        got = read_range(out, 8, 9).to_pandas()
+        assert sorted(got["v"]) == [100, 101, 102]
+        assert (got["k"] == 9).all()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
