@@ -52,10 +52,11 @@ def _sample_cutpoints(ds, key: str, num_partitions: int,
         keep = hash64(k.astype(np.int64)) % np.uint64(rate) == 0
         return pa.table({key: pa.array(k[keep], pa.int64())})
 
-    s = ds.map_batches(sample, batch_format="pyarrow",
-                       batch_size=None).to_pandas()[key].to_numpy()
-    if len(s) == 0:
-        return np.array([], dtype=np.int64)
+    df = ds.map_batches(sample, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    if len(df) == 0:   # empty sample: empty-Dataset to_pandas has no
+        return np.array([], dtype=np.int64)   # columns -> 1 partition
+    s = df[key].to_numpy()
     qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
     return np.unique(np.quantile(s, qs, method="nearest")
                      .astype(np.int64))
@@ -126,7 +127,19 @@ def read_range(out_dir: str, lo: int, hi: int, columns=None,
         stats.update(opened=len(keep), total=len(zm["zones"]),
                      pruned=len(zm["zones"]) - len(keep))
     if not keep:
-        return rd.from_arrow(pa.table({key: pa.array([], pa.int64())}))
+        # schema-correct empty result: take any written file's schema
+        # (footer read only), minus the hive part column
+        first = next(
+            os.path.join(out_dir, d, f)
+            for d in sorted(os.listdir(out_dir)) if d.startswith("part=")
+            for f in sorted(os.listdir(os.path.join(out_dir, d)))
+            if f.endswith(".parquet"))
+        sch = pq.read_schema(first)
+        want = (columns if columns is not None else
+                [c for c in sch.names if c != "part"])
+        return rd.from_arrow(
+            pa.table({c: pa.array([], sch.field(c).type)
+                      for c in want}))
     files = [os.path.join(out_dir, f"part={p}", f)
              for p in keep
              for f in sorted(os.listdir(
