@@ -40,32 +40,42 @@ import pyarrow.parquet as pq
 _ZONEMAP = "_zonemap.json"
 
 
+def _key_hashes(k: np.ndarray) -> np.ndarray:
+    from boon_ray.sketches import hash64
+
+    if k.dtype.kind in "iu":
+        return hash64(k.astype(np.int64))
+    return hash64(k.astype(object))
+
+
 def _sample_cutpoints(ds, key: str, num_partitions: int,
                       rate: int) -> np.ndarray:
     """Equi-depth cutpoints from a deterministic hash-sample of the
-    key column. The sample (not the corpus) lands on the driver:
-    ~n/rate int64 values."""
-    from boon_ray.sketches import hash64
+    key column (int64 or string — the sort order is the native one
+    either way). The sample (not the corpus) lands on the driver:
+    ~n/rate values."""
 
     def sample(b: pa.Table) -> pa.Table:
         k = b.column(key).to_numpy(zero_copy_only=False)
-        keep = hash64(k.astype(np.int64)) % np.uint64(rate) == 0
-        return pa.table({key: pa.array(k[keep], pa.int64())})
+        keep = _key_hashes(k) % np.uint64(rate) == 0
+        return pa.table({key: b.column(key).filter(
+            pa.array(keep, pa.bool_()))})
 
     df = ds.map_batches(sample, batch_format="pyarrow",
                         batch_size=None).to_pandas()
     if len(df) == 0:   # empty sample: empty-Dataset to_pandas has no
-        return np.array([], dtype=np.int64)   # columns -> 1 partition
-    s = df[key].to_numpy()
-    qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
-    return np.unique(np.quantile(s, qs, method="nearest")
-                     .astype(np.int64))
+        return np.array([])                   # columns -> 1 partition
+    s = np.sort(df[key].to_numpy())
+    # order-statistic cutpoints: type-agnostic equi-depth
+    idx = np.linspace(0, len(s) - 1,
+                      num_partitions + 1)[1:-1].round().astype(int)
+    return np.unique(s[idx])
 
 
 def write_clustered(ds, out_dir: str, key: str,
                     num_partitions: int = 16,
                     sample_rate: int = 16) -> dict:
-    """Cluster ``ds`` on integer column ``key`` into
+    """Cluster ``ds`` on column ``key`` (int64 or string) into
     ``out_dir/part=<i>/`` (hive layout, ONE pass) and write the
     per-partition zone map. Returns the zone map dict."""
     cuts = _sample_cutpoints(ds, key, num_partitions, sample_rate)
@@ -110,7 +120,7 @@ def write_clustered(ds, out_dir: str, key: str,
     return zm
 
 
-def read_range(out_dir: str, lo: int, hi: int, columns=None,
+def read_range(out_dir: str, lo, hi, columns=None,
                stats: dict | None = None):
     """Dataset of rows with ``lo <= key <= hi``, reading ONLY the
     partitions whose zone overlaps — never the full layout. Pass a
@@ -121,8 +131,11 @@ def read_range(out_dir: str, lo: int, hi: int, columns=None,
     with open(os.path.join(out_dir, _ZONEMAP)) as f:
         zm = json.load(f)
     key = zm["key"]
+    # a None zone means the footers carried no stats for that
+    # partition: it must be OPENED, never pruned (footer min/max are
+    # valid bounds per the Parquet spec — truncation only widens)
     keep = [p for p, (zlo, zhi, _n) in zm["zones"].items()
-            if zlo is not None and not (zhi < lo or zlo > hi)]
+            if zlo is None or not (zhi < lo or zlo > hi)]
     if stats is not None:
         stats.update(opened=len(keep), total=len(zm["zones"]),
                      pruned=len(zm["zones"]) - len(keep))

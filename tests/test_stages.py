@@ -486,6 +486,35 @@ def test_layout_empty_range_and_point_lookup(ray_session):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_layout_string_key(ray_session):
+    """String sort keys (the web-data case: domain / URL / lang
+    clustering): order-statistic cutpoints, footer string zones,
+    lexicographic range scans — exact vs DuckDB."""
+    import shutil
+
+    import ray.data as rd
+
+    from boon_ray.state.layout import read_range, write_clustered
+
+    out = _layout_tmp()
+    try:
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "lang"])
+        write_clustered(ds, out, "lang", num_partitions=4,
+                        sample_rate=2)
+        stats = {}
+        got = read_range(out, "de", "en", stats=stats).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert stats["opened"] < stats["total"]
+        want = duckdb.sql(
+            f"SELECT doc_id, lang FROM "
+            f"read_parquet('{SF}/documents.parquet') "
+            f"WHERE lang BETWEEN 'de' AND 'en' ORDER BY doc_id").df()
+        pd.testing.assert_frame_equal(got[["doc_id", "lang"]], want)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_layout_skewed_keys_stay_exact(ray_session):
     """All-identical keys collapse to one partition; the scan still
     returns exactly the matching rows (zone overlap on a point)."""
