@@ -1729,6 +1729,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "span_scrub": _q_span_scrub,
         "bpe_encode": _q_bpe_encode,
         "range_scan": _q_range_scan,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -1944,6 +1945,22 @@ def _q_partitioned_roundtrip(sf_dir: str):
 
     shutil.rmtree(os.path.dirname(out), ignore_errors=True)
     return res
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Bounded-memory approximate top words (Misra-Gries mergeable
+    summaries): per-batch summaries of <= k+1 rows on the wire
+    regardless of vocabulary size, one global trim. Approximate by
+    design (lower bounds within n/(k+1)) -> no SQL oracle; the pytest
+    oracle checks the bound + the above-threshold guarantee against
+    exact counts (tests/test_sketches.py)."""
+    import ray.data as rd
+
+    from boon_ray.stages.stats import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return heavy_hitters(ds, "text", k=100, split_words=True)
 
 
 def _q_range_scan(sf_dir: str):

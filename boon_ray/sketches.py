@@ -278,3 +278,93 @@ class BloomFilter:
         assert self.m == other.m and self.num_hashes == other.num_hashes
         self.bits |= other.bits
         return self
+
+
+# --------------------------------------------------------- Misra-Gries
+
+class MisraGries:
+    """Mergeable heavy-hitters summary (Misra-Gries 1982; merge rule
+    from Agarwal et al., "Mergeable Summaries", PODS 2012): at most
+    ``k`` counters; every reported count is a LOWER bound on the true
+    frequency and undercounts by at most ``n_total / (k + 1)``, no
+    matter how the stream was partitioned or in what tree order the
+    partial summaries were merged. Any item with true frequency
+    > n/(k+1) is guaranteed present.
+
+    The bounded-memory complement to the exact word_counts path: at
+    web scale the exact table is vocab-sized (Heaps-law sublinear but
+    still large); an MG summary is O(k) per worker and O(k x
+    partials) on the wire, with a one-sided error contract like
+    Bloom's.
+    """
+
+    __slots__ = ("k", "counts", "n_total")
+
+    def __init__(self, k: int = 100, counts: dict | None = None,
+                 n_total: int = 0):
+        self.k = k
+        self.counts: dict = counts if counts is not None else {}
+        self.n_total = n_total
+
+    def _trim(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = np.fromiter(self.counts.values(), np.int64,
+                           len(self.counts))
+        # decrement everything by the (k+1)-th largest counter and
+        # drop non-positives: the batched form of MG's per-item
+        # decrement, total deficit stays <= n/(k+1)
+        thr = np.partition(vals, len(vals) - self.k - 1)[
+            len(vals) - self.k - 1]
+        self.counts = {i: c - thr for i, c in self.counts.items()
+                       if c > thr}
+
+    def add_values(self, values, counts=None) -> "MisraGries":
+        """Bulk update from items + optional multiplicities (pass a
+        batch's exact value_counts for one vectorized call)."""
+        if counts is None:
+            counts = np.ones(len(values), dtype=np.int64)
+        for v, c in zip(values, counts):
+            c = int(c)
+            self.counts[v] = self.counts.get(v, 0) + c
+            self.n_total += c
+        self._trim()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self.n_total += other.n_total
+        self._trim()
+        return self
+
+    def error_bound(self) -> int:
+        return self.n_total // (self.k + 1)
+
+    def items(self) -> list[tuple]:
+        """(item, lower-bound count), heaviest first, ties by item."""
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def to_bytes(self) -> bytes:
+        import pyarrow as pa
+
+        t = pa.table({
+            "item": pa.array([str(i) for i, _ in self.counts.items()]),
+            "n": pa.array(list(self.counts.values()), pa.int64()),
+        }).replace_schema_metadata(
+            {"k": str(self.k), "n_total": str(self.n_total)})
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        return sink.getvalue().to_pybytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "MisraGries":
+        import pyarrow as pa
+
+        t = pa.ipc.open_stream(pa.BufferReader(b)).read_all()
+        md = t.schema.metadata
+        return cls(int(md[b"k"]),
+                   dict(zip(t.column("item").to_pylist(),
+                            t.column("n").to_pylist())),
+                   int(md[b"n_total"]))

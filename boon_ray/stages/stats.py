@@ -115,3 +115,59 @@ def column_stats(ds, group_key: str = "lang", column: str = "content",
         batch_format="pyarrow", batch_size=batch_size)
     return partial.groupby(group_key).map_groups(
         lambda g: _merge_stats(g, group_key, dc), batch_format="pandas")
+
+
+def heavy_hitters(ds, column: str, k: int = 100,
+                  split_words: bool = False, batch_size=None):
+    """Approximate top items of ``column`` under a hard memory bound:
+    per-batch Misra-Gries summaries (<= k+1 rows each on the wire,
+    whatever the vocabulary size), merged by summation + ONE global
+    trim — the Agarwal et al. mergeable-summaries reduction, so every
+    reported ``n_lo`` is a lower bound undercounting by at most
+    ``err_bound`` = n_total // (k+1), and any item with true
+    frequency above that bound is guaranteed present.
+
+    The bounded complement to the exact ``word_counts``/``vocab_topk``
+    path: the exchange is O(k x batches) rows instead of vocab-sized.
+    ``split_words=True`` counts whitespace words of a text column
+    instead of whole cell values.
+
+    Returns a pyarrow Table (item, n_lo, err_bound, n_total),
+    heaviest first, ties by item.
+    """
+    from boon_ray.sketches import MisraGries
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = b.column(column).to_pandas()
+        if split_words:
+            s = s.fillna("").str.split().explode().dropna()
+        else:
+            s = s.dropna().astype(str)
+        vc = s.value_counts()
+        mg = MisraGries(k).add_values(vc.index.to_numpy(),
+                                      vc.to_numpy(np.int64))
+        its = mg.items()
+        return pa.table({
+            "item": pa.array([i for i, _ in its] + [None]),
+            "n": pa.array([c for _, c in its] + [mg.n_total],
+                          pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=batch_size).to_pandas()
+    if len(parts) == 0:   # empty corpus: empty-Dataset to_pandas
+        return pa.table({"item": pa.array([], pa.string()),
+                         "n_lo": pa.array([], pa.int64()),
+                         "err_bound": pa.array([], pa.int64()),
+                         "n_total": pa.array([], pa.int64())})
+    total = int(parts.loc[parts["item"].isna(), "n"].sum())
+    merged = parts.dropna(subset=["item"]).groupby("item")["n"].sum()
+    mg = MisraGries(k, {str(i): int(c) for i, c in merged.items()},
+                    total)
+    mg._trim()
+    its = mg.items()
+    return pa.table({
+        "item": pa.array([i for i, _ in its], pa.string()),
+        "n_lo": pa.array([c for _, c in its], pa.int64()),
+        "err_bound": pa.array([mg.error_bound()] * len(its),
+                              pa.int64()),
+        "n_total": pa.array([total] * len(its), pa.int64())})

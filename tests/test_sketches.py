@@ -49,3 +49,116 @@ def test_band_keys_identical_docs_collide():
     bk = band_keys(sig, 16)
     assert (bk[0] == bk[1]).all()
     assert not (bk[0] == bk[2]).any()
+
+
+def test_misra_gries_exact_when_vocab_fits():
+    from collections import Counter
+
+    from boon_ray.sketches import MisraGries
+
+    items = [f"w{i % 7}" for i in range(1000)]
+    mg = MisraGries(10)
+    vc = Counter(items)
+    mg.add_values(list(vc), np.array(list(vc.values())))
+    assert dict(mg.items()) == dict(vc)
+    assert mg.error_bound() == 1000 // 11
+
+
+def test_misra_gries_bounds_and_guarantee():
+    """Zipf stream through chunked adds: every estimate is a lower
+    bound within n/(k+1) of truth; every item above the bound is
+    present — independent of chunking."""
+    from collections import Counter
+
+    from boon_ray.sketches import MisraGries
+
+    rng = np.random.default_rng(7)
+    items = [f"w{int(i)}" for i in rng.zipf(1.3, 30_000) if i < 5000]
+    true = Counter(items)
+    for chunk in (257, 4099):
+        mg = MisraGries(64)
+        for i in range(0, len(items), chunk):
+            vc = Counter(items[i:i + chunk])
+            mg.add_values(list(vc), np.array(list(vc.values())))
+        b = mg.error_bound()
+        assert mg.n_total == len(items)
+        for it, est in mg.items():
+            assert true[it] - b <= est <= true[it], it
+        for it, n in true.items():
+            if n > b:
+                assert it in mg.counts, (it, n, b)
+
+
+def test_misra_gries_merge_tree_and_serde():
+    """Arbitrary merge trees keep the mergeable-summaries bound; the
+    Arrow-IPC serde round-trips counts, k and n_total."""
+    from collections import Counter
+
+    from boon_ray.sketches import MisraGries
+
+    rng = np.random.default_rng(3)
+    items = [f"w{int(i)}" for i in rng.zipf(1.5, 20_000) if i < 2000]
+    true = Counter(items)
+    parts = []
+    for i in range(0, len(items), 1009):
+        vc = Counter(items[i:i + 1009])
+        parts.append(MisraGries(48).add_values(
+            list(vc), np.array(list(vc.values()))))
+    # lopsided merge tree: fold left, then a serde hop in the middle
+    acc = parts[0]
+    for j, p in enumerate(parts[1:]):
+        if j == 2:
+            acc = MisraGries.from_bytes(acc.to_bytes())
+        acc.merge(p)
+    b = acc.error_bound()
+    assert acc.n_total == len(items)
+    for it, est in acc.items():
+        assert true[it] - b <= est <= true[it]
+    for it, n in true.items():
+        if n > b:
+            assert it in acc.counts
+
+
+def test_heavy_hitters_stage(ray_session):
+    """Distributed MG over a skewed column: guarantee + bounds vs the
+    exact counts, identical contract across partitionings, and the
+    planted top item surfaces first."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.stats import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vals = [f"dom{int(i)}.example" for i in rng.zipf(1.4, 8000)
+            if i < 3000] + ["top.example"] * 500
+    true = Counter(vals)
+    for nparts in (1, 6):
+        t = pa.table({"domain": pa.array(vals)})
+        out = heavy_hitters(
+            rd.from_arrow(t).repartition(nparts), "domain",
+            k=64).to_pandas()
+        b = int(out["err_bound"].iloc[0])
+        assert int(out["n_total"].iloc[0]) == len(vals)
+        est = dict(zip(out["item"], out["n_lo"]))
+        assert "top.example" in est   # planted: 500 > err_bound
+        for it, e in est.items():
+            assert true[it] - b <= e <= true[it]
+        for it, n in true.items():
+            if n > b:
+                assert it in est
+
+
+def test_heavy_hitters_split_words(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.stats import heavy_hitters
+
+    t = pa.table({"text": pa.array(
+        ["the cat sat", "the dog", None, "the end"])})
+    out = heavy_hitters(rd.from_arrow(t), "text", k=10,
+                        split_words=True).to_pandas()
+    assert out.loc[0, "item"] == "the" and out.loc[0, "n_lo"] == 3
+    assert int(out["n_total"].iloc[0]) == 7
