@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -176,3 +177,65 @@ def read_range(out_dir: str, lo, hi, columns=None,
 
     return ds.map_batches(residual, batch_format="pyarrow",
                           batch_size=None)
+
+
+def compact_partitions(out_dir: str, max_files: int = 1) -> dict:
+    """Layout maintenance: merge each partition's many small files
+    into one (the small-files problem — at web scale a layout that
+    accretes per-task files degrades every later scan). Rows and
+    zones are unchanged; only the file count drops.
+
+    Crash-safe via a two-rename swap per partition: the compacted
+    file is staged in ``part=<p>.compact_tmp/``, the live dir moves
+    to ``part=<p>.old``, the staged dir takes its place, then the
+    old dir is deleted. ``recover_layout`` repairs any state a crash
+    can leave behind (single-writer maintenance op; concurrent
+    readers of the same partition mid-swap may transiently miss it,
+    like any table-format commit without a catalog).
+    Returns {partition: files_before} for compacted partitions.
+    """
+    compacted: dict[str, int] = {}
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("part=") or d.endswith((".old",
+                                                    ".compact_tmp")):
+            continue
+        live = os.path.join(out_dir, d)
+        files = sorted(f for f in os.listdir(live)
+                       if f.endswith(".parquet"))
+        if len(files) <= max_files:
+            continue
+        t = pa.concat_tables([pq.read_table(os.path.join(live, f))
+                              for f in files])
+        tmp = live + ".compact_tmp"
+        old = live + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(t, os.path.join(tmp, "compacted.parquet"))
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
+        compacted[d[len("part="):]] = len(files)
+    return compacted
+
+
+def recover_layout(out_dir: str) -> dict:
+    """Repair a layout after a crash mid-``compact_partitions``:
+    an orphaned ``.old`` with no live dir is renamed back (the swap
+    died between its two renames); ``.old``/``.compact_tmp`` next to
+    a live dir are deleted (the swap or staging was superseded)."""
+    restored, cleaned = [], []
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if d.endswith(".old"):
+            live = p[:-len(".old")]
+            if os.path.isdir(live):
+                shutil.rmtree(p)
+                cleaned.append(d)
+            else:
+                os.rename(p, live)
+                restored.append(d)
+        elif d.endswith(".compact_tmp"):
+            shutil.rmtree(p)
+            cleaned.append(d)
+    return {"restored": restored, "cleaned": cleaned}

@@ -582,3 +582,59 @@ try:
             shutil.rmtree(out, ignore_errors=True)
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_layout_compaction_and_recovery(ray_session):
+    """Compaction merges a partition's files without changing any
+    scan result; recover_layout repairs both crash states the
+    two-rename swap can leave."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from boon_ray.state.layout import (
+        compact_partitions, read_range, recover_layout,
+        write_clustered)
+
+    out = _layout_tmp()
+    try:
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "n_chars"]) \
+            .repartition(6)
+        write_clustered(ds, out, "doc_id", num_partitions=4,
+                        sample_rate=4)
+        before = read_range(out, 50, 400).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        multi = [d for d in os.listdir(out) if d.startswith("part=")
+                 and len([f for f in os.listdir(os.path.join(out, d))
+                          if f.endswith(".parquet")]) > 1]
+        assert multi, "repartition(6) should leave multi-file parts"
+        done = compact_partitions(out)
+        assert set(done) == {d[len("part="):] for d in multi}
+        for d in multi:
+            fs = [f for f in os.listdir(os.path.join(out, d))
+                  if f.endswith(".parquet")]
+            assert len(fs) == 1
+        after = read_range(out, 50, 400).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(before, after)
+
+        # crash state A: swap died between the two renames
+        # (only .old exists) -> restored
+        live = os.path.join(out, f"part={sorted(done)[0]}")
+        os.rename(live, live + ".old")
+        rep = recover_layout(out)
+        assert rep["restored"] and os.path.isdir(live)
+        # crash state B: stale .old and .compact_tmp next to a live
+        # dir -> cleaned
+        shutil.copytree(live, live + ".old")
+        os.makedirs(live + ".compact_tmp")
+        rep = recover_layout(out)
+        assert len(rep["cleaned"]) == 2
+        assert not os.path.exists(live + ".old")
+        final = read_range(out, 50, 400).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(before, final)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
