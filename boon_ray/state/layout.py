@@ -90,12 +90,16 @@ def write_clustered(ds, out_dir: str, key: str,
     ds.map_batches(assign, batch_format="pyarrow",
                    batch_size=None).write_parquet(
         out_dir, partition_cols=["part"])
+    return _commit_zonemap(out_dir, key, cuts.tolist())
 
-    # exact zones from the footers the write just produced (metadata
-    # reads only — no data pages touched)
+
+def _scan_zones(out_dir: str, key: str) -> dict:
+    """Exact per-partition zones from the written footers (metadata
+    reads only — no data pages touched)."""
     zones: dict[str, list] = {}
     for d in sorted(os.listdir(out_dir)):
-        if not d.startswith("part="):
+        if not d.startswith("part=") or d.endswith((".old",
+                                                    ".compact_tmp")):
             continue
         lo = hi = None
         n_rows = 0
@@ -113,12 +117,42 @@ def write_clustered(ds, out_dir: str, key: str,
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
         zones[d[len("part="):]] = [lo, hi, n_rows]
-    zm = {"key": key, "cutpoints": cuts.tolist(), "zones": zones}
+    return zones
+
+
+def _commit_zonemap(out_dir: str, key: str, cutpoints: list) -> dict:
+    zm = {"key": key, "cutpoints": cutpoints,
+          "zones": _scan_zones(out_dir, key)}
     tmp = os.path.join(out_dir, _ZONEMAP + ".tmp")
     with open(tmp, "w") as f:
         json.dump(zm, f)
     os.rename(tmp, os.path.join(out_dir, _ZONEMAP))
     return zm
+
+
+def append_clustered(ds, out_dir: str) -> dict:
+    """Incremental ingest into an existing clustered layout: assign
+    the delta's rows with the layout's SAVED cutpoints (so old and
+    new data agree on partition boundaries), append files into the
+    hive dirs (never rewriting existing ones), and refresh the zone
+    map from the footers. Appended deltas widen zones only where the
+    delta actually lands — pruned scans stay exact. Follow with
+    ``compact_partitions`` when small appended files accumulate.
+    Returns the refreshed zone map."""
+    with open(os.path.join(out_dir, _ZONEMAP)) as f:
+        zm = json.load(f)
+    key = zm["key"]
+    cuts = np.array(zm["cutpoints"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(cuts, k, side="right").astype(np.int64)
+        return b.append_column("part", pa.array(part))
+
+    ds.map_batches(assign, batch_format="pyarrow",
+                   batch_size=None).write_parquet(
+        out_dir, partition_cols=["part"])
+    return _commit_zonemap(out_dir, key, zm["cutpoints"])
 
 
 def read_range(out_dir: str, lo, hi, columns=None,

@@ -638,3 +638,44 @@ def test_layout_compaction_and_recovery(ray_session):
         pd.testing.assert_frame_equal(before, final)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_layout_append_then_scan_and_compact(ray_session):
+    """Incremental ingest: the delta lands under the SAVED cutpoints,
+    zones widen only where it lands, scans stay exact over base +
+    delta, and compaction afterwards changes nothing."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.state.layout import (
+        append_clustered, compact_partitions, read_range,
+        write_clustered)
+
+    out = _layout_tmp()
+    try:
+        base = pa.table({
+            "k": pa.array(range(0, 400), pa.int64()),
+            "v": pa.array(range(0, 400), pa.int64())})
+        write_clustered(rd.from_arrow(base), out, "k",
+                        num_partitions=8, sample_rate=2)
+        # delta: overlaps the top partitions and extends beyond them
+        delta = pa.table({
+            "k": pa.array(range(350, 600), pa.int64()),
+            "v": pa.array(range(1350, 1600), pa.int64())})
+        zm = append_clustered(rd.from_arrow(delta), out)
+        assert sum(n for _, _, n in zm["zones"].values()) == 650
+        stats = {}
+        got = read_range(out, 380, 420, stats=stats).to_pandas()
+        assert stats["opened"] < stats["total"]
+        assert sorted(got["k"]) == sorted(
+            list(range(380, 400)) + list(range(380, 421)))
+        assert sorted(got["v"]) == sorted(
+            list(range(380, 400)) + list(range(1380, 1421)))
+        done = compact_partitions(out)
+        assert done  # appended partitions had >1 file
+        again = read_range(out, 380, 420).to_pandas()
+        assert sorted(again["v"]) == sorted(got["v"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
