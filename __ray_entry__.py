@@ -1730,6 +1730,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": _q_bpe_encode,
         "range_scan": _q_range_scan,
         "heavy_hitters": _q_heavy_hitters,
+        "approx_quantiles": _q_approx_quantiles,
     }
 
 
@@ -1961,6 +1962,33 @@ def _q_heavy_hitters(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["text"])
     return heavy_hitters(ds, "text", k=100, split_words=True)
+
+
+def _q_approx_quantiles(sf_dir: str):
+    """Bounded-memory quantiles of a CONTINUOUS column (peak
+    embedding coordinate magnitude — the vectors themselves are
+    unit-normalized, so L2 norm is degenerate) via mergeable KLL
+    sketches: one O(k log n/k) summary per batch, ref-tree merge.
+    Approximate by design -> no SQL oracle; the pytest oracle pins
+    every reported value's true rank inside the 3n/k envelope
+    (tests/test_sketches.py), and the entry-contract run checks
+    schema + row stability."""
+    import numpy as np
+    import ray.data as rd
+
+    from boon_ray.stages.similarity import _ids_and_matrix
+    from boon_ray.stages.stats import approx_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def peak_coord(b):
+        _, m = _ids_and_matrix(b, "vec_id", "embedding")
+        return np.abs(m).max(axis=1) if m.size else np.empty(0)
+
+    return approx_quantiles(ds, "peak_coord",
+                            qs=(0.05, 0.25, 0.5, 0.75, 0.95),
+                            k=256, expr=peak_coord)
 
 
 def _q_range_scan(sf_dir: str):

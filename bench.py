@@ -451,6 +451,22 @@ def q_bpe_encode():
                       id_col="commit").count()
 
 
+def q_approx_quantiles():
+    """Mergeable KLL quantiles of a continuous per-doc statistic over
+    the 500k-doc corpus: one few-KB sketch per batch, ref-tree merge
+    — the wire cost is O(k log n/k) per partial at ANY scale."""
+    import pyarrow.compute as pc
+
+    from boon_ray.stages.stats import approx_quantiles
+
+    def lens(b):
+        return pc.utf8_length(b.column("content")).to_numpy(
+            zero_copy_only=False).astype(float)
+
+    return approx_quantiles(_corpus(), "len", k=256,
+                            expr=lens).num_rows
+
+
 def q_shuffle_rank():
     """Seeded global shuffle rank over 500k ids: count pass +
     one (id, h, bucket) exchange + within-bucket rank."""
@@ -657,6 +673,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "doc_chunks": q_doc_chunks,
     "bpe_encode": q_bpe_encode,
+    "approx_quantiles": q_approx_quantiles,
     "shuffle_rank": q_shuffle_rank,
     "importance": q_importance,
     "semdedup": q_semdedup,

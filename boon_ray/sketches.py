@@ -368,3 +368,187 @@ class MisraGries:
                    dict(zip(t.column("item").to_pylist(),
                             t.column("n").to_pylist())),
                    int(md[b"n_total"]))
+
+
+# ----------------------------------------------------------------- KLL
+
+class KLL:
+    """Mergeable quantile sketch (Karnin, Lall, Liberty, FOCS 2016).
+
+    The continuous-value complement to the exact value-histogram
+    quantile plan (stages/drift.length_quantiles_exact): that plan's
+    exchange is bounded by the number of DISTINCT values, which works
+    for token counts but not for float columns (embedding norms,
+    quality scores) where every value is distinct. A KLL summary is
+    O(k * log(n/k)) values regardless of n or cardinality, and merges
+    associatively in any tree order, so per-batch partials sum up the
+    Ray Data way.
+
+    Structure: geometrically-capped levels; an item at level h carries
+    weight 2^h. When a level overflows its capacity (k * (2/3)^d for
+    depth d below the top), it is sorted and every other item —
+    starting from a coin-flip offset — is promoted one level up (2m
+    items of weight w become m items of weight 2w: total weight, i.e.
+    n, is conserved exactly). Expected rank error is O(n/k) with the
+    KLL constant ~= 1.7; tests pin an empirical 3n/k envelope.
+
+    The coin flips come from a counter-based splitmix64 stream seeded
+    by a constant, so a fixed insert/merge order is bit-reproducible
+    (the sketch VALUE still depends on partition order — only rank
+    ERROR is partition-independent, which is what the tests assert).
+    """
+
+    __slots__ = ("k", "n", "levels", "_rng")
+
+    _C = 2.0 / 3.0
+
+    def __init__(self, k: int = 200, levels: list | None = None,
+                 n: int = 0, rng: int = 0x9E3779B97F4A7C15):
+        if k < 8:
+            raise ValueError("k >= 8 required")
+        self.k = k
+        self.n = n
+        self.levels: list[np.ndarray] = (
+            levels if levels is not None
+            else [np.empty(0, np.float64)])
+        self._rng = np.uint64(rng)
+
+    # -- internals -------------------------------------------------
+
+    def _next_bit(self) -> int:
+        from boon_ray.stages.training import splitmix64
+
+        self._rng = splitmix64(
+            np.array([self._rng], np.uint64))[0]
+        return int(self._rng & np.uint64(1))
+
+    def _cap(self, h: int, num_levels: int) -> int:
+        return max(int(np.ceil(self.k * self._C ** (num_levels - 1 - h))), 2)
+
+    def _size(self) -> int:
+        return sum(len(l) for l in self.levels)
+
+    def _budget(self) -> int:
+        H = len(self.levels)
+        return sum(self._cap(h, H) for h in range(H))
+
+    def _compact_level(self, h: int) -> None:
+        items = np.sort(self.levels[h])
+        if len(items) % 2 == 1:
+            leftover = items[-1:]
+            items = items[:-1]
+        else:
+            leftover = items[:0]
+        promoted = items[self._next_bit()::2]
+        self.levels[h] = leftover
+        if h + 1 == len(self.levels):
+            self.levels.append(np.empty(0, np.float64))
+        self.levels[h + 1] = np.concatenate(
+            [self.levels[h + 1], promoted])
+
+    def _compress(self) -> None:
+        while self._size() > self._budget():
+            H = len(self.levels)
+            for h in range(H):
+                if len(self.levels[h]) > self._cap(h, H) and \
+                        len(self.levels[h]) >= 2:
+                    self._compact_level(h)
+                    break
+            else:
+                # over budget only in aggregate: compact the lowest
+                # level that has anything to halve
+                for h in range(len(self.levels)):
+                    if len(self.levels[h]) >= 2:
+                        self._compact_level(h)
+                        break
+                else:
+                    return
+
+    # -- updates ----------------------------------------------------
+
+    def add_values(self, values) -> "KLL":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self.n += len(v)
+        self._compress()
+        return self
+
+    def merge(self, other: "KLL") -> "KLL":
+        if other.k != self.k:
+            raise ValueError("mismatched k")
+        for h, lvl in enumerate(other.levels):
+            while h >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[h] = np.concatenate([self.levels[h], lvl])
+        self.n += other.n
+        self._compress()
+        return self
+
+    # -- queries ----------------------------------------------------
+
+    def _weighted(self):
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate([
+            np.full(len(l), 1 << h, np.int64)
+            for h, l in enumerate(self.levels)])
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+    def rank(self, x: float) -> int:
+        """Estimated #items <= x (exact total weight bookkeeping)."""
+        if self.n == 0:
+            return 0
+        vals, wts = self._weighted()
+        return int(wts[vals <= x].sum())
+
+    def quantiles(self, qs) -> np.ndarray:
+        """Value at each q in [0,1]: smallest sketch item whose
+        cumulative weight reaches q * n."""
+        if self.n == 0:
+            return np.full(len(list(qs)), np.nan)
+        vals, wts = self._weighted()
+        cum = np.cumsum(wts)
+        qs = np.asarray(list(qs), np.float64)
+        idx = np.searchsorted(cum, np.maximum(qs, 1e-12) * cum[-1],
+                              side="left")
+        return vals[np.minimum(idx, len(vals) - 1)]
+
+    def error_envelope(self) -> int:
+        """Empirical-test rank-error envelope: 3n/k (the KLL expected
+        constant is ~1.7; 3 leaves headroom for unlucky coin runs)."""
+        return max(int(3 * self.n / self.k), 1)
+
+    # -- serde (Arrow IPC, like the other sketches) ------------------
+
+    def to_bytes(self) -> bytes:
+        import pyarrow as pa
+
+        t = pa.table({
+            "value": pa.array(np.concatenate(self.levels),
+                              pa.float64()),
+            "level": pa.array(np.concatenate([
+                np.full(len(l), h, np.int8)
+                for h, l in enumerate(self.levels)]), pa.int8()),
+        }).replace_schema_metadata({
+            "k": str(self.k), "n": str(self.n),
+            "rng": str(int(self._rng))})
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        return sink.getvalue().to_pybytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "KLL":
+        import pyarrow as pa
+
+        t = pa.ipc.open_stream(pa.BufferReader(b)).read_all()
+        md = t.schema.metadata
+        lv = t.column("level").to_numpy(zero_copy_only=False)
+        va = t.column("value").to_numpy(zero_copy_only=False)
+        H = int(lv.max()) + 1 if len(lv) else 1
+        levels = [va[lv == h].astype(np.float64) for h in range(H)]
+        return cls(int(md[b"k"]), levels, int(md[b"n"]),
+                   int(md[b"rng"]))

@@ -171,3 +171,71 @@ def heavy_hitters(ds, column: str, k: int = 100,
         "err_bound": pa.array([mg.error_bound()] * len(its),
                               pa.int64()),
         "n_total": pa.array([total] * len(its), pa.int64())})
+
+
+def approx_quantiles(ds, column: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99),
+                     k: int = 200, expr=None, fanin: int = 32,
+                     batch_size=None):
+    """Approximate quantiles of a NUMERIC column under a hard memory
+    bound: one KLL sketch per batch (O(k log(n/k)) float64s on the
+    wire — a few KB — regardless of row count or value cardinality),
+    tree-merged by remote tasks over the partial refs so the driver
+    touches <= ``fanin`` sketches. The continuous-value complement to
+    ``drift.length_quantiles_exact``, whose histogram exchange is
+    bounded by DISTINCT values and so melts on float columns where
+    every value is unique.
+
+    ``expr``: optional ``pa.Table -> array`` projection evaluated
+    per batch INSTEAD of reading ``column`` directly (e.g. an
+    embedding-norm kernel); ``column`` then only names the output.
+
+    Returns a pyarrow Table (q, value, n, rank_err_envelope):
+    the estimated value at each q, the exact row count, and the
+    empirical 3n/k rank-error envelope the tests pin (expected KLL
+    error is ~1.7 n/k).
+    """
+    import ray
+
+    from boon_ray.sketches import KLL
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = (expr(b) if expr is not None
+             else b.column(column).to_numpy(zero_copy_only=False))
+        s = KLL(k).add_values(np.asarray(v, np.float64))
+        return pa.table({"kll": pa.array([s.to_bytes()], pa.binary())})
+
+    refs = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=batch_size).to_arrow_refs()
+
+    def _merge_tables(tables) -> bytes:
+        s = None
+        for t in tables:
+            t = t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+            if "kll" not in t.schema.names:  # empty-input block keeps
+                continue                     # the upstream schema
+            for b in t.column("kll"):
+                p = KLL.from_bytes(b.as_py())
+                s = p if s is None else s.merge(p)
+        return s.to_bytes() if s is not None else KLL(k).to_bytes()
+
+    if len(refs) > fanin:
+        merge_task = ray.remote(
+            lambda *ts: _merge_tables(ts)).options(num_returns=1)
+        groups = [refs[i::fanin] for i in range(min(fanin, len(refs)))]
+        merged = ray.get([merge_task.remote(*g) for g in groups])
+        sk = None
+        for b in merged:
+            p = KLL.from_bytes(b)
+            sk = p if sk is None else sk.merge(p)
+    else:
+        sk = KLL.from_bytes(_merge_tables(ray.get(refs)))
+
+    qs = list(qs)
+    vals = sk.quantiles(qs)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "value": pa.array(vals, pa.float64()),
+        "n": pa.array([sk.n] * len(qs), pa.int64()),
+        "rank_err_envelope": pa.array(
+            [sk.error_envelope() if sk.n else 0] * len(qs),
+            pa.int64())})

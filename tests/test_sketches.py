@@ -162,3 +162,97 @@ def test_heavy_hitters_split_words(ray_session):
                         split_words=True).to_pandas()
     assert out.loc[0, "item"] == "the" and out.loc[0, "n_lo"] == 3
     assert int(out["n_total"].iloc[0]) == 7
+
+
+def _kll_max_rank_err(sk, data):
+    srt = np.sort(data)
+    qs = np.linspace(0.01, 0.99, 99)
+    est = sk.quantiles(qs)
+    return np.abs(np.searchsorted(srt, est, side="right")
+                  - qs * len(data)).max()
+
+
+def test_kll_bounds_across_chunkings_and_orders():
+    """Rank error stays inside the 3n/k envelope whatever the insert
+    chunking or data order; n is conserved EXACTLY."""
+    from boon_ray.sketches import KLL
+
+    rng = np.random.default_rng(5)
+    data = rng.lognormal(0.0, 2.0, 120_000)
+    for order in (data, np.sort(data), np.sort(data)[::-1]):
+        for nchunks in (1, 7, 113):
+            sk = KLL(200)
+            for c in np.array_split(order, nchunks):
+                sk.add_values(c)
+            assert sk.n == len(data)
+            assert _kll_max_rank_err(sk, data) <= sk.error_envelope()
+
+
+def test_kll_merge_tree_and_serde():
+    """Lopsided merge trees keep the envelope; Arrow-IPC roundtrip is
+    bit-exact (values, n, and the rng cursor)."""
+    from boon_ray.sketches import KLL
+
+    rng = np.random.default_rng(17)
+    data = rng.normal(size=90_000)
+    parts = [KLL(128).add_values(c) for c in np.array_split(data, 45)]
+    # lopsided: fold everything into the first, one at a time
+    left = parts[0]
+    for p in parts[1:]:
+        left = left.merge(KLL.from_bytes(p.to_bytes()))
+    assert left.n == len(data)
+    assert _kll_max_rank_err(left, data) <= left.error_envelope()
+
+    back = KLL.from_bytes(left.to_bytes())
+    qs = np.linspace(0.0, 1.0, 21)
+    assert np.array_equal(back.quantiles(qs), left.quantiles(qs))
+    assert back.n == left.n and back._rng == left._rng
+
+
+def test_kll_nan_empty_and_rank():
+    from boon_ray.sketches import KLL
+
+    sk = KLL(64)
+    assert np.isnan(sk.quantiles([0.5])).all() and sk.rank(0.0) == 0
+    sk.add_values([np.nan, np.nan])
+    assert sk.n == 0
+    sk.add_values([3.0, 1.0, np.nan, 2.0])
+    assert sk.n == 3
+    # small sketches are exact (no compaction): inverse empirical
+    # CDF — F(1)=1/3 < 0.34 -> 2, F(2)=2/3 < 0.67 -> 3
+    assert list(sk.quantiles([1e-9, 0.34, 0.67, 1.0])) == [
+        1.0, 2.0, 3.0, 3.0]
+    assert sk.rank(2.5) == 2
+
+
+def test_approx_quantiles_stage(ray_session):
+    """Distributed KLL vs numpy exact: every reported value's true
+    rank is inside the envelope, for both the column path and the
+    derived-expr path; empty input yields NaN values with n=0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.stats import approx_quantiles
+
+    rng = np.random.default_rng(23)
+    vals = rng.lognormal(0, 1, 60_000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(16)
+    qs = (0.05, 0.25, 0.5, 0.75, 0.95)
+    out = approx_quantiles(ds, "x", qs=qs, k=256, fanin=4).to_pandas()
+    assert list(out["q"]) == list(qs)
+    assert int(out["n"].iloc[0]) == len(vals)
+    srt = np.sort(vals)
+    env = int(out["rank_err_envelope"].iloc[0])
+    for q, v in zip(out["q"], out["value"]):
+        assert abs(np.searchsorted(srt, v, side="right")
+                   - q * len(vals)) <= env
+
+    out2 = approx_quantiles(
+        ds, "logx", qs=(0.5,), k=256,
+        expr=lambda b: np.log(b.column("x").to_numpy())).to_pandas()
+    true_med = np.median(np.log(vals))
+    assert abs(out2["value"].iloc[0] - true_med) < 0.05
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    oute = approx_quantiles(empty, "x", qs=(0.5,)).to_pandas()
+    assert int(oute["n"].iloc[0]) == 0 and np.isnan(oute["value"]).all()
