@@ -1731,6 +1731,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "range_scan": _q_range_scan,
         "heavy_hitters": _q_heavy_hitters,
         "approx_quantiles": _q_approx_quantiles,
+        "line_dedup": _q_line_dedup,
     }
 
 
@@ -1962,6 +1963,21 @@ def _q_heavy_hitters(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["text"])
     return heavy_hitters(ds, "text", k=100, split_words=True)
+
+
+def _q_line_dedup(sf_dir: str):
+    """C4-style corpus-wide line dedup + doc rewrite
+    (stages/lines.line_dedup_docs): filter lines (>= 2 words), keep
+    only the corpus-first occurrence of each surviving line (by
+    (doc_id, line_no)), reassemble every doc. Exact SQL oracle:
+    zipped-unnest explode + ROW_NUMBER election + string_agg."""
+    import ray.data as rd
+
+    from boon_ray.stages.lines import line_dedup_docs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return line_dedup_docs(ds, min_words=2)
 
 
 def _q_approx_quantiles(sf_dir: str):
@@ -2772,6 +2788,8 @@ def _base_oracle_sql() -> dict[str, str]:
     from boon_ray.pipelines.flagship import (
         ALLOWED_LANGS, MAX_CONTENT_CHARS, MIN_CONTENT_CHARS,
     )
+    from boon_ray.stages.lines import line_dedup_sql
+
     langs = "','".join(ALLOWED_LANGS)
     valid_expr = (
         f"(lang IN ('{langs}') "
@@ -3245,6 +3263,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "range_scan":
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id BETWEEN 100 AND 350",
+        "line_dedup": line_dedup_sql(min_words=2),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -451,6 +451,17 @@ def q_bpe_encode():
                       id_col="commit").count()
 
 
+def q_line_dedup():
+    """C4-style corpus-wide line dedup + rewrite over the amplified
+    corpus — worst case by construction (every replica duplicates
+    every line): 24 B/line winner exchange + ONE doc-keyed text
+    exchange, then per-bucket reassembly."""
+    from boon_ray.stages.lines import line_dedup_docs
+
+    return line_dedup_docs(_corpus_ids(), text_col="text",
+                           id_col="doc_id", min_words=2).count()
+
+
 def q_approx_quantiles():
     """Mergeable KLL quantiles of a continuous per-doc statistic over
     the 500k-doc corpus: one few-KB sketch per batch, ref-tree merge
@@ -674,6 +685,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "bpe_encode": q_bpe_encode,
     "approx_quantiles": q_approx_quantiles,
+    "line_dedup": q_line_dedup,
     "shuffle_rank": q_shuffle_rank,
     "importance": q_importance,
     "semdedup": q_semdedup,

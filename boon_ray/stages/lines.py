@@ -1,0 +1,207 @@
+"""Corpus-wide line-level dedup + document rewrite — the C4 cleanup.
+
+The C4 / RefinedWeb preprocessing step (Raffel et al. 2020 §2.2;
+Penedo et al. 2023 §4): drop low-quality lines (too few words, no
+terminal punctuation), then deduplicate the SURVIVING lines across
+the whole corpus — the first occurrence (by ``(doc_id, line_no)``)
+wins, every later copy of the same line is excised — and reassemble
+each document from its kept lines. Kills boilerplate (nav bars,
+cookie banners, license headers) that whole-doc dedup can't see.
+
+Distributed plan (what moves):
+
+1. **Explode** (``map_batches``, vectorized Arrow split): each doc
+   becomes candidate rows ``(h=hash64(line), doc_id, line_no)`` —
+   filters applied BEFORE hashing, so dropped lines never enter the
+   exchange. A per-batch pre-reduce keeps only the first local
+   occurrence per ``h``, so batch-repeated boilerplate ships once.
+2. **Winner election**: one hash-bucket exchange of the 24 B/line
+   candidate rows (``combine.bucketed_map_groups`` on ``h``); each
+   bucket elects min ``(doc_id, line_no)`` per ``h``. Line TEXT never
+   enters this exchange.
+3. **Rewrite**: winners ``(doc_id, line_no)`` union'd with the raw
+   docs cross ONE doc-keyed exchange; per bucket, each doc re-splits
+   its own text and keeps exactly its winning line numbers (original
+   numbering, so filters can't shift positions).
+
+Document text crosses exactly ONE exchange (step 3) — and none at
+all on a layout already hash-partitioned by ``doc_id`` (the
+state/layout contract), where step 3 becomes a co-located map.
+
+Dedup identity is the 64-bit line hash, like the industry
+implementations: two DIFFERENT lines colliding would dedup as one.
+Expected cross-line collisions are ~n^2/2^65 (≈0.03 at a trillion
+lines); the SQL oracle dedups on the exact string, so the driver
+gate also certifies collision-freedom at test scale.
+
+Null text is treated as the empty string (one empty line), matching
+``string_split(coalesce(text,''), chr(10))`` in the oracle; a doc
+whose every line is filtered or loses election rewrites to ``''``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from boon_ray.sketches import hash64
+from boon_ray.stages.combine import bucketed_map_groups
+
+_WIN = -1  # line_no tag for the raw-doc side of the rewrite union
+
+
+def _line_arrays(b: pa.Table, text_col: str, id_col: str):
+    """(doc_ids, line_no, flat_lines): vectorized split of a batch
+    into its lines with original positions."""
+    col = b.column(text_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    ls = pc.split_pattern(pc.fill_null(arr, ""), "\n")
+    offs = ls.offsets.to_numpy(zero_copy_only=False)
+    counts = np.diff(offs)
+    ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    doc_ids = np.repeat(ids, counts)
+    line_no = (np.arange(len(doc_ids), dtype=np.int64)
+               - np.repeat(offs[:-1], counts))
+    return doc_ids, line_no, ls.flatten()
+
+
+def _candidate_mask(flat: pa.Array, min_words: int,
+                    require_terminal_punct: bool) -> np.ndarray:
+    """Which lines are dedup candidates (= survive the C4 line
+    filters). Word count is Python's ``len(line.split())``:
+    whitespace-run splits of the trimmed line, 0 for blank."""
+    n = len(flat)
+    mask = np.ones(n, dtype=bool)
+    if require_terminal_punct:
+        mask &= pc.match_substring_regex(
+            flat, '[.!?"]$').to_numpy(zero_copy_only=False)
+    if min_words > 0:
+        t = pc.utf8_trim_whitespace(flat)
+        seps = pc.count_substring_regex(t, r"\s+") \
+            .to_numpy(zero_copy_only=False)
+        nonblank = pc.not_equal(t, "").to_numpy(zero_copy_only=False)
+        mask &= np.where(nonblank, seps + 1, 0) >= min_words
+    return mask
+
+
+def line_dedup_docs(ds, text_col: str = "text", id_col: str = "doc_id",
+                    min_words: int = 0,
+                    require_terminal_punct: bool = False,
+                    num_buckets: int = 64, batch_size=None):
+    """Rewrite every document keeping only lines that pass the
+    filters AND are the corpus-first occurrence of their content.
+    Returns a Dataset of ``(id_col, text_col)`` with one row per
+    input doc (module docstring: plan, exchange budget, contracts).
+    """
+
+    def explode(b: pa.Table) -> pa.Table:
+        doc_ids, line_no, flat = _line_arrays(b, text_col, id_col)
+        keep = _candidate_mask(flat, min_words, require_terminal_punct)
+        h = hash64(flat.to_pandas().to_numpy(dtype=object)[keep]) \
+            .astype(np.int64)
+        df = pd.DataFrame({"h": h, id_col: doc_ids[keep],
+                           "ln": line_no[keep]})
+        # local pre-reduce: batch-repeated boilerplate ships once
+        df = df.sort_values(["h", id_col, "ln"], kind="stable") \
+            .drop_duplicates("h")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df[[id_col, "ln"]]
+        return df.sort_values(["h", id_col, "ln"], kind="stable") \
+            .drop_duplicates("h")[[id_col, "ln"]]
+
+    winners = bucketed_map_groups(cand, ("h",), elect,
+                                  num_buckets=num_buckets)
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(b.column(id_col), pa.int64()),
+            "ln": pa.array(np.full(b.num_rows, _WIN, np.int64)),
+            text_col: pc.cast(b.column(text_col), pa.string())})
+
+    def tag_winners(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(b.column(id_col), pa.int64()),
+            "ln": pc.cast(b.column("ln"), pa.int64()),
+            text_col: pa.array([None] * b.num_rows, pa.string())})
+
+    u = ds.map_batches(tag_docs, batch_format="pyarrow",
+                       batch_size=batch_size).union(
+        winners.map_batches(tag_winners, batch_format="pyarrow"))
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["ln"] == _WIN]
+        if len(docs) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                text_col: pd.Series([], dtype=object)})
+        keep = g[g["ln"] != _WIN]
+        sets = keep.groupby(id_col)["ln"].agg(
+            lambda s: set(s.to_numpy()))
+        out = []
+        for did, txt in zip(docs[id_col].to_numpy(),
+                            docs[text_col].to_numpy()):
+            ks = sets.get(did)
+            if ks is None:
+                out.append("")
+                continue
+            parts = ("" if txt is None or txt is np.nan else txt) \
+                .split("\n")
+            out.append("\n".join(
+                p for i, p in enumerate(parts) if i in ks))
+        return pd.DataFrame({id_col: docs[id_col].to_numpy(),
+                             text_col: out})
+
+    return bucketed_map_groups(u, (id_col,), rewrite,
+                               num_buckets=num_buckets)
+
+
+def line_dedup_sql(table: str = "documents", text_col: str = "text",
+                   id_col: str = "doc_id", min_words: int = 0,
+                   require_terminal_punct: bool = False) -> str:
+    """The exact DuckDB form: explode with positions (zipped
+    unnests), the same line filters, ROW_NUMBER first-occurrence
+    election on the raw line STRING, and string_agg reassembly."""
+    rules = []
+    if require_terminal_punct:
+        rules.append("regexp_matches(line, '[.!?\"]$')")
+    if min_words > 0:
+        rules.append(
+            "(CASE WHEN trim(line) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(line), '\\s+')) END) "
+            f">= {min_words}")
+    where = ("WHERE " + " AND ".join(rules)) if rules else ""
+    return f"""
+WITH exploded AS (
+  SELECT {id_col},
+         unnest(ls) AS line,
+         unnest(range(len(ls))) AS ln
+  FROM (SELECT {id_col},
+               string_split(coalesce({text_col}, ''), chr(10)) AS ls
+        FROM {table})
+), cand AS (
+  SELECT * FROM exploded {where}
+), winners AS (
+  SELECT {id_col}, ln, line FROM (
+    SELECT {id_col}, ln, line,
+           ROW_NUMBER() OVER (PARTITION BY line
+                              ORDER BY {id_col}, ln) AS rn
+    FROM cand) WHERE rn = 1
+)
+SELECT d.{id_col},
+       coalesce(w.txt, '') AS {text_col}
+FROM {table} d
+LEFT JOIN (SELECT {id_col},
+                  string_agg(line, chr(10) ORDER BY ln) AS txt
+           FROM winners GROUP BY {id_col}) w
+USING ({id_col})
+"""

@@ -1827,3 +1827,104 @@ try:
         assert got == want
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+# ------------------------------------------------------ line dedup (C4)
+
+def _line_dedup_oracle(docs_tbl, **kw):
+    import duckdb
+
+    from boon_ray.stages.lines import line_dedup_sql
+
+    con = duckdb.connect()
+    con.register("documents", docs_tbl)
+    return con.sql(line_dedup_sql(**kw)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def test_line_dedup_planted_boilerplate(ray_session):
+    """A banner line repeated across docs in DIFFERENT blocks
+    survives only in its first (doc_id, line_no) home; within-doc
+    repeats also collapse to the first."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.lines import line_dedup_docs
+
+    banner = "Subscribe to our newsletter!"
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            f"{banner}\nDoc zero body.",
+            f"Doc one body.\n{banner}",
+            f"{banner}\n{banner}\nDoc two body.",
+            "Only unique content here.",
+            f"Doc four body.\n{banner}\nMore four.",
+            banner,
+        ])})
+    got = line_dedup_docs(rd.from_arrow(docs).repartition(4),
+                          num_buckets=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.loc[0, "text"] == f"{banner}\nDoc zero body."
+    for i in (1, 2, 4, 5):
+        assert banner not in got.loc[i, "text"] or i == 0
+    want = _line_dedup_oracle(docs)
+    pd.testing.assert_frame_equal(got, want[["doc_id", "text"]])
+
+
+def test_line_dedup_partition_independence_and_filters(ray_session):
+    """Same output at 1 block and 7 blocks; filters match the SQL
+    rules exactly (word counts on whitespace runs, terminal punct
+    on the raw line)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.lines import line_dedup_docs
+
+    rng = np.random.default_rng(41)
+    pool = ["Short", "Two words.", "  padded   words  here. ",
+            "A full sentence with enough words.", "", "\tonly tab",
+            'Quoted line ends right."', "no punct many words indeed",
+            "Repeat me please today.", "x y z."]
+    docs = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array([
+            "\n".join(rng.choice(pool, rng.integers(0, 6)))
+            if i % 9 else None
+            for i in range(40)])})
+    for kw in ({"min_words": 2}, {"require_terminal_punct": True},
+               {"min_words": 3, "require_terminal_punct": True}):
+        want = _line_dedup_oracle(docs, **kw)
+        for nparts in (1, 7):
+            got = line_dedup_docs(
+                rd.from_arrow(docs).repartition(nparts),
+                num_buckets=8, **kw).to_pandas() \
+                .sort_values("doc_id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want[["doc_id", "text"]])
+
+
+def test_line_dedup_fuzz_vs_sql(ray_session):
+    """Randomized multi-line docs (shared + unique lines, blanks,
+    whitespace-only, unicode) against the DuckDB oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.lines import line_dedup_docs
+
+    rng = np.random.default_rng(97)
+    shared = [f"shared line {i}." for i in range(12)] + ["", "  "]
+    n = 120
+    texts = []
+    for d in range(n):
+        k = int(rng.integers(0, 8))
+        lines = [str(rng.choice(shared)) if rng.random() < 0.5
+                 else f"uniq {d}-{j} é…" for j in range(k)]
+        texts.append("\n".join(lines) if k else
+                     (None if rng.random() < 0.3 else ""))
+    docs = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                     "text": pa.array(texts)})
+    got = line_dedup_docs(rd.from_arrow(docs).repartition(5),
+                          num_buckets=16).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _line_dedup_oracle(docs)
+    pd.testing.assert_frame_equal(got, want[["doc_id", "text"]])
