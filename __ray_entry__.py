@@ -1732,6 +1732,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "approx_quantiles": _q_approx_quantiles,
         "line_dedup": _q_line_dedup,
+        "code_hygiene": _q_code_hygiene,
     }
 
 
@@ -1978,6 +1979,43 @@ def _q_line_dedup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return line_dedup_docs(ds, min_words=2)
+
+
+def _q_code_hygiene(sf_dir: str):
+    """Code-corpus hygiene fold (stages/code.py): StarCoder-style
+    quality metrics + verdict, license detection, secret scanning,
+    per-lang comment stripping — 13 metrics per document in long
+    (metric, doc_id, ival, sval) form. Operators are generic
+    zero-exchange passes; deterministic fixtures (banners, secrets,
+    comment lines) are planted by plant_hygiene_batch and mirrored
+    exactly by HYGIENE_AUG_CTE."""
+    import ray.data as rd
+
+    from boon_ray.stages import code as C
+
+    def aug(_sf=sf_dir):
+        return rd.read_parquet(
+            f"{_sf}/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+        ).map_batches(C.plant_hygiene_batch, batch_format="pyarrow")
+
+    return _union_all([
+        _long_metrics(
+            C.code_quality_metrics(aug(), text_col="content"),
+            [("n_chars", "n_chars", "i"), ("n_lines", "n_lines", "i"),
+             ("max_line_len", "max_line_len", "i"),
+             ("n_alnum", "n_alnum", "i"), ("autogen", "autogen", "i"),
+             ("pass_code", "pass_code", "i")]),
+        _long_metrics(C.detect_licenses(aug(), text_col="content"),
+                      [("license", "license", "s")]),
+        _long_metrics(C.scan_secrets(aug(), text_col="content"), [
+            ("n_aws", "n_aws", "i"), ("n_pem", "n_pem", "i"),
+            ("n_ghp", "n_ghp", "i"), ("n_secrets", "n_secrets", "i")]),
+        _long_metrics(
+            C.strip_comment_lines(aug(), text_col="content"),
+            [("n_comment_lines", "n_comment_lines", "i"),
+             ("stripped", "stripped", "s")]),
+    ])
 
 
 def _q_approx_quantiles(sf_dir: str):
@@ -2778,6 +2816,37 @@ SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
 FROM (SELECT doc_id FROM corp) c LEFT JOIN hits h USING (doc_id)"""
 
 
+def _code_hygiene_sql() -> str:
+    """SQL mirror of _q_code_hygiene: each component oracle wraps the
+    shared HYGIENE_AUG_CTE planting (bit-identical to
+    plant_hygiene_batch), composed by _long_sql."""
+    from boon_ray.stages import code as C
+
+    cte = C.HYGIENE_AUG_CTE.strip()
+
+    def comp(sql):
+        return f"WITH {cte} {sql}"
+
+    q = comp(C.code_quality_sql())
+    return _long_sql([
+        ("n_chars", q, "n_chars", "i"),
+        ("n_lines", q, "n_lines", "i"),
+        ("max_line_len", q, "max_line_len", "i"),
+        ("n_alnum", q, "n_alnum", "i"),
+        ("autogen", q, "autogen", "i"),
+        ("pass_code", q, "pass_code", "i"),
+        ("license", comp(C.detect_licenses_sql()), "license", "s"),
+        ("n_aws", comp(C.scan_secrets_sql()), "n_aws", "i"),
+        ("n_pem", comp(C.scan_secrets_sql()), "n_pem", "i"),
+        ("n_ghp", comp(C.scan_secrets_sql()), "n_ghp", "i"),
+        ("n_secrets", comp(C.scan_secrets_sql()), "n_secrets", "i"),
+        ("n_comment_lines", comp(C.strip_comment_lines_sql()),
+         "n_comment_lines", "i"),
+        ("stripped", comp(C.strip_comment_lines_sql()),
+         "stripped", "s"),
+    ])
+
+
 def _base_oracle_sql() -> dict[str, str]:
     """Per-operator DuckDB oracles (pre-r4 registry names). These are
     the single source of truth: the driver-facing oracle_sql() below
@@ -3264,6 +3333,7 @@ def _base_oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id BETWEEN 100 AND 350",
         "line_dedup": line_dedup_sql(min_words=2),
+        "code_hygiene": _code_hygiene_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

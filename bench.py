@@ -462,6 +462,22 @@ def q_line_dedup():
                            id_col="doc_id", min_words=2).count()
 
 
+def q_code_hygiene():
+    """All four code-hygiene passes (quality gates, license
+    detection, secret scanning, comment stripping) over the amplified
+    corpus — zero-exchange streaming maps; the 100 TB cost is the
+    read itself, four times."""
+    from boon_ray.stages import code as C
+
+    kw = dict(text_col="content", id_col="path")
+    ds = _corpus()
+    n = C.code_quality_metrics(ds, **kw).count()
+    n += C.detect_licenses(ds, **kw).count()
+    n += C.scan_secrets(ds, **kw).count()
+    n += C.strip_comment_lines(ds, **kw).count()
+    return n
+
+
 def q_approx_quantiles():
     """Mergeable KLL quantiles of a continuous per-doc statistic over
     the 500k-doc corpus: one few-KB sketch per batch, ref-tree merge
@@ -686,6 +702,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "approx_quantiles": q_approx_quantiles,
     "line_dedup": q_line_dedup,
+    "code_hygiene": q_code_hygiene,
     "shuffle_rank": q_shuffle_rank,
     "importance": q_importance,
     "semdedup": q_semdedup,
