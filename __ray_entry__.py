@@ -1733,6 +1733,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles": _q_approx_quantiles,
         "line_dedup": _q_line_dedup,
         "code_hygiene": _q_code_hygiene,
+        "graph_pagerank": _q_graph_pagerank,
     }
 
 
@@ -1979,6 +1980,25 @@ def _q_line_dedup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return line_dedup_docs(ds, min_words=2)
+
+
+def _q_graph_pagerank(sf_dir: str):
+    """Distributed PageRank over the exact embedding-similarity graph
+    (stages/graph.py): cosine >= 0.3 pairs among vec_id < 500,
+    symmetrized, 5 fixed-point iterations — bit-exact vs the unrolled
+    5-CTE SQL recurrence (per-edge truncating division makes the sums
+    order-independent)."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import embedding_duplicate_pairs_exact
+    from boon_ray.stages.graph import pagerank
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds = ds.filter(expr="vec_id < 500")
+    pairs = embedding_duplicate_pairs_exact(ds, "embedding", "vec_id",
+                                            threshold=0.3)
+    return pagerank(pairs.select_columns(["a", "b"]), iterations=5)
 
 
 def _q_code_hygiene(sf_dir: str):
@@ -2816,6 +2836,18 @@ SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
 FROM (SELECT doc_id FROM corp) c LEFT JOIN hits h USING (doc_id)"""
 
 
+def _graph_pagerank_sql() -> str:
+    from boon_ray.stages.graph import pagerank_sql
+
+    pairs = ("SELECT a.vec_id AS a, b.vec_id AS b "
+             "FROM embeddings a CROSS JOIN embeddings b "
+             "WHERE a.vec_id < b.vec_id AND a.vec_id < 500 "
+             "AND b.vec_id < 500 AND "
+             "list_cosine_similarity(a.embedding, b.embedding) "
+             ">= 0.3")
+    return pagerank_sql(pairs, iterations=5)
+
+
 def _code_hygiene_sql() -> str:
     """SQL mirror of _q_code_hygiene: each component oracle wraps the
     shared HYGIENE_AUG_CTE planting (bit-identical to
@@ -3334,6 +3366,7 @@ def _base_oracle_sql() -> dict[str, str]:
             "WHERE doc_id BETWEEN 100 AND 350",
         "line_dedup": line_dedup_sql(min_words=2),
         "code_hygiene": _code_hygiene_sql(),
+        "graph_pagerank": _graph_pagerank_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -462,6 +462,30 @@ def q_line_dedup():
                            id_col="doc_id", min_words=2).count()
 
 
+def q_graph_pagerank():
+    """5 PageRank rounds over a deterministic 500k-node / ~2M-edge
+    graph (ring + doubling + hub-skew edges derived from doc ids):
+    measures the pinned-adjacency ref-round machinery — per round ONE
+    exchange of per-(bucket, dst) 16 B partials."""
+    import pyarrow as pa
+
+    from boon_ray.stages.graph import pagerank
+
+    def edges(b: pa.Table) -> pa.Table:
+        import numpy as np
+        n = np.int64(1_000_000)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64) % n
+        a = np.concatenate([ids, ids, ids[ids % 50 == 0]])
+        bb = np.concatenate([(ids + 1) % n, (ids * 2 + 1) % n,
+                             ids[ids % 50 == 0] % 1000])
+        return pa.table({"a": pa.array(a), "b": pa.array(bb)})
+
+    pairs = _corpus_ids().map_batches(edges, batch_format="pyarrow",
+                                      batch_size=None)
+    return pagerank(pairs, iterations=5, num_buckets=32).count()
+
+
 def q_code_hygiene():
     """All four code-hygiene passes (quality gates, license
     detection, secret scanning, comment stripping) over the amplified
@@ -703,6 +727,7 @@ QUERIES = {
     "approx_quantiles": q_approx_quantiles,
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
+    "graph_pagerank": q_graph_pagerank,
     "shuffle_rank": q_shuffle_rank,
     "importance": q_importance,
     "semdedup": q_semdedup,

@@ -1,0 +1,195 @@
+"""Distributed graph centrality (PageRank-style propagation) over a
+pair list — quality-signal propagation across a similarity graph, the
+webgraph-centrality step of large-corpus curation (Page et al. 1999;
+Common-Crawl-style harmonic/centrality ranking of sources).
+
+Semantics (chosen to be EXACTLY SQL-mirrorable, like every other
+numeric operator in this repo): the undirected pair list is
+symmetrized into a directed edge multiset; ranks are int64 fixed
+point at ``scale``; each of the fixed ``iterations`` rounds computes
+
+    r'(v) = BASE + sum over in-edges (u, v) of
+            (dn * r(u)) // (dd * outdeg(u))
+
+with ``BASE = ((dd - dn) * scale) // dd`` (damping dn/dd, default
+85/100). Per-EDGE truncating division makes the sum order-independent
+— bit-identical across any partitioning — and unrolls into K chained
+CTEs in DuckDB (:func:`pagerank_sql`). Isolated nodes (in no pair)
+are out of scope by contract; after symmetrization every graph node
+has outdeg >= 1, so there is no dangling mass.
+
+Distributed plan (the cluster_pairs_distributed ref-round pattern,
+dedup.py:389): the adjacency is hash-bucketed by source node ONCE and
+pinned in the object store (loop-invariant — never re-shuffled);
+each round is ONE bucketed exchange of per-(bucket, dst) pre-reduced
+contribution partials (16 B/row, at most ``num_buckets`` partials per
+destination node per round), executed as waves of ``num_buckets`` raw
+Ray tasks with ``num_returns=B`` sliced outputs (a receiver fetches
+only its slice — O(B) transfers per wave). The driver holds refs and
+scalars only; rank tables return as Arrow refs -> Dataset.
+
+At 100 TB: rounds exchange O(min(edges, B * nodes)) 16-byte rows —
+the text/embedding payload never moves; bucket count sizes one
+bucket's adjacency slice to a task, exactly like the LSH pair stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_SCALE = 1 << 20
+
+
+def pagerank(pairs_ds, iterations: int = 5,
+             damping: tuple[int, int] = (85, 100),
+             scale: int = DEFAULT_SCALE, num_buckets: int = 16,
+             a_col: str = "a", b_col: str = "b"):
+    """(node, d, rank) for every node in the symmetrized pair graph:
+    d = degree (= outdeg = indeg), rank = int64 fixed-point PageRank
+    after exactly ``iterations`` rounds of the recurrence above."""
+    import ray
+    import ray.data as rd
+
+    from boon_ray.stages.training import splitmix64
+
+    B = int(num_buckets)
+    dn, dd = damping
+    base = ((dd - dn) * scale) // dd
+
+    def bucket_of(x: np.ndarray) -> np.ndarray:
+        return (splitmix64(x.astype(np.int64).view(np.uint64))
+                % np.uint64(B)).astype(np.int64)
+
+    def explode(b: pa.Table) -> pa.Table:
+        a = b.column(a_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bb = b.column(b_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.concatenate([a, bb])
+        dst = np.concatenate([bb, a])
+        return pa.table({"bk": pa.array(bucket_of(src)),
+                         "src": pa.array(src),
+                         "dst": pa.array(dst)})
+
+    part_refs = pairs_ds.map_batches(
+        explode, batch_format="pyarrow",
+        batch_size=None).to_arrow_refs()
+
+    @ray.remote
+    def build_bucket(bkt: int, *tables):
+        """One bucket's pinned state: adjacency slice sorted by src,
+        unique nodes, degrees, initial ranks = scale."""
+        pieces = [t.filter(pc.equal(t.column("bk"), bkt))
+                  for t in tables if "bk" in t.schema.names]
+        if pieces:
+            t = pa.concat_tables(pieces)
+            src = t.column("src").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            dst = t.column("dst").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            src = np.empty(0, np.int64)
+            dst = np.empty(0, np.int64)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        nodes, deg = np.unique(src, return_counts=True)
+        ranks = np.full(len(nodes), scale, np.int64)
+        return src, dst, nodes, deg.astype(np.int64), ranks
+
+    @ray.remote(num_returns=max(B, 2))
+    def push(state):
+        """One round, send half: per-edge truncated contribution,
+        pre-reduced to (dst, partial) per destination, sliced by the
+        destination's home bucket."""
+        src, dst, nodes, deg, ranks = state
+        idx = np.searchsorted(nodes, src)
+        contrib = (dn * ranks[idx]) // (dd * deg[idx])
+        # pre-reduce per destination BEFORE the exchange
+        ud, inv = np.unique(dst, return_inverse=True)
+        sums = np.zeros(len(ud), np.int64)
+        np.add.at(sums, inv, contrib)
+        tb = bucket_of(ud)
+        out = [(ud[tb == c], sums[tb == c]) for c in range(B)]
+        return out + [None] * (max(B, 2) - B)
+
+    @ray.remote
+    def fold(state, *pushed):
+        """One round, receive half: new rank = BASE + folded
+        partials for this bucket's nodes."""
+        src, dst, nodes, deg, _ranks = state
+        acc = np.full(len(nodes), base, np.int64)
+        for tn, ts in pushed:
+            if len(tn):
+                acc[np.searchsorted(nodes, tn)] += ts
+        return src, dst, nodes, deg, acc
+
+    @ray.remote
+    def emit(state) -> pa.Table:
+        _src, _dst, nodes, deg, ranks = state
+        return pa.table({"node": pa.array(nodes),
+                         "d": pa.array(deg),
+                         "rank": pa.array(ranks)})
+
+    states = [build_bucket.remote(c, *part_refs) for c in range(B)]
+    for _ in range(int(iterations)):
+        slices = [push.remote(s) for s in states]
+        states = [
+            fold.remote(states[c], *[slices[p][c] for p in range(B)])
+            for c in range(B)]
+    return rd.from_arrow_refs([emit.remote(s) for s in states])
+
+
+def pagerank_sql(pairs_sql: str, iterations: int = 5,
+                 damping: tuple[int, int] = (85, 100),
+                 scale: int = DEFAULT_SCALE,
+                 a_col: str = "a", b_col: str = "b") -> str:
+    """The exact DuckDB form: symmetrize, degree, then K unrolled
+    rank CTEs with the same per-edge truncating division."""
+    dn, dd = damping
+    base = ((dd - dn) * scale) // dd
+    parts = [
+        f"WITH pairs AS ({pairs_sql}), "
+        f"edges AS (SELECT {a_col} AS src, {b_col} AS dst FROM pairs "
+        f"UNION ALL SELECT {b_col} AS src, {a_col} AS dst "
+        f"FROM pairs), "
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM edges GROUP BY src), "
+        f"r0 AS (SELECT src AS v, CAST({scale} AS BIGINT) AS r "
+        f"FROM deg)"]
+    for k in range(1, int(iterations) + 1):
+        parts.append(
+            f", r{k} AS (SELECT e.dst AS v, "
+            f"CAST({base} + SUM(({dn} * p.r) // ({dd} * deg.d)) "
+            f"AS BIGINT) AS r "
+            f"FROM edges e JOIN r{k - 1} p ON e.src = p.v "
+            f"JOIN deg ON e.src = deg.src GROUP BY e.dst)")
+    parts.append(
+        f" SELECT deg.src AS node, deg.d, r.r AS rank "
+        f"FROM r{int(iterations)} r JOIN deg ON r.v = deg.src")
+    return "".join(parts)
+
+
+def pagerank_reference(pairs: list[tuple[int, int]],
+                       iterations: int = 5,
+                       damping: tuple[int, int] = (85, 100),
+                       scale: int = DEFAULT_SCALE) -> dict[int, int]:
+    """Independent sequential reference of the same integer
+    recurrence (arbitrary-precision Python ints) — the pytest oracle
+    for the distributed implementation."""
+    dn, dd = damping
+    base = ((dd - dn) * scale) // dd
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(int(a), []).append(int(b))
+        adj.setdefault(int(b), []).append(int(a))
+    ranks = {v: scale for v in adj}
+    for _ in range(int(iterations)):
+        nxt = {v: base for v in adj}
+        for u, outs in adj.items():
+            c = (dn * ranks[u]) // (dd * len(outs))
+            for v in outs:
+                nxt[v] += c
+        ranks = nxt
+    return ranks

@@ -1,0 +1,89 @@
+"""Distributed PageRank (stages/graph.py) vs the independent
+sequential integer reference, across graph shapes, bucketings and
+partitionings — plus structural sanity (hub dominance, mass bounds)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from boon_ray.stages.graph import (
+    DEFAULT_SCALE,
+    pagerank,
+    pagerank_reference,
+)
+
+
+def _pairs_ds(pairs, n_blocks=1):
+    t = pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                  "b": pa.array([p[1] for p in pairs], pa.int64())})
+    ds = rd.from_arrow(t)
+    return ds.repartition(n_blocks) if n_blocks > 1 else ds
+
+
+def _run(pairs, **kw):
+    df = pagerank(_pairs_ds(pairs,
+                            n_blocks=kw.pop("n_blocks", 1)), **kw) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    return dict(zip(df["node"].astype(int), df["rank"].astype(int))), \
+        dict(zip(df["node"].astype(int), df["d"].astype(int)))
+
+
+TRIANGLES_BRIDGE = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3),
+                    (2, 3)]
+STAR = [(0, i) for i in range(1, 9)]
+CHAIN = [(i, i + 1) for i in range(10)]
+
+
+@pytest.mark.parametrize("pairs", [TRIANGLES_BRIDGE, STAR, CHAIN])
+@pytest.mark.parametrize("iters", [1, 5])
+def test_matches_reference(pairs, iters, ray_session):
+    got, deg = _run(pairs, iterations=iters, num_buckets=4)
+    want = pagerank_reference(pairs, iterations=iters)
+    assert got == want
+    # degree column is the symmetrized degree
+    for a, b in pairs:
+        assert deg[a] >= 1 and deg[b] >= 1
+
+
+def test_random_graph_reference_and_partitions(ray_session):
+    rng = np.random.RandomState(7)
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, 60, (300, 2))]
+    want = pagerank_reference(pairs, iterations=5)
+    for nb, bk in ((1, 2), (5, 8), (11, 16)):
+        got, _ = _run(pairs, iterations=5, num_buckets=bk, n_blocks=nb)
+        assert got == want, (nb, bk)
+
+
+def test_duplicate_pairs_and_self_loops(ray_session):
+    pairs = [(0, 1), (0, 1), (1, 2), (2, 2)]
+    got, deg = _run(pairs, iterations=3, num_buckets=2)
+    assert got == pagerank_reference(pairs, iterations=3)
+    # multi-edge doubles degree; a self-loop pair adds 2 to its node
+    assert deg[0] == 2 and deg[1] == 3 and deg[2] == 3
+
+
+def test_star_hub_dominates(ray_session):
+    got, _ = _run(STAR, iterations=5)
+    hub = got[0]
+    assert all(hub > got[i] for i in range(1, 9))
+
+
+def test_mass_bounds(ray_session):
+    """Total rank stays within [n*BASE, n*scale]: truncation only
+    leaks mass, BASE is the floor."""
+    got, _ = _run(TRIANGLES_BRIDGE, iterations=8)
+    n = len(got)
+    base = (15 * DEFAULT_SCALE) // 100
+    assert n * base <= sum(got.values()) <= n * DEFAULT_SCALE
+
+
+def test_damping_and_scale_parameters(ray_session):
+    pairs = TRIANGLES_BRIDGE
+    got, _ = _run(pairs, iterations=4, damping=(90, 100),
+                  scale=1 << 16, num_buckets=3)
+    want = pagerank_reference(pairs, iterations=4, damping=(90, 100),
+                              scale=1 << 16)
+    assert got == want
