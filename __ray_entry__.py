@@ -1734,6 +1734,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "code_hygiene": _q_code_hygiene,
         "graph_pagerank": _q_graph_pagerank,
+        "repo_scorecard": _q_repo_scorecard,
     }
 
 
@@ -1980,6 +1981,27 @@ def _q_line_dedup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return line_dedup_docs(ds, min_words=2)
+
+
+def _q_repo_scorecard(sf_dir: str):
+    """Per-repo hygiene rollup over the corpus (stages/code.py:
+    repo_scorecard): one streaming pass computes every file's quality
+    /secret/license metrics and pre-reduces per repo in-batch; the
+    exchange carries only repo-keyed partials. Fixtures planted by
+    doc_id (same expression as code_hygiene), so every counter is
+    non-trivial."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.code import (
+        plant_hygiene_batch,
+        repo_scorecard,
+    )
+
+    ds = corpus_dataset(sf_dir, keep_meta=True)
+    aug = ds.map_batches(
+        lambda b: plant_hygiene_batch(b, text_col="content",
+                                      keep=("repo",)),
+        batch_format="pyarrow", batch_size=None)
+    return repo_scorecard(aug)
 
 
 def _q_graph_pagerank(sf_dir: str):
@@ -2836,6 +2858,18 @@ SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hit_grams,
 FROM (SELECT doc_id FROM corp) c LEFT JOIN hits h USING (doc_id)"""
 
 
+def _repo_scorecard_sql() -> str:
+    from boon_ray.stages.code import (
+        hygiene_aug_cte,
+        repo_scorecard_sql,
+    )
+
+    return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
+            + hygiene_aug_cte(table="corpus", text_col="content",
+                              extra_cols=("repo",))
+            + " " + repo_scorecard_sql())
+
+
 def _graph_pagerank_sql() -> str:
     from boon_ray.stages.graph import pagerank_sql
 
@@ -3367,6 +3401,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "line_dedup": line_dedup_sql(min_words=2),
         "code_hygiene": _code_hygiene_sql(),
         "graph_pagerank": _graph_pagerank_sql(),
+        "repo_scorecard": _repo_scorecard_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -499,6 +499,7 @@ def q_code_hygiene():
     n += C.detect_licenses(ds, **kw).count()
     n += C.scan_secrets(ds, **kw).count()
     n += C.strip_comment_lines(ds, **kw).count()
+    n += C.repo_scorecard(ds).count()
     return n
 
 
