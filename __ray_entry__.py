@@ -1735,6 +1735,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "code_hygiene": _q_code_hygiene,
         "graph_pagerank": _q_graph_pagerank,
         "repo_scorecard": _q_repo_scorecard,
+        "fork_pairs": _q_fork_pairs,
     }
 
 
@@ -2021,6 +2022,31 @@ def _q_graph_pagerank(sf_dir: str):
     pairs = embedding_duplicate_pairs_exact(ds, "embedding", "vec_id",
                                             threshold=0.3)
     return pagerank(pairs.select_columns(["a", "b"]), iterations=5)
+
+
+def _q_fork_pairs(sf_dir: str):
+    """Fork/mirror repo detection (stages/forks.py): repo-pair shared
+    distinct-content Jaccard with a boilerplate cap — candidate
+    (hash64, repo) exchange, complete content groups per bucket, pair
+    partials into a bucketed sum, repo-keyed hash_joins for sizes.
+    Fixtures planted by plant_fork_batch (forks/ mirrors every 3rd
+    file, mirror/ every 11th, shared boilerplate every 17th) and
+    mirrored bit-for-bit by fork_aug_sql."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.forks import detect_forks, plant_fork_batch
+
+    ds = corpus_dataset(sf_dir, keep_meta=True)
+    aug = ds.map_batches(plant_fork_batch, batch_format="pyarrow",
+                         batch_size=None)
+    return detect_forks(aug)
+
+
+def _fork_pairs_sql() -> str:
+    from boon_ray.stages.forks import detect_forks_sql, fork_aug_sql
+
+    return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
+            + fork_aug_sql().strip() + ", "
+            + detect_forks_sql().strip())
 
 
 def _q_code_hygiene(sf_dir: str):
@@ -3402,6 +3428,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "code_hygiene": _code_hygiene_sql(),
         "graph_pagerank": _graph_pagerank_sql(),
         "repo_scorecard": _repo_scorecard_sql(),
+        "fork_pairs": _fork_pairs_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -503,6 +503,21 @@ def q_code_hygiene():
     return n
 
 
+def q_fork_pairs():
+    """Fork/mirror detection over the amplified corpus: replica
+    amplification re-lands every text in up to ~92 repos (the 7x13
+    repo lattice), so every content group carries pair evidence —
+    worst-case by construction. Exchanges: distinct (hash64, repo)
+    candidates, per-bucket capped pair partials (<= cap x candidate
+    rows), bucketed pair sum, two repo-keyed hash joins. cap=128 (>
+    the 92-repo lattice) so no group is dropped; at the default
+    cap=64 the replicated texts would all be 'boilerplate'."""
+    from boon_ray.stages.forks import detect_forks
+
+    return detect_forks(_corpus(), num_buckets=64,
+                        max_repos_per_content=128).count()
+
+
 def q_approx_quantiles():
     """Mergeable KLL quantiles of a continuous per-doc statistic over
     the 500k-doc corpus: one few-KB sketch per batch, ref-tree merge
@@ -726,6 +741,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "bpe_encode": q_bpe_encode,
     "approx_quantiles": q_approx_quantiles,
+    "fork_pairs": q_fork_pairs,
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,

@@ -1,0 +1,276 @@
+"""Fork / mirror repo detection — repo-pair shared-content Jaccard
+over the source-code corpus (BASELINE.json north_rule: the input is a
+trillion-file table of repos; reference posture: boon has no corpus
+notion — it validates one file per CLI run, cli/src/main.rs:115-168 —
+so cross-repo analytics are new, Ray-native surface).
+
+A "fork" (or mirror) is a repo pair sharing a large fraction of
+byte-identical file contents — the standard pre-dedup step for code
+corpora (The Stack / StarCoder exclude forks before file-level
+dedup). The measure here is exact set Jaccard over DISTINCT file
+contents per repo:
+
+    jaccard(A, B) = |contents(A) ∩ contents(B)|
+                    / (|contents(A)| + |contents(B)| - |∩|)
+
+reported as a truncating integer percentage (``jaccard_pct``), so the
+whole pipeline stays in exact int64 arithmetic and the DuckDB oracle
+can value-hash it (``(100*n)//u`` on BIGINT in both engines).
+
+Plan (per-exchange budget in docs/SCALE.md):
+
+1. **Candidate pass** (map_batches): per batch, ``h =
+   hash64(content)`` and an in-batch ``drop_duplicates`` → distinct
+   ``(h, repo)`` partials, ~8 B + repo key per distinct file. The
+   content string itself NEVER crosses the wire — identity rides the
+   64-bit hash, exactly the line-dedup contract (stages/lines.py);
+   the SQL oracle groups on the raw content string, so parity rests
+   on hash64 being collision-free at the test scale (same accepted
+   trade as line_dedup / dedup_exact).
+2. **Bucket pass** (one exchange, key = h): every row of one h lands
+   in one bucket, so each bucket task sees complete content groups.
+   It emits BOTH kinds of partials as one tagged table
+   ``(repo_a, repo_b, n)``:
+   - repo sizes: ``(repo, '', count)`` — the bucket's distinct rows
+     pre-reduced per repo (exact partials: (h, repo) is globally
+     unique after the bucket dedup);
+   - pair evidence: within each content group of size in
+     ``[2, max_repos_per_content]``, all repo pairs (a < b), again
+     pre-reduced per pair. Content shared by MORE than the cap is
+     boilerplate (LICENSE files, generated headers) and is excluded
+     from pair evidence — the same "present in > K repos" exclusion
+     The Stack applies — while still counting toward repo sizes.
+     The cap is what bounds the quadratic: a viral file in 10^6
+     repos contributes 0 pairs, not 5*10^11.
+3. **Sum exchange**: ``bucketed_groupby_sum`` on (repo_a, repo_b) —
+   pair-table-bounded rows. The result (repos + sharing pairs) is
+   materialized once (small by construction: output-sized).
+4. **Assembly**: two repo-keyed ``hash_join``s attach |A| and |B| to
+   each pair; a final vectorized map computes ``jaccard_pct`` and the
+   ``is_fork`` verdict. Joins stay distributed (stages/joins.py), so
+   a 10^9-repo size table never lands on the driver.
+
+The synthetic corpus has no natural cross-repo duplicate content, so
+:func:`plant_fork_batch` / :func:`fork_aug_sql` plant deterministic
+fixtures (same expression both sides — the FIXTURES.md pattern):
+``forks/<repo>`` mirrors every 3rd file (jaccard ≈ 33% → is_fork=1),
+``mirror/<repo>`` every 11th (≈ 9% → is_fork=0), and a fixed
+boilerplate content in every repo holding a doc_id % 17 == 0 file
+(exercises the cap when > cap repos share it, and low-jaccard
+non-fork pairs when not).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from boon_ray.sketches import hash64
+
+BOILERPLATE_TEXT = ("Licensed under the Apache License Version 2.0 "
+                    "boilerplate header shared across repos")
+
+_TAGGED = pa.schema([("repo_a", pa.string()),
+                     ("repo_b", pa.string()),
+                     ("n", pa.int64())])
+
+
+def detect_forks(ds, repo_col: str = "repo", text_col: str = "content",
+                 min_pct: int = 25, max_repos_per_content: int = 64,
+                 num_buckets: int = 32, batch_size=None):
+    """Repo pairs sharing ≥1 distinct file content (module docstring:
+    plan + exchange budgets). Returns a Dataset of
+    ``(repo_a, repo_b, n_shared, n_a, n_b, jaccard_pct, is_fork)``
+    with repo_a < repo_b, one row per sharing pair.
+    """
+    from boon_ray.stages.combine import (
+        bucketed_groupby_sum,
+        bucketed_map_groups,
+    )
+    from boon_ray.stages.joins import hash_join
+
+    def explode(b: pa.Table) -> pa.Table:
+        h = hash64(b.column(text_col).to_pandas()
+                   .to_numpy(dtype=object)).astype(np.int64)
+        df = pd.DataFrame({
+            "h": h,
+            "repo": b.column(repo_col).to_pandas().to_numpy(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(explode, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _TAGGED.empty_table()
+        d = df.drop_duplicates(["h", "repo"])
+        sizes = d.groupby("repo", sort=False).size()
+        out = [pd.DataFrame({"repo_a": sizes.index.to_numpy(),
+                             "repo_b": "",
+                             "n": sizes.to_numpy().astype(np.int64)})]
+        gs = d["h"].value_counts()
+        keep_h = gs[(gs >= 2) & (gs <= max_repos_per_content)].index
+        k = d[d["h"].isin(keep_h)]
+        if len(k):
+            m = k.merge(k, on="h")
+            m = m[m["repo_x"] < m["repo_y"]]
+            pair = m.groupby(["repo_x", "repo_y"], sort=False) \
+                .size().reset_index(name="n")
+            pair.columns = ["repo_a", "repo_b", "n"]
+            pair["n"] = pair["n"].astype(np.int64)
+            out.append(pair)
+        return pa.Table.from_pandas(pd.concat(out, ignore_index=True),
+                                    schema=_TAGGED,
+                                    preserve_index=False)
+
+    tagged = bucketed_map_groups(cand, ("h",), bucket,
+                                 num_buckets=num_buckets)
+    # output-sized by construction (|repos| + sharing pairs): safe to
+    # pin, and it feeds three consumers (pairs + two join sides)
+    summed = bucketed_groupby_sum(tagged, ["repo_a", "repo_b"], ["n"],
+                                  num_buckets=num_buckets).materialize()
+
+    def keep(is_pair: bool):
+        def f(b: pa.Table) -> pa.Table:
+            mask = pc.not_equal(b.column("repo_b"), "") if is_pair \
+                else pc.equal(b.column("repo_b"), "")
+            return b.filter(mask)
+        return f
+
+    pairs = summed.map_batches(keep(True), batch_format="pyarrow") \
+        .map_batches(lambda b: b.rename_columns(
+            ["repo_a", "repo_b", "n_shared"]), batch_format="pyarrow")
+    sizes = summed.map_batches(keep(False), batch_format="pyarrow")
+
+    def size_side(col: str, out: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({col: b.column("repo_a"),
+                             out: b.column("n")})
+        return f
+
+    # explicit schemas: with zero sharing pairs the left side is an
+    # empty dataset and lineage-based inference returns None
+    pairs_schema = pa.schema([("repo_a", pa.string()),
+                              ("repo_b", pa.string()),
+                              ("n_shared", pa.int64())])
+    j = hash_join(pairs,
+                  sizes.map_batches(size_side("repo_a", "n_a"),
+                                    batch_format="pyarrow"),
+                  on=["repo_a"], num_buckets=num_buckets,
+                  left_schema=pairs_schema,
+                  right_schema=pa.schema([("repo_a", pa.string()),
+                                          ("n_a", pa.int64())]))
+    j = hash_join(j,
+                  sizes.map_batches(size_side("repo_b", "n_b"),
+                                    batch_format="pyarrow"),
+                  on=["repo_b"], num_buckets=num_buckets,
+                  left_schema=pairs_schema.append(
+                      pa.field("n_a", pa.int64())),
+                  right_schema=pa.schema([("repo_b", pa.string()),
+                                          ("n_b", pa.int64())]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        ns = b.column("n_shared").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        na = b.column("n_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nb = b.column("n_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        union = na + nb - ns
+        jac = (100 * ns) // np.maximum(union, 1)
+        return pa.table({
+            "repo_a": b.column("repo_a"),
+            "repo_b": b.column("repo_b"),
+            "n_shared": pa.array(ns),
+            "n_a": pa.array(na),
+            "n_b": pa.array(nb),
+            "jaccard_pct": pa.array(jac),
+            "is_fork": pa.array((jac >= min_pct).astype(np.int64)),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def detect_forks_sql(table: str = "aug", repo_col: str = "repo",
+                     text_col: str = "content", min_pct: int = 25,
+                     max_repos_per_content: int = 64) -> str:
+    """CTE tail (``d AS ... SELECT ...``) mirroring
+    :func:`detect_forks` exactly, grouping on the raw content string
+    where the Ray plan rides hash64. Append after
+    ``WITH <corpus/aug CTEs>,``."""
+    jac = "(100 * n_shared) // (sa.n + sb.n - n_shared)"
+    return f"""
+d AS (SELECT DISTINCT {text_col} AS c, {repo_col} AS repo
+      FROM {table}),
+sizes AS (SELECT repo, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY repo),
+gs AS (SELECT c, COUNT(*) AS cnt FROM d GROUP BY c),
+fork_pairs AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM d a JOIN d b ON a.c = b.c AND a.repo < b.repo
+  JOIN gs ON gs.c = a.c
+  WHERE gs.cnt BETWEEN 2 AND {max_repos_per_content}
+  GROUP BY 1, 2)
+SELECT repo_a, repo_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       CAST({jac} AS BIGINT) AS jaccard_pct,
+       CAST(CASE WHEN {jac} >= {min_pct} THEN 1 ELSE 0 END AS BIGINT)
+           AS is_fork
+FROM fork_pairs
+JOIN sizes sa ON sa.repo = repo_a
+JOIN sizes sb ON sb.repo = repo_b"""
+
+
+def plant_fork_batch(b: pa.Table, repo_col: str = "repo",
+                     text_col: str = "content",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Deterministic fork fixtures over a corpus batch (module
+    docstring); output is just ``(repo, content)`` — all the operator
+    reads. Mirror: :func:`fork_aug_sql`."""
+    did = b.column(id_col).to_numpy()
+    repo = b.column(repo_col)
+    content = b.column(text_col)
+
+    def prefixed(mask: np.ndarray, prefix: str) -> pa.Table:
+        idx = np.nonzero(mask)[0]
+        sub_r = repo.take(pa.array(idx))
+        sub_c = content.take(pa.array(idx))
+        pref = pc.binary_join_element_wise(
+            pa.scalar(prefix, pa.string()), sub_r, "")
+        return pa.table({repo_col: pref, text_col: sub_c})
+
+    base = pa.table({repo_col: repo, text_col: content})
+    boil_idx = np.nonzero(did % 17 == 0)[0]
+    boiler = pa.table({
+        repo_col: repo.take(pa.array(boil_idx)),
+        text_col: pa.array([BOILERPLATE_TEXT] * len(boil_idx),
+                           pa.string())})
+    return pa.concat_tables([
+        base,
+        prefixed(did % 3 == 0, "forks/"),
+        prefixed(did % 11 == 0, "mirror/"),
+        boiler,
+    ]).combine_chunks()
+
+
+def fork_aug_sql(corpus: str = "corpus", repo_col: str = "repo",
+                 text_col: str = "content",
+                 id_col: str = "doc_id") -> str:
+    """``aug AS (...)`` CTE — bit-identical to
+    :func:`plant_fork_batch` over the same corpus rows."""
+    return f"""
+aug AS (
+  SELECT {repo_col}, {text_col} FROM {corpus}
+  UNION ALL
+  SELECT 'forks/' || {repo_col}, {text_col} FROM {corpus}
+  WHERE {id_col} % 3 = 0
+  UNION ALL
+  SELECT 'mirror/' || {repo_col}, {text_col} FROM {corpus}
+  WHERE {id_col} % 11 = 0
+  UNION ALL
+  SELECT {repo_col}, '{BOILERPLATE_TEXT}' FROM {corpus}
+  WHERE {id_col} % 17 = 0
+)"""

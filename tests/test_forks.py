@@ -1,0 +1,154 @@
+"""Fork/mirror detection (stages/forks.py): hand-built pair algebra
+the sf0.001 entry-contract oracle can't isolate — exact Jaccard
+arithmetic, the boilerplate cap, repos sharing nothing, duplicate
+contents WITHIN one repo — plus partition/bucket independence and a
+DuckDB cross-check on a randomized corpus."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from boon_ray.stages.forks import (
+    BOILERPLATE_TEXT,
+    detect_forks,
+    detect_forks_sql,
+    fork_aug_sql,
+    plant_fork_batch,
+)
+
+
+def _ds(rows, n_blocks=1):
+    t = pa.table({
+        "repo": pa.array([r[0] for r in rows], pa.string()),
+        "content": pa.array([r[1] for r in rows], pa.string())})
+    ds = rd.from_arrow(t)
+    return ds.repartition(n_blocks) if n_blocks > 1 else ds
+
+
+def _pairs(ds):
+    df = ds.to_pandas().sort_values(["repo_a", "repo_b"]) \
+        .reset_index(drop=True)
+    return {(r.repo_a, r.repo_b): r for r in df.itertuples()}
+
+
+class TestPairAlgebra:
+    def test_hand_case(self, ray_session):
+        # A = {x, y, z}, B = {x, y, w}, C = {q} (shares nothing)
+        p = _pairs(detect_forks(_ds([
+            ("A", "x"), ("A", "y"), ("A", "z"),
+            ("B", "x"), ("B", "y"), ("B", "w"),
+            ("C", "q")]), min_pct=25, num_buckets=4))
+        assert set(p) == {("A", "B")}
+        r = p[("A", "B")]
+        # shared 2, union 4 -> 50%
+        assert (r.n_shared, r.n_a, r.n_b, r.jaccard_pct, r.is_fork) \
+            == (2, 3, 3, 50, 1)
+
+    def test_threshold_boundary_truncates(self, ray_session):
+        # shared 1 of union 4 -> 100//4 = 25 >= 25 passes;
+        # shared 1 of union 5 -> 100//5 = 20 fails
+        p = _pairs(detect_forks(_ds([
+            ("A", "x"), ("A", "y"),
+            ("B", "x"), ("B", "z"), ("B", "w")]),
+            min_pct=25, num_buckets=4))
+        r = p[("A", "B")]
+        assert (r.jaccard_pct, r.is_fork) == (25, 1)
+        p2 = _pairs(detect_forks(_ds([
+            ("A", "x"), ("A", "y"),
+            ("B", "x"), ("B", "z"), ("B", "w"), ("B", "v")]),
+            min_pct=25, num_buckets=4))
+        assert (p2[("A", "B")].jaccard_pct,
+                p2[("A", "B")].is_fork) == (20, 0)
+
+    def test_within_repo_duplicates_count_once(self, ray_session):
+        # repo A lists content x twice: distinct-set semantics
+        p = _pairs(detect_forks(_ds([
+            ("A", "x"), ("A", "x"), ("A", "y"),
+            ("B", "x")]), num_buckets=4))
+        r = p[("A", "B")]
+        assert (r.n_shared, r.n_a, r.n_b) == (1, 2, 1)
+
+    def test_no_cross_repo_sharing_is_empty(self, ray_session):
+        # Ray's to_pandas() on an all-empty dataset drops columns, so
+        # assert emptiness only (real corpora never hit this corner)
+        out = detect_forks(_ds([("A", "x"), ("B", "y")]),
+                           num_buckets=4).to_pandas()
+        assert len(out) == 0
+
+
+class TestBoilerplateCap:
+    def test_over_cap_content_emits_no_pairs(self, ray_session):
+        # 'boiler' in 4 repos with cap 3: no pair evidence from it,
+        # but it still counts toward each repo's size
+        rows = [(f"R{i}", "boiler") for i in range(4)]
+        rows += [("R0", "x"), ("R1", "x")]
+        p = _pairs(detect_forks(_ds(rows), num_buckets=4,
+                                max_repos_per_content=3))
+        assert set(p) == {("R0", "R1")}
+        r = p[("R0", "R1")]
+        assert (r.n_shared, r.n_a, r.n_b, r.jaccard_pct) \
+            == (1, 2, 2, 33)
+
+    def test_at_cap_content_pairs(self, ray_session):
+        rows = [(f"R{i}", "boiler") for i in range(3)]
+        p = _pairs(detect_forks(_ds(rows), num_buckets=4,
+                                max_repos_per_content=3))
+        assert set(p) == {("R0", "R1"), ("R0", "R2"), ("R1", "R2")}
+
+
+class TestPartitionIndependence:
+    def _corpus(self, seed=7, n=400, n_repos=17, vocab=120):
+        rng = np.random.default_rng(seed)
+        return [(f"repo{int(r)}", f"content-{int(c)}")
+                for r, c in zip(rng.integers(0, n_repos, n),
+                                rng.integers(0, vocab, n))]
+
+    def _norm(self, ds):
+        return ds.to_pandas().sort_values(["repo_a", "repo_b"]) \
+            .reset_index(drop=True)
+
+    def test_blocks_and_buckets_invariant(self, ray_session):
+        rows = self._corpus()
+        ref = self._norm(detect_forks(_ds(rows, 1), num_buckets=4))
+        assert len(ref) > 10
+        for nb, buckets in ((5, 3), (13, 8), (32, 16)):
+            got = self._norm(detect_forks(_ds(rows, nb),
+                                          num_buckets=buckets))
+            pd.testing.assert_frame_equal(ref, got)
+
+    def test_matches_duckdb_on_random_corpus(self, ray_session):
+        rows = self._corpus(seed=11)
+        got = self._norm(detect_forks(_ds(rows, 7), num_buckets=8,
+                                      max_repos_per_content=9))
+        con = duckdb.connect()
+        con.register("aug", pd.DataFrame(rows,
+                                         columns=["repo", "content"]))
+        want = con.sql(
+            "WITH " + detect_forks_sql(
+                "aug", max_repos_per_content=9).strip()).df() \
+            .sort_values(["repo_a", "repo_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)])
+
+
+class TestPlanting:
+    def test_plant_matches_sql_expression(self, ray_session):
+        t = pa.table({
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "repo": pa.array([f"r{i % 5}" for i in range(40)]),
+            "content": pa.array([f"c{i}" for i in range(40)])})
+        got = plant_fork_batch(t).to_pandas() \
+            .sort_values(["repo", "content"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("corpus", t.to_pandas())
+        want = con.sql(
+            "WITH " + fork_aug_sql().strip()
+            + " SELECT repo, content FROM aug").df() \
+            .sort_values(["repo", "content"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        assert (got.content == BOILERPLATE_TEXT).sum() == 3  # 0,17,34
