@@ -1736,6 +1736,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": _q_graph_pagerank,
         "repo_scorecard": _q_repo_scorecard,
         "fork_pairs": _q_fork_pairs,
+        "fork_canonical": _q_fork_canonical,
     }
 
 
@@ -2047,6 +2048,25 @@ def _fork_pairs_sql() -> str:
     return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
             + fork_aug_sql().strip() + ", "
             + detect_forks_sql().strip())
+
+
+def _q_fork_canonical(sf_dir: str):
+    """Fork-cluster canonical election (stages/forks.py): connected
+    components over the is_fork pair graph (reusing the pinned-
+    adjacency pointer-doubling CC), min-repo cluster labels, keep the
+    repo with the most distinct files per cluster. Same planted
+    fixture as fork_pairs."""
+    from boon_ray.stages.forks import elect_canonical_repos
+
+    return elect_canonical_repos(_q_fork_pairs(sf_dir))
+
+
+def _fork_canonical_sql() -> str:
+    from boon_ray.stages.forks import fork_aug_sql, fork_canonical_sql
+
+    return (f"WITH RECURSIVE {CORPUS_CTE.strip().rstrip()}, "
+            + fork_aug_sql().strip() + ", "
+            + fork_canonical_sql().strip())
 
 
 def _q_code_hygiene(sf_dir: str):
@@ -3429,6 +3449,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "graph_pagerank": _graph_pagerank_sql(),
         "repo_scorecard": _repo_scorecard_sql(),
         "fork_pairs": _fork_pairs_sql(),
+        "fork_canonical": _fork_canonical_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

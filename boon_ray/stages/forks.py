@@ -194,14 +194,11 @@ def detect_forks(ds, repo_col: str = "repo", text_col: str = "content",
     return j.map_batches(finish, batch_format="pyarrow")
 
 
-def detect_forks_sql(table: str = "aug", repo_col: str = "repo",
-                     text_col: str = "content", min_pct: int = 25,
-                     max_repos_per_content: int = 64) -> str:
-    """CTE tail (``d AS ... SELECT ...``) mirroring
-    :func:`detect_forks` exactly, grouping on the raw content string
-    where the Ray plan rides hash64. Append after
-    ``WITH <corpus/aug CTEs>,``."""
-    jac = "(100 * n_shared) // (sa.n + sb.n - n_shared)"
+def detect_forks_ctes(table: str = "aug", repo_col: str = "repo",
+                      text_col: str = "content",
+                      max_repos_per_content: int = 64) -> str:
+    """The shared CTE chain (``d``/``sizes``/``gs``/``fork_pairs``)
+    mirroring :func:`detect_forks`'s candidate + pair stages."""
     return f"""
 d AS (SELECT DISTINCT {text_col} AS c, {repo_col} AS repo
       FROM {table}),
@@ -214,7 +211,12 @@ fork_pairs AS (
   FROM d a JOIN d b ON a.c = b.c AND a.repo < b.repo
   JOIN gs ON gs.c = a.c
   WHERE gs.cnt BETWEEN 2 AND {max_repos_per_content}
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+
+def _forks_select(min_pct: int) -> str:
+    jac = "(100 * n_shared) // (sa.n + sb.n - n_shared)"
+    return f"""
 SELECT repo_a, repo_b, n_shared, sa.n AS n_a, sb.n AS n_b,
        CAST({jac} AS BIGINT) AS jaccard_pct,
        CAST(CASE WHEN {jac} >= {min_pct} THEN 1 ELSE 0 END AS BIGINT)
@@ -222,6 +224,143 @@ SELECT repo_a, repo_b, n_shared, sa.n AS n_a, sb.n AS n_b,
 FROM fork_pairs
 JOIN sizes sa ON sa.repo = repo_a
 JOIN sizes sb ON sb.repo = repo_b"""
+
+
+def detect_forks_sql(table: str = "aug", repo_col: str = "repo",
+                     text_col: str = "content", min_pct: int = 25,
+                     max_repos_per_content: int = 64) -> str:
+    """CTE tail (``d AS ... SELECT ...``) mirroring
+    :func:`detect_forks` exactly, grouping on the raw content string
+    where the Ray plan rides hash64. Append after
+    ``WITH <corpus/aug CTEs>,``."""
+    return (detect_forks_ctes(table, repo_col, text_col,
+                              max_repos_per_content)
+            + _forks_select(min_pct))
+
+
+def elect_canonical_repos(forks_ds, num_buckets: int = 16):
+    """Canonical-repo election over fork clusters — the second half
+    of The Stack's fork exclusion: connected components over the
+    ``is_fork=1`` pair graph, then per cluster keep exactly one repo
+    (most distinct files, repo-name tiebreak). Input is
+    :func:`detect_forks` output; returns one row per cluster member:
+    ``(repo, cluster, canonical, is_canonical)`` where ``cluster`` is
+    the component's min repo name.
+
+    Plan: the pair table is output-sized, so it is pinned once
+    (materialize) and feeds three cheap consumers — int edges
+    (hash64(repo), the CC machinery is int64-keyed), a member side
+    table (hash, repo, n), and the existing
+    :func:`~boon_ray.stages.dedup.cluster_pairs_distributed`
+    pointer-doubling CC (pinned adjacency, label-pair exchanges
+    only). One int-keyed hash_join attaches (repo, n) to each
+    component label; a final cluster-keyed bucket pass relabels the
+    component to min(repo) and elects the canonical. All exchanges
+    are cluster-member-bounded — at any corpus size this stage costs
+    O(|fork pairs|), never O(files).
+    """
+    from boon_ray.stages.combine import bucketed_map_groups
+    from boon_ray.stages.dedup import cluster_pairs_distributed
+    from boon_ray.stages.joins import hash_join
+
+    forks_ds = forks_ds.materialize()  # pair-bounded by construction
+
+    def edges(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("is_fork"), 1))
+        ra = hash64(t.column("repo_a").to_pandas()
+                    .to_numpy(dtype=object)).astype(np.int64)
+        rb = hash64(t.column("repo_b").to_pandas()
+                    .to_numpy(dtype=object)).astype(np.int64)
+        return pa.table({"a": pa.array(ra), "b": pa.array(rb)})
+
+    def members(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("is_fork"), 1))
+        df = pd.concat([
+            pd.DataFrame({
+                "repo": t.column("repo_a").to_pandas().to_numpy(),
+                "n": t.column("n_a").to_numpy(zero_copy_only=False)
+                .astype(np.int64)}),
+            pd.DataFrame({
+                "repo": t.column("repo_b").to_pandas().to_numpy(),
+                "n": t.column("n_b").to_numpy(zero_copy_only=False)
+                .astype(np.int64)}),
+        ], ignore_index=True).drop_duplicates()
+        df["id"] = hash64(df["repo"].to_numpy(dtype=object)) \
+            .astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    comps = cluster_pairs_distributed(
+        forks_ds.map_batches(edges, batch_format="pyarrow"),
+        num_buckets=num_buckets)
+    j = hash_join(
+        comps,
+        forks_ds.map_batches(members, batch_format="pyarrow"),
+        on=["id"], num_buckets=num_buckets,
+        left_schema=pa.schema([("id", pa.int64()),
+                               ("cluster", pa.int64())]),
+        right_schema=pa.schema([("repo", pa.string()),
+                                ("n", pa.int64()),
+                                ("id", pa.int64())]))
+
+    out_schema = pa.schema([("repo", pa.string()),
+                            ("cluster", pa.string()),
+                            ("canonical", pa.string()),
+                            ("is_canonical", pa.int64())])
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        # a repo can arrive via several pair rows: collapse first
+        df = df.drop_duplicates(["cluster", "repo", "n"])
+        lab = df.groupby("cluster")["repo"].transform("min")
+        ranked = df.sort_values(["cluster", "n", "repo"],
+                                ascending=[True, False, True])
+        canon = ranked.drop_duplicates("cluster")[["cluster", "repo"]] \
+            .rename(columns={"repo": "canonical"})
+        out = df.assign(cluster_lab=lab).merge(canon, on="cluster")
+        return pa.Table.from_pandas(pd.DataFrame({
+            "repo": out["repo"],
+            "cluster": out["cluster_lab"],
+            "canonical": out["canonical"],
+            "is_canonical": (out["repo"] == out["canonical"])
+            .astype(np.int64)}), schema=out_schema,
+            preserve_index=False)
+
+    return bucketed_map_groups(j, ("cluster",), finalize,
+                               num_buckets=num_buckets)
+
+
+def fork_canonical_sql(table: str = "aug", repo_col: str = "repo",
+                       text_col: str = "content", min_pct: int = 25,
+                       max_repos_per_content: int = 64) -> str:
+    """CTE tail mirroring :func:`elect_canonical_repos` over
+    :func:`detect_forks`: transitive closure of the is_fork pair
+    graph via a recursive CTE (UNION dedup keeps it finite), min-repo
+    component labels, ROW_NUMBER election. The composed query MUST
+    start with ``WITH RECURSIVE``."""
+    return f"""
+{detect_forks_ctes(table, repo_col, text_col,
+                   max_repos_per_content).strip()},
+scored AS ({_forks_select(min_pct).strip()}),
+fe AS (SELECT repo_a, repo_b FROM scored WHERE is_fork = 1),
+e AS (SELECT repo_a AS a, repo_b AS b FROM fe
+      UNION SELECT repo_b, repo_a FROM fe
+      UNION SELECT repo_a, repo_a FROM fe
+      UNION SELECT repo_b, repo_b FROM fe),
+r AS (SELECT a, b FROM e
+      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+comp AS (SELECT a AS member, MIN(b) AS cluster FROM r GROUP BY a),
+wn AS (SELECT comp.member AS repo, comp.cluster, s.n
+       FROM comp JOIN sizes s ON s.repo = comp.member),
+canon AS (SELECT cluster, repo AS canonical FROM
+  (SELECT cluster, repo,
+          ROW_NUMBER() OVER (PARTITION BY cluster
+                             ORDER BY n DESC, repo) AS rn
+   FROM wn) WHERE rn = 1)
+SELECT wn.repo, wn.cluster, canon.canonical,
+       CAST(CASE WHEN wn.repo = canon.canonical THEN 1 ELSE 0 END
+            AS BIGINT) AS is_canonical
+FROM wn JOIN canon USING (cluster)"""
 
 
 def plant_fork_batch(b: pa.Table, repo_col: str = "repo",

@@ -17,7 +17,9 @@ from boon_ray.stages.forks import (
     BOILERPLATE_TEXT,
     detect_forks,
     detect_forks_sql,
+    elect_canonical_repos,
     fork_aug_sql,
+    fork_canonical_sql,
     plant_fork_batch,
 )
 
@@ -132,6 +134,60 @@ class TestPartitionIndependence:
             "WITH " + detect_forks_sql(
                 "aug", max_repos_per_content=9).strip()).df() \
             .sort_values(["repo_a", "repo_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)])
+
+
+class TestCanonicalElection:
+    def _canon(self, rows, **kw):
+        out = elect_canonical_repos(
+            detect_forks(_ds(rows, kw.pop("n_blocks", 1)),
+                         num_buckets=4, **kw), num_buckets=4)
+        df = out.to_pandas()
+        if len(df) == 0:  # Ray drops columns on all-empty datasets
+            return df
+        return df.sort_values("repo").reset_index(drop=True)
+
+    def test_transitive_cluster_and_size_election(self, ray_session):
+        # A~B (share x,y), B~C (share z,w): one component {A,B,C}
+        # even though A and C share nothing; B has the most files
+        rows = [("A", "x"), ("A", "y"),
+                ("B", "x"), ("B", "y"), ("B", "z"), ("B", "w"),
+                ("C", "z"), ("C", "w")]
+        df = self._canon(rows, min_pct=40)
+        assert df.repo.tolist() == ["A", "B", "C"]
+        assert set(df.cluster) == {"A"}
+        assert set(df.canonical) == {"B"}
+        assert df.is_canonical.tolist() == [0, 1, 0]
+
+    def test_tiebreak_min_repo_name(self, ray_session):
+        rows = [("B", "x"), ("B", "y"), ("A", "x"), ("A", "y")]
+        df = self._canon(rows)
+        # equal sizes: min repo name wins
+        assert set(df.canonical) == {"A"}
+        assert df[df.repo == "A"].is_canonical.item() == 1
+
+    def test_below_threshold_pairs_form_no_cluster(self, ray_session):
+        rows = [("A", "x")] + [("A", f"a{i}") for i in range(9)] \
+            + [("B", "x")] + [("B", f"b{i}") for i in range(9)]
+        # shared 1 / union 19 -> 5% < 25%: no is_fork edge
+        df = self._canon(rows)
+        assert len(df) == 0
+
+    def test_matches_recursive_duckdb_oracle(self, ray_session):
+        rng = np.random.default_rng(23)
+        rows = [(f"repo{int(r)}", f"content-{int(c)}")
+                for r, c in zip(rng.integers(0, 15, 300),
+                                rng.integers(0, 60, 300))]
+        got = self._canon(rows, min_pct=30, n_blocks=7)
+        assert got.is_canonical.sum() == got.cluster.nunique() > 1
+        con = duckdb.connect()
+        con.register("aug", pd.DataFrame(rows,
+                                         columns=["repo", "content"]))
+        want = con.sql(
+            "WITH RECURSIVE "
+            + fork_canonical_sql("aug", min_pct=30).strip()).df() \
+            .sort_values("repo").reset_index(drop=True)
         pd.testing.assert_frame_equal(
             got[sorted(got.columns)], want[sorted(want.columns)])
 
