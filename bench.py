@@ -511,11 +511,17 @@ def q_fork_pairs():
     candidates, per-bucket capped pair partials (<= cap x candidate
     rows), bucketed pair sum, two repo-keyed hash joins. cap=128 (>
     the 92-repo lattice) so no group is dropped; at the default
-    cap=64 the replicated texts would all be 'boilerplate'."""
-    from boon_ray.stages.forks import detect_forks
+    cap=64 the replicated texts would all be 'boilerplate'.
 
-    return detect_forks(_corpus(), num_buckets=64,
-                        max_repos_per_content=128).count()
+    Also runs the canonical-repo election over the pair output
+    (CC over is_fork pairs + per-cluster most-files vote) — every
+    exchange there is pair-bounded, so it adds a near-constant tail
+    regardless of corpus size."""
+    from boon_ray.stages.forks import detect_forks, elect_canonical_repos
+
+    pairs = detect_forks(_corpus(), num_buckets=64,
+                         max_repos_per_content=128)
+    return elect_canonical_repos(pairs).count()
 
 
 def q_approx_quantiles():
