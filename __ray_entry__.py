@@ -1737,6 +1737,8 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "repo_scorecard": _q_repo_scorecard,
         "fork_pairs": _q_fork_pairs,
         "fork_canonical": _q_fork_canonical,
+        "repo_deps": _q_repo_deps,
+        "dep_centrality": _q_dep_centrality,
     }
 
 
@@ -2067,6 +2069,125 @@ def _fork_canonical_sql() -> str:
     return (f"WITH RECURSIVE {CORPUS_CTE.strip().rstrip()}, "
             + fork_aug_sql().strip() + ", "
             + fork_canonical_sql().strip())
+
+
+def _deps_aug(sf_dir: str):
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.deps import plant_import_batch
+
+    ds = corpus_dataset(sf_dir, keep_meta=True)
+    return ds.map_batches(plant_import_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def _deps_pre_sql() -> str:
+    from boon_ray.stages.deps import imports_aug_cte
+
+    return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
+            + imports_aug_cte().strip() + ", ")
+
+
+def _q_repo_deps(sf_dir: str):
+    """Repo dependency summary (stages/deps.py): per-line import
+    extraction (python-style for en/es/fr, js-style for de/zh) ->
+    internal non-self dependency edges -> per-repo out/in degree and
+    import counts. Fixtures planted by plant_import_batch (dep1 every
+    3rd doc, dep2 every 4th, a self-import every 9th, an external
+    import every 5th), mirrored bit-for-bit by imports_aug_cte."""
+    from boon_ray.stages.deps import (dependency_edges,
+                                      extract_imports,
+                                      repo_dep_summary)
+
+    return repo_dep_summary(dependency_edges(
+        extract_imports(_deps_aug(sf_dir))))
+
+
+def _repo_deps_sql() -> str:
+    from boon_ray.stages.deps import repo_dep_summary_sql
+
+    return _deps_pre_sql() + repo_dep_summary_sql().strip()
+
+
+def _q_dep_centrality(sf_dir: str):
+    """Dependency criticality: DIRECTED PageRank over the repo
+    dependency graph (rank flows dependent -> dependency; sinks drop
+    their damped mass, zero-indegree repos settle at BASE — the
+    stages/graph.py directed contract). Repo 'orgI/repoJ' rides as
+    node id I*100+J; 4 fixed-point iterations, bit-exact vs the
+    unrolled directed SQL recurrence."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from boon_ray.stages.deps import dependency_edges, extract_imports
+    from boon_ray.stages.graph import pagerank
+
+    edges = dependency_edges(extract_imports(_deps_aug(sf_dir)))
+
+    def to_ids(b: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        def parse(col):
+            st = _pc.extract_regex(
+                b.column(col), r"^org(?P<o>[0-9]+)/repo(?P<r>[0-9]+)$")
+            ok = _pc.is_valid(st).to_numpy(zero_copy_only=False)
+            o = _pc.cast(_pc.struct_field(st, "o"), _pa.int64())
+            r = _pc.cast(_pc.struct_field(st, "r"), _pa.int64())
+            ids = (o.to_numpy(zero_copy_only=False) * 100
+                   + r.to_numpy(zero_copy_only=False))
+            return _np.where(ok, ids, -1).astype(_np.int64), ok
+
+        a, oka = parse("src_repo")
+        bb, okb = parse("dst_repo")
+        keep = oka & okb
+        return _pa.table({"a": _pa.array(a[keep]),
+                          "b": _pa.array(bb[keep])})
+
+    pairs = edges.map_batches(to_ids, batch_format="pyarrow")
+    pr = pagerank(pairs, iterations=4, num_buckets=8, directed=True)
+
+    def back(b: _pa.Table) -> _pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        repo = ("org" + (node // 100).astype(str).astype(object)
+                + "/repo" + (node % 100).astype(str).astype(object))
+        return _pa.table({"repo": _pa.array(repo.tolist(),
+                                            _pa.string()),
+                          "d": b.column("d"),
+                          "rank": b.column("rank")})
+
+    return pr.map_batches(back, batch_format="pyarrow")
+
+
+def _dep_centrality_sql() -> str:
+    from boon_ray.stages.deps import dependency_edges_sql
+    from boon_ray.stages.graph import pagerank_sql
+
+    pat = "^org[0-9]+/repo[0-9]+$"
+    pairs = ("SELECT (CAST(regexp_extract(src_repo, "
+             "'org([0-9]+)/repo([0-9]+)', 1) AS BIGINT) * 100 "
+             "+ CAST(regexp_extract(src_repo, "
+             "'org([0-9]+)/repo([0-9]+)', 2) AS BIGINT)) AS a, "
+             "(CAST(regexp_extract(dst_repo, "
+             "'org([0-9]+)/repo([0-9]+)', 1) AS BIGINT) * 100 "
+             "+ CAST(regexp_extract(dst_repo, "
+             "'org([0-9]+)/repo([0-9]+)', 2) AS BIGINT)) AS b "
+             "FROM dep_edges "
+             f"WHERE regexp_matches(src_repo, '{pat}') "
+             f"AND regexp_matches(dst_repo, '{pat}')")
+    inner = pagerank_sql(pairs, iterations=4, directed=True)
+    # splice the corpus + planting + edge CTEs ahead of pagerank's
+    # own WITH list (DuckDB: one flat CTE chain)
+    edges = dependency_edges_sql().strip()
+    head, tail = edges.rsplit("SELECT", 1)
+    pre = (_deps_pre_sql().removeprefix("WITH ")
+           + head + f",\ndep_edges AS (SELECT{tail}), ")
+    assert inner.startswith("WITH ")
+    body = inner.removeprefix("WITH ")
+    final = ("WITH " + pre + body).replace(
+        "SELECT deg.src AS node, deg.d, r.r AS rank",
+        "SELECT 'org' || CAST(deg.src // 100 AS VARCHAR) || '/repo' "
+        "|| CAST(deg.src % 100 AS VARCHAR) AS repo, deg.d, "
+        "r.r AS rank")
+    return final
 
 
 def _q_code_hygiene(sf_dir: str):
@@ -3450,6 +3571,8 @@ def _base_oracle_sql() -> dict[str, str]:
         "repo_scorecard": _repo_scorecard_sql(),
         "fork_pairs": _fork_pairs_sql(),
         "fork_canonical": _fork_canonical_sql(),
+        "repo_deps": _repo_deps_sql(),
+        "dep_centrality": _dep_centrality_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

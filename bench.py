@@ -524,6 +524,59 @@ def q_fork_pairs():
     return elect_canonical_repos(pairs).count()
 
 
+def q_repo_deps():
+    """Import extraction + dependency graph over the amplified
+    corpus: plant deterministic import headers (ids from
+    hash64(content) — run-stable at any partitioning), then the real
+    measured work — per-line regex extraction over 500k docs (the
+    zero-exchange pass whose cost IS the corpus read + RE2), edge-
+    bounded dependency edges/summary, and 4 rounds of DIRECTED
+    PageRank over the repo graph."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from boon_ray.sketches import hash64
+    from boon_ray.stages.deps import (dependency_edges,
+                                      extract_imports,
+                                      plant_import_batch,
+                                      repo_dep_summary)
+    from boon_ray.stages.graph import pagerank
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = hash64(b.column("content").to_pandas()
+                     .to_numpy(dtype=object)).astype("int64")
+        return plant_import_batch(
+            b.append_column("doc_id", pa.array(ids)))
+
+    aug = _corpus().map_batches(plant, batch_format="pyarrow",
+                                batch_size=None)
+    edges = dependency_edges(extract_imports(aug), num_buckets=32)
+    n = repo_dep_summary(edges, num_buckets=32).count()
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        def parse(col):
+            st = pc.extract_regex(
+                b.column(col), r"^org(?P<o>[0-9]+)/repo(?P<r>[0-9]+)$")
+            ok = pc.is_valid(st).to_numpy(zero_copy_only=False)
+            o = pc.cast(pc.struct_field(st, "o"), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            r = pc.cast(pc.struct_field(st, "r"), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            return np.where(ok, o * 100 + r, -1).astype(np.int64), ok
+
+        a, oka = parse("src_repo")
+        bb, okb = parse("dst_repo")
+        keep = oka & okb
+        return pa.table({"a": pa.array(a[keep]),
+                         "b": pa.array(bb[keep])})
+
+    pairs = edges.map_batches(to_ids, batch_format="pyarrow")
+    return n + pagerank(pairs, iterations=4, num_buckets=16,
+                        directed=True).count()
+
+
 def q_approx_quantiles():
     """Mergeable KLL quantiles of a continuous per-doc statistic over
     the 500k-doc corpus: one few-KB sketch per batch, ref-tree merge
@@ -748,6 +801,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "approx_quantiles": q_approx_quantiles,
     "fork_pairs": q_fork_pairs,
+    "repo_deps": q_repo_deps,
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,

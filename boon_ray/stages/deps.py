@@ -1,0 +1,321 @@
+"""Import/dependency extraction over the source-code corpus — the
+dependency-graph layer of code-corpus curation (BASELINE.json
+north_rule: the input is a trillion-file table of repos; reference
+posture: boon has no corpus notion — one file per CLI run,
+cli/src/main.rs:115-168 — so cross-repo dependency analytics are new,
+Ray-native surface). The StarCoder2/The-Stack-v2 pipeline derives
+repo-level signals from the import graph (dependency counts,
+repo-reachability); SWE-style curation ranks repos by how much of the
+ecosystem depends on them.
+
+Operators (per-exchange budgets in docs/SCALE.md):
+
+- :func:`extract_imports` — per-file import extraction: one
+  shuffle-free ``map_batches`` pass; content splits to lines (Arrow
+  ``split_pattern``, offsets recomputed), per line the FIRST import
+  statement is captured by a per-language-family RE2 pattern
+  (``pc.extract_regex``): python-style ``import a.b`` for langs
+  en/es/fr, js-style ``require('a/b')`` for de/zh. A captured module
+  that has the two-segment ``owner/name`` shape (after ``.`` ->
+  ``/``) is an INTERNAL repo reference; anything else (``numpy``,
+  ``lodash``) is an external dependency. Output rows:
+  ``(repo, lang, module, dst_repo, internal)`` — corpus text never
+  crosses the wire, only matched module names do.
+- :func:`dependency_edges` — ``(src_repo, dst_repo, n_imports)``:
+  internal, non-self references, pre-reduced per batch then one
+  edge-bounded bucketed sum (combine.bucketed_groupby_sum).
+- :func:`repo_dep_summary` — per repo ``(repo, out_degree,
+  in_degree, n_out_imports, n_in_imports)``: two tagged partial rows
+  per edge into one repo-keyed bucketed sum — edge-bounded.
+- dependency criticality = ``graph.pagerank(edges, directed=True)``
+  over the edge list (rank flows dependent -> dependency); the
+  ``dep_centrality`` entry query composes it.
+
+Every stage has an exact DuckDB mirror (the ``*_sql`` builders) over
+the same augmented input, so the value-hash gate applies. The
+synthetic corpus is single-line word soup, so
+:func:`plant_import_batch` / :func:`imports_aug_cte` deterministically
+plant import headers (same expression both sides — the FIXTURES.md
+pattern): dep1 (doc_id%3==1), dep2 (doc_id%4==2), a SELF-import
+(doc_id%9==4, must be excluded from edges), and an external import
+(doc_id%5==3). Planting is test fixture synthesis, not part of the
+measured operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# language families (keep in exact sync with _IS_PY_SQL)
+PY_LANGS = ("en", "es", "fr")
+_IS_PY_SQL = "lang IN ('en','es','fr')"
+
+# RE2 in both engines (Arrow extract_regex / DuckDB regexp_extract);
+# first match per line. The *_NAMED forms are the same patterns with
+# the capture group named (Arrow extract_regex needs a name).
+PY_IMPORT_RE = r"^import ([A-Za-z_][A-Za-z0-9_.]*)"
+JS_IMPORT_RE = r"require\('([A-Za-z0-9_./-]+)'\)"
+_PY_NAMED = r"^import (?P<m>[A-Za-z_][A-Za-z0-9_.]*)"
+_JS_NAMED = r"require\('(?P<m>[A-Za-z0-9_./-]+)'\)"
+
+# internal repo reference: exactly two non-empty path segments after
+# normalizing '.' -> '/' (GitHub-style owner/name)
+REPO_REF_RE = r"^[A-Za-z0-9_-]+/[A-Za-z0-9_-]+$"
+
+IMPORTS_SCHEMA = pa.schema([
+    ("repo", pa.string()), ("lang", pa.string()),
+    ("module", pa.string()), ("dst_repo", pa.string()),
+    ("internal", pa.int64()),
+])
+
+
+def extract_imports(ds, text_col: str = "content",
+                    repo_col: str = "repo", lang_col: str = "lang"):
+    """(repo, lang, module, dst_repo, internal) — one row per line
+    whose first import statement matches the lang family's pattern
+    (module docstring). Zero exchange."""
+    py_re = _PY_NAMED
+    js_re = _JS_NAMED
+
+    def batch(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(b.column(text_col), pa.string()),
+                            "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ls = pc.split_pattern(text, "\n")
+        offs = ls.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        flat = ls.flatten()
+        repo = np.repeat(np.asarray(b.column(repo_col).to_pylist(),
+                                    dtype=object), counts)
+        lang = np.repeat(np.asarray(b.column(lang_col).to_pylist(),
+                                    dtype=object), counts)
+        is_py = np.isin(lang, PY_LANGS)
+
+        def first_match(pat: str) -> np.ndarray:
+            st = pc.extract_regex(flat, pat)
+            return pc.fill_null(pc.struct_field(st, "m"), "") \
+                .to_numpy(zero_copy_only=False).astype(object)
+
+        mod = np.where(is_py, first_match(py_re), first_match(js_re))
+        hit = mod != ""
+        repo, lang, mod = repo[hit], lang[hit], mod[hit]
+        mod_arr = pa.array(mod, pa.string())
+        dst = pc.replace_substring(mod_arr, ".", "/")
+        internal = pc.cast(
+            pc.match_substring_regex(dst, REPO_REF_RE), pa.int64())
+        return pa.table({"repo": pa.array(repo, pa.string()),
+                         "lang": pa.array(lang, pa.string()),
+                         "module": mod_arr,
+                         "dst_repo": dst,
+                         "internal": internal},
+                        schema=IMPORTS_SCHEMA)
+
+    return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def extract_imports_sql(table: str = "aug",
+                        text_col: str = "content") -> str:
+    """CTE tail mirroring :func:`extract_imports`: line unnest +
+    per-family regexp_extract, first match per line."""
+    py_sql = PY_IMPORT_RE.replace("'", "''")
+    js_sql = JS_IMPORT_RE.replace("'", "''")
+    return f"""
+dep_lines AS (
+  SELECT repo, lang,
+         unnest(string_split({text_col}, chr(10))) AS line
+  FROM {table}),
+dep_mods AS (
+  SELECT repo, lang,
+         CASE WHEN {_IS_PY_SQL}
+              THEN regexp_extract(line, '{py_sql}', 1)
+              ELSE regexp_extract(line, '{js_sql}', 1)
+         END AS module
+  FROM dep_lines),
+imports AS (
+  SELECT repo, lang, module,
+         replace(module, '.', '/') AS dst_repo,
+         CAST(CASE WHEN regexp_matches(
+                replace(module, '.', '/'), '{REPO_REF_RE}')
+              THEN 1 ELSE 0 END AS BIGINT) AS internal
+  FROM dep_mods WHERE module <> '')
+SELECT repo, lang, module, dst_repo, internal FROM imports"""
+
+
+def dependency_edges(imports_ds, num_buckets: int = 16):
+    """(src_repo, dst_repo, n_imports): internal non-self references
+    summed per pair — in-batch pre-reduce, one edge-bounded bucketed
+    sum."""
+    from boon_ray.stages.combine import bucketed_groupby_sum
+
+    schema = pa.schema([("src_repo", pa.string()),
+                        ("dst_repo", pa.string()),
+                        ("n_imports", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(b.column("internal"), 1),
+                       pc.not_equal(b.column("repo"),
+                                    b.column("dst_repo")))
+        t = b.filter(keep)
+        df = pd.DataFrame({
+            "src_repo": t.column("repo").to_pandas(),
+            "dst_repo": t.column("dst_repo").to_pandas()})
+        g = df.groupby(["src_repo", "dst_repo"], sort=False) \
+            .size().reset_index(name="n_imports")
+        g["n_imports"] = g["n_imports"].astype(np.int64)
+        return pa.Table.from_pandas(g, schema=schema,
+                                    preserve_index=False)
+
+    parts = imports_ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_groupby_sum(parts, ("src_repo", "dst_repo"),
+                                ("n_imports",),
+                                num_buckets=num_buckets)
+
+
+def dependency_edges_sql(table: str = "aug",
+                         text_col: str = "content") -> str:
+    inner = extract_imports_sql(table, text_col).strip()
+    head, tail = inner.rsplit("SELECT", 1)
+    assert "FROM imports" in tail
+    return (head
+            + "SELECT repo AS src_repo, dst_repo, "
+              "CAST(COUNT(*) AS BIGINT) AS n_imports FROM imports "
+              "WHERE internal = 1 AND repo <> dst_repo "
+              "GROUP BY 1, 2")
+
+
+def repo_dep_summary(edges_ds, num_buckets: int = 16):
+    """(repo, out_degree, in_degree, n_out_imports, n_in_imports):
+    two tagged partials per edge into one repo-keyed bucketed sum —
+    edge-bounded at any corpus size."""
+    from boon_ray.stages.combine import bucketed_groupby_sum
+
+    schema = pa.schema([("repo", pa.string()),
+                        ("out_degree", pa.int64()),
+                        ("in_degree", pa.int64()),
+                        ("n_out_imports", pa.int64()),
+                        ("n_in_imports", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b.column("src_repo").to_pandas()
+        dst = b.column("dst_repo").to_pandas()
+        n = b.column("n_imports").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        one = np.ones(len(src), np.int64)
+        zero = np.zeros(len(src), np.int64)
+        df = pd.concat([
+            pd.DataFrame({"repo": src, "out_degree": one,
+                          "in_degree": zero, "n_out_imports": n,
+                          "n_in_imports": zero}),
+            pd.DataFrame({"repo": dst, "out_degree": zero,
+                          "in_degree": one, "n_out_imports": zero,
+                          "n_in_imports": n}),
+        ], ignore_index=True)
+        g = df.groupby("repo", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, schema=schema,
+                                    preserve_index=False)
+
+    parts = edges_ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_groupby_sum(
+        parts, ("repo",),
+        ("out_degree", "in_degree", "n_out_imports", "n_in_imports"),
+        num_buckets=num_buckets)
+
+
+def repo_dep_summary_sql(table: str = "aug",
+                         text_col: str = "content") -> str:
+    edges = dependency_edges_sql(table, text_col).strip()
+    head, tail = edges.rsplit("SELECT", 1)
+    return (head + f",\nedges AS (SELECT{tail}),\n"
+            "sides AS (SELECT src_repo AS repo, 1 AS od, 0 AS ind, "
+            "n_imports AS oi, 0 AS ii FROM edges "
+            "UNION ALL SELECT dst_repo, 0, 1, 0, n_imports "
+            "FROM edges) "
+            "SELECT repo, CAST(SUM(od) AS BIGINT) AS out_degree, "
+            "CAST(SUM(ind) AS BIGINT) AS in_degree, "
+            "CAST(SUM(oi) AS BIGINT) AS n_out_imports, "
+            "CAST(SUM(ii) AS BIGINT) AS n_in_imports "
+            "FROM sides GROUP BY repo")
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture planting (documents.text is single-line word
+# soup — import headers are planted identically in Arrow and SQL so
+# the extractors have true positives at any sf). Mirror:
+# imports_aug_cte().
+
+def plant_import_batch(b: pa.Table, text_col: str = "content") -> pa.Table:
+    """(doc_id, repo, lang, <text_col>) -> same + ``content`` with a
+    planted import header: dep1 = org((id%7+1)%7)/repo((id*2)%13) if
+    id%3==1, dep2 = org((id%7+3)%7)/repo((id+5)%13) if id%4==2, a
+    self-import if id%9==4, an external import (numpy/lodash) if
+    id%5==3. python-style for en/es/fr, js-style for de/zh."""
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+    repos = np.asarray(b.column("repo").to_pylist(), dtype=object)
+    text = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+    is_py = np.isin(langs, PY_LANGS)
+
+    def line(target: np.ndarray) -> np.ndarray:
+        """One import line per row for `target` (owner/name form)."""
+        dotted = np.array([t.replace("/", ".") for t in target],
+                          dtype=object)
+        return np.where(
+            is_py, "import " + dotted + "\n",
+            "const d = require('" + target + "');\n")
+
+    dep1 = ("org" + ((ids % 7 + 1) % 7).astype(str).astype(object)
+            + "/repo" + ((ids * 2) % 13).astype(str).astype(object))
+    dep2 = ("org" + ((ids % 7 + 3) % 7).astype(str).astype(object)
+            + "/repo" + ((ids + 5) % 13).astype(str).astype(object))
+    l1 = np.where(ids % 3 == 1, line(dep1), "")
+    l2 = np.where(ids % 4 == 2, line(dep2), "")
+    l3 = np.where(ids % 9 == 4, line(repos), "")
+    l4 = np.where(ids % 5 == 3,
+                  np.where(is_py, "import numpy\n",
+                           "const d = require('lodash');\n"), "")
+    parts = [pa.array(p.tolist(), pa.string())
+             for p in (l1, l2, l3, l4)]
+    content = pc.binary_join_element_wise(
+        *parts, text, "")  # last arg is the SEPARATOR
+    cols = {n: b.column(n) for n in b.schema.names
+            if n != text_col}
+    cols["content"] = content
+    return pa.table(cols)
+
+
+def _plant_line_sql(target_sql: str) -> str:
+    """One import line for a target expression (owner/name form)."""
+    return (f"CASE WHEN {_IS_PY_SQL} THEN 'import ' || "
+            f"replace({target_sql}, '/', '.') || chr(10) "
+            f"ELSE 'const d = require(''' || {target_sql} "
+            f"|| ''');' || chr(10) END")
+
+
+def imports_aug_cte(table: str = "corpus",
+                    text_col: str = "content") -> str:
+    """The planting as a named CTE over any (doc_id, repo, lang,
+    text_col) table — bit-identical to plant_import_batch."""
+    dep1 = ("'org' || CAST((doc_id % 7 + 1) % 7 AS VARCHAR) || "
+            "'/repo' || CAST((doc_id * 2) % 13 AS VARCHAR)")
+    dep2 = ("'org' || CAST((doc_id % 7 + 3) % 7 AS VARCHAR) || "
+            "'/repo' || CAST((doc_id + 5) % 13 AS VARCHAR)")
+    return f"""
+aug AS (
+  SELECT doc_id, repo, lang,
+    CASE WHEN doc_id % 3 = 1 THEN {_plant_line_sql(dep1)}
+         ELSE '' END
+    || CASE WHEN doc_id % 4 = 2 THEN {_plant_line_sql(dep2)}
+            ELSE '' END
+    || CASE WHEN doc_id % 9 = 4 THEN {_plant_line_sql('repo')}
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 3 THEN
+         CASE WHEN {_IS_PY_SQL} THEN 'import numpy' || chr(10)
+              ELSE 'const d = require(''lodash'');' || chr(10) END
+       ELSE '' END
+    || coalesce({text_col}, '') AS content
+  FROM {table})"""

@@ -18,6 +18,14 @@ CTEs in DuckDB (:func:`pagerank_sql`). Isolated nodes (in no pair)
 are out of scope by contract; after symmetrization every graph node
 has outdeg >= 1, so there is no dangling mass.
 
+``directed=True`` keeps the pair list as-is (src -> dst): the node
+set becomes the UNION of sources and destinations, sink nodes
+(outdeg 0) simply contribute nothing (their damped mass is dropped,
+the "truncating" analogue of the usual dangling-mass redistribution),
+and zero-indegree nodes settle at BASE. This is the dependency-graph
+form: rank flows from dependents to their dependencies, so a repo
+imported by many highly-imported repos ranks high (criticality).
+
 Distributed plan (the cluster_pairs_distributed ref-round pattern,
 dedup.py:389): the adjacency is hash-bucketed by source node ONCE and
 pinned in the object store (loop-invariant — never re-shuffled);
@@ -45,10 +53,13 @@ DEFAULT_SCALE = 1 << 20
 def pagerank(pairs_ds, iterations: int = 5,
              damping: tuple[int, int] = (85, 100),
              scale: int = DEFAULT_SCALE, num_buckets: int = 16,
-             a_col: str = "a", b_col: str = "b"):
-    """(node, d, rank) for every node in the symmetrized pair graph:
-    d = degree (= outdeg = indeg), rank = int64 fixed-point PageRank
-    after exactly ``iterations`` rounds of the recurrence above."""
+             a_col: str = "a", b_col: str = "b",
+             directed: bool = False):
+    """(node, d, rank) for every node in the pair graph: d = outdeg,
+    rank = int64 fixed-point PageRank after exactly ``iterations``
+    rounds of the recurrence above. Default symmetrizes (undirected,
+    d = degree); ``directed=True`` keeps src -> dst as given (module
+    docstring: sinks drop their mass, d = outdeg, may be 0)."""
     import ray
     import ray.data as rd
 
@@ -67,6 +78,19 @@ def pagerank(pairs_ds, iterations: int = 5,
             .astype(np.int64)
         bb = b.column(b_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        if directed:
+            # adjacency rows (kind 0) + presence rows (kind 1): a
+            # destination-only node never appears as an adjacency
+            # src, so a presence row pins it (with outdeg 0) in its
+            # home bucket's node set
+            src = np.concatenate([a, bb])
+            dst = np.concatenate([bb, np.zeros(len(bb), np.int64)])
+            kind = np.concatenate([np.zeros(len(a), np.int64),
+                                   np.ones(len(bb), np.int64)])
+            return pa.table({"bk": pa.array(bucket_of(src)),
+                             "src": pa.array(src),
+                             "dst": pa.array(dst),
+                             "kind": pa.array(kind)})
         src = np.concatenate([a, bb])
         dst = np.concatenate([bb, a])
         return pa.table({"bk": pa.array(bucket_of(src)),
@@ -92,6 +116,19 @@ def pagerank(pairs_ds, iterations: int = 5,
         else:
             src = np.empty(0, np.int64)
             dst = np.empty(0, np.int64)
+        if directed and pieces:
+            kind = t.column("kind").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pres = src[kind == 1]
+            src, dst = src[kind == 0], dst[kind == 0]
+            order = np.argsort(src, kind="stable")
+            src, dst = src[order], dst[order]
+            nodes = np.unique(np.concatenate([src, pres]))
+            usrc, cnt = np.unique(src, return_counts=True)
+            deg = np.zeros(len(nodes), np.int64)
+            deg[np.searchsorted(nodes, usrc)] = cnt
+            ranks = np.full(len(nodes), scale, np.int64)
+            return src, dst, nodes, deg, ranks
         order = np.argsort(src, kind="stable")
         src, dst = src[order], dst[order]
         nodes, deg = np.unique(src, return_counts=True)
@@ -144,11 +181,40 @@ def pagerank(pairs_ds, iterations: int = 5,
 def pagerank_sql(pairs_sql: str, iterations: int = 5,
                  damping: tuple[int, int] = (85, 100),
                  scale: int = DEFAULT_SCALE,
-                 a_col: str = "a", b_col: str = "b") -> str:
-    """The exact DuckDB form: symmetrize, degree, then K unrolled
-    rank CTEs with the same per-edge truncating division."""
+                 a_col: str = "a", b_col: str = "b",
+                 directed: bool = False) -> str:
+    """The exact DuckDB form: symmetrize (unless ``directed``),
+    degree, then K unrolled rank CTEs with the same per-edge
+    truncating division. The directed form LEFT JOINs so sinks and
+    zero-indegree nodes keep rank rows (outdeg 0 / rank BASE)."""
     dn, dd = damping
     base = ((dd - dn) * scale) // dd
+    if directed:
+        parts = [
+            f"WITH pairs AS ({pairs_sql}), "
+            f"edges AS (SELECT {a_col} AS src, {b_col} AS dst "
+            f"FROM pairs), "
+            "nodes AS (SELECT src AS v FROM edges "
+            "UNION SELECT dst FROM edges), "
+            "degc AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d "
+            "FROM edges GROUP BY src), "
+            "deg AS (SELECT n.v AS src, "
+            "CAST(COALESCE(degc.d, 0) AS BIGINT) AS d "
+            "FROM nodes n LEFT JOIN degc ON degc.src = n.v), "
+            f"r0 AS (SELECT v, CAST({scale} AS BIGINT) AS r "
+            f"FROM nodes)"]
+        for k in range(1, int(iterations) + 1):
+            parts.append(
+                f", r{k} AS (SELECT n.v AS v, CAST({base} + "
+                f"COALESCE(SUM(({dn} * p.r) // ({dd} * d.d)), 0) "
+                f"AS BIGINT) AS r "
+                f"FROM nodes n LEFT JOIN edges e ON e.dst = n.v "
+                f"LEFT JOIN r{k - 1} p ON p.v = e.src "
+                f"LEFT JOIN deg d ON d.src = e.src GROUP BY n.v)")
+        parts.append(
+            f" SELECT deg.src AS node, deg.d, r.r AS rank "
+            f"FROM r{int(iterations)} r JOIN deg ON r.v = deg.src")
+        return "".join(parts)
     parts = [
         f"WITH pairs AS ({pairs_sql}), "
         f"edges AS (SELECT {a_col} AS src, {b_col} AS dst FROM pairs "
@@ -174,19 +240,24 @@ def pagerank_sql(pairs_sql: str, iterations: int = 5,
 def pagerank_reference(pairs: list[tuple[int, int]],
                        iterations: int = 5,
                        damping: tuple[int, int] = (85, 100),
-                       scale: int = DEFAULT_SCALE) -> dict[int, int]:
+                       scale: int = DEFAULT_SCALE,
+                       directed: bool = False) -> dict[int, int]:
     """Independent sequential reference of the same integer
     recurrence (arbitrary-precision Python ints) — the pytest oracle
     for the distributed implementation."""
     dn, dd = damping
     base = ((dd - dn) * scale) // dd
     adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
     for a, b in pairs:
-        adj.setdefault(int(a), []).append(int(b))
-        adj.setdefault(int(b), []).append(int(a))
-    ranks = {v: scale for v in adj}
+        a, b = int(a), int(b)
+        adj.setdefault(a, []).append(b)
+        nodes.update((a, b))
+        if not directed:
+            adj.setdefault(b, []).append(a)
+    ranks = {v: scale for v in nodes}
     for _ in range(int(iterations)):
-        nxt = {v: base for v in adj}
+        nxt = {v: base for v in nodes}
         for u, outs in adj.items():
             c = (dn * ranks[u]) // (dd * len(outs))
             for v in outs:

@@ -1,0 +1,252 @@
+"""Import/dependency extraction (stages/deps.py) + directed PageRank
+(stages/graph.py): hand-built extraction cases the sf0.001
+entry-contract oracle can't isolate — per-family patterns, first
+match per line, self-import exclusion, external classification —
+plus partition/bucket independence, a DuckDB cross-check on a
+randomized corpus, and directed-pagerank equality against an
+independent sequential reference across graph shapes."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from boon_ray.stages.deps import (
+    dependency_edges,
+    dependency_edges_sql,
+    extract_imports,
+    extract_imports_sql,
+    imports_aug_cte,
+    plant_import_batch,
+    repo_dep_summary,
+    repo_dep_summary_sql,
+)
+from boon_ray.stages.graph import (
+    pagerank,
+    pagerank_reference,
+    pagerank_sql,
+)
+
+
+def _ds(rows, n_blocks=1):
+    """rows: (repo, lang, content)."""
+    t = pa.table({
+        "repo": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "content": pa.array([r[2] for r in rows], pa.string())})
+    ds = rd.from_arrow(t)
+    return ds.repartition(n_blocks) if n_blocks > 1 else ds
+
+
+def _imp(ds):
+    return set(map(tuple, extract_imports(ds).to_pandas()
+                   [["repo", "module", "dst_repo", "internal"]]
+                   .itertuples(index=False)))
+
+
+class TestExtraction:
+    def test_python_style_first_match_per_line(self, ray_session):
+        got = _imp(_ds([
+            ("o/a", "en", "import x.y\nimport p.q junk import z\n"
+                          "not an import line\nimport numpy"),
+        ]))
+        # one module per line, first match only; numpy is external
+        assert got == {("o/a", "x.y", "x/y", 1),
+                       ("o/a", "p.q", "p/q", 1),
+                       ("o/a", "numpy", "numpy", 0)}
+
+    def test_js_style_and_lang_routing(self, ray_session):
+        got = _imp(_ds([
+            # de routes to the js pattern: python-style line ignored
+            ("o/b", "de", "import x.y\nconst a = require('p/q');"),
+            # en routes to the python pattern: require( ignored
+            ("o/c", "en", "const a = require('p/q');"),
+        ]))
+        assert got == {("o/b", "p/q", "p/q", 1)}
+
+    def test_three_segments_is_external(self, ray_session):
+        got = _imp(_ds([("o/a", "en", "import a.b.c\nimport a")]))
+        assert got == {("o/a", "a.b.c", "a/b/c", 0),
+                       ("o/a", "a", "a", 0)}
+
+    def test_null_and_empty_text(self, ray_session):
+        t = pa.table({"repo": pa.array(["o/a", "o/b"]),
+                      "lang": pa.array(["en", "de"]),
+                      "content": pa.array([None, ""], pa.string())})
+        assert extract_imports(rd.from_arrow(t)).count() == 0
+
+
+class TestEdgesAndSummary:
+    ROWS = [
+        ("o/a", "en", "import o.b\nimport o.b\nimport o.c"),
+        ("o/b", "de", "const x = require('o/c');"),
+        ("o/c", "en", "import o.c\nimport numpy"),  # self + external
+    ]
+
+    def test_hand_edges(self, ray_session):
+        df = dependency_edges(extract_imports(_ds(self.ROWS))) \
+            .to_pandas()
+        got = {(r.src_repo, r.dst_repo): r.n_imports
+               for r in df.itertuples()}
+        # self-import o/c -> o/c excluded; numpy external
+        assert got == {("o/a", "o/b"): 2, ("o/a", "o/c"): 1,
+                       ("o/b", "o/c"): 1}
+
+    def test_hand_summary(self, ray_session):
+        df = repo_dep_summary(dependency_edges(
+            extract_imports(_ds(self.ROWS)))).to_pandas()
+        got = {r.repo: (r.out_degree, r.in_degree, r.n_out_imports,
+                        r.n_in_imports) for r in df.itertuples()}
+        assert got == {"o/a": (2, 0, 3, 0),
+                       "o/b": (1, 1, 1, 2),
+                       "o/c": (0, 2, 0, 2)}
+
+    @pytest.mark.parametrize("n_blocks,buckets", [(1, 2), (5, 3),
+                                                  (11, 7)])
+    def test_partition_independence(self, ray_session, n_blocks,
+                                    buckets):
+        rows = [(f"o/r{i % 7}", ["en", "de"][i % 2],
+                 f"import o.r{(i * 3) % 7}\n"
+                 f"const x = require('o/r{(i + 2) % 7}');")
+                for i in range(40)]
+        base = repo_dep_summary(
+            dependency_edges(extract_imports(_ds(rows)))).to_pandas()
+        alt = repo_dep_summary(
+            dependency_edges(extract_imports(_ds(rows, n_blocks)),
+                             num_buckets=buckets),
+            num_buckets=buckets).to_pandas()
+        key = sorted(base.columns)
+        assert base[key].sort_values(key).reset_index(drop=True) \
+            .equals(alt[key].sort_values(key).reset_index(drop=True))
+
+
+class TestDuckDBFuzz:
+    def test_randomized_corpus(self, ray_session):
+        rng = np.random.default_rng(31)
+        langs = ["en", "es", "fr", "de", "zh"]
+        rows = []
+        for i in range(300):
+            lang = langs[int(rng.integers(0, 5))]
+            lines = []
+            for _ in range(int(rng.integers(0, 4))):
+                tgt = (f"org{int(rng.integers(0, 5))}"
+                       f"/repo{int(rng.integers(0, 6))}")
+                if rng.random() < 0.2:
+                    tgt = ["numpy", "a.b.c", "lodash"][
+                        int(rng.integers(0, 3))].replace(".", "/")
+                if lang in ("en", "es", "fr"):
+                    lines.append("import " + tgt.replace("/", "."))
+                else:
+                    lines.append(f"const x = require('{tgt}');")
+            if rng.random() < 0.3:
+                lines.append("word soup filler line")
+            rows.append((f"org{i % 5}/repo{i % 6}", lang,
+                         "\n".join(lines)))
+        ds = _ds(rows, n_blocks=6)
+
+        con = duckdb.connect()
+        t = pa.table({
+            "repo": pa.array([r[0] for r in rows], pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "content": pa.array([r[2] for r in rows], pa.string())})
+        con.register("aug", t)
+
+        def norm(df):
+            k = sorted(df.columns)
+            return df[k].sort_values(k).reset_index(drop=True) \
+                .astype(str)
+
+        for build, sql in (
+                (lambda d: extract_imports(d),
+                 extract_imports_sql),
+                (lambda d: dependency_edges(extract_imports(d)),
+                 dependency_edges_sql),
+                (lambda d: repo_dep_summary(
+                    dependency_edges(extract_imports(d))),
+                 repo_dep_summary_sql)):
+            got = build(ds).to_pandas()
+            want = con.sql("WITH " + sql("aug").strip()).df()
+            assert norm(got).equals(norm(want)), sql.__name__
+
+    def test_planting_matches_cte(self, ray_session):
+        """plant_import_batch output == imports_aug_cte content."""
+        t = pa.table({
+            "doc_id": pa.array(np.arange(200), pa.int64()),
+            "repo": pa.array([f"org{i % 4}/repo{i % 9}"
+                              for i in range(200)], pa.string()),
+            "lang": pa.array(["en", "es", "fr", "de", "zh"][i % 5]
+                             for i in range(200)),
+            "content": pa.array([f"soup {i}" for i in range(200)],
+                                pa.string())})
+        got = plant_import_batch(t).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("corpus", t)
+        want = con.sql(
+            "WITH " + imports_aug_cte().strip()
+            + " SELECT doc_id, repo, lang, content FROM aug "
+              "ORDER BY doc_id").df()
+        assert got[["doc_id", "repo", "lang", "content"]] \
+            .astype(str).equals(want.astype(str))
+
+
+class TestDirectedPagerank:
+    def _check(self, pairs, iterations=4, buckets=(3, 8),
+               n_blocks=5):
+        ref = pagerank_reference(pairs, iterations=iterations,
+                                 directed=True)
+        t = pa.table({"a": pa.array([p[0] for p in pairs],
+                                    pa.int64()),
+                      "b": pa.array([p[1] for p in pairs],
+                                    pa.int64())})
+        for nb in buckets:
+            out = pagerank(rd.from_arrow(t).repartition(n_blocks),
+                           iterations=iterations, num_buckets=nb,
+                           directed=True).to_pandas()
+            got = dict(zip(out["node"], out["rank"]))
+            assert got == ref, f"buckets={nb}"
+        # SQL mirror
+        con = duckdb.connect()
+        con.register("p", t)
+        sdf = con.sql(pagerank_sql("SELECT a, b FROM p",
+                                   iterations=iterations,
+                                   directed=True)).df()
+        assert dict(zip(sdf["node"], sdf["rank"])) == ref
+
+    def test_chain_with_sink(self, ray_session):
+        # 1 -> 2 -> 3; 3 is a sink (outdeg 0), 1 has indeg 0
+        self._check([(1, 2), (2, 3)])
+
+    def test_star_dup_edges_self_loop(self, ray_session):
+        self._check([(1, 9), (2, 9), (3, 9), (1, 9), (7, 7),
+                     (9, 1)])
+
+    def test_random_graph(self, ray_session):
+        rng = np.random.default_rng(11)
+        pairs = list(zip(rng.integers(0, 50, 300).tolist(),
+                         rng.integers(0, 80, 300).tolist()))
+        self._check(pairs, iterations=5)
+
+    def test_outdeg_reported(self, ray_session):
+        t = pa.table({"a": pa.array([1, 1, 2], pa.int64()),
+                      "b": pa.array([2, 3, 3], pa.int64())})
+        out = pagerank(rd.from_arrow(t), iterations=2,
+                       num_buckets=2, directed=True).to_pandas()
+        d = dict(zip(out["node"], out["d"]))
+        assert d == {1: 2, 2: 1, 3: 0}
+
+    def test_undirected_unchanged(self, ray_session):
+        """directed=False keeps the symmetrized contract bit-exact
+        (regression guard for the directed extension)."""
+        pairs = [(1, 2), (2, 3), (3, 1), (4, 1)]
+        ref = pagerank_reference(pairs, iterations=3)
+        t = pa.table({"a": pa.array([p[0] for p in pairs],
+                                    pa.int64()),
+                      "b": pa.array([p[1] for p in pairs],
+                                    pa.int64())})
+        out = pagerank(rd.from_arrow(t), iterations=3,
+                       num_buckets=3).to_pandas()
+        assert dict(zip(out["node"], out["rank"])) == ref
