@@ -1739,6 +1739,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "fork_canonical": _q_fork_canonical,
         "repo_deps": _q_repo_deps,
         "dep_centrality": _q_dep_centrality,
+        "license_contamination": _q_license_contamination,
     }
 
 
@@ -2188,6 +2189,133 @@ def _dep_centrality_sql() -> str:
         "|| CAST(deg.src % 100 AS VARCHAR) AS repo, deg.d, "
         "r.r AS rank")
     return final
+
+
+_REPO_ID_PAT = "^org[0-9]+/repo[0-9]+$"
+
+
+def _repo_ids(col):
+    """org<I>/repo<J> string array -> (ids I*100+J, ok mask)."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    st = _pc.extract_regex(col,
+                           r"^org(?P<o>[0-9]+)/repo(?P<r>[0-9]+)$")
+    ok = _pc.is_valid(st).to_numpy(zero_copy_only=False)
+    o = _pc.cast(_pc.struct_field(st, "o"), _pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    r = _pc.cast(_pc.struct_field(st, "r"), _pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    return _np.where(ok, o * 100 + r, -1).astype(_np.int64), ok
+
+
+def _repo_id_sql(col: str) -> str:
+    return (f"(CAST(regexp_extract({col}, "
+            f"'org([0-9]+)/repo([0-9]+)', 1) AS BIGINT) * 100 "
+            f"+ CAST(regexp_extract({col}, "
+            f"'org([0-9]+)/repo([0-9]+)', 2) AS BIGINT))")
+
+
+def _q_license_contamination(sf_dir: str):
+    """License-contamination walk (The Stack's license gate composed
+    with the dependency graph): a repo is contaminated at hop dist k
+    if a repo holding >= 1 GPL-licensed file is reachable in k hops
+    along its (transitive) dependency edges. Seeds =
+    deps.repo_license_flags over the hygiene license detector
+    (dist 0 = the repo itself ships GPL); walk =
+    graph.bfs_distances over REVERSED dependency edges (contamination
+    flows dependency -> dependent), max 3 hops. Both plantings
+    compose: import headers first, license banners prepended after
+    (so the banner stays inside the 300-char license window)."""
+    import pyarrow as _pa
+
+    from boon_ray.stages.code import plant_hygiene_batch
+    from boon_ray.stages.deps import (dependency_edges,
+                                      extract_imports,
+                                      repo_license_flags)
+    from boon_ray.stages.graph import bfs_distances
+
+    aug = _deps_aug(sf_dir).map_batches(
+        lambda b: plant_hygiene_batch(b, text_col="content",
+                                      keep=("repo",)),
+        batch_format="pyarrow", batch_size=None)
+
+    flags = repo_license_flags(aug)
+
+    def seed_ids(b: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pcc
+
+        t = b.filter(_pcc.greater(b.column("n_flagged"), 0))
+        ids, ok = _repo_ids(t.column("repo"))
+        return _pa.table({"node": _pa.array(ids[ok])})
+
+    seeds = flags.map_batches(seed_ids, batch_format="pyarrow")
+
+    def rev_ids(b: _pa.Table) -> _pa.Table:
+        a, oka = _repo_ids(b.column("dst_repo"))
+        bb, okb = _repo_ids(b.column("src_repo"))
+        keep = oka & okb
+        return _pa.table({"a": _pa.array(a[keep]),
+                          "b": _pa.array(bb[keep])})
+
+    pairs = dependency_edges(extract_imports(aug)).map_batches(
+        rev_ids, batch_format="pyarrow")
+    reach = bfs_distances(pairs, seeds, max_depth=3, num_buckets=8)
+
+    def back(b: _pa.Table) -> _pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        repo = ("org" + (node // 100).astype(str).astype(object)
+                + "/repo" + (node % 100).astype(str).astype(object))
+        return _pa.table({"repo": _pa.array(repo.tolist(),
+                                            _pa.string()),
+                          "dist": b.column("dist")})
+
+    return reach.map_batches(back, batch_format="pyarrow")
+
+
+def _license_contamination_sql() -> str:
+    from boon_ray.stages.code import hygiene_aug_cte
+    from boon_ray.stages.deps import (dependency_edges_sql,
+                                      imports_aug_cte,
+                                      repo_license_flags_sql)
+    from boon_ray.stages.graph import bfs_sql
+
+    aug2 = hygiene_aug_cte(table="aug", text_col="content",
+                           extra_cols=("repo",)).strip()
+    assert aug2.startswith("aug AS (")
+    aug2 = "aug2 AS (" + aug2.removeprefix("aug AS (")
+
+    edges = dependency_edges_sql("aug2").strip()
+    ehead, etail = edges.rsplit("SELECT", 1)
+
+    flags = repo_license_flags_sql("aug2").strip()
+    fhead, ftail = flags.rsplit("SELECT", 1)
+
+    pre = (CORPUS_CTE.strip().rstrip() + ", "
+           + imports_aug_cte().strip() + ",\n"
+           + aug2 + ",\n"
+           + ehead + f",\ndep_edges AS (SELECT{etail}),\n"
+           + fhead.rstrip().rstrip(",") + ",\n"
+           + f"flag_rows AS (SELECT{ftail})")
+
+    pairs = (f"SELECT {_repo_id_sql('dst_repo')} AS a, "
+             f"{_repo_id_sql('src_repo')} AS b FROM dep_edges "
+             f"WHERE regexp_matches(src_repo, '{_REPO_ID_PAT}') "
+             f"AND regexp_matches(dst_repo, '{_REPO_ID_PAT}')")
+    seeds = (f"SELECT {_repo_id_sql('repo')} AS node FROM flag_rows "
+             f"WHERE n_flagged > 0 "
+             f"AND regexp_matches(repo, '{_REPO_ID_PAT}')")
+    inner = bfs_sql(pairs, seeds, max_depth=3)
+    assert inner.startswith("WITH RECURSIVE ")
+    final = inner.replace("WITH RECURSIVE ",
+                          "WITH RECURSIVE " + pre + ", ", 1)
+    return final.replace(
+        "SELECT v AS node, CAST(MIN(dd) AS BIGINT) AS dist "
+        "FROM reach GROUP BY v",
+        "SELECT 'org' || CAST(v // 100 AS VARCHAR) || '/repo' "
+        "|| CAST(v % 100 AS VARCHAR) AS repo, "
+        "CAST(MIN(dd) AS BIGINT) AS dist FROM reach GROUP BY v")
 
 
 def _q_code_hygiene(sf_dir: str):
@@ -3573,6 +3701,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "fork_canonical": _fork_canonical_sql(),
         "repo_deps": _repo_deps_sql(),
         "dep_centrality": _dep_centrality_sql(),
+        "license_contamination": _license_contamination_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -577,6 +577,74 @@ def q_repo_deps():
                         directed=True).count()
 
 
+def q_license_contamination():
+    """License-contamination walk over the amplified corpus: license
+    scan (repo-keyed flag partials) + import extraction — two
+    zero-exchange corpus passes — then a 3-hop multi-source BFS over
+    reversed dependency edges (frontier-bounded ref-rounds). Seeds =
+    repos shipping >= 1 GPL file."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from boon_ray.sketches import hash64
+    from boon_ray.stages.deps import (dependency_edges,
+                                      extract_imports,
+                                      plant_import_batch,
+                                      repo_license_flags)
+    from boon_ray.stages.graph import bfs_distances
+
+    from boon_ray.stages.code import plant_hygiene_batch
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = hash64(b.column("content").to_pandas()
+                     .to_numpy(dtype=object)).astype("int64")
+        # imports first, banners prepended after (license window)
+        return plant_hygiene_batch(
+            plant_import_batch(
+                b.append_column("doc_id", pa.array(ids))),
+            text_col="content", keep=("repo",))
+
+    aug = _corpus().map_batches(plant, batch_format="pyarrow",
+                                batch_size=None)
+
+    def to_id(col):
+        import numpy as np
+
+        st = pc.extract_regex(
+            col, r"^org(?P<o>[0-9]+)/repo(?P<r>[0-9]+)$")
+        ok = pc.is_valid(st).to_numpy(zero_copy_only=False)
+        o = pc.cast(pc.struct_field(st, "o"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        r = pc.cast(pc.struct_field(st, "r"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return np.where(ok, o * 100 + r, -1).astype(np.int64), ok
+
+    def seed_ids(b: pa.Table) -> pa.Table:
+        # at 500k files the hash-planted GPL banner reaches every
+        # repo; seed from a deterministic minority so the BFS has
+        # real propagation rounds to run
+        t = b.filter(pc.greater(b.column("n_flagged"), 0))
+        ids, ok = to_id(t.column("repo"))
+        keep = ok & (ids % 5 == 0)
+        return pa.table({"node": pa.array(ids[keep])})
+
+    seeds = repo_license_flags(aug, license_value="gpl",
+                               num_buckets=32) \
+        .map_batches(seed_ids, batch_format="pyarrow")
+
+    def rev_ids(b: pa.Table) -> pa.Table:
+        a, oka = to_id(b.column("dst_repo"))
+        bb, okb = to_id(b.column("src_repo"))
+        keep = oka & okb
+        return pa.table({"a": pa.array(a[keep]),
+                         "b": pa.array(bb[keep])})
+
+    pairs = dependency_edges(extract_imports(aug), num_buckets=32) \
+        .map_batches(rev_ids, batch_format="pyarrow")
+    return bfs_distances(pairs, seeds, max_depth=3,
+                         num_buckets=16).count()
+
+
 def q_approx_quantiles():
     """Mergeable KLL quantiles of a continuous per-doc statistic over
     the 500k-doc corpus: one few-KB sketch per batch, ref-tree merge
@@ -802,6 +870,7 @@ QUERIES = {
     "approx_quantiles": q_approx_quantiles,
     "fork_pairs": q_fork_pairs,
     "repo_deps": q_repo_deps,
+    "license_contamination": q_license_contamination,
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,

@@ -319,3 +319,45 @@ aug AS (
        ELSE '' END
     || coalesce({text_col}, '') AS content
   FROM {table})"""
+
+
+def repo_license_flags(ds, license_value: str = "gpl",
+                       text_col: str = "content",
+                       repo_col: str = "repo",
+                       num_buckets: int = 16):
+    """(repo, n_flagged): per repo, how many files carry the given
+    detected license (stages/code.py first-match header rules) — the
+    seed table for license-contamination walks. In-batch per-repo
+    pre-reduce, one repo-keyed bucketed sum."""
+    from boon_ray.stages.code import _license_labels, _text
+    from boon_ray.stages.combine import bucketed_groupby_sum
+
+    schema = pa.schema([("repo", pa.string()),
+                        ("n_flagged", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lab = _license_labels(_text(b, text_col))
+        df = pd.DataFrame({
+            "repo": b.column(repo_col).to_pandas(),
+            "n_flagged": (lab == license_value).astype(np.int64)})
+        g = df.groupby("repo", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, schema=schema,
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_groupby_sum(parts, ("repo",), ("n_flagged",),
+                                num_buckets=num_buckets)
+
+
+def repo_license_flags_sql(table: str = "aug",
+                           license_value: str = "gpl",
+                           text_col: str = "content") -> str:
+    """CTE tail mirroring :func:`repo_license_flags`."""
+    from boon_ray.stages.code import detect_licenses_sql
+
+    lic = detect_licenses_sql(table, text_col, id_col="repo").strip()
+    return (f"lic AS ({lic}),\n"
+            "repo_flags AS (SELECT repo, CAST(SUM(CASE WHEN "
+            f"license = '{license_value}' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_flagged FROM lic GROUP BY repo)\n"
+            "SELECT repo, n_flagged FROM repo_flags")

@@ -264,3 +264,175 @@ def pagerank_reference(pairs: list[tuple[int, int]],
                 nxt[v] += c
         ranks = nxt
     return ranks
+
+
+def bfs_distances(pairs_ds, seeds_ds, max_depth: int = 4,
+                  num_buckets: int = 16,
+                  a_col: str = "a", b_col: str = "b",
+                  seed_col: str = "node"):
+    """Multi-source directed BFS: (node, dist) for every node
+    reachable from any seed along edge direction within
+    ``max_depth`` hops (dist = min hop count; seeds emit dist 0,
+    including isolated seeds). The propagation primitive behind
+    transitive-dependency closures and license-contamination walks.
+
+    Same pinned-adjacency ref-round plan as :func:`pagerank`: the
+    adjacency is hash-bucketed ONCE by source node (presence rows pin
+    destination-only nodes); each of the ``max_depth`` rounds
+    exchanges only the CURRENT FRONTIER's pre-reduced (dst) proposals
+    (8 B/row, at most num_buckets partial sets per node) — round cost
+    is frontier-bounded, never graph-bounded, and the driver holds
+    refs and scalars only."""
+    import ray
+    import ray.data as rd
+
+    from boon_ray.stages.training import splitmix64
+
+    B = int(num_buckets)
+
+    def bucket_of(x: np.ndarray) -> np.ndarray:
+        return (splitmix64(x.astype(np.int64).view(np.uint64))
+                % np.uint64(B)).astype(np.int64)
+
+    def explode(b: pa.Table) -> pa.Table:
+        a = b.column(a_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bb = b.column(b_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.concatenate([a, bb])
+        dst = np.concatenate([bb, np.zeros(len(bb), np.int64)])
+        kind = np.concatenate([np.zeros(len(a), np.int64),
+                               np.ones(len(bb), np.int64)])
+        return pa.table({"bk": pa.array(bucket_of(src)),
+                         "src": pa.array(src),
+                         "dst": pa.array(dst),
+                         "kind": pa.array(kind)})
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        s = b.column(seed_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"bk": pa.array(bucket_of(s)),
+                         "node": pa.array(s)})
+
+    part_refs = pairs_ds.map_batches(
+        explode, batch_format="pyarrow",
+        batch_size=None).to_arrow_refs()
+    seed_refs = seeds_ds.map_batches(
+        seed_rows, batch_format="pyarrow",
+        batch_size=None).to_arrow_refs()
+
+    @ray.remote
+    def build_bucket(bkt: int, n_seed_tables: int, *all_tables):
+        """Pinned state: adjacency slice, node set (adjacency srcs +
+        presence dsts + this bucket's seeds), dist (-1 unreached,
+        0 seeds)."""
+        seed_tables = all_tables[:n_seed_tables]
+        tables = all_tables[n_seed_tables:]
+        pieces = [t.filter(pc.equal(t.column("bk"), bkt))
+                  for t in tables if "bk" in t.schema.names]
+        if pieces:
+            t = pa.concat_tables(pieces)
+            src = t.column("src").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            dst = t.column("dst").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            kind = t.column("kind").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pres = src[kind == 1]
+            src, dst = src[kind == 0], dst[kind == 0]
+        else:
+            src = dst = pres = np.empty(0, np.int64)
+        sp = [t.filter(pc.equal(t.column("bk"), bkt))
+              .column("node").to_numpy(zero_copy_only=False)
+              .astype(np.int64) for t in seed_tables
+              if "bk" in t.schema.names]  # schema-less empty blocks
+        seeds = (np.unique(np.concatenate(sp)) if sp
+                 else np.empty(0, np.int64))
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        nodes = np.unique(np.concatenate([src, pres, seeds]))
+        dist = np.full(len(nodes), -1, np.int64)
+        dist[np.searchsorted(nodes, seeds)] = 0
+        return src, dst, nodes, dist
+
+    @ray.remote(num_returns=max(B, 2))
+    def push(state, r: int):
+        """Propose dist r to the out-neighbors of the r-1 frontier;
+        pre-reduced to unique dst per bucket."""
+        src, dst, nodes, dist = state
+        idx = np.searchsorted(nodes, src)
+        on_frontier = dist[idx] == (r - 1)
+        ud = np.unique(dst[on_frontier])
+        tb = bucket_of(ud)
+        out = [ud[tb == c] for c in range(B)]
+        return out + [None] * (max(B, 2) - B)
+
+    @ray.remote
+    def fold(state, r: int, *proposed):
+        src, dst, nodes, dist = state
+        dist = dist.copy()  # zero-copy object-store arrays are RO
+        hits = [p for p in proposed if p is not None and len(p)]
+        if hits:
+            cand = np.unique(np.concatenate(hits))
+            pos = np.searchsorted(nodes, cand)
+            ok = (pos < len(nodes)) & (nodes[np.minimum(
+                pos, len(nodes) - 1)] == cand)
+            pos = pos[ok]
+            unset = dist[pos] == -1
+            dist[pos[unset]] = r
+        return src, dst, nodes, dist
+
+    @ray.remote
+    def emit(state) -> pa.Table:
+        _src, _dst, nodes, dist = state
+        keep = dist >= 0
+        return pa.table({"node": pa.array(nodes[keep]),
+                         "dist": pa.array(dist[keep])})
+
+    states = [build_bucket.remote(c, len(seed_refs), *seed_refs,
+                                  *part_refs) for c in range(B)]
+    for r in range(1, int(max_depth) + 1):
+        slices = [push.remote(s, r) for s in states]
+        states = [
+            fold.remote(states[c], r,
+                        *[slices[p][c] for p in range(B)])
+            for c in range(B)]
+    return rd.from_arrow_refs([emit.remote(s) for s in states])
+
+
+def bfs_sql(pairs_sql: str, seeds_sql: str, max_depth: int = 4,
+            a_col: str = "a", b_col: str = "b",
+            seed_col: str = "node") -> str:
+    """The exact DuckDB form: depth-bounded recursive closure (UNION
+    dedups (v, d) rows, so cycles stay finite), MIN(d) per node. The
+    composed query MUST start with WITH RECURSIVE."""
+    return (
+        f"WITH RECURSIVE bfs_edges AS (SELECT {a_col} AS src, "
+        f"{b_col} AS dst FROM ({pairs_sql})), "
+        f"bfs_seeds AS (SELECT {seed_col} AS v FROM ({seeds_sql})), "
+        "reach(v, dd) AS ("
+        "SELECT v, CAST(0 AS BIGINT) FROM bfs_seeds "
+        "UNION "
+        "SELECT e.dst, reach.dd + 1 FROM reach "
+        f"JOIN bfs_edges e ON e.src = reach.v "
+        f"WHERE reach.dd < {int(max_depth)}) "
+        "SELECT v AS node, CAST(MIN(dd) AS BIGINT) AS dist "
+        "FROM reach GROUP BY v")
+
+
+def bfs_reference(pairs, seeds, max_depth: int = 4) -> dict[int, int]:
+    """Independent sequential BFS — the pytest oracle."""
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(int(a), []).append(int(b))
+    dist = {int(s): 0 for s in seeds}
+    frontier = list(dist)
+    for r in range(1, int(max_depth) + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = r
+                    nxt.append(v)
+        frontier = nxt
+    return dist

@@ -250,3 +250,38 @@ class TestDirectedPagerank:
         out = pagerank(rd.from_arrow(t), iterations=3,
                        num_buckets=3).to_pandas()
         assert dict(zip(out["node"], out["rank"])) == ref
+
+
+class TestLicenseFlags:
+    def test_hand_flags_and_fuzz(self, ray_session):
+        import duckdb
+
+        from boon_ray.stages.deps import (repo_license_flags,
+                                          repo_license_flags_sql)
+
+        rows = [
+            ("o/a", "en", "GNU General Public License\nimport x"),
+            ("o/a", "en", "word soup"),
+            ("o/b", "de", "SPDX-License-Identifier: MIT\ncode"),
+            ("o/c", "fr", "gnu general public license lower"),
+            # marker beyond the 300-char header window: not flagged
+            ("o/d", "en", "x" * 300 + " GNU General Public License"),
+        ]
+        t = pa.table({
+            "repo": pa.array([r[0] for r in rows], pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "content": pa.array([r[2] for r in rows], pa.string())})
+        got = repo_license_flags(rd.from_arrow(t).repartition(3)) \
+            .to_pandas()
+        flags = dict(zip(got["repo"], got["n_flagged"]))
+        assert flags == {"o/a": 1, "o/b": 0, "o/c": 1, "o/d": 0}
+
+        con = duckdb.connect()
+        con.register("aug", t)
+        want = con.sql(
+            "WITH " + repo_license_flags_sql("aug").strip()).df()
+        k = sorted(got.columns)
+        assert got[k].sort_values(k).reset_index(drop=True) \
+            .astype(str).equals(
+                want[k].sort_values(k).reset_index(drop=True)
+                .astype(str))

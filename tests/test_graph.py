@@ -10,6 +10,9 @@ import pytest
 import ray.data as rd
 
 from boon_ray.stages.graph import (
+    bfs_distances,
+    bfs_reference,
+    bfs_sql,
     DEFAULT_SCALE,
     pagerank,
     pagerank_reference,
@@ -87,3 +90,68 @@ def test_damping_and_scale_parameters(ray_session):
     want = pagerank_reference(pairs, iterations=4, damping=(90, 100),
                               scale=1 << 16)
     assert got == want
+
+
+class TestBfs:
+    def _check(self, pairs, seeds, depths=(1, 3, 6),
+               buckets=(3, 8), n_blocks=5):
+        import duckdb
+
+        pt = pa.table({"a": pa.array([p[0] for p in pairs],
+                                     pa.int64()),
+                       "b": pa.array([p[1] for p in pairs],
+                                     pa.int64())})
+        st = pa.table({"node": pa.array(seeds, pa.int64())})
+        for K in depths:
+            ref = bfs_reference(pairs, seeds, max_depth=K)
+            for nb in buckets:
+                out = bfs_distances(
+                    rd.from_arrow(pt).repartition(n_blocks),
+                    rd.from_arrow(st), max_depth=K,
+                    num_buckets=nb).to_pandas()
+                got = dict(zip(out["node"], out["dist"]))
+                assert got == ref, (K, nb)
+            con = duckdb.connect()
+            con.register("p", pt)
+            con.register("s", st)
+            sdf = con.sql(bfs_sql("SELECT a, b FROM p",
+                                  "SELECT node FROM s",
+                                  max_depth=K)).df()
+            assert dict(zip(sdf["node"], sdf["dist"])) == ref, K
+
+    def test_chain_depth_bound(self, ray_session):
+        # 0 -> 1 -> 2 -> 3 -> 4: K bounds how far the walk reaches
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        self._check(pairs, [0], depths=(1, 2, 4))
+        out = bfs_distances(
+            rd.from_arrow(pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                                    "b": pa.array([p[1] for p in pairs], pa.int64())})),
+            rd.from_arrow(pa.table({"node": pa.array([0], pa.int64())})),
+            max_depth=2, num_buckets=3).to_pandas()
+        got = dict(zip(out["node"], out["dist"]))
+        assert got == {0: 0, 1: 1, 2: 2}  # 3 and 4 beyond the bound
+
+    def test_cycle_self_loop_isolated_seed(self, ray_session):
+        # cycle 1<->2, self-loop 7, seed 99 in no edge (isolated)
+        self._check([(1, 2), (2, 1), (7, 7)], [1, 99])
+
+    def test_multi_source_min_dist(self, ray_session):
+        # two seeds converge on 5: min hop count wins
+        self._check([(1, 3), (3, 5), (2, 5)], [1, 2], depths=(2, 3))
+
+    def test_direction_respected(self, ray_session):
+        # edge 1 -> 2 only: seeding 2 must NOT reach 1
+        out = bfs_distances(
+            rd.from_arrow(pa.table({"a": pa.array([1], pa.int64()),
+                                    "b": pa.array([2], pa.int64())})),
+            rd.from_arrow(pa.table({"node": pa.array([2],
+                                                     pa.int64())})),
+            max_depth=4, num_buckets=2).to_pandas()
+        assert dict(zip(out["node"], out["dist"])) == {2: 0}
+
+    def test_random_graph(self, ray_session):
+        rng = np.random.default_rng(17)
+        pairs = list(zip(rng.integers(0, 70, 400).tolist(),
+                         rng.integers(0, 100, 400).tolist()))
+        seeds = [3, 55, 140]  # 140 isolated
+        self._check(pairs, seeds, depths=(2, 5), buckets=(4, 9))
