@@ -1740,6 +1740,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "repo_deps": _q_repo_deps,
         "dep_centrality": _q_dep_centrality,
         "license_contamination": _q_license_contamination,
+        "fn_clones": _q_fn_clones,
     }
 
 
@@ -2189,6 +2190,35 @@ def _dep_centrality_sql() -> str:
         "|| CAST(deg.src % 100 AS VARCHAR) AS repo, deg.d, "
         "r.r AS rank")
     return final
+
+
+def _q_fn_clones(sf_dir: str):
+    """Function-level clone groups (stages/functions.py): files
+    segmented into function units (per-family definition-line
+    patterns, preamble dropped, cumsum segment ids, ListArray +
+    binary_join rebuild — zero exchange), then exact-text clone
+    groups via 40 B hash partials into one bucketed exchange.
+    Fixtures planted by plant_function_batch (shared fn_a_<id%37>
+    clones + unique fn_b_<id> singletons, none for id%6==5) and
+    mirrored bit-for-bit by functions_aug_cte."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.functions import (clone_groups,
+                                           plant_function_batch,
+                                           split_functions)
+
+    ds = corpus_dataset(sf_dir, keep_meta=True)
+    aug = ds.map_batches(plant_function_batch,
+                         batch_format="pyarrow", batch_size=None)
+    return clone_groups(split_functions(aug))
+
+
+def _fn_clones_sql() -> str:
+    from boon_ray.stages.functions import (clone_groups_sql,
+                                           functions_aug_cte)
+
+    return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
+            + functions_aug_cte().strip() + ", "
+            + clone_groups_sql().strip())
 
 
 _REPO_ID_PAT = "^org[0-9]+/repo[0-9]+$"
@@ -3702,6 +3732,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "repo_deps": _repo_deps_sql(),
         "dep_centrality": _dep_centrality_sql(),
         "license_contamination": _license_contamination_sql(),
+        "fn_clones": _fn_clones_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -645,6 +645,32 @@ def q_license_contamination():
                          num_buckets=16).count()
 
 
+def q_fn_clones():
+    """Function-level clone detection over the amplified corpus:
+    segmentation (zero-exchange vectorized pass — the 100 TB cost is
+    the read + line kernels) + exact clone groups via 40 B/function
+    hash partials into one bucketed exchange. Replica amplification
+    re-plants identical fn_a bodies everywhere — worst-case clone
+    density by construction."""
+    import pyarrow as pa
+
+    from boon_ray.sketches import hash64
+    from boon_ray.stages.functions import (clone_groups,
+                                           plant_function_batch,
+                                           split_functions)
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = hash64(b.column("content").to_pandas()
+                     .to_numpy(dtype=object)).astype("int64")
+        return plant_function_batch(
+            b.append_column("doc_id", pa.array(ids)))
+
+    aug = _corpus().map_batches(plant, batch_format="pyarrow",
+                                batch_size=None)
+    return clone_groups(split_functions(aug),
+                        num_buckets=32).count()
+
+
 def q_approx_quantiles():
     """Mergeable KLL quantiles of a continuous per-doc statistic over
     the 500k-doc corpus: one few-KB sketch per batch, ref-tree merge
@@ -871,6 +897,7 @@ QUERIES = {
     "fork_pairs": q_fork_pairs,
     "repo_deps": q_repo_deps,
     "license_contamination": q_license_contamination,
+    "fn_clones": q_fn_clones,
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,

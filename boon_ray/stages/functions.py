@@ -1,0 +1,317 @@
+"""Function-level clone detection over the source-code corpus — the
+function-grain dedup/clone step of code-corpus curation (SourcererCC
+/ The-Stack function dedup; BASELINE.json north_rule: the input is a
+trillion-file table of repos; reference posture: boon validates one
+file per CLI run, cli/src/main.rs:115-168, so sub-file code analytics
+are new, Ray-native surface).
+
+Operators:
+
+- :func:`split_functions` — segment every file into FUNCTION UNITS:
+  a function starts at a line matching the lang family's definition
+  pattern (python-style ``^def name(`` for en/es/fr, js-style
+  ``^function name(`` for de/zh) and runs to the next definition line
+  or end of file; lines before the first definition are preamble and
+  are dropped. One shuffle-free vectorized ``map_batches`` pass:
+  lines via Arrow ``split_pattern``, definition mask via
+  ``match_substring_regex``, per-doc segment ids via cumsum, function
+  texts rebuilt with ``ListArray.from_arrays`` + ``binary_join`` —
+  no per-row Python. Output: ``(doc_id, repo, lang, fn_name, sig,
+  fn_text, n_lines)`` where ``sig`` is the definition line.
+- :func:`clone_groups` — exact clone groups over the function text:
+  per-batch pre-reduce to ``(hash64(fn_text), sig, n_lines, repo,
+  n)`` partials (~40 B/function-instance — the function BODY never
+  crosses the wire; identity rides the 64-bit hash, the accepted
+  line_dedup/forks trade), one hash-keyed bucketed exchange, per
+  group ``n_copies`` (total instances) and ``n_repos`` (distinct
+  repos). Groups are reported by ``(sig, n_lines, n_copies,
+  n_repos)``; the SQL mirror groups on the raw text.
+
+The synthetic corpus is word soup, so :func:`plant_function_batch` /
+:func:`functions_aug_cte` plant deterministic function blocks (same
+expression both sides — the FIXTURES.md pattern): a SHARED function
+``fn_a_<doc_id % 37>`` (identical text across docs with equal residue
+and family — the planted clones), a UNIQUE ``fn_b_<doc_id>``
+singleton, none at all for doc_id % 6 == 5 (preamble-only files).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from boon_ray.sketches import hash64
+from boon_ray.stages.deps import PY_LANGS, _IS_PY_SQL
+
+# definition-line patterns (RE2 both engines); keep *_NAMED in sync
+PY_DEF_RE = r"^def ([A-Za-z_][A-Za-z0-9_]*)\("
+JS_DEF_RE = r"^function ([A-Za-z_][A-Za-z0-9_]*)\("
+_PY_DEF_NAMED = r"^def (?P<m>[A-Za-z_][A-Za-z0-9_]*)\("
+_JS_DEF_NAMED = r"^function (?P<m>[A-Za-z_][A-Za-z0-9_]*)\("
+
+FUNCTIONS_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("repo", pa.string()),
+    ("lang", pa.string()), ("fn_name", pa.string()),
+    ("sig", pa.string()), ("fn_text", pa.string()),
+    ("n_lines", pa.int64()),
+])
+
+CLONE_SCHEMA = pa.schema([
+    ("sig", pa.string()), ("n_lines", pa.int64()),
+    ("n_copies", pa.int64()), ("n_repos", pa.int64()),
+])
+
+
+def split_functions(ds, text_col: str = "content",
+                    id_col: str = "doc_id", repo_col: str = "repo",
+                    lang_col: str = "lang"):
+    """Segment files into function units (module docstring). Zero
+    exchange; the function text stays inside the producing task."""
+
+    def batch(b: pa.Table) -> pa.Table:
+        n = len(b)
+        text = pc.fill_null(pc.cast(b.column(text_col), pa.string()),
+                            "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ls = pc.split_pattern(text, "\n")
+        offs = ls.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        counts = np.diff(offs)
+        flat = ls.flatten()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        langs = np.asarray(b.column(lang_col).to_pylist(),
+                           dtype=object)
+        is_py_doc = np.isin(langs, PY_LANGS)
+        is_py = np.repeat(is_py_doc, counts)
+
+        py_m = pc.match_substring_regex(flat, PY_DEF_RE).to_numpy(
+            zero_copy_only=False)
+        js_m = pc.match_substring_regex(flat, JS_DEF_RE).to_numpy(
+            zero_copy_only=False)
+        start = np.where(is_py, py_m, js_m)
+
+        starts_idx = np.flatnonzero(start)
+        if len(starts_idx) == 0:
+            return FUNCTIONS_SCHEMA.empty_table()
+        # each function runs to the next definition line anywhere,
+        # clipped to its own doc's end
+        nxt = np.concatenate([starts_idx[1:],
+                              [len(flat)]]).astype(np.int64)
+        doc_of = doc_idx[starts_idx]
+        doc_end = offs[doc_of + 1]
+        ends = np.minimum(nxt, doc_end)
+        fn_counts = ends - starts_idx
+
+        # function lines, in order, form contiguous runs: a line
+        # belongs to a function iff some definition line at or before
+        # it in the SAME doc exists
+        seg = np.cumsum(start.astype(np.int64))
+        base = np.concatenate([[0], seg])[offs[:-1]]
+        in_fn = seg > base[doc_idx]
+        values = flat.filter(pa.array(in_fn))
+        fn_offsets = np.concatenate(
+            [[0], np.cumsum(fn_counts)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(fn_offsets),
+                                         values)
+        fn_text = pc.binary_join(lists, "\n")
+
+        sig = flat.take(pa.array(starts_idx))
+        # two vectorized extracts, select per row by family
+        py_names = pc.struct_field(
+            pc.extract_regex(sig, _PY_DEF_NAMED), "m")
+        js_names = pc.struct_field(
+            pc.extract_regex(sig, _JS_DEF_NAMED), "m")
+        names = pc.if_else(pa.array(is_py[starts_idx]),
+                           py_names, js_names)
+
+        ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        repos = np.asarray(b.column(repo_col).to_pylist(),
+                           dtype=object)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of]),
+            "repo": pa.array(repos[doc_of].tolist(), pa.string()),
+            "lang": pa.array(langs[doc_of].tolist(), pa.string()),
+            "fn_name": names,
+            "sig": sig,
+            "fn_text": fn_text,
+            "n_lines": pa.array(fn_counts),
+        }, schema=FUNCTIONS_SCHEMA)
+
+    return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def split_functions_sql(table: str = "aug",
+                        text_col: str = "content",
+                        id_col: str = "doc_id") -> str:
+    """CTE tail mirroring :func:`split_functions`: zipped unnest with
+    positions, per-doc running SUM of definition flags, string_agg
+    reassembly per (doc, segment)."""
+    py_sql = PY_DEF_RE.replace("'", "''")
+    js_sql = JS_DEF_RE.replace("'", "''")
+    return f"""
+fx_lines AS (
+  SELECT {id_col}, repo, lang,
+         unnest(ls) AS line,
+         unnest(range(len(ls))) AS ln
+  FROM (SELECT {id_col}, repo, lang,
+               string_split(coalesce({text_col}, ''), chr(10)) AS ls
+        FROM {table})),
+fx_flagged AS (
+  SELECT *, CASE WHEN ({_IS_PY_SQL} AND
+                       regexp_matches(line, '{py_sql}'))
+                   OR (NOT ({_IS_PY_SQL}) AND
+                       regexp_matches(line, '{js_sql}'))
+            THEN 1 ELSE 0 END AS is_def
+  FROM fx_lines),
+fx_seg AS (
+  SELECT *, SUM(is_def) OVER (PARTITION BY {id_col} ORDER BY ln
+            ROWS UNBOUNDED PRECEDING) AS seg
+  FROM fx_flagged),
+functions AS (
+  SELECT {id_col}, any_value(repo) AS repo,
+         any_value(lang) AS lang,
+         arg_min(line, ln) AS sig,
+         string_agg(line, chr(10) ORDER BY ln) AS fn_text,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM fx_seg WHERE seg > 0 GROUP BY {id_col}, seg)
+SELECT {id_col}, repo, lang,
+       CASE WHEN lang IN ('en','es','fr')
+            THEN regexp_extract(sig, '{py_sql}', 1)
+            ELSE regexp_extract(sig, '{js_sql}', 1) END AS fn_name,
+       sig, fn_text, n_lines
+FROM functions"""
+
+
+def clone_groups(fns_ds, min_copies: int = 2,
+                 num_buckets: int = 16):
+    """(sig, n_lines, n_copies, n_repos) per exact-text clone group
+    with at least ``min_copies`` instances (module docstring)."""
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    part_schema = pa.schema([("h", pa.int64()),
+                             ("sig", pa.string()),
+                             ("n_lines", pa.int64()),
+                             ("repo", pa.string()),
+                             ("n", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "h": hash64(b.column("fn_text").to_pandas()
+                        .to_numpy(dtype=object)).astype(np.int64),
+            "sig": b.column("sig").to_pandas(),
+            "n_lines": b.column("n_lines")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "repo": b.column("repo").to_pandas()})
+        g = df.groupby(["h", "sig", "n_lines", "repo"], sort=False) \
+            .size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, schema=part_schema,
+                                    preserve_index=False)
+
+    parts = fns_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return CLONE_SCHEMA.empty_table()
+        g = df.groupby("h").agg(
+            sig=("sig", "min"), n_lines=("n_lines", "min"),
+            n_copies=("n", "sum"),
+            n_repos=("repo", "nunique")).reset_index(drop=True)
+        g = g[g["n_copies"] >= min_copies]
+        g = g.astype({"n_lines": np.int64, "n_copies": np.int64,
+                      "n_repos": np.int64})
+        return pa.Table.from_pandas(g, schema=CLONE_SCHEMA,
+                                    preserve_index=False)
+
+    return bucketed_map_groups(parts, ("h",), merge,
+                               num_buckets=num_buckets)
+
+
+def clone_groups_sql(table: str = "aug",
+                     text_col: str = "content",
+                     id_col: str = "doc_id",
+                     min_copies: int = 2) -> str:
+    inner = split_functions_sql(table, text_col, id_col).strip()
+    head, tail = inner.rsplit("SELECT", 1)
+    return (head
+            + "SELECT any_value(sig) AS sig, "
+              "CAST(any_value(n_lines) AS BIGINT) AS n_lines, "
+              "CAST(COUNT(*) AS BIGINT) AS n_copies, "
+              "CAST(COUNT(DISTINCT repo) AS BIGINT) AS n_repos "
+              "FROM functions GROUP BY fn_text "
+              f"HAVING COUNT(*) >= {int(min_copies)}")
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture planting (soup docs have no functions)
+
+def plant_function_batch(b: pa.Table,
+                         text_col: str = "content") -> pa.Table:
+    """Append function blocks to each doc (module docstring): shared
+    ``fn_a_<doc_id % 37>`` + unique ``fn_b_<doc_id>``, skipped
+    entirely when doc_id % 6 == 5. Exact mirror:
+    :func:`functions_aug_cte`."""
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+    text = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+    is_py = np.isin(langs, PY_LANGS)
+    m = ids % 37
+    ms = m.astype(str).astype(object)
+    dx = ids.astype(str).astype(object)
+    mm = (m * m).astype(str).astype(object)
+    fa = np.where(
+        is_py,
+        "\ndef fn_a_" + ms + "():\n    return " + mm,
+        "\nfunction fn_a_" + ms + "() {\n  return " + mm + ";\n}")
+    fb = np.where(
+        is_py,
+        "\ndef fn_b_" + dx + "():\n    return 0",
+        "\nfunction fn_b_" + dx + "() {\n  return 0;\n}")
+    skip = ids % 6 == 5
+    fa = np.where(skip, "", fa)
+    fb = np.where(skip, "", fb)
+    content = pc.binary_join_element_wise(
+        text,
+        pa.array(fa.tolist(), pa.string()),
+        pa.array(fb.tolist(), pa.string()), "")
+    cols = {nm: b.column(nm) for nm in b.schema.names
+            if nm != text_col}
+    cols["content"] = content
+    return pa.table(cols)
+
+
+def functions_aug_cte(table: str = "corpus",
+                      text_col: str = "content") -> str:
+    """The planting as a named CTE — bit-identical to
+    plant_function_batch."""
+    return f"""
+aug AS (
+  SELECT doc_id, repo, lang,
+    coalesce({text_col}, '')
+    || CASE WHEN doc_id % 6 = 5 THEN '' ELSE
+       CASE WHEN {_IS_PY_SQL}
+         THEN chr(10) || 'def fn_a_' ||
+              CAST(doc_id % 37 AS VARCHAR) || '():' || chr(10) ||
+              '    return ' ||
+              CAST((doc_id % 37) * (doc_id % 37) AS VARCHAR)
+         ELSE chr(10) || 'function fn_a_' ||
+              CAST(doc_id % 37 AS VARCHAR) || '() {{' || chr(10) ||
+              '  return ' ||
+              CAST((doc_id % 37) * (doc_id % 37) AS VARCHAR) ||
+              ';' || chr(10) || '}}'
+       END END
+    || CASE WHEN doc_id % 6 = 5 THEN '' ELSE
+       CASE WHEN {_IS_PY_SQL}
+         THEN chr(10) || 'def fn_b_' ||
+              CAST(doc_id AS VARCHAR) || '():' || chr(10) ||
+              '    return 0'
+         ELSE chr(10) || 'function fn_b_' ||
+              CAST(doc_id AS VARCHAR) || '() {{' || chr(10) ||
+              '  return 0;' || chr(10) || '}}'
+       END END AS content
+  FROM {table})"""

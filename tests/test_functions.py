@@ -1,0 +1,181 @@
+"""Function segmentation + clone groups (stages/functions.py):
+hand-built segmentation cases the sf0.001 entry-contract oracle
+can't isolate — preamble handling, last-function-to-EOF, family
+routing, doc boundaries — plus partition/bucket independence, a
+DuckDB cross-check on a randomized corpus, and planting-CTE
+equality."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from boon_ray.stages.functions import (
+    clone_groups,
+    clone_groups_sql,
+    functions_aug_cte,
+    plant_function_batch,
+    split_functions,
+    split_functions_sql,
+)
+
+
+def _ds(rows, n_blocks=1):
+    """rows: (doc_id, repo, lang, content)."""
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "repo": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "content": pa.array([r[3] for r in rows], pa.string())})
+    ds = rd.from_arrow(t)
+    return ds.repartition(n_blocks) if n_blocks > 1 else ds
+
+
+def _fns(ds):
+    df = split_functions(ds).to_pandas()
+    return set(map(tuple, df[["doc_id", "fn_name", "fn_text",
+                              "n_lines"]].itertuples(index=False)))
+
+
+class TestSegmentation:
+    def test_preamble_dropped_and_eof(self, ray_session):
+        got = _fns(_ds([(1, "o/a", "en",
+                         "preamble line\nmore preamble\n"
+                         "def f(x):\n    return x\n"
+                         "def g():\n    pass\n    done")]))
+        assert got == {
+            (1, "f", "def f(x):\n    return x", 2),
+            (1, "g", "def g():\n    pass\n    done", 3)}
+
+    def test_doc_boundary_clips_function(self, ray_session):
+        # doc 1's trailing function must NOT swallow doc 2's preamble
+        got = _fns(_ds([
+            (1, "o/a", "en", "def f():\n    return 1"),
+            (2, "o/b", "en", "preamble only, no functions here"),
+        ]))
+        assert got == {(1, "f", "def f():\n    return 1", 2)}
+
+    def test_family_routing(self, ray_session):
+        got = _fns(_ds([
+            (1, "o/a", "de", "function h(a) {\n  return a;\n}\n"
+                             "def notpy():"),
+            (2, "o/b", "en", "function h(a) {\nignored\n}"),
+        ]))
+        # de: js pattern only (the def line is body); en: no py defs
+        assert got == {(1, "h",
+                        "function h(a) {\n  return a;\n}\n"
+                        "def notpy():", 4)}
+
+    def test_null_empty_and_no_defs(self, ray_session):
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "repo": pa.array(["a/a", "b/b", "c/c"]),
+            "lang": pa.array(["en", "de", "fr"]),
+            "content": pa.array([None, "", "just words"],
+                                pa.string())})
+        assert split_functions(rd.from_arrow(t)).count() == 0
+
+
+class TestCloneGroups:
+    ROWS = [
+        (1, "o/a", "en", "def f():\n    return 7"),
+        (2, "o/b", "en", "x\ndef f():\n    return 7"),  # clone of 1
+        (3, "o/a", "en", "def f():\n    return 7"),     # same repo
+        (4, "o/c", "de", "function f() {\n  return 7;\n}"),
+        (5, "o/d", "en", "def g():\n    return 8"),     # singleton
+    ]
+
+    def test_hand_counts(self, ray_session):
+        df = clone_groups(split_functions(_ds(self.ROWS)),
+                          min_copies=2).to_pandas()
+        got = {(r.sig, r.n_copies, r.n_repos)
+               for r in df.itertuples()}
+        # the js variant differs textually; g is below min_copies
+        assert got == {("def f():", 3, 2)}
+
+    def test_min_copies_one_keeps_singletons(self, ray_session):
+        df = clone_groups(split_functions(_ds(self.ROWS)),
+                          min_copies=1).to_pandas()
+        assert len(df) == 3  # py f, js f, g
+
+    @pytest.mark.parametrize("n_blocks,buckets", [(5, 3), (11, 7)])
+    def test_partition_independence(self, ray_session, n_blocks,
+                                    buckets):
+        rows = [(i, f"o/r{i % 5}", ["en", "de"][i % 2],
+                 f"soup {i}\ndef c{i % 9}():\n    return {i % 9}"
+                 if i % 2 == 0 else
+                 f"soup {i}\nfunction c{i % 9}() {{\n"
+                 f"  return {i % 9};\n}}")
+                for i in range(60)]
+        base = clone_groups(split_functions(_ds(rows))).to_pandas()
+        alt = clone_groups(split_functions(_ds(rows, n_blocks)),
+                           num_buckets=buckets).to_pandas()
+        k = sorted(base.columns)
+        assert base[k].sort_values(k).reset_index(drop=True) \
+            .equals(alt[k].sort_values(k).reset_index(drop=True))
+
+
+class TestDuckDBFuzz:
+    def test_randomized_corpus(self, ray_session):
+        rng = np.random.default_rng(23)
+        langs = ["en", "es", "fr", "de", "zh"]
+        rows = []
+        for i in range(250):
+            lang = langs[int(rng.integers(0, 5))]
+            py = lang in ("en", "es", "fr")
+            lines = ["soup header"] if rng.random() < 0.5 else []
+            for _ in range(int(rng.integers(0, 3))):
+                m = int(rng.integers(0, 12))
+                if py:
+                    lines += [f"def r{m}():", f"    return {m}"]
+                else:
+                    lines += [f"function r{m}() {{",
+                              f"  return {m};", "}"]
+                if rng.random() < 0.3:
+                    lines.append("trailing body line")
+            rows.append((i, f"org{i % 6}/repo{i % 4}", lang,
+                         "\n".join(lines)))
+        ds = _ds(rows, n_blocks=7)
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "repo": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "content": pa.array([r[3] for r in rows], pa.string())})
+        con = duckdb.connect()
+        con.register("aug", t)
+
+        def norm(df):
+            k = sorted(df.columns)
+            return df[k].sort_values(k).reset_index(drop=True) \
+                .astype(str)
+
+        f = split_functions(ds).to_pandas()
+        of = con.sql("WITH " + split_functions_sql("aug").strip()) \
+            .df()
+        assert norm(f).equals(norm(of))
+        c = clone_groups(split_functions(ds)).to_pandas()
+        oc = con.sql("WITH " + clone_groups_sql("aug").strip()).df()
+        assert norm(c).equals(norm(oc))
+
+    def test_planting_matches_cte(self, ray_session):
+        t = pa.table({
+            "doc_id": pa.array(np.arange(222), pa.int64()),
+            "repo": pa.array([f"org{i % 3}/repo{i % 5}"
+                              for i in range(222)], pa.string()),
+            "lang": pa.array(["en", "es", "fr", "de", "zh"][i % 5]
+                             for i in range(222)),
+            "content": pa.array([f"soup {i}" for i in range(222)],
+                                pa.string())})
+        got = plant_function_batch(t).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("corpus", t)
+        want = con.sql(
+            "WITH " + functions_aug_cte().strip()
+            + " SELECT doc_id, repo, lang, content FROM aug "
+              "ORDER BY doc_id").df()
+        assert got[["doc_id", "repo", "lang", "content"]] \
+            .astype(str).equals(want.astype(str))
