@@ -1741,6 +1741,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "dep_centrality": _q_dep_centrality,
         "license_contamination": _q_license_contamination,
         "fn_clones": _q_fn_clones,
+        "dead_functions": _q_dead_functions,
     }
 
 
@@ -2219,6 +2220,41 @@ def _fn_clones_sql() -> str:
     return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
             + functions_aug_cte().strip() + ", "
             + clone_groups_sql().strip())
+
+
+def _q_dead_functions(sf_dir: str):
+    """Corpus-scale dead-code signal (stages/functions.py): distinct
+    (repo, fn_name) definitions left-joined (name-keyed hash_join)
+    against corpus-wide call-site reference counts (per-line first
+    ``identifier(`` on non-definition lines) — defined-but-never-
+    referenced functions survive. Call fixtures planted by
+    plant_call_batch (calls land in the preamble), function blocks by
+    plant_function_batch; both mirrored bit-for-bit."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.functions import (dead_functions,
+                                           function_references,
+                                           plant_call_batch,
+                                           plant_function_batch,
+                                           split_functions)
+
+    aug = corpus_dataset(sf_dir, keep_meta=True) \
+        .map_batches(plant_call_batch, batch_format="pyarrow",
+                     batch_size=None) \
+        .map_batches(plant_function_batch, batch_format="pyarrow",
+                     batch_size=None)
+    return dead_functions(split_functions(aug),
+                          function_references(aug))
+
+
+def _dead_functions_sql() -> str:
+    from boon_ray.stages.functions import (calls_aug_cte,
+                                           dead_functions_sql,
+                                           functions_aug_cte)
+
+    return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
+            + calls_aug_cte().strip() + ", "
+            + functions_aug_cte(table="aug_calls").strip() + ", "
+            + dead_functions_sql().strip())
 
 
 _REPO_ID_PAT = "^org[0-9]+/repo[0-9]+$"
@@ -3733,6 +3769,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "dep_centrality": _dep_centrality_sql(),
         "license_contamination": _license_contamination_sql(),
         "fn_clones": _fn_clones_sql(),
+        "dead_functions": _dead_functions_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -651,24 +651,31 @@ def q_fn_clones():
     the read + line kernels) + exact clone groups via 40 B/function
     hash partials into one bucketed exchange. Replica amplification
     re-plants identical fn_a bodies everywhere — worst-case clone
-    density by construction."""
+    density by construction. Also runs the dead-function pass
+    (reference counting + name-keyed left join) over the same aug."""
     import pyarrow as pa
 
     from boon_ray.sketches import hash64
     from boon_ray.stages.functions import (clone_groups,
+                                           dead_functions,
+                                           function_references,
+                                           plant_call_batch,
                                            plant_function_batch,
                                            split_functions)
 
     def plant(b: pa.Table) -> pa.Table:
         ids = hash64(b.column("content").to_pandas()
                      .to_numpy(dtype=object)).astype("int64")
-        return plant_function_batch(
-            b.append_column("doc_id", pa.array(ids)))
+        return plant_function_batch(plant_call_batch(
+            b.append_column("doc_id", pa.array(ids))))
 
     aug = _corpus().map_batches(plant, batch_format="pyarrow",
                                 batch_size=None)
-    return clone_groups(split_functions(aug),
-                        num_buckets=32).count()
+    n = clone_groups(split_functions(aug), num_buckets=32).count()
+    return n + dead_functions(
+        split_functions(aug),
+        function_references(aug, num_buckets=32),
+        num_buckets=32).count()
 
 
 def q_approx_quantiles():

@@ -315,3 +315,199 @@ aug AS (
               '  return 0;' || chr(10) || '}}'
        END END AS content
   FROM {table})"""
+
+
+# ---------------------------------------------------------------------------
+# call-site references + dead-function detection (name-level linking:
+# a reference anywhere in the corpus counts for every definition of
+# that name — the standard no-resolution heuristic)
+
+CALL_RE = r"([A-Za-z_][A-Za-z0-9_]*)\("
+_CALL_NAMED = r"(?P<m>[A-Za-z_][A-Za-z0-9_]*)\("
+
+REFS_SCHEMA = pa.schema([("name", pa.string()),
+                         ("n_ref_lines", pa.int64())])
+
+
+def function_references(ds, text_col: str = "content",
+                        lang_col: str = "lang",
+                        num_buckets: int = 16):
+    """(name, n_ref_lines): corpus-wide call-site reference counts —
+    per line, the FIRST ``identifier(`` token, on lines that are NOT
+    a definition line for their lang family (the imports/extraction
+    per-line-first contract). One zero-exchange pass + a name-keyed
+    bucketed sum; only matched names cross the wire."""
+    from boon_ray.stages.combine import bucketed_groupby_sum
+
+    def batch(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(b.column(text_col), pa.string()),
+                            "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ls = pc.split_pattern(text, "\n")
+        counts = np.diff(ls.offsets.to_numpy(zero_copy_only=False))
+        flat = ls.flatten()
+        langs = np.asarray(b.column(lang_col).to_pylist(),
+                           dtype=object)
+        is_py = np.repeat(np.isin(langs, PY_LANGS), counts)
+        py_def = pc.match_substring_regex(flat, PY_DEF_RE) \
+            .to_numpy(zero_copy_only=False)
+        js_def = pc.match_substring_regex(flat, JS_DEF_RE) \
+            .to_numpy(zero_copy_only=False)
+        is_def = np.where(is_py, py_def, js_def)
+        name = pc.fill_null(pc.struct_field(
+            pc.extract_regex(flat, _CALL_NAMED), "m"), "") \
+            .to_numpy(zero_copy_only=False).astype(object)
+        keep = (~is_def) & (name != "")
+        df = pd.DataFrame({"name": name[keep]})
+        g = df.groupby("name", sort=False).size() \
+            .reset_index(name="n_ref_lines")
+        g["n_ref_lines"] = g["n_ref_lines"].astype(np.int64)
+        return pa.Table.from_pandas(g, schema=REFS_SCHEMA,
+                                    preserve_index=False)
+
+    parts = ds.map_batches(batch, batch_format="pyarrow")
+    return bucketed_groupby_sum(parts, ("name",), ("n_ref_lines",),
+                                num_buckets=num_buckets)
+
+
+def function_references_sql(table: str = "aug",
+                            text_col: str = "content") -> str:
+    py_sql = PY_DEF_RE.replace("'", "''")
+    js_sql = JS_DEF_RE.replace("'", "''")
+    call_sql = CALL_RE.replace("'", "''")
+    return f"""
+ref_lines AS (
+  SELECT lang, unnest(string_split(coalesce({text_col}, ''),
+                      chr(10))) AS line
+  FROM {table}),
+ref_cand AS (
+  SELECT regexp_extract(line, '{call_sql}', 1) AS name
+  FROM ref_lines
+  WHERE NOT (CASE WHEN {_IS_PY_SQL}
+                  THEN regexp_matches(line, '{py_sql}')
+                  ELSE regexp_matches(line, '{js_sql}') END)),
+refs AS (
+  SELECT name, CAST(COUNT(*) AS BIGINT) AS n_ref_lines
+  FROM ref_cand WHERE name <> '' GROUP BY name)
+SELECT name, n_ref_lines FROM refs"""
+
+
+def dead_functions(fns_ds, refs_ds, num_buckets: int = 16):
+    """(repo, fn_name, n_defs): functions defined somewhere in a repo
+    whose NAME is never referenced anywhere in the corpus — the
+    corpus-scale dead-code signal. Distinct (repo, name) definition
+    partials + a name-keyed left hash_join against the reference
+    counts; both sides are name/definition-bounded."""
+    from boon_ray.stages.combine import bucketed_groupby_sum
+    from boon_ray.stages.joins import hash_join
+
+    def_schema = pa.schema([("repo", pa.string()),
+                            ("fn_name", pa.string()),
+                            ("n_defs", pa.int64())])
+
+    def defs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "repo": b.column("repo").to_pandas(),
+            "fn_name": b.column("fn_name").to_pandas()})
+        g = df.groupby(["repo", "fn_name"], sort=False).size() \
+            .reset_index(name="n_defs")
+        g["n_defs"] = g["n_defs"].astype(np.int64)
+        return pa.Table.from_pandas(g, schema=def_schema,
+                                    preserve_index=False)
+
+    dparts = bucketed_groupby_sum(
+        fns_ds.map_batches(defs, batch_format="pyarrow"),
+        ("repo", "fn_name"), ("n_defs",), num_buckets=num_buckets)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"fn_name": b.column("name"),
+                         "n_ref_lines": b.column("n_ref_lines")})
+
+    refs = refs_ds.map_batches(rename, batch_format="pyarrow")
+    j = hash_join(
+        dparts, refs, on=["fn_name"], how="left",
+        num_buckets=num_buckets,
+        left_schema=def_schema,
+        right_schema=pa.schema([("fn_name", pa.string()),
+                                ("n_ref_lines", pa.int64())]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_null(b.column("n_ref_lines")))
+        return pa.table({"repo": t.column("repo"),
+                         "fn_name": t.column("fn_name"),
+                         "n_defs": t.column("n_defs")},
+                        schema=def_schema)
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def dead_functions_sql(table: str = "aug",
+                       text_col: str = "content",
+                       id_col: str = "doc_id") -> str:
+    fns = split_functions_sql(table, text_col, id_col).strip()
+    fhead, ftail = fns.rsplit("SELECT", 1)
+    refs = function_references_sql(table, text_col).strip()
+    rhead, rtail = refs.rsplit("SELECT", 1)
+    return (fhead + f",\nfn_rows AS (SELECT{ftail}),\n"
+            + rhead.rstrip().rstrip(",") + ",\n"
+            "defs AS (SELECT repo, fn_name, "
+            "CAST(COUNT(*) AS BIGINT) AS n_defs FROM fn_rows "
+            "GROUP BY repo, fn_name) "
+            "SELECT d.repo, d.fn_name, d.n_defs FROM defs d "
+            "LEFT JOIN refs r ON r.name = d.fn_name "
+            "WHERE r.name IS NULL")
+
+
+def plant_call_batch(b: pa.Table,
+                     text_col: str = "content") -> pa.Table:
+    """Append call-site lines (doc_id%2==0 calls fn_a_<(id+1)%37>;
+    doc_id%7==3 calls the never-defined fn_c_<id%11>) — compose
+    BEFORE plant_function_batch so calls land in the preamble. Exact
+    mirror: :func:`calls_aug_cte`."""
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+    text = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+    is_py = np.isin(langs, PY_LANGS)
+    a = ((ids + 1) % 37).astype(str).astype(object)
+    c = (ids % 11).astype(str).astype(object)
+    l1 = np.where(ids % 2 == 0,
+                  np.where(is_py, "\nres = fn_a_" + a + "(1)",
+                           "\nvar r = fn_a_" + a + "(1);"), "")
+    l2 = np.where(ids % 7 == 3,
+                  np.where(is_py, "\nres = fn_c_" + c + "(2)",
+                           "\nvar r = fn_c_" + c + "(2);"), "")
+    content = pc.binary_join_element_wise(
+        text, pa.array(l1.tolist(), pa.string()),
+        pa.array(l2.tolist(), pa.string()), "")
+    cols = {nm: b.column(nm) for nm in b.schema.names
+            if nm != text_col}
+    cols["content"] = content
+    return pa.table(cols)
+
+
+def calls_aug_cte(table: str = "corpus",
+                  text_col: str = "content",
+                  name: str = "aug_calls") -> str:
+    """The call planting as a named CTE — bit-identical to
+    plant_call_batch."""
+    return f"""
+{name} AS (
+  SELECT doc_id, repo, lang,
+    coalesce({text_col}, '')
+    || CASE WHEN doc_id % 2 = 0 THEN
+         CASE WHEN {_IS_PY_SQL}
+           THEN chr(10) || 'res = fn_a_' ||
+                CAST((doc_id + 1) % 37 AS VARCHAR) || '(1)'
+           ELSE chr(10) || 'var r = fn_a_' ||
+                CAST((doc_id + 1) % 37 AS VARCHAR) || '(1);'
+         END ELSE '' END
+    || CASE WHEN doc_id % 7 = 3 THEN
+         CASE WHEN {_IS_PY_SQL}
+           THEN chr(10) || 'res = fn_c_' ||
+                CAST(doc_id % 11 AS VARCHAR) || '(2)'
+           ELSE chr(10) || 'var r = fn_c_' ||
+                CAST(doc_id % 11 AS VARCHAR) || '(2);'
+         END ELSE '' END AS content
+  FROM {table})"""

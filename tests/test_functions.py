@@ -179,3 +179,86 @@ class TestDuckDBFuzz:
               "ORDER BY doc_id").df()
         assert got[["doc_id", "repo", "lang", "content"]] \
             .astype(str).equals(want.astype(str))
+
+
+class TestReferencesAndDead:
+    ROWS = [
+        (1, "o/a", "en", "def used():\n    return 1\n"
+                         "def dead_a():\n    return 2"),
+        (2, "o/b", "en", "x = used(3)\ny = external(4)"),
+        # js definition of a name referenced only in py style: name-
+        # level linking still counts it as used
+        (3, "o/c", "de", "function used() {\n  return 1;\n}\n"
+                         "function dead_b() {\n  return 2;\n}"),
+        # a def line must not count as a reference to itself
+        (4, "o/d", "en", "def dead_c(x):\n    return x"),
+    ]
+
+    def test_reference_counts(self, ray_session):
+        from boon_ray.stages.functions import function_references
+
+        df = function_references(_ds(self.ROWS)).to_pandas()
+        got = dict(zip(df["name"], df["n_ref_lines"]))
+        assert got == {"used": 1, "external": 1}
+
+    def test_dead_functions(self, ray_session):
+        from boon_ray.stages.functions import (dead_functions,
+                                               function_references)
+
+        df = dead_functions(
+            split_functions(_ds(self.ROWS, n_blocks=3)),
+            function_references(_ds(self.ROWS, n_blocks=3))) \
+            .to_pandas()
+        got = {(r.repo, r.fn_name, r.n_defs)
+               for r in df.itertuples()}
+        assert got == {("o/a", "dead_a", 1), ("o/c", "dead_b", 1),
+                       ("o/d", "dead_c", 1)}
+
+    def test_fuzz_vs_duckdb(self, ray_session):
+        from boon_ray.stages.functions import (
+            dead_functions, dead_functions_sql, function_references,
+            function_references_sql)
+
+        rng = np.random.default_rng(41)
+        langs = ["en", "es", "fr", "de", "zh"]
+        rows = []
+        for i in range(200):
+            lang = langs[int(rng.integers(0, 5))]
+            py = lang in ("en", "es", "fr")
+            lines = []
+            if rng.random() < 0.6:
+                m = int(rng.integers(0, 9))
+                lines.append(f"v = q{m}(1)" if py
+                             else f"var v = q{m}(1);")
+            if rng.random() < 0.7:
+                m = int(rng.integers(0, 14))
+                if py:
+                    lines += [f"def q{m}():", f"    return {m}"]
+                else:
+                    lines += [f"function q{m}() {{",
+                              f"  return {m};", "}"]
+            rows.append((i, f"org{i % 4}/repo{i % 3}", lang,
+                         "\n".join(lines)))
+        ds = _ds(rows, n_blocks=6)
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "repo": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "content": pa.array([r[3] for r in rows], pa.string())})
+        con = duckdb.connect()
+        con.register("aug", t)
+
+        def norm(df):
+            k = sorted(df.columns)
+            return df[k].sort_values(k).reset_index(drop=True) \
+                .astype(str)
+
+        r = function_references(ds).to_pandas()
+        orr = con.sql(
+            "WITH " + function_references_sql("aug").strip()).df()
+        assert norm(r).equals(norm(orr))
+        d = dead_functions(split_functions(ds),
+                           function_references(ds)).to_pandas()
+        od = con.sql(
+            "WITH " + dead_functions_sql("aug").strip()).df()
+        assert norm(d).equals(norm(od))
