@@ -1742,6 +1742,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "license_contamination": _q_license_contamination,
         "fn_clones": _q_fn_clones,
         "dead_functions": _q_dead_functions,
+        "corpus_rollup": _q_corpus_rollup,
     }
 
 
@@ -2255,6 +2256,45 @@ def _dead_functions_sql() -> str:
             + calls_aug_cte().strip() + ", "
             + functions_aug_cte(table="aug_calls").strip() + ", "
             + dead_functions_sql().strip())
+
+
+def _q_corpus_rollup(sf_dir: str):
+    """OLAP grouping-sets aggregation (stages/stats.rollup_counts):
+    GROUP BY ROLLUP over the (lang, source) hierarchy in ONE
+    streaming pass — coarser levels derived from the full-level
+    batch aggregate, (groups x levels)-bounded partials into one
+    bucketed sum; rolled-up keys marked '(all)'."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from boon_ray.stages.stats import rollup_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source", "text"])
+
+    def derive(b: _pa.Table) -> _pa.Table:
+        txt = _pc.fill_null(_pc.cast(b.column("text"),
+                                     _pa.string()), "")
+        return _pa.table({
+            "lang": b.column("lang"),
+            "source": b.column("source"),
+            "n_chars": _pc.cast(_pc.utf8_length(txt), _pa.int64())})
+
+    return rollup_counts(ds.map_batches(derive,
+                                        batch_format="pyarrow"),
+                         keys=("lang", "source"),
+                         sum_cols=("n_chars",))
+
+
+def _corpus_rollup_sql() -> str:
+    from boon_ray.stages.stats import rollup_counts_sql
+
+    inner = ("(SELECT lang, source, "
+             "CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars "
+             "FROM documents) t")
+    return rollup_counts_sql(inner, keys=("lang", "source"),
+                             sum_cols=("n_chars",))
 
 
 _REPO_ID_PAT = "^org[0-9]+/repo[0-9]+$"
@@ -3770,6 +3810,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "license_contamination": _license_contamination_sql(),
         "fn_clones": _fn_clones_sql(),
         "dead_functions": _dead_functions_sql(),
+        "corpus_rollup": _corpus_rollup_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -239,3 +239,81 @@ def approx_quantiles(ds, column: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99),
         "rank_err_envelope": pa.array(
             [sk.error_envelope() if sk.n else 0] * len(qs),
             pa.int64())})
+
+
+def rollup_counts(ds, keys, sum_cols=(), sentinel: str = "(all)",
+                  num_buckets: int = 16):
+    """GROUP BY ROLLUP over a key hierarchy — the OLAP grouping-sets
+    primitive (lang -> lang x source -> grand total in ONE pass).
+
+    Per batch the FULL-level aggregate is computed once, then each
+    coarser level is derived from it (never from the raw rows), with
+    rolled-up key columns set to ``sentinel``; all levels ship as one
+    partial table into a single key-tuple-bucketed sum
+    (combine.bucketed_groupby_sum). The exchange is (groups x
+    levels)-bounded — at 10^12 rows the partials are still
+    group-table-sized. Key columns must be non-null strings (the
+    sentinel marks rolled-up levels, mirroring the SQL
+    GROUPING()-based oracle). Output: ``keys..., n_rows,
+    sum_<c> per sum_col``.
+    """
+    import pandas as pd
+
+    from boon_ray.stages.combine import bucketed_groupby_sum
+
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    out_sums = [f"sum_{c}" for c in sum_cols]
+    schema = pa.schema(
+        [(k, pa.string()) for k in keys]
+        + [("n_rows", pa.int64())]
+        + [(c, pa.int64()) for c in out_sums])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(keys + sum_cols).to_pandas()
+        df["n_rows"] = np.ones(len(df), np.int64)
+        agg = {"n_rows": ("n_rows", "sum")}
+        for c, oc in zip(sum_cols, out_sums):
+            agg[oc] = (c, "sum")
+        full = df.groupby(keys, sort=False).agg(**agg).reset_index()
+        levels = [full]
+        cur = full
+        for i in range(len(keys) - 1, -1, -1):
+            kept = keys[:i]
+            agg2 = {c: (c, "sum") for c in ["n_rows"] + out_sums}
+            if kept:
+                cur = cur.groupby(kept, sort=False).agg(
+                    **agg2).reset_index()
+            else:
+                cur = cur[["n_rows"] + out_sums].sum().to_frame().T
+            lv = cur.copy()
+            for k in keys[i:]:
+                lv[k] = sentinel
+            levels.append(lv)
+        out = pd.concat(levels, ignore_index=True)[
+            keys + ["n_rows"] + out_sums]
+        for c in ["n_rows"] + out_sums:
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, schema=schema,
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_groupby_sum(parts, tuple(keys),
+                                ("n_rows", *out_sums),
+                                num_buckets=num_buckets)
+
+
+def rollup_counts_sql(table: str, keys, sum_cols=(),
+                      sentinel: str = "(all)") -> str:
+    """The exact DuckDB form: GROUP BY ROLLUP with GROUPING() mapped
+    to the sentinel."""
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    sel = ", ".join(
+        f"CASE WHEN GROUPING({k}) = 1 THEN '{sentinel}' "
+        f"ELSE {k} END AS {k}" for k in keys)
+    sums = "".join(
+        f", CAST(SUM({c}) AS BIGINT) AS sum_{c}" for c in sum_cols)
+    return (f"SELECT {sel}, CAST(COUNT(*) AS BIGINT) AS n_rows"
+            f"{sums} FROM {table} "
+            f"GROUP BY ROLLUP ({', '.join(keys)})")

@@ -285,3 +285,76 @@ class TestLicenseFlags:
             .astype(str).equals(
                 want[k].sort_values(k).reset_index(drop=True)
                 .astype(str))
+
+
+class TestRollup:
+    """stages/stats.rollup_counts (lives here with the other late-r4
+    hierarchy operators): hand case, partition independence, and a
+    randomized GROUP BY ROLLUP DuckDB cross-check."""
+
+    def _t(self, n=120, seed=5):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "k1": pa.array([f"a{int(x)}" for x in
+                            rng.integers(0, 4, n)], pa.string()),
+            "k2": pa.array([f"b{int(x)}" for x in
+                            rng.integers(0, 3, n)], pa.string()),
+            "v": pa.array(rng.integers(0, 100, n).astype("int64")),
+        })
+
+    def test_hand_case(self, ray_session):
+        from boon_ray.stages.stats import rollup_counts
+
+        t = pa.table({
+            "k1": pa.array(["x", "x", "y"], pa.string()),
+            "k2": pa.array(["p", "q", "p"], pa.string()),
+            "v": pa.array([1, 2, 4], pa.int64())})
+        df = rollup_counts(rd.from_arrow(t), keys=("k1", "k2"),
+                           sum_cols=("v",)).to_pandas()
+        got = {(r.k1, r.k2): (r.n_rows, r.sum_v)
+               for r in df.itertuples()}
+        assert got == {
+            ("x", "p"): (1, 1), ("x", "q"): (1, 2),
+            ("y", "p"): (1, 4),
+            ("x", "(all)"): (2, 3), ("y", "(all)"): (1, 4),
+            ("(all)", "(all)"): (3, 7)}
+
+    @pytest.mark.parametrize("n_blocks,buckets", [(1, 2), (7, 5)])
+    def test_matches_duckdb_rollup(self, ray_session, n_blocks,
+                                   buckets):
+        from boon_ray.stages.stats import (rollup_counts,
+                                           rollup_counts_sql)
+
+        t = self._t()
+        got = rollup_counts(rd.from_arrow(t).repartition(n_blocks),
+                            keys=("k1", "k2"), sum_cols=("v",),
+                            num_buckets=buckets).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.sql(rollup_counts_sql("t", keys=("k1", "k2"),
+                                         sum_cols=("v",))).df()
+        k = sorted(got.columns)
+        assert got[k].sort_values(k).reset_index(drop=True) \
+            .astype(str).equals(
+                want[k].sort_values(k).reset_index(drop=True)
+                .astype(str))
+
+    def test_three_level_hierarchy_no_sums(self, ray_session):
+        from boon_ray.stages.stats import (rollup_counts,
+                                           rollup_counts_sql)
+
+        t = pa.table({
+            "k1": pa.array(["a", "a", "b", "b"], pa.string()),
+            "k2": pa.array(["p", "p", "q", "q"], pa.string()),
+            "k3": pa.array(["u", "v", "u", "u"], pa.string())})
+        got = rollup_counts(rd.from_arrow(t).repartition(3),
+                            keys=("k1", "k2", "k3")).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.sql(
+            rollup_counts_sql("t", keys=("k1", "k2", "k3"))).df()
+        k = sorted(got.columns)
+        assert got[k].sort_values(k).reset_index(drop=True) \
+            .astype(str).equals(
+                want[k].sort_values(k).reset_index(drop=True)
+                .astype(str))
