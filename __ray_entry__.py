@@ -1743,6 +1743,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "fn_clones": _q_fn_clones,
         "dead_functions": _q_dead_functions,
         "corpus_rollup": _q_corpus_rollup,
+        "merge_roundtrip": _q_merge_roundtrip,
     }
 
 
@@ -2295,6 +2296,87 @@ def _corpus_rollup_sql() -> str:
              "FROM documents) t")
     return rollup_counts_sql(inner, keys=("lang", "source"),
                              sum_cols=("n_chars",))
+
+
+def _q_merge_roundtrip(sf_dir: str):
+    """Lakehouse MERGE INTO over the clustered layout
+    (state/layout.merge_clustered): base = documents with
+    doc_id % 3 != 0 clustered on doc_id; delta = upserts (text || '
+    v2' for doc_id % 7 == 1, bounded to the low third of the key
+    space so the rewrite stays PARTIAL — asserted) + deletes
+    (doc_id % 11 == 2, same bound, overlap excluded from upserts).
+    Only touched partitions are rewritten (two-rename swap); the
+    read-back overlays exactly the SQL anti-join + union mirror."""
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from boon_ray.state.layout import merge_clustered, write_clustered
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    bound = docs.max("doc_id") // 3
+
+    out = tempfile.mkdtemp(prefix="boonray_merge_")
+    try:
+        def base_only(b: _pa.Table) -> _pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(_pa.array(ids % 3 != 0))
+
+        write_clustered(docs.map_batches(base_only,
+                                         batch_format="pyarrow"),
+                        out, key="doc_id", num_partitions=8)
+
+        def mk_delta(b: _pa.Table) -> _pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            up = (ids % 7 == 1) & (ids % 11 != 2) & (ids < bound)
+            de = (ids % 11 == 2) & (ids < bound)
+            u = b.filter(_pa.array(up))
+            txt = _pc.binary_join_element_wise(
+                _pc.fill_null(_pc.cast(u.column("text"),
+                                       _pa.string()), ""), " v2", "")
+            u = u.set_column(u.schema.get_field_index("text"),
+                             "text", txt)
+            u = u.append_column(
+                "op", _pa.array(["upsert"] * len(u), _pa.string()))
+            d = b.filter(_pa.array(de)).append_column(
+                "op", _pa.array(["delete"] * int(de.sum()),
+                                _pa.string()))
+            return _pa.concat_tables([u, d])
+
+        res = merge_clustered(docs.map_batches(
+            mk_delta, batch_format="pyarrow"), out,
+            id_col="doc_id")
+        if len(res["rewritten"]) >= len(res["zonemap"]["zones"]):
+            raise AssertionError(
+                "merge rewrote every partition — the bounded delta "
+                "must leave partitions untouched")
+        back = rd.read_parquet(out) \
+            .select_columns(["doc_id", "lang", "text"]) \
+            .materialize()
+        return back
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _merge_roundtrip_sql() -> str:
+    return """
+WITH bound AS (SELECT MAX(doc_id) // 3 AS b FROM documents),
+base AS (SELECT doc_id, lang, text FROM documents
+         WHERE doc_id % 3 <> 0),
+ups AS (SELECT doc_id, lang, text || ' v2' AS text FROM documents
+        WHERE doc_id % 7 = 1 AND doc_id % 11 <> 2
+          AND doc_id < (SELECT b FROM bound)),
+dels AS (SELECT doc_id FROM documents
+         WHERE doc_id % 11 = 2 AND doc_id < (SELECT b FROM bound))
+SELECT * FROM (
+  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM ups)
+                       AND doc_id NOT IN (SELECT doc_id FROM dels)
+  UNION ALL
+  SELECT * FROM ups)"""
 
 
 _REPO_ID_PAT = "^org[0-9]+/repo[0-9]+$"
@@ -3811,6 +3893,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "fn_clones": _fn_clones_sql(),
         "dead_functions": _dead_functions_sql(),
         "corpus_rollup": _corpus_rollup_sql(),
+        "merge_roundtrip": _merge_roundtrip_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -273,3 +273,104 @@ def recover_layout(out_dir: str) -> dict:
             shutil.rmtree(p)
             cleaned.append(d)
     return {"restored": restored, "cleaned": cleaned}
+
+
+def merge_clustered(delta_ds, out_dir: str, id_col: str,
+                    op_col: str = "op") -> dict:
+    """MERGE (upsert/delete) a delta into a clustered layout — the
+    lakehouse MERGE INTO contract over plain hive dirs: delta rows
+    carry the full row schema plus ``op_col`` ('upsert' replaces any
+    live row with the same ``id_col`` or inserts; 'delete' removes
+    the id — its non-key payload columns are ignored). ONLY the
+    partitions the delta touches are rewritten; untouched partitions
+    are never read.
+
+    Contracts (documented, standard for partition-keyed upserts):
+    the cluster key of an id is immutable (a key change is a
+    delete + upsert in the caller's delta), and ids are unique
+    within one delta per partition (asserted).
+
+    Plan: the delta is assigned partitions with the layout's SAVED
+    cutpoints (one map pass, refs pinned in the object store), then
+    one Ray task per TOUCHED partition filters its slice from the
+    refs, anti-joins live rows on id, appends the upserts, and swaps
+    the partition dir in with the compact_partitions two-rename
+    protocol (crash states repaired by ``recover_layout``). The
+    driver holds refs and per-partition counters only. Returns
+    {"rewritten": {part: [n_before, n_after]}, "zonemap": ...}.
+    """
+    import ray
+
+    with open(os.path.join(out_dir, _ZONEMAP)) as f:
+        zm = json.load(f)
+    key = zm["key"]
+    cuts = np.array(zm["cutpoints"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        k = b.column(key).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(cuts, k, side="right").astype(np.int64)
+        return b.append_column("part", pa.array(part))
+
+    refs = delta_ds.map_batches(assign, batch_format="pyarrow",
+                                batch_size=None).to_arrow_refs()
+
+    @ray.remote
+    def parts_of(t: pa.Table):
+        if "part" not in t.schema.names:
+            return np.empty(0, np.int64)
+        return np.unique(t.column("part")
+                         .to_numpy(zero_copy_only=False))
+
+    part_arrays = ray.get([parts_of.remote(r) for r in refs])
+    touched = (sorted(set(np.concatenate(part_arrays).tolist()))
+               if part_arrays else [])
+    if not touched:        # empty delta: MERGE is a no-op
+        return {"rewritten": {}, "zonemap": zm}
+
+    @ray.remote
+    def rewrite(part: int, *tables):
+        pieces = [t.filter(pc.equal(t.column("part"), part))
+                  for t in tables if "part" in t.schema.names]
+        d = pa.concat_tables(pieces)
+        ids = d.column(id_col).to_numpy(zero_copy_only=False)
+        if len(np.unique(ids)) != len(ids):
+            raise ValueError(
+                f"duplicate {id_col} in one delta for part={part}")
+        ups = d.filter(pc.equal(d.column(op_col), "upsert"))
+        ups = ups.drop_columns([op_col, "part"])
+
+        live_dir = os.path.join(out_dir, f"part={part}")
+        tabs = []
+        if os.path.isdir(live_dir):
+            tabs = [pq.read_table(os.path.join(live_dir, f))
+                    for f in sorted(os.listdir(live_dir))
+                    if f.endswith(".parquet")]
+        n_before = sum(t.num_rows for t in tabs)
+        if tabs:
+            live = pa.concat_tables(tabs)
+            keep = live.filter(pc.invert(pc.is_in(
+                live.column(id_col),
+                value_set=pa.array(ids, live.schema.field(
+                    id_col).type))))
+            ups = ups.select(live.schema.names)
+            out = pa.concat_tables([keep, ups])
+        else:
+            out = ups
+        tmp = live_dir + ".compact_tmp"
+        old = live_dir + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(out, os.path.join(tmp, "merged.parquet"))
+        if os.path.isdir(live_dir):
+            os.rename(live_dir, old)
+            os.rename(tmp, live_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, live_dir)
+        return int(part), int(n_before), int(out.num_rows)
+
+    results = ray.get([rewrite.remote(p, *refs) for p in touched])
+    zm2 = _commit_zonemap(out_dir, key, zm["cutpoints"])
+    return {"rewritten": {p: [b, a] for p, b, a in results},
+            "zonemap": zm2}

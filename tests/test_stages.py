@@ -679,3 +679,79 @@ def test_layout_append_then_scan_and_compact(ray_session):
         assert sorted(again["v"]) == sorted(got["v"])
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_layout_merge_clustered(ray_session):
+    """MERGE INTO over the clustered layout: upserts replace/insert,
+    deletes remove, ONLY touched partitions are rewritten, and the
+    read-back equals a hand merge. Also: empty delta is a no-op and
+    duplicate ids in one delta raise."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.state.layout import (
+        merge_clustered, read_range, write_clustered)
+
+    out = _layout_tmp()
+    try:
+        base = pa.table({
+            "k": pa.array(range(0, 400), pa.int64()),
+            "v": pa.array(range(1000, 1400), pa.int64())})
+        write_clustered(rd.from_arrow(base), out, "k",
+                        num_partitions=8, sample_rate=2)
+        mtimes = {
+            d: os.path.getmtime(os.path.join(out, d))
+            for d in os.listdir(out) if d.startswith("part=")}
+
+        # delta confined to low keys: update 5..14, delete 20..24,
+        # insert brand-new negative keys (below every cutpoint)
+        delta = pa.table({
+            "k": pa.array(list(range(5, 15)) + list(range(20, 25))
+                          + [-3, -2], pa.int64()),
+            "v": pa.array(list(range(9005, 9015)) + [0] * 5
+                          + [7, 8], pa.int64()),
+            "op": pa.array(["upsert"] * 10 + ["delete"] * 5
+                           + ["upsert"] * 2)})
+        res = merge_clustered(rd.from_arrow(delta), out, id_col="k")
+
+        # only the low partitions were rewritten
+        assert 0 < len(res["rewritten"]) < len(
+            res["zonemap"]["zones"])
+        untouched = [d for d in mtimes
+                     if d[len("part="):] not in
+                     {str(p) for p in res["rewritten"]}]
+        assert untouched
+        for d in untouched:
+            assert os.path.getmtime(os.path.join(out, d)) == \
+                mtimes[d], f"{d} was rewritten but not touched"
+
+        got = read_range(out, -10, 500).to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        want = {k: 1000 + k for k in range(0, 400)}
+        for k in range(5, 15):
+            want[k] = 9000 + k
+        for k in range(20, 25):
+            del want[k]
+        want[-3], want[-2] = 7, 8
+        assert dict(zip(got["k"], got["v"])) == want
+        # zone map totals reflect the merge
+        assert sum(n for _, _, n in
+                   res["zonemap"]["zones"].values()) == len(want)
+
+        # empty delta: structural no-op
+        empty = delta.slice(0, 0)
+        res2 = merge_clustered(rd.from_arrow(empty), out, id_col="k")
+        assert res2["rewritten"] == {}
+
+        # duplicate id within one delta partition: hard error
+        dup = pa.table({"k": pa.array([1, 1], pa.int64()),
+                        "v": pa.array([5, 6], pa.int64()),
+                        "op": pa.array(["upsert", "delete"])})
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="duplicate"):
+            merge_clustered(rd.from_arrow(dup), out, id_col="k")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
