@@ -1744,6 +1744,8 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "dead_functions": _q_dead_functions,
         "corpus_rollup": _q_corpus_rollup,
         "merge_roundtrip": _q_merge_roundtrip,
+        "fn_clones_t2": _q_fn_clones_t2,
+        "call_reachability": _q_call_reachability,
     }
 
 
@@ -2377,6 +2379,91 @@ SELECT * FROM (
                        AND doc_id NOT IN (SELECT doc_id FROM dels)
   UNION ALL
   SELECT * FROM ups)"""
+
+
+def _q_fn_clones_t2(sf_dir: str):
+    """TYPE-2 (identifier/literal-normalized) clone groups
+    (stages/functions.clone_groups_t2): function units normalized
+    with identifier->'x', integer->'0' RE2 rewrites (bit-identical
+    Arrow/DuckDB semantics), grouped via 48 B hash partials — raw
+    and normalized text never cross the wire; n_variants = distinct
+    raw texts per group. Chain fixtures composed after the function
+    planting add a second body shape (`return fn(0)`) so the
+    normalized grouping is exercised across shapes."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.functions import (clone_groups_t2,
+                                           plant_chain_batch,
+                                           plant_function_batch,
+                                           split_functions)
+
+    aug = corpus_dataset(sf_dir, keep_meta=True) \
+        .map_batches(plant_function_batch, batch_format="pyarrow",
+                     batch_size=None) \
+        .map_batches(plant_chain_batch, batch_format="pyarrow",
+                     batch_size=None)
+    return clone_groups_t2(split_functions(aug))
+
+
+def _fn_clones_t2_sql() -> str:
+    from boon_ray.stages.functions import (chain_aug_cte,
+                                           clone_groups_t2_sql,
+                                           functions_aug_cte)
+
+    return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
+            + functions_aug_cte().strip() + ", "
+            + chain_aug_cte(table="aug").strip() + ", "
+            + clone_groups_t2_sql(table="aug_chain").strip())
+
+
+def _q_call_reachability(sf_dir: str):
+    """Whole-program transitive dead-code detection
+    (stages/functions.transitive_dead_functions): call edges with
+    caller attribution (enclosing function unit, '' = module top
+    level), multi-source BFS over hash64(name) nodes seeded by the
+    preamble callees (graph.bfs_distances — pinned adjacency,
+    frontier-bounded rounds), defs anti-joined against the reach
+    set. Fixtures: roots (doc%100==0 calls fn_d) land in the
+    preamble BEFORE all function plantings; plant_call_batch makes
+    fn_a reachable + fn_c undefined-seed; fn_d->fn_e chains
+    (doc%5==0) give depth-1 reachability and
+    referenced-but-unreachable residues — the signal plain
+    dead_functions cannot produce."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.functions import (call_edges,
+                                           plant_call_batch,
+                                           plant_chain_batch,
+                                           plant_function_batch,
+                                           plant_root_batch,
+                                           split_functions,
+                                           transitive_dead_functions)
+
+    aug = corpus_dataset(sf_dir, keep_meta=True) \
+        .map_batches(plant_root_batch, batch_format="pyarrow",
+                     batch_size=None) \
+        .map_batches(plant_call_batch, batch_format="pyarrow",
+                     batch_size=None) \
+        .map_batches(plant_function_batch, batch_format="pyarrow",
+                     batch_size=None) \
+        .map_batches(plant_chain_batch, batch_format="pyarrow",
+                     batch_size=None)
+    return transitive_dead_functions(split_functions(aug),
+                                     call_edges(aug), max_depth=4)
+
+
+def _call_reachability_sql() -> str:
+    from boon_ray.stages.functions import (calls_aug_cte,
+                                           chain_aug_cte,
+                                           functions_aug_cte,
+                                           roots_aug_cte,
+                                           transitive_dead_sql)
+
+    return (f"WITH RECURSIVE {CORPUS_CTE.strip().rstrip()}, "
+            + roots_aug_cte(table="corpus").strip() + ", "
+            + calls_aug_cte(table="aug_roots").strip() + ", "
+            + functions_aug_cte(table="aug_calls").strip() + ", "
+            + chain_aug_cte(table="aug").strip() + ", "
+            + transitive_dead_sql(table="aug_chain",
+                                  max_depth=4).strip())
 
 
 _REPO_ID_PAT = "^org[0-9]+/repo[0-9]+$"
@@ -3894,6 +3981,8 @@ def _base_oracle_sql() -> dict[str, str]:
         "dead_functions": _dead_functions_sql(),
         "corpus_rollup": _corpus_rollup_sql(),
         "merge_roundtrip": _merge_roundtrip_sql(),
+        "fn_clones_t2": _fn_clones_t2_sql(),
+        "call_reachability": _call_reachability_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -678,6 +678,40 @@ def q_fn_clones():
         num_buckets=32).count()
 
 
+def q_fn_callgraph():
+    """Type-2 clone groups + whole-program transitive dead-code over
+    the amplified corpus: normalization adds two RE2 rewrites inside
+    the zero-exchange segmentation pass (text never crosses the
+    wire); the call graph adds a per-line callee extraction and the
+    BFS exchanges only frontier-bounded 8 B proposals."""
+    import pyarrow as pa
+
+    from boon_ray.sketches import hash64
+    from boon_ray.stages.functions import (call_edges,
+                                           clone_groups_t2,
+                                           plant_call_batch,
+                                           plant_chain_batch,
+                                           plant_function_batch,
+                                           plant_root_batch,
+                                           split_functions,
+                                           transitive_dead_functions)
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = hash64(b.column("content").to_pandas()
+                     .to_numpy(dtype=object)).astype("int64")
+        return plant_chain_batch(plant_function_batch(
+            plant_call_batch(plant_root_batch(
+                b.append_column("doc_id", pa.array(ids))))))
+
+    aug = _corpus().map_batches(plant, batch_format="pyarrow",
+                                batch_size=None)
+    n = clone_groups_t2(split_functions(aug),
+                        num_buckets=32).count()
+    return n + transitive_dead_functions(
+        split_functions(aug), call_edges(aug), max_depth=4,
+        num_buckets=16).count()
+
+
 def q_approx_quantiles():
     """Mergeable KLL quantiles of a continuous per-doc statistic over
     the 500k-doc corpus: one few-KB sketch per batch, ref-tree merge
@@ -905,6 +939,7 @@ QUERIES = {
     "repo_deps": q_repo_deps,
     "license_contamination": q_license_contamination,
     "fn_clones": q_fn_clones,
+    "fn_callgraph": q_fn_callgraph,
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,

@@ -511,3 +511,422 @@ def calls_aug_cte(table: str = "corpus",
                 CAST(doc_id % 11 AS VARCHAR) || '(2);'
          END ELSE '' END AS content
   FROM {table})"""
+
+
+# ---------------------------------------------------------------------------
+# type-2 (identifier/literal-normalized) clone detection — the
+# classic near-miss clone grain (SourcererCC type-2; boon has no code
+# analytics, cli/src/main.rs:115-168): two functions are type-2
+# clones when they differ ONLY in identifier names and numeric
+# literals. Normalization replaces every identifier token with 'x'
+# and every integer literal with '0' (RE2 in both engines, global
+# left-to-right non-overlapping — bit-identical Arrow/DuckDB
+# semantics), then groups on the normalized text exactly like
+# clone_groups. Extra output: n_variants = distinct RAW texts per
+# group (a pure type-2 group has n_variants > 1).
+
+T2_ID_RE = r"[A-Za-z_][A-Za-z0-9_]*"
+T2_NUM_RE = r"[0-9]+"
+
+T2_SCHEMA = pa.schema([
+    ("sig", pa.string()), ("n_lines", pa.int64()),
+    ("n_copies", pa.int64()), ("n_repos", pa.int64()),
+    ("n_variants", pa.int64()),
+])
+
+
+def normalize_type2(arr):
+    """Identifier -> 'x', integer literal -> '0' (module comment)."""
+    x = pc.replace_substring_regex(arr, pattern=T2_ID_RE,
+                                   replacement="x")
+    return pc.replace_substring_regex(x, pattern=T2_NUM_RE,
+                                      replacement="0")
+
+
+def clone_groups_t2(fns_ds, min_copies: int = 2,
+                    num_buckets: int = 16):
+    """(sig, n_lines, n_copies, n_repos, n_variants) per TYPE-2 clone
+    group (>= min_copies instances). Same 48 B/instance partial
+    exchange as clone_groups — neither the raw nor the normalized
+    text ever crosses the wire (identity rides hash64; the accepted
+    line_dedup/forks/fn_clones trade)."""
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    part_schema = pa.schema([("h", pa.int64()),
+                             ("h_raw", pa.int64()),
+                             ("sig", pa.string()),
+                             ("n_lines", pa.int64()),
+                             ("repo", pa.string()),
+                             ("n", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = b.column("fn_text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        norm = normalize_type2(txt)
+        df = pd.DataFrame({
+            "h": hash64(norm.to_pandas().to_numpy(dtype=object))
+            .astype(np.int64),
+            "h_raw": hash64(txt.to_pandas().to_numpy(dtype=object))
+            .astype(np.int64),
+            "sig": b.column("sig").to_pandas(),
+            "n_lines": b.column("n_lines")
+            .to_numpy(zero_copy_only=False).astype(np.int64),
+            "repo": b.column("repo").to_pandas()})
+        g = df.groupby(["h", "h_raw", "sig", "n_lines", "repo"],
+                       sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, schema=part_schema,
+                                    preserve_index=False)
+
+    parts = fns_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return T2_SCHEMA.empty_table()
+        g = df.groupby("h").agg(
+            sig=("sig", "min"), n_lines=("n_lines", "min"),
+            n_copies=("n", "sum"),
+            n_repos=("repo", "nunique"),
+            n_variants=("h_raw", "nunique")).reset_index(drop=True)
+        g = g[g["n_copies"] >= min_copies]
+        g = g.astype({"n_lines": np.int64, "n_copies": np.int64,
+                      "n_repos": np.int64, "n_variants": np.int64})
+        return pa.Table.from_pandas(g, schema=T2_SCHEMA,
+                                    preserve_index=False)
+
+    return bucketed_map_groups(parts, ("h",), merge,
+                               num_buckets=num_buckets)
+
+
+def clone_groups_t2_sql(table: str = "aug",
+                        text_col: str = "content",
+                        id_col: str = "doc_id",
+                        min_copies: int = 2) -> str:
+    inner = split_functions_sql(table, text_col, id_col).strip()
+    head, tail = inner.rsplit("SELECT", 1)
+    norm = (f"regexp_replace(regexp_replace(fn_text, "
+            f"'{T2_ID_RE}', 'x', 'g'), '{T2_NUM_RE}', '0', 'g')")
+    return (head
+            + "SELECT min(sig) AS sig, "
+              "CAST(min(n_lines) AS BIGINT) AS n_lines, "
+              "CAST(COUNT(*) AS BIGINT) AS n_copies, "
+              "CAST(COUNT(DISTINCT repo) AS BIGINT) AS n_repos, "
+              "CAST(COUNT(DISTINCT fn_text) AS BIGINT) AS n_variants "
+              f"FROM functions GROUP BY {norm} "
+              f"HAVING COUNT(*) >= {int(min_copies)}")
+
+
+# ---------------------------------------------------------------------------
+# function-level CALL GRAPH + transitive reachability — the
+# whole-program dead-code grain: dead_functions flags names never
+# referenced ANYWHERE; transitive_dead_functions flags functions not
+# REACHABLE from top-level (module-scope) code, so a helper called
+# only by another dead function is dead too. Name-level linking (the
+# same no-resolution heuristic as function_references, documented
+# there); node identity rides hash64(name) through the BFS (2^-64
+# collision trade, as everywhere identity rides a 64-bit hash here).
+
+EDGES_SCHEMA = pa.schema([("caller", pa.string()),
+                          ("callee", pa.string())])
+
+
+def call_edges(ds, text_col: str = "content",
+               lang_col: str = "lang"):
+    """Distinct (caller, callee) call edges per batch: per line the
+    FIRST ``identifier(`` token on non-definition lines (the
+    function_references contract); the caller is the enclosing
+    function unit (split_functions segmentation), or '' when the call
+    sits in the preamble (module top level — these are the BFS
+    roots). Zero exchange; batch-level distinct only (BFS tolerates
+    duplicate edges)."""
+
+    def batch(b: pa.Table) -> pa.Table:
+        n = len(b)
+        text = pc.fill_null(pc.cast(b.column(text_col), pa.string()),
+                            "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ls = pc.split_pattern(text, "\n")
+        offs = ls.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        counts = np.diff(offs)
+        flat = ls.flatten()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        langs = np.asarray(b.column(lang_col).to_pylist(),
+                           dtype=object)
+        is_py = np.repeat(np.isin(langs, PY_LANGS), counts)
+
+        py_m = pc.match_substring_regex(flat, PY_DEF_RE).to_numpy(
+            zero_copy_only=False)
+        js_m = pc.match_substring_regex(flat, JS_DEF_RE).to_numpy(
+            zero_copy_only=False)
+        start = np.where(is_py, py_m, js_m)
+        starts_idx = np.flatnonzero(start)
+
+        callee = pc.fill_null(pc.struct_field(
+            pc.extract_regex(flat, _CALL_NAMED), "m"), "") \
+            .to_numpy(zero_copy_only=False).astype(object)
+        keep = (~start) & (callee != "")
+        if not keep.any():
+            return EDGES_SCHEMA.empty_table()
+
+        seg = np.cumsum(start.astype(np.int64))
+        base = np.concatenate([[0], seg])[offs[:-1]]
+        in_fn = seg > base[doc_idx]
+
+        if len(starts_idx):
+            sig = flat.take(pa.array(starts_idx))
+            py_names = pc.struct_field(
+                pc.extract_regex(sig, _PY_DEF_NAMED), "m")
+            js_names = pc.struct_field(
+                pc.extract_regex(sig, _JS_DEF_NAMED), "m")
+            names = pc.if_else(pa.array(is_py[starts_idx]),
+                               py_names, js_names) \
+                .to_numpy(zero_copy_only=False).astype(object)
+        else:
+            names = np.empty(0, dtype=object)
+
+        enclosing = np.maximum(seg - 1, 0)
+        caller = np.where(
+            in_fn,
+            names[enclosing] if len(names) else "",
+            "")
+        df = pd.DataFrame({"caller": caller[keep],
+                           "callee": callee[keep]}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, schema=EDGES_SCHEMA,
+                                    preserve_index=False)
+
+    return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def transitive_dead_functions(fns_ds, edges_ds, max_depth: int = 4,
+                              num_buckets: int = 16):
+    """(repo, fn_name, n_defs): defined functions NOT reachable from
+    module top-level code within ``max_depth`` call hops. Reach =
+    multi-source BFS (graph.bfs_distances: pinned adjacency,
+    frontier-bounded 8 B rounds) over hash64(name) nodes, seeded by
+    the callees of preamble calls (dist 0); defs are the
+    dead_functions distinct (repo, fn_name) partials, anti-joined
+    name-keyed against the reach set."""
+    from boon_ray.stages.combine import bucketed_groupby_sum
+    from boon_ray.stages.graph import bfs_distances
+    from boon_ray.stages.joins import hash_join
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b.column("caller"), ""))
+        ca = hash64(t.column("caller").to_pandas()
+                    .to_numpy(dtype=object)).astype(np.int64)
+        ce = hash64(t.column("callee").to_pandas()
+                    .to_numpy(dtype=object)).astype(np.int64)
+        return pa.table({"a": pa.array(ca), "b": pa.array(ce)})
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("caller"), ""))
+        s = np.unique(hash64(t.column("callee").to_pandas()
+                             .to_numpy(dtype=object))
+                      .astype(np.int64))
+        return pa.table({"node": pa.array(s, pa.int64())})
+
+    pairs_ds = edges_ds.map_batches(pairs, batch_format="pyarrow")
+    seeds_ds = edges_ds.map_batches(seed_rows,
+                                    batch_format="pyarrow")
+    reach = bfs_distances(pairs_ds, seeds_ds, max_depth=max_depth,
+                          num_buckets=num_buckets)
+
+    def_schema = pa.schema([("repo", pa.string()),
+                            ("fn_name", pa.string()),
+                            ("n_defs", pa.int64())])
+    defh_schema = pa.schema([("repo", pa.string()),
+                             ("fn_name", pa.string()),
+                             ("n_defs", pa.int64()),
+                             ("fn_h", pa.int64())])
+
+    def defs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "repo": b.column("repo").to_pandas(),
+            "fn_name": b.column("fn_name").to_pandas()})
+        g = df.groupby(["repo", "fn_name"], sort=False).size() \
+            .reset_index(name="n_defs")
+        g["n_defs"] = g["n_defs"].astype(np.int64)
+        return pa.Table.from_pandas(g, schema=def_schema,
+                                    preserve_index=False)
+
+    dparts = bucketed_groupby_sum(
+        fns_ds.map_batches(defs, batch_format="pyarrow"),
+        ("repo", "fn_name"), ("n_defs",), num_buckets=num_buckets)
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = hash64(b.column("fn_name").to_pandas()
+                   .to_numpy(dtype=object)).astype(np.int64)
+        return b.append_column("fn_h", pa.array(h, pa.int64()))
+
+    dkeyed = dparts.map_batches(add_hash, batch_format="pyarrow")
+
+    def reach_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"fn_h": b.column("node"),
+                         "dist": b.column("dist")})
+
+    rkeyed = reach.map_batches(reach_rows, batch_format="pyarrow")
+    j = hash_join(
+        dkeyed, rkeyed, on=["fn_h"], how="left",
+        num_buckets=num_buckets, left_schema=defh_schema,
+        right_schema=pa.schema([("fn_h", pa.int64()),
+                                ("dist", pa.int64())]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_null(b.column("dist")))
+        return pa.table({"repo": t.column("repo"),
+                         "fn_name": t.column("fn_name"),
+                         "n_defs": t.column("n_defs")},
+                        schema=def_schema)
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def transitive_dead_sql(table: str = "aug",
+                        text_col: str = "content",
+                        id_col: str = "doc_id",
+                        max_depth: int = 4) -> str:
+    """Exact mirror: fx_* segmentation CTEs + per-line callee
+    extraction with caller attribution via (doc, seg), depth-bounded
+    recursive closure from preamble callees (the bfs_sql pattern),
+    LEFT JOIN ... IS NULL anti-join against the defs. The composed
+    query MUST start with WITH RECURSIVE."""
+    fns = split_functions_sql(table, text_col, id_col).strip()
+    head, tail = fns.rsplit("SELECT", 1)
+    py_sql = PY_DEF_RE.replace("'", "''")
+    js_sql = JS_DEF_RE.replace("'", "''")
+    call_sql = CALL_RE.replace("'", "''")
+    return (head.rstrip().rstrip(",") + ",\n"
+            f"fn_rows AS (SELECT{tail}),\n"
+            "cg_fn AS (\n"
+            f"  SELECT {id_col}, seg,\n"
+            f"         CASE WHEN {_IS_PY_SQL}\n"
+            f"              THEN regexp_extract(line, '{py_sql}', 1)\n"
+            f"              ELSE regexp_extract(line, '{js_sql}', 1)\n"
+            "          END AS fn_name\n"
+            "  FROM fx_seg WHERE is_def = 1),\n"
+            "cg_calls AS (\n"
+            f"  SELECT {id_col}, seg,\n"
+            f"         regexp_extract(line, '{call_sql}', 1) AS callee\n"
+            "  FROM fx_seg WHERE is_def = 0\n"
+            f"    AND regexp_extract(line, '{call_sql}', 1) <> ''),\n"
+            "cg_edges AS (\n"
+            "  SELECT DISTINCT coalesce(f.fn_name, '') AS caller,\n"
+            "         c.callee\n"
+            "  FROM cg_calls c LEFT JOIN cg_fn f\n"
+            f"    ON f.{id_col} = c.{id_col} AND f.seg = c.seg),\n"
+            "cg_reach(v, dd) AS (\n"
+            "  SELECT callee, CAST(0 AS BIGINT) FROM cg_edges\n"
+            "  WHERE caller = ''\n"
+            "  UNION\n"
+            "  SELECT e.callee, cg_reach.dd + 1 FROM cg_reach\n"
+            "  JOIN cg_edges e ON e.caller = cg_reach.v\n"
+            f"    AND e.caller <> '' WHERE cg_reach.dd < "
+            f"{int(max_depth)}),\n"
+            "cg_defs AS (\n"
+            "  SELECT repo, fn_name,\n"
+            "         CAST(COUNT(*) AS BIGINT) AS n_defs\n"
+            "  FROM fn_rows GROUP BY repo, fn_name)\n"
+            "SELECT d.repo, d.fn_name, d.n_defs FROM cg_defs d\n"
+            "LEFT JOIN (SELECT DISTINCT v FROM cg_reach) r\n"
+            "  ON r.v = d.fn_name WHERE r.v IS NULL")
+
+
+def plant_root_batch(b: pa.Table,
+                     text_col: str = "content") -> pa.Table:
+    """Top-level ROOT call lines for the chain fixture: doc_id % 100
+    == 0 calls ``fn_d_<doc_id % 13>`` at module scope. Compose FIRST
+    (before any function planting) so the root stays in the preamble.
+    Exact mirror: :func:`roots_aug_cte`."""
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+    text = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+    is_py = np.isin(langs, PY_LANGS)
+    m = (ids % 13).astype(str).astype(object)
+    l1 = np.where(ids % 100 == 0,
+                  np.where(is_py, "\nboot = fn_d_" + m + "(9)",
+                           "\nvar q = fn_d_" + m + "(9);"), "")
+    content = pc.binary_join_element_wise(
+        text, pa.array(l1.tolist(), pa.string()), "")
+    cols = {nm: b.column(nm) for nm in b.schema.names
+            if nm != text_col}
+    cols["content"] = content
+    return pa.table(cols)
+
+
+def roots_aug_cte(table: str = "corpus",
+                  text_col: str = "content",
+                  name: str = "aug_roots") -> str:
+    return f"""
+{name} AS (
+  SELECT doc_id, repo, lang,
+    coalesce({text_col}, '')
+    || CASE WHEN doc_id % 100 = 0 THEN
+         CASE WHEN {_IS_PY_SQL}
+           THEN chr(10) || 'boot = fn_d_' ||
+                CAST(doc_id % 13 AS VARCHAR) || '(9)'
+           ELSE chr(10) || 'var q = fn_d_' ||
+                CAST(doc_id % 13 AS VARCHAR) || '(9);'
+         END ELSE '' END AS content
+  FROM {table})"""
+
+
+def plant_chain_batch(b: pa.Table,
+                      text_col: str = "content") -> pa.Table:
+    """CALL-CHAIN function fixture: doc_id % 5 == 0 defines
+    ``fn_d_<doc_id % 13>`` whose body calls ``fn_e_<doc_id % 13>``,
+    plus ``fn_e_<m>`` itself — fn_e is only reachable THROUGH fn_d
+    (depth 1 from the roots), and fn_d residues without a planted
+    root are referenced-but-unreachable (dead transitively, NOT dead
+    by name). Compose AFTER plant_function_batch. Exact mirror:
+    :func:`chain_aug_cte`."""
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+    text = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+    is_py = np.isin(langs, PY_LANGS)
+    m = (ids % 13).astype(str).astype(object)
+    blk = np.where(
+        is_py,
+        "\ndef fn_d_" + m + "():\n    return fn_e_" + m + "(3)"
+        + "\ndef fn_e_" + m + "():\n    return 7",
+        "\nfunction fn_d_" + m + "() {\n  return fn_e_" + m
+        + "(3);\n}\nfunction fn_e_" + m + "() {\n  return 7;\n}")
+    blk = np.where(ids % 5 == 0, blk, "")
+    content = pc.binary_join_element_wise(
+        text, pa.array(blk.tolist(), pa.string()), "")
+    cols = {nm: b.column(nm) for nm in b.schema.names
+            if nm != text_col}
+    cols["content"] = content
+    return pa.table(cols)
+
+
+def chain_aug_cte(table: str = "aug",
+                  text_col: str = "content",
+                  name: str = "aug_chain") -> str:
+    return f"""
+{name} AS (
+  SELECT doc_id, repo, lang,
+    coalesce({text_col}, '')
+    || CASE WHEN doc_id % 5 = 0 THEN
+         CASE WHEN {_IS_PY_SQL}
+           THEN chr(10) || 'def fn_d_' ||
+                CAST(doc_id % 13 AS VARCHAR) || '():' || chr(10) ||
+                '    return fn_e_' ||
+                CAST(doc_id % 13 AS VARCHAR) || '(3)' || chr(10) ||
+                'def fn_e_' ||
+                CAST(doc_id % 13 AS VARCHAR) || '():' || chr(10) ||
+                '    return 7'
+           ELSE chr(10) || 'function fn_d_' ||
+                CAST(doc_id % 13 AS VARCHAR) || '() {{' || chr(10) ||
+                '  return fn_e_' ||
+                CAST(doc_id % 13 AS VARCHAR) || '(3);' || chr(10) ||
+                '}}' || chr(10) || 'function fn_e_' ||
+                CAST(doc_id % 13 AS VARCHAR) || '() {{' || chr(10) ||
+                '  return 7;' || chr(10) || '}}'
+         END ELSE '' END AS content
+  FROM {table})"""

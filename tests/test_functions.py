@@ -262,3 +262,233 @@ class TestReferencesAndDead:
         od = con.sql(
             "WITH " + dead_functions_sql("aug").strip()).df()
         assert norm(d).equals(norm(od))
+
+
+class TestType2Clones:
+    ROWS = [
+        # type-2 clones: differ only in identifiers + literals
+        (1, "o/a", "en", "def f():\n    return 7"),
+        (2, "o/b", "en", "def g():\n    return 99"),
+        (3, "o/a", "en", "def h():\n    return 7"),
+        # different structure: extra body line -> own (filtered) group
+        (4, "o/c", "en", "def k():\n    y = 1\n    return y"),
+    ]
+
+    def test_hand_group(self, ray_session):
+        from boon_ray.stages.functions import clone_groups_t2
+
+        df = clone_groups_t2(split_functions(_ds(self.ROWS))) \
+            .to_pandas()
+        assert len(df) == 1
+        r = df.iloc[0]
+        # min(sig) lexicographic; 3 raw variants (name is part of
+        # the raw text) over 3 copies
+        assert (r.sig, r.n_lines, r.n_copies, r.n_repos,
+                r.n_variants) == ("def f():", 2, 3, 2, 3)
+
+    def test_min_copies_one_keeps_structural_singleton(
+            self, ray_session):
+        from boon_ray.stages.functions import clone_groups_t2
+
+        df = clone_groups_t2(split_functions(_ds(self.ROWS)),
+                             min_copies=1).to_pandas()
+        assert len(df) == 2
+        assert set(df.n_copies) == {3, 1}
+
+    def test_normalization_kernel(self, ray_session):
+        from boon_ray.stages.functions import normalize_type2
+
+        got = normalize_type2(pa.array(
+            ["def f(a1, b):\n    return a1 + 42",
+             "x9 = call_me(0)"])).to_pylist()
+        assert got == ["x x(x, x):\n    x x + 0", "x = x(0)"]
+
+    @pytest.mark.parametrize("n_blocks,buckets", [(1, 4), (7, 16)])
+    def test_fuzz_vs_duckdb(self, ray_session, n_blocks, buckets):
+        from boon_ray.stages.functions import (clone_groups_t2,
+                                               clone_groups_t2_sql)
+
+        rng = np.random.default_rng(57)
+        langs = ["en", "es", "fr", "de", "zh"]
+        rows = []
+        for i in range(220):
+            lang = langs[int(rng.integers(0, 5))]
+            py = lang in ("en", "es", "fr")
+            lines = ["soup"] if rng.random() < 0.4 else []
+            for _ in range(int(rng.integers(0, 3))):
+                m = int(rng.integers(0, 30))
+                shape = int(rng.integers(0, 2))
+                if py:
+                    lines += [f"def t{m}():", f"    return {m}"]
+                    if shape:
+                        lines.append("    extra = 1")
+                else:
+                    lines += [f"function t{m}() {{",
+                              f"  return {m};", "}"]
+            rows.append((i, f"org{i % 5}/repo{i % 3}", lang,
+                         "\n".join(lines)))
+        ds = _ds(rows, n_blocks=n_blocks)
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "repo": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "content": pa.array([r[3] for r in rows], pa.string())})
+        con = duckdb.connect()
+        con.register("aug", t)
+
+        def norm(df):
+            k = sorted(df.columns)
+            return df[k].sort_values(k).reset_index(drop=True) \
+                .astype(str)
+
+        c = clone_groups_t2(split_functions(ds),
+                            num_buckets=buckets).to_pandas()
+        oc = con.sql("WITH "
+                     + clone_groups_t2_sql("aug").strip()).df()
+        assert norm(c).equals(norm(oc))
+
+
+class TestCallGraph:
+    ROWS = [
+        # preamble root call -> a; a's body calls b; b calls c
+        (1, "o/a", "en", "boot = a(1)\n"
+                         "def a():\n    return b(2)\n"
+                         "def b():\n    return c(3)\n"
+                         "def c():\n    return 0"),
+        # d referenced ONLY from dead e; e never referenced
+        (2, "o/b", "en", "def e():\n    return d(1)\n"
+                         "def d():\n    return 0"),
+        # undefined callee at top level: seed with no def, harmless
+        (3, "o/c", "en", "x = ghost(9)"),
+    ]
+
+    def test_edges_and_caller_attribution(self, ray_session):
+        from boon_ray.stages.functions import call_edges
+
+        df = call_edges(_ds(self.ROWS, n_blocks=2)).to_pandas()
+        got = set(map(tuple, df.itertuples(index=False)))
+        assert got == {("", "a"), ("a", "b"), ("b", "c"),
+                       ("e", "d"), ("", "ghost")}
+
+    def test_transitive_dead(self, ray_session):
+        from boon_ray.stages.functions import (
+            call_edges, transitive_dead_functions)
+
+        ds = _ds(self.ROWS, n_blocks=3)
+        df = transitive_dead_functions(
+            split_functions(ds), call_edges(ds)).to_pandas()
+        got = {(r.repo, r.fn_name, r.n_defs)
+               for r in df.itertuples()}
+        # a, b, c reachable from the root; d referenced only by
+        # dead e -> BOTH dead (the transitive signal dead_functions
+        # cannot produce: d IS referenced)
+        assert got == {("o/b", "e", 1), ("o/b", "d", 1)}
+
+    def test_depth_bound(self, ray_session):
+        from boon_ray.stages.functions import (
+            call_edges, transitive_dead_functions)
+
+        rows = [(1, "o/a", "en",
+                 "boot = h0(1)\n"
+                 + "\n".join(f"def h{i}():\n    return h{i + 1}(1)"
+                             for i in range(5))
+                 + "\ndef h5():\n    return 0")]
+        ds = _ds(rows)
+        df = transitive_dead_functions(
+            split_functions(ds), call_edges(ds),
+            max_depth=2).to_pandas()
+        # h0 seeded (dist 0), h1/h2 within 2 hops; h3..h5 beyond
+        assert set(df.fn_name) == {"h3", "h4", "h5"}
+
+    @pytest.mark.parametrize("n_blocks,buckets", [(1, 4), (6, 8)])
+    def test_fuzz_vs_duckdb(self, ray_session, n_blocks, buckets):
+        from boon_ray.stages.functions import (
+            call_edges, transitive_dead_functions,
+            transitive_dead_sql)
+
+        rng = np.random.default_rng(73)
+        langs = ["en", "es", "fr", "de", "zh"]
+        rows = []
+        for i in range(200):
+            lang = langs[int(rng.integers(0, 5))]
+            py = lang in ("en", "es", "fr")
+            lines = []
+            if rng.random() < 0.08:
+                m = int(rng.integers(0, 26))
+                lines.append(f"v = w{m}(1)" if py
+                             else f"var v = w{m}(1);")
+            for _ in range(int(rng.integers(0, 3))):
+                m = int(rng.integers(0, 26))
+                k = int(rng.integers(0, 26))
+                if py:
+                    lines += [f"def w{m}():"]
+                    lines.append(f"    return w{k}(2)"
+                                 if rng.random() < 0.5
+                                 else f"    return {m}")
+                else:
+                    lines += [f"function w{m}() {{"]
+                    lines.append(f"  return w{k}(2);"
+                                 if rng.random() < 0.5
+                                 else f"  return {m};")
+                    lines.append("}")
+            rows.append((i, f"org{i % 4}/repo{i % 3}", lang,
+                         "\n".join(lines)))
+        ds = _ds(rows, n_blocks=n_blocks)
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "repo": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "content": pa.array([r[3] for r in rows], pa.string())})
+        con = duckdb.connect()
+        con.register("aug", t)
+
+        def norm(df):
+            k = sorted(df.columns)
+            return df[k].sort_values(k).reset_index(drop=True) \
+                .astype(str)
+
+        d = transitive_dead_functions(
+            split_functions(ds), call_edges(ds), max_depth=3,
+            num_buckets=buckets).to_pandas()
+        od = con.sql("WITH RECURSIVE "
+                     + transitive_dead_sql("aug", max_depth=3)
+                     .strip()).df()
+        assert len(od) > 0, "fuzz corpus produced no dead functions"
+        got = {(r.repo, r.fn_name, r.n_defs)
+               for r in d.itertuples()}
+        want = {(r.repo, r.fn_name, r.n_defs)
+                for r in od.itertuples()}
+        assert got == want
+
+    def test_plantings_match_ctes(self, ray_session):
+        from boon_ray.stages.functions import (
+            chain_aug_cte, plant_chain_batch, plant_root_batch,
+            roots_aug_cte)
+
+        t = pa.table({
+            "doc_id": pa.array(np.arange(333), pa.int64()),
+            "repo": pa.array([f"org{i % 3}/repo{i % 5}"
+                              for i in range(333)], pa.string()),
+            "lang": pa.array(["en", "es", "fr", "de", "zh"][i % 5]
+                             for i in range(333)),
+            "content": pa.array([f"soup {i}" for i in range(333)],
+                                pa.string())})
+        con = duckdb.connect()
+        con.register("corpus", t)
+        got = plant_root_batch(t).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        want = con.sql(
+            "WITH " + roots_aug_cte().strip()
+            + " SELECT doc_id, repo, lang, content FROM aug_roots "
+              "ORDER BY doc_id").df()
+        assert got[["doc_id", "repo", "lang", "content"]] \
+            .astype(str).equals(want.astype(str))
+        got2 = plant_chain_batch(t).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        want2 = con.sql(
+            "WITH corpus2 AS (SELECT * FROM corpus), "
+            + chain_aug_cte(table="corpus2").strip()
+            + " SELECT doc_id, repo, lang, content FROM aug_chain "
+              "ORDER BY doc_id").df()
+        assert got2[["doc_id", "repo", "lang", "content"]] \
+            .astype(str).equals(want2.astype(str))
