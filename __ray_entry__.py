@@ -1746,6 +1746,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "merge_roundtrip": _q_merge_roundtrip,
         "fn_clones_t2": _q_fn_clones_t2,
         "call_reachability": _q_call_reachability,
+        "fn_metrics": _q_fn_metrics,
     }
 
 
@@ -2464,6 +2465,35 @@ def _call_reachability_sql() -> str:
             + chain_aug_cte(table="aug").strip() + ", "
             + transitive_dead_sql(table="aug_chain",
                                   max_depth=4).strip())
+
+
+def _q_fn_metrics(sf_dir: str):
+    """Per-repo function-metric rollup
+    (stages/functions.fn_metrics): branch-line count (cyclomatic
+    proxy), body-first-line docstring/comment coverage, max
+    indentation (nesting proxy), function count + total lines — all
+    computed per line inside the zero-exchange segmentation pass,
+    only repo-keyed integer partials exchanged. plant_metrics_batch
+    plants four body shapes (docstring+if / nested for-while / bare
+    return / nothing) per family."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.functions import (fn_metrics,
+                                           plant_metrics_batch,
+                                           split_functions)
+
+    aug = corpus_dataset(sf_dir, keep_meta=True) \
+        .map_batches(plant_metrics_batch, batch_format="pyarrow",
+                     batch_size=None)
+    return fn_metrics(split_functions(aug))
+
+
+def _fn_metrics_sql() -> str:
+    from boon_ray.stages.functions import (fn_metrics_sql,
+                                           metrics_aug_cte)
+
+    return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
+            + metrics_aug_cte(table="corpus").strip() + ", "
+            + fn_metrics_sql(table="aug").strip())
 
 
 _REPO_ID_PAT = "^org[0-9]+/repo[0-9]+$"
@@ -3983,6 +4013,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "merge_roundtrip": _merge_roundtrip_sql(),
         "fn_clones_t2": _fn_clones_t2_sql(),
         "call_reachability": _call_reachability_sql(),
+        "fn_metrics": _fn_metrics_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

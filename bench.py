@@ -712,6 +712,29 @@ def q_fn_callgraph():
         num_buckets=16).count()
 
 
+def q_fn_metrics():
+    """Per-repo function metrics over the amplified corpus: per-line
+    branch/indent/docstring kernels inside the zero-exchange
+    segmentation pass; only repo-keyed integer partials are
+    exchanged."""
+    import pyarrow as pa
+
+    from boon_ray.sketches import hash64
+    from boon_ray.stages.functions import (fn_metrics,
+                                           plant_metrics_batch,
+                                           split_functions)
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = hash64(b.column("content").to_pandas()
+                     .to_numpy(dtype=object)).astype("int64")
+        return plant_metrics_batch(
+            b.append_column("doc_id", pa.array(ids)))
+
+    aug = _corpus().map_batches(plant, batch_format="pyarrow",
+                                batch_size=None)
+    return fn_metrics(split_functions(aug), num_buckets=16).count()
+
+
 def q_approx_quantiles():
     """Mergeable KLL quantiles of a continuous per-doc statistic over
     the 500k-doc corpus: one few-KB sketch per batch, ref-tree merge
@@ -940,6 +963,7 @@ QUERIES = {
     "license_contamination": q_license_contamination,
     "fn_clones": q_fn_clones,
     "fn_callgraph": q_fn_callgraph,
+    "fn_metrics": q_fn_metrics,
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,

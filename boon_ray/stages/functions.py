@@ -930,3 +930,227 @@ def chain_aug_cte(table: str = "aug",
                 '  return 7;' || chr(10) || '}}'
          END ELSE '' END AS content
   FROM {table})"""
+
+
+# ---------------------------------------------------------------------------
+# per-function CODE METRICS -> per-repo rollup — the function-grain
+# quality signal of code-corpus curation (StarCoder/The-Stack filter
+# features; boon has no code analytics, cli/src/main.rs:115-168):
+# branch-line count (cyclomatic-complexity proxy: decisions + 1),
+# max indentation (nesting-depth proxy), docstring/leading-comment
+# presence (body FIRST line), function length. All metrics are
+# computed per line INSIDE the zero-exchange pass over the
+# split_functions output (text never crosses the wire); only the
+# per-repo integer rollup partials are exchanged.
+
+# RE2 in both engines, applied to the LEFT-STRIPPED line
+BRANCH_RE = r"^(if|for|while|elif|else|try|except|switch|case|catch)\b"
+PY_DOC_RE = r'^("""|\'\'\')'
+JS_DOC_RE = r"^(//|/\*)"
+
+REPO_METRICS_SCHEMA = pa.schema([
+    ("repo", pa.string()), ("n_fns", pa.int64()),
+    ("n_branch_lines", pa.int64()), ("n_docstringed", pa.int64()),
+    ("max_indent", pa.int64()), ("sum_fn_lines", pa.int64()),
+])
+
+
+def fn_metrics(fns_ds, num_buckets: int = 16):
+    """Per-repo function-metric rollup (module comment): n_fns,
+    n_branch_lines (sum over functions of lines whose stripped text
+    matches BRANCH_RE), n_docstringed (functions whose body first
+    line is a docstring/comment for its family), max_indent (max
+    leading-space count over all function lines), sum_fn_lines.
+    Partials are repo-keyed integers (~48 B/repo/batch) into one
+    bucketed exchange."""
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return REPO_METRICS_SCHEMA.empty_table()
+        txt = b.column("fn_text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ls = pc.split_pattern(txt, "\n")
+        offs = ls.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        counts = np.diff(offs)
+        flat = ls.flatten()
+        stripped = pc.utf8_ltrim(flat, " ")
+        indent = (pc.utf8_length(flat)
+                  .to_numpy(zero_copy_only=False).astype(np.int64)
+                  - pc.utf8_length(stripped)
+                  .to_numpy(zero_copy_only=False).astype(np.int64))
+        branch = pc.match_substring_regex(stripped, BRANCH_RE) \
+            .to_numpy(zero_copy_only=False)
+
+        is_py = np.isin(np.asarray(b.column("lang").to_pylist(),
+                                   dtype=object), PY_LANGS)
+        pydoc = pc.match_substring_regex(stripped, PY_DOC_RE) \
+            .to_numpy(zero_copy_only=False)
+        jsdoc = pc.match_substring_regex(stripped, JS_DOC_RE) \
+            .to_numpy(zero_copy_only=False)
+        docline = np.where(np.repeat(is_py, counts), pydoc, jsdoc)
+
+        starts = offs[:-1]
+        n_branch = np.add.reduceat(branch.astype(np.int64), starts)
+        mx = np.maximum.reduceat(indent, starts)
+        has_doc = np.zeros(len(b), dtype=np.int64)
+        multi = counts >= 2
+        has_doc[multi] = docline[starts[multi] + 1].astype(np.int64)
+
+        df = pd.DataFrame({
+            "repo": b.column("repo").to_pandas(),
+            "n_fns": np.ones(len(b), dtype=np.int64),
+            "n_branch_lines": n_branch,
+            "n_docstringed": has_doc,
+            "max_indent": mx,
+            "sum_fn_lines": counts})
+        g = df.groupby("repo", sort=False).agg(
+            n_fns=("n_fns", "sum"),
+            n_branch_lines=("n_branch_lines", "sum"),
+            n_docstringed=("n_docstringed", "sum"),
+            max_indent=("max_indent", "max"),
+            sum_fn_lines=("sum_fn_lines", "sum")).reset_index()
+        return pa.Table.from_pandas(g, schema=REPO_METRICS_SCHEMA,
+                                    preserve_index=False)
+
+    parts = fns_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return REPO_METRICS_SCHEMA.empty_table()
+        g = df.groupby("repo", sort=False).agg(
+            n_fns=("n_fns", "sum"),
+            n_branch_lines=("n_branch_lines", "sum"),
+            n_docstringed=("n_docstringed", "sum"),
+            max_indent=("max_indent", "max"),
+            sum_fn_lines=("sum_fn_lines", "sum")).reset_index()
+        for c in ("n_fns", "n_branch_lines", "n_docstringed",
+                  "max_indent", "sum_fn_lines"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, schema=REPO_METRICS_SCHEMA,
+                                    preserve_index=False)
+
+    return bucketed_map_groups(parts, ("repo",), merge,
+                               num_buckets=num_buckets)
+
+
+def fn_metrics_sql(table: str = "aug", text_col: str = "content",
+                   id_col: str = "doc_id") -> str:
+    """Exact mirror: fx_* segmentation CTEs + per-line metrics with
+    a MIN(ln) window locating each function's body first line, GROUP
+    BY (doc, seg) then GROUP BY repo."""
+    from boon_ray.stages.deps import _IS_PY_SQL
+
+    inner = split_functions_sql(table, text_col, id_col).strip()
+    head, _tail = inner.rsplit("SELECT", 1)
+    branch = BRANCH_RE.replace("'", "''")
+    pydoc = PY_DOC_RE.replace("'", "''")
+    jsdoc = JS_DOC_RE.replace("'", "''")
+    return (head.rstrip().rstrip(",") + ",\n"
+            f"fm_body AS (\n"
+            f"  SELECT *, MIN(ln) OVER (PARTITION BY {id_col}, seg)"
+            f" AS ln0\n"
+            f"  FROM fx_seg WHERE seg > 0),\n"
+            f"fm_fn AS (\n"
+            f"  SELECT {id_col}, any_value(repo) AS repo,\n"
+            f"    CAST(SUM(CASE WHEN regexp_matches("
+            f"ltrim(line, ' '), '{branch}') THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_branch,\n"
+            f"    CAST(MAX(length(line) - length(ltrim(line, ' ')))"
+            f" AS BIGINT) AS max_indent,\n"
+            f"    CAST(MAX(CASE WHEN ln = ln0 + 1 AND\n"
+            f"      ((({_IS_PY_SQL}) AND regexp_matches("
+            f"ltrim(line, ' '), '{pydoc}'))\n"
+            f"       OR (NOT ({_IS_PY_SQL}) AND regexp_matches("
+            f"ltrim(line, ' '), '{jsdoc}')))\n"
+            f"      THEN 1 ELSE 0 END) AS BIGINT) AS has_doc,\n"
+            f"    CAST(COUNT(*) AS BIGINT) AS fn_lines\n"
+            f"  FROM fm_body GROUP BY {id_col}, seg)\n"
+            f"SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_fns,\n"
+            f"  CAST(SUM(n_branch) AS BIGINT) AS n_branch_lines,\n"
+            f"  CAST(SUM(has_doc) AS BIGINT) AS n_docstringed,\n"
+            f"  CAST(MAX(max_indent) AS BIGINT) AS max_indent,\n"
+            f"  CAST(SUM(fn_lines) AS BIGINT) AS sum_fn_lines\n"
+            f"FROM fm_fn GROUP BY repo")
+
+
+def plant_metrics_batch(b: pa.Table,
+                        text_col: str = "content") -> pa.Table:
+    """METRICS fixture: doc_id % 4 picks a body shape per family —
+    0: docstring/comment + one `if` (indent 8 py / 4 js);
+    1: nested for/while (indent 12 py / 6 js, 2 branch lines);
+    2: bare return (no branches, no doc); 3: nothing planted.
+    Exact mirror: :func:`metrics_aug_cte`."""
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    langs = np.asarray(b.column("lang").to_pylist(), dtype=object)
+    text = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+    is_py = np.isin(langs, PY_LANGS)
+    dx = ids.astype(str).astype(object)
+    v = ids % 4
+    py0 = ("\ndef fn_m_" + dx + "():\n    \"\"\"doc\"\"\"\n"
+           "    if x:\n        return 1\n    return 0")
+    py1 = ("\ndef fn_m_" + dx + "():\n    for i in y:\n"
+           "        while z:\n            x = 1\n    return x")
+    py2 = "\ndef fn_m_" + dx + "():\n    return 2"
+    js0 = ("\nfunction fn_m_" + dx + "() {\n  // doc\n  if (x) {\n"
+           "    return 1;\n  }\n  return 0;\n}")
+    js1 = ("\nfunction fn_m_" + dx + "() {\n  for (i of y) {\n"
+           "    while (z) {\n      x = 1;\n    }\n  }\n"
+           "  return x;\n}")
+    js2 = "\nfunction fn_m_" + dx + "() {\n  return 2;\n}"
+    blk = np.where(
+        v == 0, np.where(is_py, py0, js0),
+        np.where(v == 1, np.where(is_py, py1, js1),
+                 np.where(v == 2, np.where(is_py, py2, js2), "")))
+    content = pc.binary_join_element_wise(
+        text, pa.array(blk.tolist(), pa.string()), "")
+    cols = {nm: b.column(nm) for nm in b.schema.names
+            if nm != text_col}
+    cols["content"] = content
+    return pa.table(cols)
+
+
+def metrics_aug_cte(table: str = "corpus",
+                    text_col: str = "content") -> str:
+    """The metrics planting as a named CTE — bit-identical to
+    plant_metrics_batch."""
+    nl = "chr(10)"
+    return f"""
+aug AS (
+  SELECT doc_id, repo, lang,
+    coalesce({text_col}, '') ||
+    CASE WHEN {_IS_PY_SQL} THEN
+      CASE doc_id % 4
+        WHEN 0 THEN {nl} || 'def fn_m_' ||
+          CAST(doc_id AS VARCHAR) || '():' || {nl} ||
+          '    ' || repeat(chr(34), 3) || 'doc' ||
+          repeat(chr(34), 3) || {nl} || '    if x:' || {nl} ||
+          '        return 1' || {nl} || '    return 0'
+        WHEN 1 THEN {nl} || 'def fn_m_' ||
+          CAST(doc_id AS VARCHAR) || '():' || {nl} ||
+          '    for i in y:' || {nl} || '        while z:' || {nl} ||
+          '            x = 1' || {nl} || '    return x'
+        WHEN 2 THEN {nl} || 'def fn_m_' ||
+          CAST(doc_id AS VARCHAR) || '():' || {nl} || '    return 2'
+        ELSE '' END
+    ELSE
+      CASE doc_id % 4
+        WHEN 0 THEN {nl} || 'function fn_m_' ||
+          CAST(doc_id AS VARCHAR) || '() {{' || {nl} ||
+          '  // doc' || {nl} || '  if (x) {{' || {nl} ||
+          '    return 1;' || {nl} || '  }}' || {nl} ||
+          '  return 0;' || {nl} || '}}'
+        WHEN 1 THEN {nl} || 'function fn_m_' ||
+          CAST(doc_id AS VARCHAR) || '() {{' || {nl} ||
+          '  for (i of y) {{' || {nl} || '    while (z) {{' ||
+          {nl} || '      x = 1;' || {nl} || '    }}' || {nl} ||
+          '  }}' || {nl} || '  return x;' || {nl} || '}}'
+        WHEN 2 THEN {nl} || 'function fn_m_' ||
+          CAST(doc_id AS VARCHAR) || '() {{' || {nl} ||
+          '  return 2;' || {nl} || '}}'
+        ELSE '' END
+    END AS content
+  FROM {table})"""

@@ -492,3 +492,115 @@ class TestCallGraph:
               "ORDER BY doc_id").df()
         assert got2[["doc_id", "repo", "lang", "content"]] \
             .astype(str).equals(want2.astype(str))
+
+
+class TestFnMetrics:
+    """Per-repo function metrics (fn_metrics): branch-line counts,
+    docstring/comment detection on the body FIRST line, max indent,
+    against hand counts and the DuckDB mirror."""
+
+    def _metrics(self, ds, **kw):
+        from boon_ray.stages.functions import fn_metrics
+        df = fn_metrics(split_functions(ds), **kw).to_pandas()
+        return {r.repo: (r.n_fns, r.n_branch_lines, r.n_docstringed,
+                         r.max_indent, r.sum_fn_lines)
+                for r in df.itertuples(index=False)}
+
+    def test_hand_counts(self, ray_session):
+        got = self._metrics(_ds([
+            (1, "o/a", "en",
+             'def f():\n    """d"""\n    if x:\n        return 1'),
+            (2, "o/a", "de",
+             "function g() {\n  // c\n  for (i of y) {\n"
+             "    while (z) {\n      q;\n    }\n  }\n}"),
+            (3, "o/b", "en", "def h():\n    return 0"),
+        ]))
+        # f: doc, 1 branch, indent 8, 4 lines
+        # g: comment-doc, 2 branches, indent 6, 8 lines
+        assert got["o/a"] == (2, 3, 2, 8, 12)
+        assert got["o/b"] == (1, 0, 0, 4, 2)
+
+    def test_docstring_needs_body_first_line(self, ray_session):
+        got = self._metrics(_ds([
+            # docstring NOT on the first body line -> not counted
+            (1, "o/a", "en",
+             'def f():\n    x = 1\n    """late"""'),
+            # single-line function: no body at all
+            (2, "o/a", "en", "def g():"),
+        ]))
+        assert got["o/a"] == (2, 0, 0, 4, 4)
+
+    def test_else_and_try_count_as_branches(self, ray_session):
+        got = self._metrics(_ds([
+            (1, "o/a", "en",
+             "def f():\n    try:\n        pass\n    except E:\n"
+             "        pass\n    else:\n        pass"),
+        ]))
+        # try / except / else all match BRANCH_RE
+        assert got["o/a"][1] == 3
+
+    @pytest.mark.parametrize("n_blocks,buckets", [(1, 2), (9, 5)])
+    def test_fuzz_vs_duckdb(self, ray_session, n_blocks, buckets):
+        from boon_ray.stages.functions import (fn_metrics,
+                                               fn_metrics_sql)
+        rng = np.random.default_rng(67)
+        langs = ["en", "es", "fr", "de", "zh"]
+        body_py = ['    """doc"""', "    if x:", "        return 1",
+                   "    for i in y:", "            z = 2",
+                   "    return 0", "    '''alt doc'''"]
+        body_js = ["  // note", "  /* block */", "  if (x) {",
+                   "    return 1;", "  }", "  case 3:",
+                   "      deep;", "  return 0;"]
+        rows = []
+        for i in range(300):
+            lang = langs[int(rng.integers(0, 5))]
+            py = lang in ("en", "es", "fr")
+            pool = body_py if py else body_js
+            lines = ["preamble soup"] if rng.random() < 0.4 else []
+            for _ in range(int(rng.integers(0, 3))):
+                m = int(rng.integers(0, 9))
+                lines.append(f"def r{m}():" if py
+                             else f"function r{m}() {{")
+                for _ in range(int(rng.integers(0, 4))):
+                    lines.append(pool[int(rng.integers(0,
+                                                       len(pool)))])
+            rows.append((i, f"org{i % 5}/repo{i % 3}", lang,
+                         "\n".join(lines)))
+        ds = _ds(rows, n_blocks=n_blocks)
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "repo": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "content": pa.array([r[3] for r in rows], pa.string())})
+        con = duckdb.connect()
+        con.register("aug", t)
+
+        def norm(df):
+            k = sorted(df.columns)
+            return df[k].sort_values(k).reset_index(drop=True) \
+                .astype(str)
+
+        got = fn_metrics(split_functions(ds),
+                         num_buckets=buckets).to_pandas()
+        want = con.sql("WITH " + fn_metrics_sql("aug").strip()).df()
+        assert norm(got).equals(norm(want))
+
+    def test_metrics_planting_matches_cte(self, ray_session):
+        from boon_ray.stages.functions import (metrics_aug_cte,
+                                               plant_metrics_batch)
+        t = pa.table({
+            "doc_id": pa.array(np.arange(120), pa.int64()),
+            "repo": pa.array([f"o/r{i % 3}" for i in range(120)],
+                             pa.string()),
+            "lang": pa.array(["en", "de", "es", "zh", "fr"] * 24,
+                             pa.string()),
+            "content": pa.array([f"soup {i}" for i in range(120)],
+                                pa.string())})
+        planted = plant_metrics_batch(t).to_pandas()
+        con = duckdb.connect()
+        con.register("corpus", t)
+        want = con.sql("WITH " + metrics_aug_cte().strip()
+                       + " SELECT doc_id, content FROM aug").df()
+        merged = planted.merge(want, on="doc_id",
+                               suffixes=("_ray", "_sql"))
+        assert (merged.content_ray == merged.content_sql).all()
