@@ -1747,6 +1747,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "fn_clones_t2": _q_fn_clones_t2,
         "call_reachability": _q_call_reachability,
         "fn_metrics": _q_fn_metrics,
+        "structural_balance": _q_structural_balance,
     }
 
 
@@ -2494,6 +2495,33 @@ def _fn_metrics_sql() -> str:
     return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
             + metrics_aug_cte(table="corpus").strip() + ", "
             + fn_metrics_sql(table="aug").strip())
+
+
+def _q_structural_balance(sf_dir: str):
+    """Structural bracket-balance validation
+    (stages/structure.structural_balance): per-file per-class Dyck
+    verdicts — end depth, min prefix depth (premature close),
+    combined max nesting depth — from int32 prefix sums over the
+    batch's FLAT utf-8 buffer (zero-copy) + reduceat at row offsets.
+    Zero exchange, one fixed-width row per file. plant_balance_batch
+    plants balanced / unterminated / premature-close / cross-class
+    interleave shapes by doc_id % 5."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.structure import (plant_balance_batch,
+                                           structural_balance)
+
+    aug = corpus_dataset(sf_dir, keep_meta=True) \
+        .map_batches(plant_balance_batch, batch_format="pyarrow",
+                     batch_size=None)
+    return structural_balance(aug)
+
+
+def _structural_balance_sql() -> str:
+    from boon_ray.stages.structure import balance_aug_cte, balance_sql
+
+    return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
+            + balance_aug_cte(table="corpus").strip() + ", "
+            + balance_sql(table="aug").strip())
 
 
 _REPO_ID_PAT = "^org[0-9]+/repo[0-9]+$"
@@ -4014,6 +4042,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "fn_clones_t2": _fn_clones_t2_sql(),
         "call_reachability": _call_reachability_sql(),
         "fn_metrics": _fn_metrics_sql(),
+        "structural_balance": _structural_balance_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

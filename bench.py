@@ -735,6 +735,28 @@ def q_fn_metrics():
     return fn_metrics(split_functions(aug), num_buckets=16).count()
 
 
+def q_structural_balance():
+    """Per-file bracket-balance verdicts over the amplified corpus:
+    four int32 prefix sums over each batch's flat zero-copy utf-8
+    buffer + reduceat at row offsets — zero exchange, one fixed-width
+    row per file; .count() consumes the stream."""
+    import pyarrow as pa
+
+    from boon_ray.sketches import hash64
+    from boon_ray.stages.structure import (plant_balance_batch,
+                                           structural_balance)
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = hash64(b.column("content").to_pandas()
+                     .to_numpy(dtype=object)).astype("int64")
+        return plant_balance_batch(
+            b.append_column("doc_id", pa.array(ids)))
+
+    aug = _corpus().map_batches(plant, batch_format="pyarrow",
+                                batch_size=None)
+    return structural_balance(aug).count()
+
+
 def q_approx_quantiles():
     """Mergeable KLL quantiles of a continuous per-doc statistic over
     the 500k-doc corpus: one few-KB sketch per batch, ref-tree merge
@@ -964,6 +986,7 @@ QUERIES = {
     "fn_clones": q_fn_clones,
     "fn_callgraph": q_fn_callgraph,
     "fn_metrics": q_fn_metrics,
+    "structural_balance": q_structural_balance,
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,

@@ -1,0 +1,216 @@
+"""Structural bracket-balance validation over a source-code corpus.
+
+A zero-exchange ``map_batches`` pass that checks, per file, whether
+each bracket class ``()``, ``{}``, ``[]`` forms a valid Dyck prefix:
+
+- ``*_end``  — final nesting depth (opens minus closes; 0 = closed),
+- ``*_min``  — ``min(0, min prefix depth)`` (< 0 = a close before its
+  open — the "premature close" defect a linter flags first),
+- ``max_depth`` — ``max(0, max prefix depth)`` over ALL three classes
+  combined (nesting-pressure proxy),
+- ``balanced`` — every class ends at 0 and never dips negative.
+
+This is the per-CLASS Dyck relaxation: interleaving errors across
+classes (``([)]``) pass, because recognising the three-class Dyck
+language needs a stack and is neither vectorizable nor expressible in
+ANSI SQL window algebra.  The per-class check is what structural
+corpus filters actually deploy (a stack scan is O(doc) Python per
+row); the limitation is pinned by a planted fixture + test.
+
+Scale shape: the kernel never leaves the batch — one int32 prefix sum
+per class over the batch's FLAT utf-8 buffer (zero-copy out of the
+Arrow value buffer; brackets are ASCII so byte positions are safe),
+then ``minimum/maximum.reduceat`` at the row offsets.  No exchange of
+any kind; output is one fixed-width row per file.  At 10^12 files the
+stage is embarrassingly parallel and reads each byte exactly once
+(4 vectorized passes over L1-resident slices).
+
+Reference parity: boon surfaces malformed-INSTANCE structure as parse
+errors before keyword evaluation (reference src/lib.rs compile/parse
+error paths); this stage is the corpus-side analogue — a cheap
+structural verdict gating files before the expensive schema engine.
+
+SQL oracle: :func:`balance_sql` — char-level zipped unnest + running
+``SUM() OVER (PARTITION BY doc ORDER BY pos)`` windows, bit-identical
+by construction (integer algebra only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["structural_balance", "balance_sql",
+           "plant_balance_batch", "balance_aug_cte"]
+
+# (open byte, close byte, column prefix)
+_CLASSES = ((40, 41, "paren"), (123, 125, "brace"), (91, 93, "bracket"))
+_OPENS = np.array([40, 123, 91], np.uint8)
+_CLOSES = np.array([41, 125, 93], np.uint8)
+
+
+def _flat_bytes(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(flat utf-8 bytes, int64 row offsets) for a string column —
+    zero-copy views of the Arrow value/offset buffers."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    a = pc.cast(pc.fill_null(arr, ""), pa.large_binary())
+    if isinstance(a, pa.ChunkedArray):          # cast may re-chunk
+        a = a.combine_chunks()
+    bufs = a.buffers()
+    offs = np.frombuffer(bufs[1], np.int64)[a.offset: a.offset + len(a) + 1]
+    data = (np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None
+            else np.zeros(0, np.uint8))
+    # trim trailing bytes past the last row (sliced arrays) so the
+    # last reduceat segment ends exactly at the last row's end
+    return data[: offs[-1]], offs
+
+
+def _prefix_stats(delta: np.ndarray, offs: np.ndarray,
+                  want_max: bool = False):
+    """Per-row (end, min<=0, max>=0) of the running prefix sum of
+    ``delta`` (int8, one entry per byte), rows delimited by ``offs``.
+
+    ``ex[i]`` = sum of delta[:i]; row r's depth after j bytes is
+    ``ex[offs[r]+j] - ex[offs[r]]``.  Rows are contiguous in the flat
+    buffer, so one ``reduceat`` at ``offs[:-1]+1`` covers every
+    non-empty row; empty rows are patched to 0 afterwards.
+    """
+    n = len(offs) - 1
+    ex = np.empty(len(delta) + 1, np.int32)
+    ex[0] = 0
+    np.cumsum(delta, dtype=np.int32, out=ex[1:])
+    base = ex[offs[:-1]]
+    end = ex[offs[1:]] - base
+    empty = offs[1:] == offs[:-1]
+    if len(ex) == 1:                       # all rows empty
+        zero = np.zeros(n, np.int64)
+        return zero, zero.copy(), zero.copy()
+    idx = np.minimum(offs[:-1] + 1, len(ex) - 1)
+    mn = np.minimum(np.minimum.reduceat(ex, idx) - base, 0)
+    mn[empty] = 0
+    if want_max:
+        mx = np.maximum(np.maximum.reduceat(ex, idx) - base, 0)
+        mx[empty] = 0
+    else:
+        mx = np.zeros(n, np.int64)
+    return (end.astype(np.int64), mn.astype(np.int64),
+            mx.astype(np.int64))
+
+
+def _balance_batch(b: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    data, offs = _flat_bytes(b.column(text_col))
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        id_col: b.column(id_col),
+        "repo": b.column("repo"),
+        "lang": b.column("lang"),
+    }
+    ok = np.ones(len(b), bool)
+    for o, c, name in _CLASSES:
+        d = (data == o).astype(np.int8)
+        d -= data == c
+        end, mn, _ = _prefix_stats(d, offs)
+        ok &= (end == 0) & (mn == 0)
+        cols[f"{name}_end"] = pa.array(end, pa.int64())
+        cols[f"{name}_min"] = pa.array(mn, pa.int64())
+    d = np.isin(data, _OPENS).astype(np.int8)
+    d -= np.isin(data, _CLOSES)
+    _, _, mx = _prefix_stats(d, offs, want_max=True)
+    cols["max_depth"] = pa.array(mx, pa.int64())
+    cols["balanced"] = pa.array(ok)
+    return pa.table(cols)
+
+
+def structural_balance(ds, text_col: str = "content",
+                       id_col: str = "doc_id", batch_size=None):
+    """Per-file bracket-balance verdicts (module docstring) — one
+    zero-exchange vectorized pass, one row per file."""
+    return ds.map_batches(
+        lambda b: _balance_batch(b, text_col, id_col),
+        batch_format="pyarrow", batch_size=batch_size)
+
+
+def balance_sql(table: str = "aug", text_col: str = "content",
+                id_col: str = "doc_id") -> str:
+    """Exact oracle: char-level zipped unnest, per-class running-sum
+    windows, grouped end/min/max.  ``string_split(s, '')`` yields one
+    ``''`` row for empty content (0 deltas), so every file groups."""
+    runs = []
+    for och, cch, name in (("(", ")", "paren"), ("{", "}", "brace"),
+                           ("[", "]", "bracket")):
+        runs.append(
+            f"SUM(CASE ch WHEN '{och}' THEN 1 WHEN '{cch}' THEN -1 "
+            f"ELSE 0 END) OVER w AS d_{name}")
+    sel = []
+    for _, _, name in _CLASSES:
+        sel.append(f"CAST(arg_max(d_{name}, pos) AS BIGINT)"
+                   f" AS {name}_end")
+        sel.append(f"CAST(LEAST(MIN(d_{name}), 0) AS BIGINT)"
+                   f" AS {name}_min")
+    cond = " AND ".join(
+        f"{n}_end = 0 AND {n}_min = 0" for _, _, n in _CLASSES)
+    return f"""
+chars AS (
+  SELECT {id_col}, repo, lang,
+         unnest(cs) AS ch, unnest(range(len(cs))) AS pos
+  FROM (SELECT {id_col}, repo, lang,
+               string_split(coalesce({text_col}, ''), '') AS cs
+        FROM {table})),
+runs AS (
+  SELECT {id_col}, repo, lang, pos, {', '.join(runs)},
+    SUM(CASE WHEN ch IN ('(', '{{', '[') THEN 1
+             WHEN ch IN (')', '}}', ']') THEN -1
+             ELSE 0 END) OVER w AS d_all
+  FROM chars
+  WINDOW w AS (PARTITION BY {id_col} ORDER BY pos))
+SELECT {id_col}, any_value(repo) AS repo, any_value(lang) AS lang,
+       {', '.join(sel)},
+       CAST(GREATEST(MAX(d_all), 0) AS BIGINT) AS max_depth,
+       ({cond}) AS balanced
+FROM runs GROUP BY {id_col}"""
+
+
+# ---------------------------------------------------------------- #
+# planted fixtures                                                  #
+# ---------------------------------------------------------------- #
+
+_SHAPES = (
+    "\nfn(a[0], {k: (v)})",   # 0: balanced, combined depth 3
+    "\nif (x { y [",          # 1: three unterminated opens
+    "\n) ] }",                # 2: premature close in every class
+    "\n([)]",                 # 3: cross-class interleave (per-class OK)
+    "",                       # 4: nothing planted
+)
+
+
+def plant_balance_batch(b: pa.Table,
+                        text_col: str = "content") -> pa.Table:
+    """BALANCE fixture: ``doc_id % 5`` picks a bracket shape (module
+    constant ``_SHAPES``).  Exact mirror: :func:`balance_aug_cte`."""
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    text = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+    blk = np.asarray(_SHAPES, object)[ids % 5]
+    content = pc.binary_join_element_wise(
+        text, pa.array(blk.tolist(), pa.string()), "")
+    cols = {nm: b.column(nm) for nm in b.schema.names
+            if nm != text_col}
+    cols["content"] = content
+    return pa.table(cols)
+
+
+def balance_aug_cte(table: str = "corpus",
+                    text_col: str = "content") -> str:
+    """The balance planting as a named CTE — bit-identical to
+    :func:`plant_balance_batch`."""
+    nl = "chr(10)"
+    arms = []
+    for k, s in enumerate(_SHAPES[:-1]):
+        arms.append(f"WHEN {k} THEN {nl} || '{s[1:]}'")
+    return f"""
+aug AS (
+  SELECT doc_id, repo, lang,
+    coalesce({text_col}, '') ||
+    CASE doc_id % 5 {' '.join(arms)} ELSE '' END AS content
+  FROM {table})"""

@@ -1,0 +1,110 @@
+"""Structural bracket-balance validation (stages/structure.py):
+hand verdicts the sf0.001 entry-contract oracle can't isolate —
+premature closes, unterminated opens, the per-class Dyck relaxation,
+empty/null/sliced inputs — plus partition independence, a randomized
+DuckDB cross-check, and planting-CTE equality."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from boon_ray.stages.structure import (
+    balance_aug_cte,
+    balance_sql,
+    plant_balance_batch,
+    structural_balance,
+)
+
+
+def _ds(texts, n_blocks=1):
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "repo": pa.array(["o/r"] * len(texts), pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "content": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(t)
+    return ds.repartition(n_blocks) if n_blocks > 1 else ds
+
+
+def _rows(ds):
+    df = structural_balance(ds).to_pandas().sort_values("doc_id")
+    return df.reset_index(drop=True)
+
+
+def _oracle(texts):
+    con = duckdb.connect()
+    con.register("aug", pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "repo": pa.array(["o/r"] * len(texts), pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "content": pa.array([t if t is not None else "" for t in texts],
+                            pa.string())}))
+    return con.execute("WITH " + balance_sql("aug").lstrip()
+                       + " ORDER BY doc_id").fetchdf()
+
+
+class TestVerdicts:
+    def test_hand_verdicts(self, ray_session):
+        df = _rows(_ds([
+            "f(a[{b}])",       # balanced, depth 3
+            "((",              # 2 unterminated parens
+            "))",              # premature close
+            ")(",              # net 0 but dips to -1
+            "([)]",            # cross-class interleave: per-class OK
+        ]))
+        assert df["balanced"].tolist() == [True, False, False,
+                                           False, True]
+        assert df["paren_end"].tolist() == [0, 2, -2, 0, 0]
+        assert df["paren_min"].tolist() == [0, 0, -2, -1, 0]
+        assert df["max_depth"].tolist() == [3, 2, 0, 0, 2]
+
+    def test_empty_null_and_bracketless(self, ray_session):
+        df = _rows(_ds(["", None, "no brackets at all"]))
+        assert df["balanced"].all()
+        num = df.drop(columns=["doc_id", "repo", "lang", "balanced"])
+        assert (num.to_numpy() == 0).all()
+
+    def test_multibyte_utf8_does_not_shift_offsets(self, ray_session):
+        # é is 2 bytes; byte-level scan must still pair the brackets
+        df = _rows(_ds(["é(é)é", "日本語 { x } 語"]))
+        assert df["balanced"].tolist() == [True, True]
+        assert df["max_depth"].tolist() == [1, 1]
+
+    @pytest.mark.parametrize("n_blocks", [1, 3, 7])
+    def test_partition_independence(self, ray_session, n_blocks):
+        texts = [f"w{i} " + "([{" * (i % 4) + "}])" * (i % 3)
+                 for i in range(40)]
+        df = _rows(_ds(texts, n_blocks=n_blocks))
+        ref = _rows(_ds(texts))
+        pd.testing.assert_frame_equal(df, ref)
+
+    def test_randomized_duckdb_crosscheck(self, ray_session):
+        rng = np.random.default_rng(7)
+        alphabet = list("(){}[]ab \n")
+        texts = ["".join(rng.choice(alphabet, size=rng.integers(0, 60)))
+                 for _ in range(120)] + ["", "]" * 5, "[" * 5]
+        got = _rows(_ds(list(texts), n_blocks=4))
+        ref = _oracle(list(texts))
+        pd.testing.assert_frame_equal(
+            got[ref.columns].astype(ref.dtypes.to_dict()), ref)
+
+    def test_planting_matches_cte(self, ray_session):
+        t = pa.table({
+            "doc_id": pa.array(range(10), pa.int64()),
+            "repo": pa.array(["o/r"] * 10, pa.string()),
+            "lang": pa.array(["en"] * 10, pa.string()),
+            "content": pa.array([f"base {i}" for i in range(10)],
+                                pa.string())})
+        planted = plant_balance_batch(t).column("content").to_pylist()
+        con = duckdb.connect()
+        con.register("corpus", t)
+        ref = con.execute(
+            "WITH " + balance_aug_cte("corpus").lstrip()
+            + " SELECT content FROM aug ORDER BY doc_id") \
+            .fetchdf()["content"].tolist()
+        assert planted == ref
