@@ -1748,6 +1748,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "call_reachability": _q_call_reachability,
         "fn_metrics": _q_fn_metrics,
         "structural_balance": _q_structural_balance,
+        "repo_tree_profile": _q_repo_tree_profile,
     }
 
 
@@ -2522,6 +2523,33 @@ def _structural_balance_sql() -> str:
     return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
             + balance_aug_cte(table="corpus").strip() + ", "
             + balance_sql(table="aug").strip())
+
+
+def _q_repo_tree_profile(sf_dir: str):
+    """Per-repo path-metadata audit (stages/paths.repo_tree_profile):
+    file count, distinct dir count, max dir depth, test-file count
+    and extension<->lang mismatch count (declared-metadata
+    consistency — the corpus-side analogue of a const/enum keyword
+    verdict over file locations). Vectorized RE2 path kernels, batch
+    pre-reduce to (repo, dirname)-grain integer partials, one
+    repo-keyed bucketed merge. plant_paths_batch plants test dirs /
+    deep trees / rootfiles / test-prefixed files by doc_id % 6."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.paths import (plant_paths_batch,
+                                       repo_tree_profile)
+
+    aug = corpus_dataset(sf_dir, keep_meta=True) \
+        .map_batches(plant_paths_batch, batch_format="pyarrow",
+                     batch_size=None)
+    return repo_tree_profile(aug)
+
+
+def _repo_tree_profile_sql() -> str:
+    from boon_ray.stages.paths import paths_aug_cte, tree_profile_sql
+
+    return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
+            + paths_aug_cte(table="corpus").strip() + ", "
+            + tree_profile_sql(table="aug").strip())
 
 
 _REPO_ID_PAT = "^org[0-9]+/repo[0-9]+$"
@@ -4043,6 +4071,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "call_reachability": _call_reachability_sql(),
         "fn_metrics": _fn_metrics_sql(),
         "structural_balance": _structural_balance_sql(),
+        "repo_tree_profile": _repo_tree_profile_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -757,6 +757,28 @@ def q_structural_balance():
     return structural_balance(aug).count()
 
 
+def q_repo_tree_profile():
+    """Per-repo path-metadata audit over the amplified corpus:
+    vectorized RE2 path kernels (content never read), (repo, dirname)
+    integer partials pre-reduced per batch, one repo-keyed bucketed
+    merge — the exchange is directory-table-sized."""
+    import pyarrow as pa
+
+    from boon_ray.sketches import hash64
+    from boon_ray.stages.paths import (plant_paths_batch,
+                                       repo_tree_profile)
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = hash64(b.column("content").to_pandas()
+                     .to_numpy(dtype=object)).astype("int64")
+        return plant_paths_batch(
+            b.append_column("doc_id", pa.array(ids)))
+
+    aug = _corpus().map_batches(plant, batch_format="pyarrow",
+                                batch_size=None)
+    return repo_tree_profile(aug, num_buckets=16).count()
+
+
 def q_approx_quantiles():
     """Mergeable KLL quantiles of a continuous per-doc statistic over
     the 500k-doc corpus: one few-KB sketch per batch, ref-tree merge
@@ -987,6 +1009,7 @@ QUERIES = {
     "fn_callgraph": q_fn_callgraph,
     "fn_metrics": q_fn_metrics,
     "structural_balance": q_structural_balance,
+    "repo_tree_profile": q_repo_tree_profile,
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,

@@ -1,0 +1,186 @@
+"""Path-metadata validation + per-repo tree profiling.
+
+The corpus's ``path`` column is metadata the validation engine must
+audit like any other column (reference boon validates instance
+LOCATIONS — instanceLocation/keywordLocation in every output unit;
+this is the corpus-side analogue over file locations):
+
+``repo_tree_profile`` rolls the per-file path facts up to one row per
+repo: file count, distinct directory count, max directory depth,
+test-file count, and extension<->lang mismatch count (a declared-
+metadata consistency check: the path's extension implies a language;
+a row whose ``lang`` column disagrees is a violation — the same
+shape as a schema ``const``/``enum`` failure, but over file
+metadata).
+
+Scale shape: per-file facts are vectorized Arrow kernels (RE2
+extract/match + count_substring — content never read, only ``path``/
+``lang``/``repo``); each batch pre-reduces to (repo, dirname)-grain
+integer partials, so the single exchange is directory-table-sized,
+never file-sized.  The bucket merge (repo-keyed
+``bucketed_map_groups``) finishes with two pandas groupbys: dirname
+nunique demands the (repo, dirname) grain — a plain repo-grain
+pre-reduce could not merge distinct counts.
+
+SQL oracle: :func:`tree_profile_sql` — the same RE2 patterns via
+DuckDB ``regexp_*`` + GROUP BY repo, bit-identical (integer algebra
+and exact string predicates only).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["repo_tree_profile", "tree_profile_sql",
+           "plant_paths_batch", "paths_aug_cte", "EXT_LANG"]
+
+# extension -> the lang the corpus schema declares for it; extensions
+# outside the map are unchecked (no verdict, like `format` on a
+# non-string)
+EXT_LANG = {"t0": "en", "t1": "de", "t2": "es", "t3": "fr"}
+
+_TEST_PAT = r"(^|/)test"
+_EXT_PAT = r"\.(?P<e>[A-Za-z0-9]+)$"
+
+_SUMS = ["n_files", "n_test_files", "n_ext_mismatch"]
+
+
+def _profile_batch(b: pa.Table, repo_col: str, path_col: str,
+                   lang_col: str) -> pa.Table:
+    path = pc.fill_null(pc.cast(b.column(path_col), pa.string()), "")
+    lang = pc.fill_null(pc.cast(b.column(lang_col), pa.string()), "")
+    depth = pc.count_substring(path, "/").to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    has_dir = pc.match_substring_regex(path, "/")
+    dirname = pc.if_else(
+        has_dir, pc.replace_substring_regex(path, r"/[^/]*$", ""), "")
+    is_test = pc.match_substring_regex(path, _TEST_PAT) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    ext = pc.struct_field(pc.extract_regex(path, _EXT_PAT), "e")
+    expected = pd.Series(ext.to_pandas()).map(EXT_LANG)
+    mism = (expected.notna()
+            & (expected != pd.Series(lang.to_pandas()))) \
+        .to_numpy().astype(np.int64)
+    df = pd.DataFrame({
+        repo_col: b.column(repo_col).to_pandas(),
+        "dirname": dirname.to_pandas(),
+        "n_files": np.ones(len(b), np.int64),
+        "max_depth": depth,
+        "n_test_files": is_test,
+        "n_ext_mismatch": mism})
+    part = df.groupby([repo_col, "dirname"], sort=False).agg(
+        n_files=("n_files", "sum"), max_depth=("max_depth", "max"),
+        n_test_files=("n_test_files", "sum"),
+        n_ext_mismatch=("n_ext_mismatch", "sum")).reset_index()
+    return pa.Table.from_pandas(part, preserve_index=False)
+
+
+def repo_tree_profile(ds, repo_col: str = "repo",
+                      path_col: str = "path",
+                      lang_col: str = "lang",
+                      num_buckets: int = 16):
+    """Per-repo (n_files, n_dirs, max_depth, n_test_files,
+    n_ext_mismatch) — module docstring."""
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # re-reduce the (repo, dirname) grain across blocks, then
+        # roll up to the repo grain (nunique needs the fine grain)
+        fine = df.groupby([repo_col, "dirname"], sort=False).agg(
+            n_files=("n_files", "sum"),
+            max_depth=("max_depth", "max"),
+            n_test_files=("n_test_files", "sum"),
+            n_ext_mismatch=("n_ext_mismatch", "sum")).reset_index()
+        out = fine.groupby(repo_col, sort=False).agg(
+            n_files=("n_files", "sum"),
+            n_dirs=("dirname", "size"),
+            max_depth=("max_depth", "max"),
+            n_test_files=("n_test_files", "sum"),
+            n_ext_mismatch=("n_ext_mismatch", "sum")).reset_index()
+        return out
+
+    parts = ds.map_batches(
+        lambda b: _profile_batch(b, repo_col, path_col, lang_col),
+        batch_format="pyarrow", batch_size=None)
+    return bucketed_map_groups(parts, [repo_col], merge,
+                               num_buckets=num_buckets)
+
+
+def tree_profile_sql(table: str = "aug", repo_col: str = "repo",
+                     path_col: str = "path",
+                     lang_col: str = "lang") -> str:
+    exp = " ".join(f"WHEN '{e}' THEN '{lg}'"
+                   for e, lg in EXT_LANG.items())
+    return f"""
+prof AS (
+  SELECT {repo_col} AS repo,
+    CASE WHEN contains({path_col}, '/')
+         THEN regexp_replace({path_col}, '/[^/]*$', '')
+         ELSE '' END AS dirname,
+    CAST(length({path_col}) -
+         length(replace({path_col}, '/', '')) AS BIGINT) AS depth,
+    CASE WHEN regexp_matches({path_col}, '{_TEST_PAT}')
+         THEN 1 ELSE 0 END AS is_test,
+    CASE regexp_extract({path_col}, '\\.([A-Za-z0-9]+)$', 1)
+      {exp} ELSE NULL END AS expected,
+    {lang_col} AS lang
+  FROM {table})
+SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(COUNT(DISTINCT dirname) AS BIGINT) AS n_dirs,
+  CAST(MAX(depth) AS BIGINT) AS max_depth,
+  CAST(SUM(is_test) AS BIGINT) AS n_test_files,
+  CAST(SUM(CASE WHEN expected IS NOT NULL AND expected <> lang
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_ext_mismatch
+FROM prof GROUP BY repo"""
+
+
+# ---------------------------------------------------------------- #
+# planted fixtures                                                  #
+# ---------------------------------------------------------------- #
+
+def plant_paths_batch(b: pa.Table,
+                      path_col: str = "path") -> pa.Table:
+    """PATHS fixture: ``doc_id % 6`` rewrites the path —
+    0: test dir; 1: deep tree; 2: rootfile (no dir, no ext);
+    3: test-prefixed file inside src; else: keep the corpus path.
+    Exact mirror: :func:`paths_aug_cte`."""
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    path = pc.fill_null(pc.cast(b.column(path_col), pa.string()), "") \
+        .to_numpy(zero_copy_only=False).astype(object)
+    v = ids % 6
+    out = np.where(
+        v == 0, "tests/unit/t" + (ids % 13).astype(str).astype(object)
+        + ".t1",
+        np.where(v == 1, "a/b/c/d/e/f" + (ids % 7).astype(str)
+                 .astype(object) + ".t2",
+                 np.where(v == 2, "README",
+                          np.where(v == 3, "src/test_f"
+                                   + (ids % 11).astype(str)
+                                   .astype(object) + ".t3", path))))
+    cols = {nm: b.column(nm) for nm in b.schema.names
+            if nm != path_col}
+    cols[path_col] = pa.array(out.tolist(), pa.string())
+    return pa.table(cols)
+
+
+def paths_aug_cte(table: str = "corpus",
+                  path_col: str = "path") -> str:
+    """The paths planting as a named CTE — bit-identical to
+    :func:`plant_paths_batch`."""
+    return f"""
+aug AS (
+  SELECT doc_id, repo, lang,
+    CASE doc_id % 6
+      WHEN 0 THEN 'tests/unit/t' || CAST(doc_id % 13 AS VARCHAR)
+                  || '.t1'
+      WHEN 1 THEN 'a/b/c/d/e/f' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.t2'
+      WHEN 2 THEN 'README'
+      WHEN 3 THEN 'src/test_f' || CAST(doc_id % 11 AS VARCHAR)
+                  || '.t3'
+      ELSE coalesce({path_col}, '') END AS path
+  FROM {table})"""

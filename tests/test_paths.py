@@ -1,0 +1,116 @@
+"""Path-metadata validation (stages/paths.py): hand profiles,
+extension<->lang verdict semantics, dirname/depth edge cases,
+partition+bucket independence, randomized DuckDB cross-check,
+planting-CTE equality."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from boon_ray.stages.paths import (
+    EXT_LANG,
+    paths_aug_cte,
+    plant_paths_batch,
+    repo_tree_profile,
+    tree_profile_sql,
+)
+
+
+def _tbl(rows):
+    """rows: (doc_id, repo, lang, path)."""
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "repo": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "path": pa.array([r[3] for r in rows], pa.string())})
+
+
+def _profile(t, n_blocks=1, num_buckets=4):
+    ds = rd.from_arrow(t)
+    if n_blocks > 1:
+        ds = ds.repartition(n_blocks)
+    df = repo_tree_profile(ds, num_buckets=num_buckets).to_pandas()
+    return df.sort_values("repo").reset_index(drop=True)
+
+
+def _oracle(t):
+    con = duckdb.connect()
+    con.register("aug", t)
+    return con.execute("WITH " + tree_profile_sql("aug").lstrip()
+                       + " ORDER BY repo").fetchdf()
+
+
+class TestProfile:
+    def test_hand_profile(self, ray_session):
+        df = _profile(_tbl([
+            (1, "o/a", "en", "src/m/f.t0"),     # match
+            (2, "o/a", "de", "src/m/g.t0"),     # mismatch (t0 -> en)
+            (3, "o/a", "en", "tests/t.t1"),     # test dir + mismatch
+            (4, "o/a", "en", "README"),         # rootfile, unchecked
+            (5, "o/b", "zh", "x/y/z/w.bin"),    # unknown ext unchecked
+        ]))
+        a = df[df.repo == "o/a"].iloc[0]
+        assert (a.n_files, a.n_dirs, a.max_depth,
+                a.n_test_files, a.n_ext_mismatch) == (4, 3, 2, 1, 2)
+        b = df[df.repo == "o/b"].iloc[0]
+        assert (b.n_files, b.n_dirs, b.max_depth,
+                b.n_test_files, b.n_ext_mismatch) == (1, 1, 3, 0, 0)
+
+    def test_test_detection_needs_segment_start(self, ray_session):
+        df = _profile(_tbl([
+            (1, "o/a", "en", "latest/f.t0"),      # 'test' mid-segment
+            (2, "o/a", "en", "src/test_util.t0"),  # segment start
+            (3, "o/a", "en", "testdata/f.t0"),     # path start
+        ]))
+        assert df.iloc[0].n_test_files == 2
+
+    @pytest.mark.parametrize("n_blocks,num_buckets",
+                             [(1, 1), (3, 4), (7, 2)])
+    def test_partition_bucket_independence(self, ray_session,
+                                           n_blocks, num_buckets):
+        rows = [(i, f"o/r{i % 5}", ["en", "de", "zh"][i % 3],
+                 f"d{i % 4}/e{i % 3}/f{i}.t{i % 4}")
+                for i in range(60)]
+        got = _profile(_tbl(rows), n_blocks=n_blocks,
+                       num_buckets=num_buckets)
+        ref = _profile(_tbl(rows))
+        pd.testing.assert_frame_equal(got, ref)
+
+    def test_randomized_duckdb_crosscheck(self, ray_session):
+        rng = np.random.default_rng(11)
+        segs = ["src", "tests", "a", "b", "test_x", "latest"]
+        exts = [".t0", ".t1", ".t2", ".t3", ".md", ""]
+        rows = []
+        for i in range(150):
+            depth = rng.integers(0, 4)
+            p = "/".join(rng.choice(segs, depth).tolist()
+                         + [f"f{i}{rng.choice(exts)}"])
+            rows.append((i, f"o/r{rng.integers(0, 6)}",
+                         rng.choice(["en", "de", "es", "fr", "zh"]), p))
+        t = _tbl(rows)
+        got = _profile(t, n_blocks=5, num_buckets=3)
+        ref = _oracle(t)
+        pd.testing.assert_frame_equal(
+            got[ref.columns].astype(ref.dtypes.to_dict()), ref)
+
+    def test_planting_matches_cte(self, ray_session):
+        t = _tbl([(i, "o/r", "en", f"src/d{i}/f{i}.t0")
+                  for i in range(12)])
+        planted = plant_paths_batch(t).column("path").to_pylist()
+        con = duckdb.connect()
+        con.register("corpus", t)
+        ref = con.execute(
+            "WITH " + paths_aug_cte("corpus").lstrip()
+            + " SELECT path FROM aug ORDER BY doc_id") \
+            .fetchdf()["path"].tolist()
+        assert planted == ref
+
+    def test_ext_lang_map_is_total_on_corpus_exts(self):
+        # corpus paths end .t0-.t3; the map must cover all four so
+        # the mismatch check exercises every planted extension
+        assert set(EXT_LANG) == {"t0", "t1", "t2", "t3"}
