@@ -1749,6 +1749,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "fn_metrics": _q_fn_metrics,
         "structural_balance": _q_structural_balance,
         "repo_tree_profile": _q_repo_tree_profile,
+        "incremental_reval": _q_incremental_reval,
     }
 
 
@@ -2550,6 +2551,52 @@ def _repo_tree_profile_sql() -> str:
     return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
             + paths_aug_cte(table="corpus").strip() + ", "
             + tree_profile_sql(table="aug").strip())
+
+
+def _q_incremental_reval(sf_dir: str):
+    """Incremental revalidation (pipelines/incremental): diff the NEW
+    snapshot against the OLD one, run the schema engine ONLY over
+    added/changed rows, drop stale checkpoint verdicts for
+    changed/removed rows, union with the untouched checkpoint. The
+    oracle is the FULL-engine verdict query over the new snapshot, so
+    a merge that reuses a stale verdict (content mutations flip
+    minLength) value-hash mismatches. Asserts the engine really ran
+    over a strict subset of the corpus."""
+    import pyarrow.parquet as _pq
+
+    from boon_ray.pipelines.flagship import METADATA_SCHEMA
+    from boon_ray.pipelines.incremental import (incremental_revalidate,
+                                                plant_snapshot_new,
+                                                plant_snapshot_old)
+    from boon_ray.sources.corpus import corpus_dataset
+
+    full = corpus_dataset(sf_dir, keep_meta=True)
+    old = full.map_batches(plant_snapshot_old, batch_format="pyarrow",
+                           batch_size=None)
+    new = full.map_batches(plant_snapshot_new, batch_format="pyarrow",
+                           batch_size=None)
+    merged, stats = incremental_revalidate(old, new, METADATA_SCHEMA)
+    n_docs = _pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    assert 0 < stats["n_revalidated"] < n_docs, stats
+    assert stats["n_removed"] > 0, stats
+    return merged.select_columns(["repo", "path", "commit", "valid"])
+
+
+def _incremental_reval_sql() -> str:
+    from boon_ray.pipelines.flagship import (ALLOWED_LANGS,
+                                             MAX_CONTENT_CHARS,
+                                             MIN_CONTENT_CHARS)
+    from boon_ray.pipelines.incremental import snapshot_new_cte
+
+    langs = "','".join(ALLOWED_LANGS)
+    return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
+            + snapshot_new_cte(table="corpus").strip()
+            + f' SELECT repo, path, "commit", '
+            f"(lang IN ('{langs}') "
+            f"AND length(content) >= {MIN_CONTENT_CHARS} "
+            f"AND length(content) <= {MAX_CONTENT_CHARS}) AS valid "
+            f"FROM snap_new")
 
 
 _REPO_ID_PAT = "^org[0-9]+/repo[0-9]+$"
@@ -4072,6 +4119,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "fn_metrics": _fn_metrics_sql(),
         "structural_balance": _structural_balance_sql(),
         "repo_tree_profile": _repo_tree_profile_sql(),
+        "incremental_reval": _incremental_reval_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -1,0 +1,122 @@
+"""Incremental revalidation (pipelines/incremental.py): the merged
+verdicts must be row-identical to a full-engine run over the new
+snapshot — including rows whose verdict FLIPS with the content change
+(the case a stale-cache bug silently breaks), empty deltas, explicit
+checkpoints, and bucketing independence."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from boon_ray.pipelines.flagship import METADATA_SCHEMA
+from boon_ray.pipelines.incremental import incremental_revalidate
+from boon_ray.stages.validate import validate_dataset
+
+_KEYS = ("doc_id", "repo", "path", "commit")
+
+
+def _snap(rows):
+    """rows: (doc_id, lang, content) — repo/path/commit valid by
+    construction so only lang/content drive verdicts."""
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "repo": pa.array([f"org1/repo{r[0] % 3}" for r in rows]),
+        "path": pa.array([f"src/d1/f{r[0]}.t0" for r in rows]),
+        "commit": pa.array(["a" * 32 for _ in rows]),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "content": pa.array([r[2] for r in rows], pa.string())})
+
+
+def _run(old_rows, new_rows, n_blocks=1, cached=None, **kw):
+    old = rd.from_arrow(_snap(old_rows))
+    new = rd.from_arrow(_snap(new_rows))
+    if n_blocks > 1:
+        old, new = old.repartition(n_blocks), new.repartition(n_blocks)
+    merged, stats = incremental_revalidate(
+        old, new, METADATA_SCHEMA, key_columns=_KEYS,
+        cached_verdicts=cached, **kw)
+    df = merged.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return df, stats
+
+
+def _full(new_rows):
+    out = validate_dataset(
+        rd.from_arrow(_snap(new_rows)), METADATA_SCHEMA,
+        from_columns=("repo", "path", "commit", "lang", "content"),
+        emit="verdict", key_columns=_KEYS, include_errors=False)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_LONG = "y" * 200          # valid length (150..5000)
+_SHORT = "z" * 10          # minLength violation
+
+
+class TestIncremental:
+    def test_changed_row_verdict_flips(self, ray_session):
+        old = [(1, "en", _SHORT), (2, "en", _LONG), (3, "en", _LONG)]
+        # row 1 grows past minLength (False -> True), row 3 shrinks
+        # below it (True -> False); row 2 untouched
+        new = [(1, "en", _LONG), (2, "en", _LONG), (3, "en", _SHORT)]
+        df, stats = _run(old, new)
+        assert stats == {"n_added": 0, "n_changed": 2, "n_removed": 0,
+                         "n_revalidated": 2}
+        assert df["valid"].tolist() == [True, True, False]
+        pd.testing.assert_frame_equal(df, _full(new))
+
+    def test_add_remove_and_carryover(self, ray_session):
+        old = [(1, "en", _LONG), (2, "fr", _LONG), (3, "en", _SHORT)]
+        new = [(1, "en", _LONG), (3, "en", _SHORT), (4, "zh", _LONG)]
+        df, stats = _run(old, new)
+        assert stats == {"n_added": 1, "n_changed": 0, "n_removed": 1,
+                         "n_revalidated": 1}
+        # 1, 3 carried from cache (incl. the cached FALSE), 4 fresh
+        assert df["doc_id"].tolist() == [1, 3, 4]
+        assert df["valid"].tolist() == [True, False, True]
+        pd.testing.assert_frame_equal(df, _full(new))
+
+    def test_empty_delta_is_pure_carryover(self, ray_session):
+        rows = [(i, "en", _LONG) for i in range(8)]
+        df, stats = _run(rows, rows, n_blocks=3)
+        assert stats["n_revalidated"] == 0 and stats["n_removed"] == 0
+        pd.testing.assert_frame_equal(df, _full(rows))
+
+    def test_explicit_checkpoint_dataset(self, ray_session):
+        old = [(i, "en", _LONG if i % 2 else _SHORT) for i in range(10)]
+        new = [(i, "en", _LONG) for i in range(1, 11)]
+        cached = validate_dataset(
+            rd.from_arrow(_snap(old)), METADATA_SCHEMA,
+            from_columns=("repo", "path", "commit", "lang", "content"),
+            emit="verdict", key_columns=_KEYS,
+            include_errors=False).materialize()
+        df, stats = _run(old, new, cached=cached)
+        assert stats["n_added"] == 1 and stats["n_removed"] == 1
+        pd.testing.assert_frame_equal(df, _full(new))
+
+    @pytest.mark.parametrize("bl", [0, 10**6])
+    def test_both_join_plans_agree(self, ray_session, bl):
+        # bl=0 forces the bucketed hash_join fallback; bl large uses
+        # the broadcast id-set path — identical output required
+        old = [(1, "en", _SHORT), (2, "en", _LONG), (3, "en", _LONG)]
+        new = [(1, "en", _LONG), (3, "en", _SHORT), (4, "fr", _LONG)]
+        df, stats = _run(old, new, broadcast_limit=bl)
+        assert stats == {"n_added": 1, "n_changed": 2, "n_removed": 1,
+                         "n_revalidated": 3}
+        pd.testing.assert_frame_equal(df, _full(new))
+
+    @pytest.mark.parametrize("n_blocks,num_buckets",
+                             [(1, 1), (4, 8), (6, 3)])
+    def test_matches_full_run_any_bucketing(self, ray_session,
+                                            n_blocks, num_buckets):
+        old = [(i, ["en", "fr"][i % 2],
+                _LONG if i % 3 else _SHORT) for i in range(40)]
+        new = ([(i, "en", _LONG + "x" * i) for i in range(0, 40, 2)]
+               + [(i, ["en", "fr"][i % 2], _LONG if i % 3 else _SHORT)
+                  for i in range(1, 40, 2)]
+               + [(100, "zh", _LONG)])
+        df, stats = _run(old, new, n_blocks=n_blocks,
+                         num_buckets=num_buckets)
+        assert stats["n_revalidated"] < len(new)
+        pd.testing.assert_frame_equal(df, _full(new))
