@@ -1750,6 +1750,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "structural_balance": _q_structural_balance,
         "repo_tree_profile": _q_repo_tree_profile,
         "incremental_reval": _q_incremental_reval,
+        "head_snapshot": _q_head_snapshot,
     }
 
 
@@ -2551,6 +2552,38 @@ def _repo_tree_profile_sql() -> str:
     return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
             + paths_aug_cte(table="corpus").strip() + ", "
             + tree_profile_sql(table="aug").strip())
+
+
+def _q_head_snapshot(sf_dir: str):
+    """Head-snapshot election (stages/unique.latest_per_key): keep
+    the row with the greatest (commit, doc_id) per (repo, path) —
+    the SCD-style 'current version' compaction of a commit-stamped
+    corpus. Per-batch pre-reduce to one candidate per key, one
+    key-bucketed re-election; exchange carries winners only.
+    plant_versions_batch collapses doc_id % 8 == 2 rows onto 3 hot
+    paths x 5 version commits per repo."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.unique import (latest_per_key,
+                                        plant_versions_batch)
+
+    aug = corpus_dataset(sf_dir, keep_meta=True) \
+        .map_batches(plant_versions_batch, batch_format="pyarrow",
+                     batch_size=None)
+    out = latest_per_key(aug, key=("repo", "path"),
+                         order_cols=("commit", "doc_id"))
+    return out.select_columns(
+        ["doc_id", "repo", "path", "commit", "lang", "content"])
+
+
+def _head_snapshot_sql() -> str:
+    from boon_ray.stages.unique import versions_aug_cte
+
+    return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
+            + versions_aug_cte(table="corpus").strip()
+            + ' SELECT doc_id, repo, path, "commit", lang, content '
+            "FROM (SELECT *, ROW_NUMBER() OVER ("
+            'PARTITION BY repo, path ORDER BY "commit" DESC, '
+            "doc_id DESC) AS rn FROM aug) WHERE rn = 1")
 
 
 def _q_incremental_reval(sf_dir: str):
@@ -4120,6 +4153,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "structural_balance": _structural_balance_sql(),
         "repo_tree_profile": _repo_tree_profile_sql(),
         "incremental_reval": _incremental_reval_sql(),
+        "head_snapshot": _head_snapshot_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -779,6 +779,30 @@ def q_repo_tree_profile():
     return repo_tree_profile(aug, num_buckets=16).count()
 
 
+def q_head_snapshot():
+    """Head-snapshot election over the amplified corpus: latest
+    (commit, doc_id) row per (repo, path) — per-batch pre-reduce to
+    one candidate per key, one key-bucketed re-election; the exchange
+    carries per-(key, batch) winners only."""
+    import pyarrow as pa
+
+    from boon_ray.sketches import hash64
+    from boon_ray.stages.unique import (latest_per_key,
+                                        plant_versions_batch)
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = hash64(b.column("content").to_pandas()
+                     .to_numpy(dtype=object)).astype("int64")
+        return plant_versions_batch(
+            b.append_column("doc_id", pa.array(ids)))
+
+    aug = _corpus().map_batches(plant, batch_format="pyarrow",
+                                batch_size=None)
+    return latest_per_key(aug, key=("repo", "path"),
+                          order_cols=("commit", "doc_id"),
+                          num_buckets=32).count()
+
+
 _REVAL_FIX = None
 
 
@@ -1057,6 +1081,7 @@ QUERIES = {
     "structural_balance": q_structural_balance,
     "repo_tree_profile": q_repo_tree_profile,
     "incremental_reval": q_incremental_reval,
+    "head_snapshot": q_head_snapshot,
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,

@@ -209,3 +209,93 @@ def dedup_exact(ds, key: Sequence[str], order_col: str,
     # the global min) — the raw exchange instead of a corpus-keyed
     # sort groupby
     return bucketed_map_groups(reduced, key, batch_min)
+
+
+def latest_per_key(ds, key: Sequence[str], order_cols: Sequence[str],
+                   batch_size=None, num_buckets: int = 64):
+    """Head-snapshot election: keep the row with the lexicographically
+    GREATEST ``order_cols`` tuple per ``key`` group — the SCD-style
+    "latest version per (repo, path)" compaction a commit-stamped
+    corpus needs before any content-level pass (reference parity: the
+    CLI validates the files it is handed; electing WHICH file version
+    is current is the corpus-side preprocessing step).
+
+    Same two-level shape as :func:`dedup_exact` (its max/multi-column
+    dual): each batch pre-reduces to one candidate row per key, the
+    bucketed merge re-elects inside the key's bucket — the exchange
+    carries per-(key, batch) winners only, and the election is
+    associative, so partitioning never changes the result.  Ties on
+    the full ``order_cols`` tuple keep whichever duplicate sorts
+    first under pandas' stable sort in the final bucket — pass a
+    unique tiebreak column (e.g. ``doc_id``) as the last order col
+    for a deterministic winner.
+    """
+    key, order = list(key), list(order_cols)
+
+    def batch_latest(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order, ascending=False, kind="stable") \
+            .drop_duplicates(subset=key, keep="first") \
+            .reset_index(drop=True)
+
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    reduced = ds.map_batches(batch_latest, batch_format="pandas",
+                             batch_size=batch_size)
+    return bucketed_map_groups(reduced, key, batch_latest,
+                               num_buckets=num_buckets)
+
+
+# ------------------------------------------------------------------ #
+# planted version fixtures for the head-snapshot election            #
+# ------------------------------------------------------------------ #
+
+def _versions():
+    import hashlib
+    return np.array([hashlib.md5(f"v{k}".encode()).hexdigest()
+                     for k in range(5)])
+
+
+_VERSIONS = _versions()
+
+
+def plant_versions_batch(b: pa.Table) -> pa.Table:
+    """VERSIONS fixture: doc_id % 8 == 2 rows collapse onto one of 3
+    hot paths per repo with one of 5 version commits (md5('v<k>')) —
+    guaranteed multi-version (repo, path) groups. Exact mirror:
+    :func:`versions_aug_cte`."""
+    ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    hot = ids % 8 == 2
+    path = b.column("path").to_numpy(zero_copy_only=False) \
+        .astype(object)
+    commit = b.column("commit").to_numpy(zero_copy_only=False) \
+        .astype(object)
+    hot_path = ("src/hot/f" + (ids % 3).astype(str).astype(object)
+                + ".t0")
+    path = np.where(hot, hot_path, path)
+    commit = np.where(hot, _VERSIONS[ids % 5], commit)
+    cols = {}
+    for nm in b.schema.names:
+        if nm == "path":
+            cols[nm] = pa.array(path.tolist(), pa.string())
+        elif nm == "commit":
+            cols[nm] = pa.array(commit.tolist(), pa.string())
+        else:
+            cols[nm] = b.column(nm)
+    return pa.table(cols)
+
+
+def versions_aug_cte(table: str = "corpus") -> str:
+    """The versions planting as a named CTE — bit-identical to
+    :func:`plant_versions_batch`."""
+    return f"""
+aug AS (
+  SELECT doc_id, repo,
+    CASE WHEN doc_id % 8 = 2
+         THEN 'src/hot/f' || CAST(doc_id % 3 AS VARCHAR) || '.t0'
+         ELSE path END AS path,
+    CASE WHEN doc_id % 8 = 2
+         THEN md5('v' || CAST(doc_id % 5 AS VARCHAR))
+         ELSE "commit" END AS "commit",
+    lang, content
+  FROM {table})"""

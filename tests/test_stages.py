@@ -755,3 +755,62 @@ def test_layout_merge_clustered(ray_session):
             merge_clustered(rd.from_arrow(dup), out, id_col="k")
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_latest_per_key_election(ray_session):
+    import pandas as pd
+
+    from boon_ray.stages.unique import latest_per_key
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "repo": pa.array(["a", "a", "a", "a", "b", "b"]),
+        "path": pa.array(["p", "p", "p", "q", "p", "p"]),
+        "commit": pa.array(["c1", "c3", "c2", "c1", "c9", "c9"]),
+        "val": pa.array([10, 20, 30, 40, 50, 60], pa.int64())})
+    out = latest_per_key(rd.from_arrow(t).repartition(3),
+                         key=("repo", "path"),
+                         order_cols=("commit", "doc_id"),
+                         num_buckets=2).to_pandas() \
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    # (a,p): c3 wins; (a,q): only row; (b,p): commit tie -> doc_id 6
+    assert out["doc_id"].tolist() == [2, 4, 6]
+    assert out["val"].tolist() == [20, 40, 60]
+
+    # partition independence: single block must elect identically
+    ref = latest_per_key(rd.from_arrow(t), key=("repo", "path"),
+                         order_cols=("commit", "doc_id")) \
+        .to_pandas().sort_values(["repo", "path"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_latest_per_key_matches_sql(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from boon_ray.stages.unique import latest_per_key
+
+    rng = np.random.default_rng(5)
+    n = 300
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "repo": pa.array([f"r{k}" for k in rng.integers(0, 5, n)]),
+        "path": pa.array([f"p{k}" for k in rng.integers(0, 9, n)]),
+        "commit": pa.array([f"c{k}" for k in rng.integers(0, 4, n)]),
+        "val": pa.array(rng.integers(0, 100, n), pa.int64())})
+    got = latest_per_key(rd.from_arrow(t).repartition(4),
+                         key=("repo", "path"),
+                         order_cols=("commit", "doc_id"),
+                         num_buckets=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    ref = con.execute(
+        "SELECT doc_id, repo, path, \"commit\", val FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path "
+        "ORDER BY \"commit\" DESC, doc_id DESC) rn FROM t) "
+        "WHERE rn = 1 ORDER BY doc_id").fetchdf()
+    pd.testing.assert_frame_equal(
+        got[ref.columns].astype(ref.dtypes.to_dict()), ref)
