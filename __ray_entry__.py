@@ -1751,6 +1751,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "repo_tree_profile": _q_repo_tree_profile,
         "incremental_reval": _q_incremental_reval,
         "head_snapshot": _q_head_snapshot,
+        "skew_plan": _q_skew_plan,
     }
 
 
@@ -2584,6 +2585,28 @@ def _head_snapshot_sql() -> str:
             "FROM (SELECT *, ROW_NUMBER() OVER ("
             'PARTITION BY repo, path ORDER BY "commit" DESC, '
             "doc_id DESC) AS rn FROM aug) WHERE rn = 1")
+
+
+def _q_skew_plan(sf_dir: str):
+    """Explicit salt plan for keyed shuffles
+    (stages/unique.skew_plan): per heavy repo (count > target) emit
+    n_rows + the salt fanout ceil(n/target) capping every
+    (key, salt) partition at the target. The injected mega-repo
+    (org0/repo0, ~30% of rows) is the planted heavy key. Exchange is
+    (key, n) int64 partials into one bucketed sum."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.unique import skew_plan
+
+    return skew_plan(corpus_dataset(sf_dir), key_col="repo",
+                     target_rows_per_task=40)
+
+
+def _skew_plan_sql() -> str:
+    from boon_ray.stages.unique import skew_plan_sql
+
+    return (f"WITH {CORPUS_CTE.strip().rstrip()} "
+            + skew_plan_sql(table="corpus", key_col="repo",
+                            target_rows_per_task=40))
 
 
 def _q_incremental_reval(sf_dir: str):
@@ -4154,6 +4177,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "repo_tree_profile": _repo_tree_profile_sql(),
         "incremental_reval": _incremental_reval_sql(),
         "head_snapshot": _head_snapshot_sql(),
+        "skew_plan": _skew_plan_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -803,6 +803,15 @@ def q_head_snapshot():
                           num_buckets=32).count()
 
 
+def q_skew_plan():
+    """Salt-plan computation over the amplified corpus: per-batch
+    (repo, n) partials into one bucketed sum, heavy keys only out."""
+    from boon_ray.stages.unique import skew_plan
+
+    return skew_plan(_corpus(), key_col="repo",
+                     target_rows_per_task=4096).count()
+
+
 _REVAL_FIX = None
 
 
@@ -1082,6 +1091,7 @@ QUERIES = {
     "repo_tree_profile": q_repo_tree_profile,
     "incremental_reval": q_incremental_reval,
     "head_snapshot": q_head_snapshot,
+    "skew_plan": q_skew_plan,
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,

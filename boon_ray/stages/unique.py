@@ -299,3 +299,54 @@ aug AS (
          ELSE "commit" END AS "commit",
     lang, content
   FROM {table})"""
+
+
+def skew_plan(ds, key_col: str = "repo",
+              target_rows_per_task: int = 65536,
+              num_buckets: int = 16, batch_size=None):
+    """Explicit skew plan for a keyed shuffle (north_rule: "explicit
+    salt-based skew splitting for mega-repos"): per HEAVY key — count
+    above ``target_rows_per_task`` — emit (key, n_rows, n_salts)
+    where ``n_salts = ceil(n_rows / target)`` is the salt fanout that
+    caps every (key, salt) partition at the target.  Downstream
+    stages join this table (it is heavy-key-bounded, broadcastable)
+    and salt only the listed keys; light keys shuffle unsalted.
+
+    Exchange: per-batch (key, n) int64 partials into one key-bucketed
+    sum — key-table-sized, never row-sized.
+    """
+    from boon_ray.stages.combine import bucketed_groupby_sum
+
+    def part(b: pa.Table) -> pa.Table:
+        vc = pd.Series(b.column(key_col).to_pandas()) \
+            .value_counts(sort=False)
+        return pa.table({key_col: vc.index.astype(str),
+                         "n_rows": vc.to_numpy().astype("int64")})
+
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=batch_size)
+    summed = bucketed_groupby_sum(parts, [key_col], ["n_rows"],
+                                  num_buckets=num_buckets)
+    t = int(target_rows_per_task)
+
+    def plan(b: pa.Table) -> pa.Table:
+        n = b.column("n_rows").to_numpy(zero_copy_only=False)
+        keep = n > t
+        n = n[keep]
+        return pa.table({
+            key_col: pc.array_filter(b.column(key_col),
+                                     pa.array(keep)),
+            "n_rows": pa.array(n, pa.int64()),
+            "n_salts": pa.array((n + t - 1) // t, pa.int64())})
+
+    return summed.map_batches(plan, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def skew_plan_sql(table: str = "corpus", key_col: str = "repo",
+                  target_rows_per_task: int = 65536) -> str:
+    t = int(target_rows_per_task)
+    return (f"SELECT {key_col}, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST((COUNT(*) + {t} - 1) // {t} AS BIGINT) AS n_salts "
+            f"FROM {table} GROUP BY {key_col} "
+            f"HAVING COUNT(*) > {t}")

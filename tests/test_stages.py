@@ -814,3 +814,38 @@ def test_latest_per_key_matches_sql(ray_session):
         "WHERE rn = 1 ORDER BY doc_id").fetchdf()
     pd.testing.assert_frame_equal(
         got[ref.columns].astype(ref.dtypes.to_dict()), ref)
+
+
+def test_skew_plan(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from boon_ray.stages.unique import skew_plan, skew_plan_sql
+
+    t = pa.table({
+        "repo": pa.array(["hot"] * 95 + ["warm"] * 11 + ["cold"] * 3),
+        "x": pa.array(range(109), pa.int64())})
+    got = skew_plan(rd.from_arrow(t).repartition(4), key_col="repo",
+                    target_rows_per_task=10, num_buckets=3) \
+        .to_pandas().sort_values("repo").reset_index(drop=True)
+    # hot: 95 rows -> ceil(95/10) = 10 salts; warm: 11 -> 2;
+    # cold: 3 <= target -> absent
+    assert got["repo"].tolist() == ["hot", "warm"]
+    assert got["n_rows"].tolist() == [95, 11]
+    assert got["n_salts"].tolist() == [10, 2]
+    con = duckdb.connect()
+    con.register("t", t)
+    ref = con.execute(skew_plan_sql("t", "repo", 10)
+                      + " ORDER BY repo").fetchdf()
+    pd.testing.assert_frame_equal(
+        got.astype(ref.dtypes.to_dict()), ref)
+
+
+def test_skew_plan_no_heavy_keys_is_empty(ray_session):
+    from boon_ray.stages.unique import skew_plan
+
+    t = pa.table({"repo": pa.array(["a", "b", "c"]),
+                  "x": pa.array([1, 2, 3], pa.int64())})
+    out = skew_plan(rd.from_arrow(t), key_col="repo",
+                    target_rows_per_task=5).to_pandas()
+    assert len(out) == 0
