@@ -1752,6 +1752,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "incremental_reval": _q_incremental_reval,
         "head_snapshot": _q_head_snapshot,
         "skew_plan": _q_skew_plan,
+        "corpus_cube": _q_corpus_cube,
     }
 
 
@@ -2585,6 +2586,43 @@ def _head_snapshot_sql() -> str:
             "FROM (SELECT *, ROW_NUMBER() OVER ("
             'PARTITION BY repo, path ORDER BY "commit" DESC, '
             "doc_id DESC) AS rn FROM aug) WHERE rn = 1")
+
+
+def _q_corpus_cube(sf_dir: str):
+    """GROUP BY CUBE over (lang, source) with exact char sums
+    (stages/stats.cube_counts): the full grouping-sets lattice —
+    every key subset, 2^k levels — in one streaming pass; coarser
+    levels derive from the batch's full-level aggregate, partials
+    stay (groups x 4)-bounded."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from boon_ray.stages.stats import cube_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source", "text"])
+
+    def derive(b: _pa.Table) -> _pa.Table:
+        txt = _pc.fill_null(_pc.cast(b.column("text"),
+                                     _pa.string()), "")
+        return _pa.table({
+            "lang": b.column("lang"),
+            "source": b.column("source"),
+            "n_chars": _pc.cast(_pc.utf8_length(txt), _pa.int64())})
+
+    return cube_counts(ds.map_batches(derive, batch_format="pyarrow"),
+                       keys=("lang", "source"), sum_cols=("n_chars",))
+
+
+def _corpus_cube_sql() -> str:
+    from boon_ray.stages.stats import cube_counts_sql
+
+    inner = ("(SELECT lang, source, "
+             "CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars "
+             "FROM documents) t")
+    return cube_counts_sql(inner, keys=("lang", "source"),
+                           sum_cols=("n_chars",))
 
 
 def _q_skew_plan(sf_dir: str):
@@ -4178,6 +4216,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "incremental_reval": _incremental_reval_sql(),
         "head_snapshot": _head_snapshot_sql(),
         "skew_plan": _skew_plan_sql(),
+        "corpus_cube": _corpus_cube_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -317,3 +317,74 @@ def rollup_counts_sql(table: str, keys, sum_cols=(),
     return (f"SELECT {sel}, CAST(COUNT(*) AS BIGINT) AS n_rows"
             f"{sums} FROM {table} "
             f"GROUP BY ROLLUP ({', '.join(keys)})")
+
+
+def cube_counts(ds, keys, sum_cols=(), sentinel: str = "(all)",
+                num_buckets: int = 16):
+    """GROUP BY CUBE — the full grouping-sets lattice (every subset
+    of ``keys``, 2^k levels) in ONE streaming pass; the ROLLUP
+    machinery generalized from the k+1 hierarchy levels to all
+    subsets. Every coarser level is derived from the batch's
+    FULL-level aggregate, so the exchange stays (groups x 2^k)-
+    bounded; with the usual 2-3 cube dims that is group-table-sized
+    at any corpus size. Output matches :func:`rollup_counts`."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    from boon_ray.stages.combine import bucketed_groupby_sum
+
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    out_sums = [f"sum_{c}" for c in sum_cols]
+    mcols = ["n_rows"] + out_sums
+    schema = pa.schema(
+        [(k, pa.string()) for k in keys]
+        + [(c, pa.int64()) for c in mcols])
+    subsets = [list(c) for r in range(len(keys) - 1, -1, -1)
+               for c in combinations(keys, r)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(keys + sum_cols).to_pandas()
+        df["n_rows"] = np.ones(len(df), np.int64)
+        agg = {"n_rows": ("n_rows", "sum")}
+        for c, oc in zip(sum_cols, out_sums):
+            agg[oc] = (c, "sum")
+        full = df.groupby(keys, sort=False).agg(**agg).reset_index()
+        levels = [full]
+        agg2 = {c: (c, "sum") for c in mcols}
+        for kept in subsets:
+            if kept:
+                lv = full.groupby(kept, sort=False).agg(
+                    **agg2).reset_index()
+            else:
+                lv = full[mcols].sum().to_frame().T
+            for k in keys:
+                if k not in kept:
+                    lv[k] = sentinel
+            levels.append(lv)
+        out = pd.concat(levels, ignore_index=True)[keys + mcols]
+        for c in mcols:
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, schema=schema,
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_groupby_sum(parts, tuple(keys),
+                                tuple(mcols), num_buckets=num_buckets)
+
+
+def cube_counts_sql(table: str, keys, sum_cols=(),
+                    sentinel: str = "(all)") -> str:
+    """Exact DuckDB form: GROUP BY CUBE with GROUPING() mapped to the
+    sentinel."""
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    sel = ", ".join(
+        f"CASE WHEN GROUPING({k}) = 1 THEN '{sentinel}' "
+        f"ELSE {k} END AS {k}" for k in keys)
+    sums = "".join(
+        f", CAST(SUM({c}) AS BIGINT) AS sum_{c}" for c in sum_cols)
+    return (f"SELECT {sel}, CAST(COUNT(*) AS BIGINT) AS n_rows"
+            f"{sums} FROM {table} "
+            f"GROUP BY CUBE ({', '.join(keys)})")

@@ -358,3 +358,57 @@ class TestRollup:
             .astype(str).equals(
                 want[k].sort_values(k).reset_index(drop=True)
                 .astype(str))
+
+
+class TestCube:
+    """stages/stats.cube_counts: the full grouping-sets lattice —
+    hand case (the (all, k2) slice ROLLUP lacks), 3-dim randomized
+    GROUP BY CUBE DuckDB cross-check across partitionings."""
+
+    def test_hand_case(self, ray_session):
+        from boon_ray.stages.stats import cube_counts
+
+        t = pa.table({
+            "k1": pa.array(["x", "x", "y"], pa.string()),
+            "k2": pa.array(["p", "q", "p"], pa.string()),
+            "v": pa.array([1, 2, 4], pa.int64())})
+        df = cube_counts(rd.from_arrow(t), keys=("k1", "k2"),
+                         sum_cols=("v",)).to_pandas()
+        got = {(r.k1, r.k2): (r.n_rows, r.sum_v)
+               for r in df.itertuples()}
+        assert got == {
+            ("x", "p"): (1, 1), ("x", "q"): (1, 2),
+            ("y", "p"): (1, 4),
+            ("x", "(all)"): (2, 3), ("y", "(all)"): (1, 4),
+            # the column slice ROLLUP cannot produce:
+            ("(all)", "p"): (2, 5), ("(all)", "q"): (1, 2),
+            ("(all)", "(all)"): (3, 7)}
+
+    @pytest.mark.parametrize("n_blocks,buckets", [(1, 2), (7, 5)])
+    def test_matches_duckdb_cube_3dims(self, ray_session, n_blocks,
+                                       buckets):
+        from boon_ray.stages.stats import cube_counts, cube_counts_sql
+
+        rng = np.random.default_rng(9)
+        n = 150
+        t = pa.table({
+            "k1": pa.array([f"a{int(x)}" for x in
+                            rng.integers(0, 3, n)], pa.string()),
+            "k2": pa.array([f"b{int(x)}" for x in
+                            rng.integers(0, 4, n)], pa.string()),
+            "k3": pa.array([f"c{int(x)}" for x in
+                            rng.integers(0, 2, n)], pa.string()),
+            "v": pa.array(rng.integers(0, 50, n).astype("int64"))})
+        got = cube_counts(rd.from_arrow(t).repartition(n_blocks),
+                          keys=("k1", "k2", "k3"), sum_cols=("v",),
+                          num_buckets=buckets).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.sql(cube_counts_sql(
+            "t", keys=("k1", "k2", "k3"), sum_cols=("v",))).df()
+        assert len(got) == len(want)
+        k = sorted(got.columns)
+        assert got[k].sort_values(k).reset_index(drop=True) \
+            .astype(str).equals(
+                want[k].sort_values(k).reset_index(drop=True)
+                .astype(str))
