@@ -1753,6 +1753,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "head_snapshot": _q_head_snapshot,
         "skew_plan": _q_skew_plan,
         "corpus_cube": _q_corpus_cube,
+        "dominant_lang": _q_dominant_lang,
     }
 
 
@@ -2623,6 +2624,25 @@ def _corpus_cube_sql() -> str:
              "FROM documents) t")
     return cube_counts_sql(inner, keys=("lang", "source"),
                            sum_cols=("n_chars",))
+
+
+def _q_dominant_lang(sf_dir: str):
+    """Per-repo MODE election (stages/stats.group_mode): the most
+    frequent lang per repo (ties -> smallest lang) + its count + the
+    repo's distinct-lang count; (repo, lang, n) partials into one
+    repo-bucketed argmax — the partial grain the argmax forces."""
+    from boon_ray.sources.corpus import corpus_dataset
+    from boon_ray.stages.stats import group_mode
+
+    return group_mode(corpus_dataset(sf_dir), group_col="repo",
+                      value_col="lang")
+
+
+def _dominant_lang_sql() -> str:
+    from boon_ray.stages.stats import group_mode_sql
+
+    return (f"WITH {CORPUS_CTE.strip().rstrip()}, "
+            + group_mode_sql("corpus", "repo", "lang").strip())
 
 
 def _q_skew_plan(sf_dir: str):
@@ -4217,6 +4237,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "head_snapshot": _head_snapshot_sql(),
         "skew_plan": _skew_plan_sql(),
         "corpus_cube": _corpus_cube_sql(),
+        "dominant_lang": _dominant_lang_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -388,3 +388,64 @@ def cube_counts_sql(table: str, keys, sum_cols=(),
     return (f"SELECT {sel}, CAST(COUNT(*) AS BIGINT) AS n_rows"
             f"{sums} FROM {table} "
             f"GROUP BY CUBE ({', '.join(keys)})")
+
+
+def group_mode(ds, group_col: str, value_col: str,
+               num_buckets: int = 16, batch_size=None):
+    """Per-group MODE election: the most frequent ``value_col`` per
+    ``group_col`` (ties -> smallest value, so the election is
+    deterministic and associative), plus its count and the group's
+    distinct-value count.  The per-batch pre-reduce collapses to
+    (group, value, n) partials, so the single group-bucketed exchange
+    is (group x value)-table-sized, never row-sized — the argmax
+    itself needs the full per-(group, value) counts, which is why the
+    partial grain cannot be coarser (same forcing as
+    ``repo_tree_profile``'s dirname grain).
+
+    Output: ``(group_col, mode, mode_n, n_values)``.
+    """
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group_col: b.column(group_col).to_pandas(),
+            "mode": b.column(value_col).to_pandas()})
+        vc = df.groupby([group_col, "mode"], sort=False) \
+            .size().rename("n").reset_index()
+        return pa.Table.from_pandas(vc, preserve_index=False)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        fine = df.groupby([group_col, "mode"], sort=False)["n"] \
+            .sum().reset_index()
+        fine = fine.sort_values(["n", "mode"],
+                                ascending=[False, True],
+                                kind="stable")
+        out = fine.groupby(group_col, sort=False).agg(
+            mode=("mode", "first"), mode_n=("n", "first"),
+            n_values=("n", "size")).reset_index()
+        out["mode_n"] = out["mode_n"].astype(np.int64)
+        out["n_values"] = out["n_values"].astype(np.int64)
+        return out
+
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           batch_size=batch_size)
+    return bucketed_map_groups(parts, [group_col], merge,
+                               num_buckets=num_buckets)
+
+
+def group_mode_sql(table: str, group_col: str,
+                   value_col: str) -> str:
+    """Exact oracle: counts + ROW_NUMBER election with the same
+    (n DESC, value ASC) tiebreak."""
+    return f"""
+gm_counts AS (
+  SELECT {group_col}, {value_col} AS mode,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table} GROUP BY {group_col}, {value_col})
+SELECT {group_col}, mode, n AS mode_n,
+       CAST(nv AS BIGINT) AS n_values
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY {group_col}
+        ORDER BY n DESC, mode ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY {group_col}) AS nv
+      FROM gm_counts)
+WHERE rn = 1"""

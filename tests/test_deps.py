@@ -412,3 +412,44 @@ class TestCube:
             .astype(str).equals(
                 want[k].sort_values(k).reset_index(drop=True)
                 .astype(str))
+
+
+class TestGroupMode:
+    """stages/stats.group_mode: deterministic per-group argmax."""
+
+    def test_hand_case_and_tiebreak(self, ray_session):
+        from boon_ray.stages.stats import group_mode
+
+        t = pa.table({
+            "g": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+            "v": pa.array(["x", "y", "y", "p", "o", "z"], pa.string())})
+        df = group_mode(rd.from_arrow(t).repartition(3), "g", "v",
+                        num_buckets=2).to_pandas() \
+            .sort_values("g").reset_index(drop=True)
+        # a: y wins 2-1; b: tie p/o -> smallest 'o'; c: singleton
+        assert df["mode"].tolist() == ["y", "o", "z"]
+        assert df["mode_n"].tolist() == [2, 1, 1]
+        assert df["n_values"].tolist() == [2, 2, 1]
+
+    @pytest.mark.parametrize("n_blocks,buckets", [(1, 1), (6, 4)])
+    def test_matches_duckdb(self, ray_session, n_blocks, buckets):
+        from boon_ray.stages.stats import group_mode, group_mode_sql
+
+        rng = np.random.default_rng(13)
+        n = 200
+        t = pa.table({
+            "g": pa.array([f"g{int(x)}" for x in
+                           rng.integers(0, 7, n)], pa.string()),
+            "v": pa.array([f"v{int(x)}" for x in
+                           rng.integers(0, 5, n)], pa.string())})
+        got = group_mode(rd.from_arrow(t).repartition(n_blocks),
+                         "g", "v", num_buckets=buckets).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.sql("WITH " + group_mode_sql("t", "g", "v").lstrip()
+                       ).df()
+        k = sorted(got.columns)
+        assert got[k].sort_values(k).reset_index(drop=True) \
+            .astype(str).equals(
+                want[k].sort_values(k).reset_index(drop=True)
+                .astype(str))
