@@ -1754,6 +1754,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "skew_plan": _q_skew_plan,
         "corpus_cube": _q_corpus_cube,
         "dominant_lang": _q_dominant_lang,
+        "oov_rates": _q_oov_rates,
     }
 
 
@@ -2624,6 +2625,45 @@ def _corpus_cube_sql() -> str:
              "FROM documents) t")
     return cube_counts_sql(inner, keys=("lang", "source"),
                            sum_cols=("n_chars",))
+
+
+def _q_oov_rates(sf_dir: str):
+    """Tokenizer-vocabulary coverage (stages/text.vocab_coverage):
+    per-doc whitespace-token count + OOV count against the corpus's
+    own deterministic top-50 vocabulary (vocab_top_k tiebreak: n
+    DESC, token ASC) — the pretraining-readiness signal. Vocab is
+    ray.put once; zero exchange beyond the vocab build itself."""
+    import ray.data as rd
+
+    from boon_ray.stages.text import vocab_coverage, vocab_top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    vocab = vocab_top_k(ds, column="text", k=50).to_pandas()
+    return vocab_coverage(ds, vocab["token"].tolist(),
+                          column="text", id_col="doc_id")
+
+
+def _oov_rates_sql() -> str:
+    return r"""
+WITH vocab AS (
+  SELECT tok AS token FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents WHERE length(trim(text)) > 0)
+  GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT 50),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0),
+cov AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.token
+  GROUP BY t.doc_id)
+SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
+       coalesce(c.n_oov, 0) AS n_oov
+FROM documents d LEFT JOIN cov c USING (doc_id)"""
 
 
 def _q_dominant_lang(sf_dir: str):
@@ -4238,6 +4278,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "skew_plan": _skew_plan_sql(),
         "corpus_cube": _corpus_cube_sql(),
         "dominant_lang": _dominant_lang_sql(),
+        "oov_rates": _oov_rates_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

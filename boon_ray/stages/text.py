@@ -593,3 +593,52 @@ def normalize_text(ds, column: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(f, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+class _VocabCoverage:
+    """Per-doc vocabulary coverage against a broadcast token set:
+    (doc_id, n_tokens, n_oov). The vocab array is fetched once per
+    worker (taskcache), membership is one vectorized ``pd.Index``
+    probe per batch; empty docs emit 0/0."""
+
+    def __init__(self, vocab_ref, column: str, id_col: str):
+        import ray
+        self.vocab = pd.Index(ray.get(vocab_ref))
+        self.column, self.id_col = column, id_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        s = b.column(self.column).to_pandas().fillna("")
+        ids = b.column(self.id_col).to_pandas().to_numpy()
+        ex = s.str.split().explode().dropna()
+        n = len(b)
+        n_tok = np.zeros(n, np.int64)
+        n_oov = np.zeros(n, np.int64)
+        if len(ex):
+            pos = ex.index.to_numpy()
+            np.add.at(n_tok, pos, 1)
+            miss = self.vocab.get_indexer(ex.to_numpy()) < 0
+            np.add.at(n_oov, pos, miss.astype(np.int64))
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64())})
+
+
+def vocab_coverage(ds, vocab_tokens, column: str = "text",
+                   id_col: str = "doc_id", batch_size=None):
+    """Per-doc OOV accounting against a (small) tokenizer vocabulary:
+    ``n_tokens`` whitespace tokens, ``n_oov`` of them outside
+    ``vocab_tokens``.  The vocab — vocabulary-bounded by definition —
+    is ``ray.put`` once and probed per batch; NO exchange at all, one
+    fixed-width row per doc (the pretraining-readiness signal: a
+    corpus whose OOV mass is high needs tokenizer retraining before
+    it is worth GPU time)."""
+    import ray
+
+    from boon_ray.stages.taskcache import cached_map_batches
+
+    vocab_ref = ray.put(np.asarray(list(vocab_tokens), dtype=object))
+    return cached_map_batches(
+        ds, _VocabCoverage,
+        {"vocab_ref": vocab_ref, "column": column, "id_col": id_col},
+        batch_size=batch_size)

@@ -245,3 +245,42 @@ def test_bigram_surprisal_partition_invariant(ray_session):
     b = bigram_surprisal(rd.from_arrow(t).repartition(5)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+class TestVocabCoverage:
+    """stages/text.vocab_coverage: per-doc OOV accounting against a
+    broadcast vocabulary."""
+
+    def test_hand_counts(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from boon_ray.stages.text import vocab_coverage
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a zz", "", "zz qq"], pa.string())})
+        df = vocab_coverage(rd.from_arrow(t), ["a", "b"]) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert df["n_tokens"].tolist() == [4, 0, 2]
+        assert df["n_oov"].tolist() == [1, 0, 2]
+
+    def test_null_text_and_partitioning(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from boon_ray.stages.text import vocab_coverage
+
+        t = pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(
+                [None if i % 7 == 0 else f"w{i % 3} w{i % 5} x"
+                 for i in range(30)], pa.string())})
+        got = vocab_coverage(rd.from_arrow(t).repartition(5),
+                             ["w0", "w1", "x"]).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        ref = vocab_coverage(rd.from_arrow(t), ["w0", "w1", "x"]) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref)
+        assert (got.loc[got.index % 7 == 0, "n_tokens"] == 0).all()
