@@ -1755,6 +1755,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "corpus_cube": _q_corpus_cube,
         "dominant_lang": _q_dominant_lang,
         "oov_rates": _q_oov_rates,
+        "embedding_gram": _q_embedding_gram,
     }
 
 
@@ -2664,6 +2665,35 @@ cov AS (
 SELECT d.doc_id, coalesce(c.n_tokens, 0) AS n_tokens,
        coalesce(c.n_oov, 0) AS n_oov
 FROM documents d LEFT JOIN cov c USING (doc_id)"""
+
+
+def _q_embedding_gram(sf_dir: str):
+    """Distributed embedding Gram / covariance-moment matrix
+    (stages/probe.moment_matrix x embedding_gram_features): X^T X
+    over floor(x*1024) int64-quantized vectors — exact under any
+    summation order; one (d x d int64) partial per batch, tree
+    combine, 2080 upper-triangle rows out for d=64. The driver-side
+    covariance/PCA solve is then a constant-size float step."""
+    import ray.data as rd
+
+    from boon_ray.stages.probe import (embedding_gram_features,
+                                       moment_matrix)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    return moment_matrix(ds, embedding_gram_features(), d=64)
+
+
+def _embedding_gram_sql() -> str:
+    return (
+        "WITH q AS (SELECT vec_id, "
+        "unnest(range(len(embedding))) AS i, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) "
+        "AS BIGINT) AS v FROM embeddings) "
+        "SELECT a.i AS i, b.i AS j, "
+        "CAST(SUM(a.v * b.v) AS BIGINT) AS s "
+        "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i "
+        "GROUP BY a.i, b.i")
 
 
 def _q_dominant_lang(sf_dir: str):
@@ -4279,6 +4309,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "corpus_cube": _corpus_cube_sql(),
         "dominant_lang": _dominant_lang_sql(),
         "oov_rates": _oov_rates_sql(),
+        "embedding_gram": _embedding_gram_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -107,3 +107,29 @@ def solve_probe(moments: pd.DataFrame, d: int, lam: float = 1e-6) \
     xty = m[:d - 1, d - 1]
     return np.linalg.solve(
         xtx + lam * np.eye(d - 1) * max(1.0, np.trace(xtx)), xty)
+
+
+def embedding_gram_features(vec_col: str = "embedding",
+                            scale: int = 1024):
+    """Design-matrix builder for the embedding GRAM matrix: the
+    (n, d) float vectors quantized to int64 via floor(x * scale) —
+    exact under any summation order (the repo-wide int-moments rule;
+    same quantization expression the SQL oracle applies). With
+    |x| <= ~4 and scale 1024, q^2 <= ~1.7e7 per term: 10^12 rows of
+    64-dim sums stay far inside int64."""
+
+    def f(b: pa.Table) -> np.ndarray:
+        col = b.column(vec_col)
+        arr = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        flat = arr.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        widths = np.diff(arr.offsets.to_numpy())
+        if len(widths) == 0:
+            return np.zeros((0, 0), np.int64)
+        d = int(widths[0])
+        if not (widths == d).all():
+            raise ValueError("ragged embedding column")
+        return np.floor(flat.reshape(-1, d) * scale).astype(np.int64)
+
+    return f

@@ -256,3 +256,31 @@ def test_approx_quantiles_stage(ray_session):
     empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
     oute = approx_quantiles(empty, "x", qs=(0.5,)).to_pandas()
     assert int(oute["n"].iloc[0]) == 0 and np.isnan(oute["value"]).all()
+
+
+class TestEmbeddingGram:
+    """probe.moment_matrix x embedding_gram_features: the Gram matrix
+    must equal the sequential quantized X^T X bit-for-bit across
+    partitionings."""
+
+    def test_matches_numpy_reference(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from boon_ray.stages.probe import (embedding_gram_features,
+                                           moment_matrix)
+
+        rng = np.random.default_rng(21)
+        x = rng.normal(0, 0.3, size=(120, 8)).astype(np.float32)
+        t = pa.table({"embedding": pa.array(
+            [row.tolist() for row in x],
+            pa.list_(pa.float32()))})
+        got = moment_matrix(rd.from_arrow(t).repartition(5),
+                            embedding_gram_features(scale=1024),
+                            d=8).to_pandas()
+        q = np.floor(x.astype(np.float64) * 1024).astype(np.int64)
+        ref = q.T @ q
+        for i, j, s in got[["i", "j", "s"]].itertuples(index=False):
+            assert ref[int(i), int(j)] == int(s)
+        assert len(got) == 8 * 9 // 2
