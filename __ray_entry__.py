@@ -1756,6 +1756,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "dominant_lang": _q_dominant_lang,
         "oov_rates": _q_oov_rates,
         "embedding_gram": _q_embedding_gram,
+        "cdc_chunks": _q_cdc_chunks,
     }
 
 
@@ -2694,6 +2695,23 @@ def _embedding_gram_sql() -> str:
         "CAST(SUM(a.v * b.v) AS BIGINT) AS s "
         "FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i "
         "GROUP BY a.i, b.i")
+
+
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (stages/chunking.cdc_chunks): rolling
+    polynomial-hash boundaries (window 16, expected chunk 64 B) —
+    boundaries depend on content, not position, so single-byte edits
+    realign instead of cascading; zero exchange, one row per chunk.
+    No SQL form (modular p^j arithmetic); pytest oracle = independent
+    O(n*w) reimplementation + the shift-invariance property
+    (tests/test_rank_chunks.py TestCdc)."""
+    import ray.data as rd
+
+    from boon_ray.stages.chunking import cdc_chunks
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return cdc_chunks(ds, text_col="text", id_col="doc_id")
 
 
 def _q_dominant_lang(sf_dir: str):

@@ -812,6 +812,16 @@ def q_skew_plan():
                      target_rows_per_task=4096).count()
 
 
+def q_cdc_chunks():
+    """Content-defined chunking over the amplified corpus: one
+    global polynomial-prefix pass per batch (uint64 wraparound
+    modulus), boundary mask test, chunk rows out — zero exchange."""
+    from boon_ray.stages.chunking import cdc_chunks
+
+    return cdc_chunks(_corpus_ids(), text_col="text",
+                      id_col="doc_id").count()
+
+
 _REVAL_FIX = None
 
 
@@ -1092,6 +1102,7 @@ QUERIES = {
     "incremental_reval": q_incremental_reval,
     "head_snapshot": q_head_snapshot,
     "skew_plan": q_skew_plan,
+    "cdc_chunks": q_cdc_chunks,
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,

@@ -127,3 +127,118 @@ def chunk_documents_sql(table: str, width: int, stride: int,
         rf"AS n_words, "
         rf"array_to_string(ts[i:least(i + {width - 1}, len(ts))], ' ') "
         rf"AS chunk_text FROM starts")
+
+
+# ------------------------------------------------------------------ #
+# Content-defined chunking (CDC)                                     #
+# ------------------------------------------------------------------ #
+#
+# The storage/dedup chunking primitive (LBFS/rsync lineage): cut a
+# byte stream where a rolling hash of the trailing ``w`` bytes hits a
+# mask, so chunk boundaries depend on CONTENT, not position — insert
+# one byte at the front of a file and every boundary after the edit
+# point realigns, which fixed-width chunking can never do. Classic
+# CDC adds sequential min/max chunk-size clamps; those make the scan
+# stateful, so this implementation is the PURE mask rule (expected
+# chunk length 2^mask_bits bytes, geometric distribution) — fully
+# vectorizable and partition-independent, the variant content-dedup
+# pipelines use for chunk-hash statistics.
+#
+# Vectorization: polynomial hash with an ODD multiplier p (invertible
+# mod 2^64, so uint64 wraparound IS the modulus): prefix sums
+# S[i] = sum_j b[j] p^j, window hash over [s, s+w) =
+# (S[s+w] - S[s]) * p^{-s} — position-normalized, so one global
+# prefix pass over the batch's flat buffer serves every doc; per-doc
+# masks keep windows from crossing doc edges. Chunk ids/offsets fall
+# out of a cumsum over boundary flags; chunk hashes reuse the same
+# normalized polynomial (no second pass over bytes).
+#
+# No SQL oracle (modular p^j arithmetic is not expressible in ANSI
+# SQL): the pytest oracle is an independent O(n*w) per-doc
+# reimplementation plus the shift-invariance property itself.
+
+_CDC_P = np.uint64(0x9E3779B97F4A7C15 | 1)
+_CDC_PINV = np.uint64(pow(0x9E3779B97F4A7C15 | 1, -1, 2 ** 64))
+
+
+def _pow_series(base: np.uint64, n: int) -> np.ndarray:
+    """[base^0, base^1, ..., base^(n-1)] mod 2^64."""
+    out = np.empty(n, np.uint64)
+    if n:
+        out[0] = np.uint64(1)
+        if n > 1:
+            np.multiply.accumulate(
+                np.full(n - 1, base, np.uint64), out=out[1:])
+    return out
+
+
+def cdc_chunk_batch(b: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 16,
+                    mask_bits: int = 6) -> pa.Table:
+    """One batch -> (doc_id, chunk_id, start, length, chunk_hash)."""
+    from boon_ray.stages.structure import _flat_bytes
+
+    ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    data, offs = _flat_bytes(b.column(text_col))
+    n = len(data)
+    w = int(window)
+    mask = np.uint64((1 << mask_bits) - 1)
+    ppow = _pow_series(_CDC_P, n)
+    pinv = _pow_series(_CDC_PINV, n + 1)
+    s = np.zeros(n + 1, np.uint64)
+    if n:
+        np.cumsum(data.astype(np.uint64) * ppow, out=s[1:])
+
+    # doc index per byte position; a window starting at byte `st`
+    # is valid iff it lies entirely inside one doc
+    doc_of = np.repeat(np.arange(len(ids), dtype=np.int64),
+                       np.diff(offs))
+    if n >= w:
+        st = np.arange(n - w + 1)
+        h = (s[w:] - s[:-w]) * pinv[st]
+        bnd = (h & mask) == np.uint64(0)
+        bnd &= doc_of[st] == doc_of[st + w - 1]
+        # boundary AFTER byte st+w-1; a cut at a doc's last byte is
+        # a no-op (the chunk ends there anyway)
+        cut = st[bnd] + w          # absolute cut positions
+        cut = cut[cut < offs[1:][doc_of[cut - 1]]]
+    else:
+        cut = np.zeros(0, np.int64)
+
+    # chunk starts = doc starts + cuts; merge-sort keeps doc order
+    nonempty = np.diff(offs) > 0
+    starts = np.sort(np.concatenate(
+        [offs[:-1][nonempty].astype(np.int64), cut.astype(np.int64)]))
+    doc_idx = doc_of[starts]
+    ends = np.empty(len(starts), np.int64)
+    ends[:-1] = starts[1:]
+    if len(starts):
+        ends[-1] = offs[1:][doc_idx[-1]]
+    same_doc = np.zeros(len(starts), bool)
+    same_doc[:-1] = doc_idx[:-1] == doc_idx[1:]
+    ends[:-1][~same_doc[:-1]] = offs[1:][doc_idx[:-1][~same_doc[:-1]]]
+    # chunk ids: position within doc
+    first = np.ones(len(starts), bool)
+    first[1:] = doc_idx[1:] != doc_idx[:-1]
+    cid = np.arange(len(starts), dtype=np.int64)
+    cid -= np.maximum.accumulate(np.where(first, cid, 0))
+    ch = ((s[ends] - s[starts]) * pinv[starts]).astype(np.uint64)
+    ch = (ch ^ (ends - starts).astype(np.uint64)).view(np.int64)
+    return pa.table({
+        id_col: pa.array(ids[doc_idx]),
+        "chunk_id": pa.array(cid, pa.int64()),
+        "start": pa.array(starts - offs[:-1][doc_idx], pa.int64()),
+        "length": pa.array(ends - starts, pa.int64()),
+        "chunk_hash": pa.array(ch, pa.int64())})
+
+
+def cdc_chunks(ds, text_col: str = "text", id_col: str = "doc_id",
+               window: int = 16, mask_bits: int = 6,
+               batch_size=None):
+    """Content-defined chunking over a corpus — zero exchange, one
+    row per chunk (see the CDC banner above)."""
+    return ds.map_batches(
+        lambda b: cdc_chunk_batch(b, text_col, id_col, window,
+                                  mask_bits),
+        batch_format="pyarrow", batch_size=batch_size)
