@@ -1757,6 +1757,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "oov_rates": _q_oov_rates,
         "embedding_gram": _q_embedding_gram,
         "cdc_chunks": _q_cdc_chunks,
+        "customers_no_orders": _q_customers_no_orders,
     }
 
 
@@ -2712,6 +2713,38 @@ def _q_cdc_chunks(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return cdc_chunks(ds, text_col="text", id_col="doc_id")
+
+
+def _q_customers_no_orders(sf_dir: str):
+    """Large-large ANTI join (stages/joins.hash_join how='anti', the
+    TPC-H Q22 shape): customers with no orders — both sides bucket
+    by key hash, right columns never leave the bucket task, left
+    rows with no key match survive. The semi mode is exercised by
+    the same test suite."""
+    import ray.data as rd
+
+    from boon_ray.stages.joins import hash_join
+
+    import pyarrow.compute as _pc
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name",
+                                    "c_acctbal"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderstatus"]) \
+        .map_batches(
+            lambda b: b.filter(_pc.equal(b.column("o_orderstatus"),
+                                         "F")).select(["o_custkey"])
+            .rename_columns(["c_custkey"]),
+            batch_format="pyarrow")
+    return hash_join(cust, orders, on=["c_custkey"], how="anti")
+
+
+def _customers_no_orders_sql() -> str:
+    return ("SELECT c_custkey, c_name, c_acctbal FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderstatus = 'F')")
 
 
 def _q_dominant_lang(sf_dir: str):
@@ -4328,6 +4361,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "dominant_lang": _dominant_lang_sql(),
         "oov_rates": _oov_rates_sql(),
         "embedding_gram": _embedding_gram_sql(),
+        "customers_no_orders": _customers_no_orders_sql(),
         "normalized_text":
             r"SELECT doc_id, lower(regexp_replace(trim(text), "
             r"'\s+', ' ', 'g')) AS norm_text FROM documents",

@@ -228,23 +228,38 @@ def hash_join(left, right, on: Sequence[str], how: str = "inner",
     map_groups task. ``num_buckets`` sets the shuffle parallelism; for
     skewed keys widen it — a single hot KEY still lands in one bucket
     (hash-join limit), so pre-split truly degenerate keys with a salt
-    column and re-aggregate after. how: inner | left.
+    column and re-aggregate after. how: inner | left | semi | anti.
+
+    ``semi``/``anti`` emit LEFT rows only (right columns never leave
+    the bucket task): semi keeps left rows whose key exists on the
+    right (SQL EXISTS — no duplication on many-to-many), anti keeps
+    those whose key does not (NOT EXISTS) — the large-large
+    referential check when neither side fits a broadcast.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"hash_join supports inner|left, not {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"hash_join supports inner|left|semi|anti, not {how!r}")
     on = list(on)
     both, unified, left_names, right_names = _tagged_union(
         left, right, on, shared=on, num_buckets=num_buckets,
         suffix=suffix, batch_size=batch_size,
         left_schema=left_schema, right_schema=right_schema)
-    out_schema = pa.schema(
-        [unified.field(c) for c in left_names]
-        + [unified.field(c) for c in right_names if c not in on])
+    if how in ("semi", "anti"):
+        out_schema = pa.schema([unified.field(c) for c in left_names])
+    else:
+        out_schema = pa.schema(
+            [unified.field(c) for c in left_names]
+            + [unified.field(c) for c in right_names if c not in on])
 
     def join_bucket(g: pa.Table) -> pa.Table:
         ldf, rdf = _split_sides(g, left_names, right_names)
-        if ldf.empty or (rdf.empty and how == "inner"):
+        if ldf.empty or (rdf.empty and how in ("inner", "semi")):
             return out_schema.empty_table()
+        if how in ("semi", "anti"):
+            keys = pd.MultiIndex.from_frame(rdf[on]).drop_duplicates()
+            hit = pd.MultiIndex.from_frame(ldf[on]).isin(keys)
+            m = ldf[hit if how == "semi" else ~hit]
+            return _df_to_table(m.reset_index(drop=True), out_schema)
         m = ldf.merge(rdf, on=on, how=how)
         return _df_to_table(m, out_schema)
 

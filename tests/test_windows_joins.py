@@ -6,6 +6,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+import ray.data as rd
 
 SF = "/root/testdata/sf0.001"
 
@@ -1238,3 +1239,71 @@ try:
         assert key(got) == key(want)
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+class TestSemiAntiJoin:
+    """hash_join how='semi'/'anti': EXISTS semantics (no row
+    duplication on many-to-many), right columns never emitted."""
+
+    def _sides(self):
+        left = pa.table({
+            "k": pa.array([1, 2, 3, 4, 4], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d", "e"], pa.string())})
+        right = pa.table({
+            "k": pa.array([2, 2, 4, 9], pa.int64()),
+            "w": pa.array([10, 11, 12, 13], pa.int64())})
+        return left, right
+
+    def test_semi_and_anti(self, ray_session):
+        from boon_ray.stages.joins import hash_join
+
+        left, right = self._sides()
+        semi = hash_join(rd.from_arrow(left).repartition(3),
+                         rd.from_arrow(right).repartition(2),
+                         on=["k"], how="semi",
+                         num_buckets=2).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        # k=2 matched TWICE on the right but emits once (EXISTS);
+        # both k=4 left rows survive independently
+        assert semi["v"].tolist() == ["b", "d", "e"]
+        assert list(semi.columns) == ["k", "v"]
+        anti = hash_join(rd.from_arrow(left), rd.from_arrow(right),
+                         on=["k"], how="anti").to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        assert anti["v"].tolist() == ["a", "c"]
+
+    def test_anti_empty_right_keeps_all(self, ray_session):
+        from boon_ray.stages.joins import hash_join
+
+        left, right = self._sides()
+        empty = rd.from_arrow(right.slice(0, 0))
+        anti = hash_join(rd.from_arrow(left), empty, on=["k"],
+                         how="anti",
+                         right_schema=right.schema).to_pandas()
+        assert len(anti) == 5
+
+    def test_matches_duckdb_exists(self, ray_session):
+        import duckdb
+
+        from boon_ray.stages.joins import hash_join
+
+        rng = np.random.default_rng(17)
+        left = pa.table({
+            "k": pa.array(rng.integers(0, 40, 200), pa.int64()),
+            "v": pa.array(rng.integers(0, 9, 200), pa.int64())})
+        right = pa.table({
+            "k": pa.array(rng.integers(20, 60, 150), pa.int64())})
+        for how, op in (("semi", ""), ("anti", "NOT ")):
+            got = hash_join(rd.from_arrow(left).repartition(4),
+                            rd.from_arrow(right).repartition(3),
+                            on=["k"], how=how, num_buckets=3) \
+                .to_pandas().sort_values(["k", "v"]) \
+                .reset_index(drop=True)
+            con = duckdb.connect()
+            con.register("l", left)
+            con.register("r", right)
+            want = con.sql(
+                f"SELECT k, v FROM l WHERE {op}EXISTS "
+                "(SELECT 1 FROM r WHERE r.k = l.k) "
+                "ORDER BY k, v").df()
+            assert got.astype(str).equals(want.astype(str)), how
