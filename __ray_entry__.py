@@ -1758,6 +1758,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": _q_embedding_gram,
         "cdc_chunks": _q_cdc_chunks,
         "customers_no_orders": _q_customers_no_orders,
+        "cdc_dedup_ratio": _q_cdc_dedup_ratio,
     }
 
 
@@ -2713,6 +2714,21 @@ def _q_cdc_chunks(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return cdc_chunks(ds, text_col="text", id_col="doc_id")
+
+
+def _q_cdc_dedup_ratio(sf_dir: str):
+    """Chunk-level dedup accounting over CDC chunks
+    (stages/chunking.cdc_dedup_stats): one row —
+    (n_chunks, n_distinct, total_bytes, unique_bytes). Rows-only
+    (chunk hashes have no SQL form); pytest oracle = pandas fold of
+    the brute-force-verified chunk table."""
+    import ray.data as rd
+
+    from boon_ray.stages.chunking import cdc_dedup_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return cdc_dedup_stats(ds, text_col="text", id_col="doc_id")
 
 
 def _q_customers_no_orders(sf_dir: str):

@@ -242,3 +242,59 @@ def cdc_chunks(ds, text_col: str = "text", id_col: str = "doc_id",
         lambda b: cdc_chunk_batch(b, text_col, id_col, window,
                                   mask_bits),
         batch_format="pyarrow", batch_size=batch_size)
+
+
+def cdc_dedup_stats(ds, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 16,
+                    mask_bits: int = 6, num_buckets: int = 32,
+                    batch_size=None):
+    """Cross-corpus chunk-level dedup accounting — WHY one runs CDC:
+    of all content bytes, how many are duplicate chunks?  Chunks from
+    :func:`cdc_chunks` pre-reduce per batch to (chunk_hash, n, bytes,
+    len0) partials; one hash-bucketed sum; the driver-side final fold
+    is over per-bucket single-row partials.  Returns a one-row table:
+    (n_chunks, n_distinct, total_bytes, unique_bytes) where
+    unique_bytes counts each distinct chunk once.
+
+    The hash-keyed exchange carries ~32 B per distinct chunk per
+    batch — the index's own size, never the corpus bytes.
+    """
+    import ray.data as rd
+
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    chunks = cdc_chunks(ds, text_col=text_col, id_col=id_col,
+                        window=window, mask_bits=mask_bits,
+                        batch_size=batch_size)
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "h": b.column("chunk_hash").to_numpy(
+                zero_copy_only=False),
+            "ln": b.column("length").to_numpy(zero_copy_only=False)})
+        g = df.groupby("h", sort=False).agg(
+            n=("ln", "size"), bytes=("ln", "sum"),
+            len0=("ln", "first")).reset_index()
+        for c in ("n", "bytes", "len0"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("h", sort=False).agg(
+            n=("n", "sum"), bytes=("bytes", "sum"),
+            len0=("len0", "first"))
+        return pd.DataFrame({
+            "n_chunks": [np.int64(g["n"].sum())],
+            "n_distinct": [np.int64(len(g))],
+            "total_bytes": [np.int64(g["bytes"].sum())],
+            "unique_bytes": [np.int64(g["len0"].sum())]})
+
+    per_bucket = bucketed_map_groups(
+        chunks.map_batches(part, batch_format="pyarrow",
+                           batch_size=None),
+        ["h"], fold, num_buckets=num_buckets)
+    tot = per_bucket.to_pandas().sum().astype("int64")  # <= buckets rows
+    return rd.from_arrow(pa.table({
+        k: pa.array([int(tot[k])], pa.int64())
+        for k in ("n_chunks", "n_distinct", "total_bytes",
+                  "unique_bytes")}))

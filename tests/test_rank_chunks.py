@@ -941,3 +941,22 @@ class TestCdc:
             "/root/testdata/sf0.001").to_pandas()
         assert len(df) > 500      # several chunks per doc
         assert (df["length"] > 0).all()
+
+    def test_dedup_stats_match_pandas_fold(self, ray_session):
+        from boon_ray.stages.chunking import (cdc_chunk_batch,
+                                              cdc_dedup_stats)
+
+        texts = self._docs(seed=11, n=25)
+        texts += texts[:10]          # planted duplicate docs
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        got = cdc_dedup_stats(rd.from_arrow(t).repartition(4),
+                              num_buckets=3).to_pandas().iloc[0]
+        ref = cdc_chunk_batch(t).to_pandas()
+        g = ref.groupby("chunk_hash")["length"]
+        assert got["n_chunks"] == len(ref)
+        assert got["n_distinct"] == g.ngroups
+        assert got["total_bytes"] == ref["length"].sum()
+        assert got["unique_bytes"] == g.first().sum()
+        # duplicated docs -> substantial duplicate chunk mass
+        assert got["unique_bytes"] < got["total_bytes"]
