@@ -1734,6 +1734,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "code_hygiene": _q_code_hygiene,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_triangles": _q_graph_triangles,
         "repo_scorecard": _q_repo_scorecard,
         "fork_pairs": _q_fork_pairs,
         "fork_canonical": _q_fork_canonical,
@@ -2045,6 +2046,39 @@ def _q_graph_pagerank(sf_dir: str):
     pairs = embedding_duplicate_pairs_exact(ds, "embedding", "vec_id",
                                             threshold=0.3)
     return pagerank(pairs.select_columns(["a", "b"]), iterations=5)
+
+
+def _q_graph_triangles(sf_dir: str):
+    """Per-node triangle participation + degree over the SAME exact
+    embedding-similarity graph graph_pagerank ranks (stages/graph.py
+    triangle_counts): degree-ordered wedge counting — canonical-edge
+    buckets pinned once, orient/wedge/close exchanges carry 16-24 B
+    rows, every triangle generated exactly once at its lowest-rank
+    vertex. The clustering-density signal of the near-dup graph."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import embedding_duplicate_pairs_exact
+    from boon_ray.stages.graph import triangle_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds = ds.filter(expr="vec_id < 500")
+    pairs = embedding_duplicate_pairs_exact(ds, "embedding", "vec_id",
+                                            threshold=0.3)
+    return triangle_counts(pairs.select_columns(["a", "b"]),
+                           num_buckets=8)
+
+
+def _graph_triangles_sql() -> str:
+    from boon_ray.stages.graph import triangle_sql
+
+    pairs = ("SELECT a.vec_id AS a, b.vec_id AS b "
+             "FROM embeddings a CROSS JOIN embeddings b "
+             "WHERE a.vec_id < b.vec_id AND a.vec_id < 500 "
+             "AND b.vec_id < 500 AND "
+             "list_cosine_similarity(a.embedding, b.embedding) "
+             ">= 0.3")
+    return triangle_sql(pairs)
 
 
 def _q_fork_pairs(sf_dir: str):
@@ -4355,6 +4389,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "line_dedup": line_dedup_sql(min_words=2),
         "code_hygiene": _code_hygiene_sql(),
         "graph_pagerank": _graph_pagerank_sql(),
+        "graph_triangles": _graph_triangles_sql(),
         "repo_scorecard": _repo_scorecard_sql(),
         "fork_pairs": _fork_pairs_sql(),
         "fork_canonical": _fork_canonical_sql(),

@@ -486,6 +486,37 @@ def q_graph_pagerank():
     return pagerank(pairs, iterations=5, num_buckets=32).count()
 
 
+def q_graph_triangles():
+    """Triangle counting over a deterministic ~500k-node sparse graph
+    (ring + doubling edges plus planted 4-cliques every 1000 ids):
+    measures the degree-ordered wedge machinery — canonical-edge
+    dedup, degree request/reply, the orient re-slice and the wedge
+    membership exchange."""
+    import pyarrow as pa
+
+    from boon_ray.stages.graph import triangle_counts
+
+    def edges(b: pa.Table) -> pa.Table:
+        import numpy as np
+        n = np.int64(500_000)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64) % n
+        a = np.concatenate([ids, ids])
+        bb = np.concatenate([(ids + 1) % n, (ids * 2 + 1) % n])
+        # planted 4-cliques: ids divisible by 1000 link to the next
+        # three multiples, closing deterministic triangles
+        k = ids[ids % 1000 == 0]
+        ca = np.concatenate([k, k, k])
+        cb = np.concatenate([(k + 1000) % n, (k + 2000) % n,
+                             (k + 3000) % n])
+        return pa.table({"a": pa.array(np.concatenate([a, ca])),
+                         "b": pa.array(np.concatenate([bb, cb]))})
+
+    pairs = _corpus_ids().map_batches(edges, batch_format="pyarrow",
+                                      batch_size=None)
+    return triangle_counts(pairs, num_buckets=32).count()
+
+
 def q_code_hygiene():
     """All four code-hygiene passes (quality gates, license
     detection, secret scanning, comment stripping) over the amplified
@@ -1106,6 +1137,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
     "shuffle_rank": q_shuffle_rank,
     "importance": q_importance,
     "semdedup": q_semdedup,

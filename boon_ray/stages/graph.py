@@ -436,3 +436,313 @@ def bfs_reference(pairs, seeds, max_depth: int = 4) -> dict[int, int]:
                     nxt.append(v)
         frontier = nxt
     return dist
+
+
+def triangle_counts(pairs_ds, num_buckets: int = 16,
+                    a_col: str = "a", b_col: str = "b"):
+    """(node, d, tri) for every node of the undirected pair graph:
+    d = degree over DISTINCT canonical edges (self-loops dropped,
+    duplicate pairs collapsed), tri = number of triangles the node
+    participates in — the clustering-coefficient numerator and the
+    community-density signal of a similarity graph (reference
+    analogue: the cross-constraint verdict family; public algorithm:
+    degree-ordered wedge counting, Suri & Vassilvitskii WWW'11 /
+    Cohen's MapReduce triangle enumeration).
+
+    Distributed plan (pinned-bucket waves, like :func:`pagerank`):
+
+    1. canonical edges hash-bucketed ONCE by ``bucket_of(lo)``,
+       deduped in-bucket (lo < hi by node id);
+    2. degree partials (16 B/row, pre-reduced per bucket) fold in
+       each node's home bucket — this also fixes the output node set;
+    3. each edge bucket fetches deg for its endpoint nodes
+       (request/reply waves, 8+16 B/row, unique nodes only);
+    4. edges orient low-rank -> high-rank by rank = (deg, node) and
+       re-slice by the ORIENTED source's bucket (one m-row 16 B/row
+       exchange — a source's out-edges start scattered across the
+       buckets of their canonical lo endpoints), so every triangle
+       is generated EXACTLY ONCE as a wedge at its lowest-rank
+       vertex and out-degrees are capped at O(sqrt(m)) regardless of
+       hub skew — the wedge exchange is O(m^1.5) worst case (the
+       optimal bound), 24 B/row (lo2, hi2, u);
+    5. wedges ship to the canonical bucket of their closing edge,
+       membership-checked against the pinned edge slice
+       (structured-array searchsorted), and hits credit all three
+       vertices via pre-reduced count partials folded at home.
+
+    The driver holds refs and scalars only; no stage ever sees more
+    than one bucket's edges plus its wedge slice.
+    """
+    import ray
+    import ray.data as rd
+
+    from boon_ray.stages.training import splitmix64
+
+    B = int(num_buckets)
+    NR = max(B, 2)
+
+    def bucket_of(x: np.ndarray) -> np.ndarray:
+        return (splitmix64(x.astype(np.int64).view(np.uint64))
+                % np.uint64(B)).astype(np.int64)
+
+    def explode(b: pa.Table) -> pa.Table:
+        a = b.column(a_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bb = b.column(b_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = a != bb
+        a, bb = a[keep], bb[keep]
+        lo = np.minimum(a, bb)
+        hi = np.maximum(a, bb)
+        return pa.table({"bk": pa.array(bucket_of(lo)),
+                         "lo": pa.array(lo), "hi": pa.array(hi)})
+
+    part_refs = pairs_ds.map_batches(
+        explode, batch_format="pyarrow",
+        batch_size=None).to_arrow_refs()
+
+    def _pairkey(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        k = np.zeros(len(lo), dtype=np.dtype(
+            [("a", "<i8"), ("b", "<i8")]))
+        k["a"], k["b"] = lo, hi
+        return k
+
+    @ray.remote
+    def build_bucket(bkt: int, *tables):
+        """This bucket's deduped canonical edge slice, sorted
+        lexicographically by (lo, hi)."""
+        pieces = [t.filter(pc.equal(t.column("bk"), bkt))
+                  for t in tables if "bk" in t.schema.names]
+        if pieces:
+            t = pa.concat_tables(pieces)
+            lo = t.column("lo").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            hi = t.column("hi").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            lo = hi = np.empty(0, np.int64)
+        order = np.lexsort((hi, lo))
+        lo, hi = lo[order], hi[order]
+        if len(lo):
+            first = np.r_[True, (lo[1:] != lo[:-1])
+                          | (hi[1:] != hi[:-1])]
+            lo, hi = lo[first], hi[first]
+        return lo, hi
+
+    @ray.remote(num_returns=NR)
+    def push_deg(state):
+        lo, hi = state
+        nodes, cnt = np.unique(np.concatenate([lo, hi]),
+                               return_counts=True)
+        tb = bucket_of(nodes)
+        out = [(nodes[tb == c], cnt[tb == c].astype(np.int64))
+               for c in range(B)]
+        return out + [None] * (NR - B)
+
+    @ray.remote
+    def fold_deg(*pushed):
+        """Home-bucket degree table: (nodes sorted, deg)."""
+        parts = [p for p in pushed if p is not None and len(p[0])]
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        alln = np.concatenate([p[0] for p in parts])
+        allc = np.concatenate([p[1] for p in parts])
+        nodes, inv = np.unique(alln, return_inverse=True)
+        deg = np.zeros(len(nodes), np.int64)
+        np.add.at(deg, inv, allc)
+        return nodes, deg
+
+    @ray.remote(num_returns=NR)
+    def req_nodes(state):
+        lo, hi = state
+        need = np.unique(np.concatenate([lo, hi]))
+        tb = bucket_of(need)
+        out = [need[tb == c] for c in range(B)]
+        return out + [None] * (NR - B)
+
+    @ray.remote(num_returns=NR)
+    def reply_deg(home, *reqs):
+        nodes, deg = home
+        out = []
+        for q in reqs:
+            if q is None or not len(q):
+                out.append((np.empty(0, np.int64),
+                            np.empty(0, np.int64)))
+            else:
+                pos = np.searchsorted(nodes, q)
+                out.append((q, deg[pos]))
+        return out + [None] * (NR - len(reqs))
+
+    @ray.remote(num_returns=NR)
+    def orient(state, *replies):
+        """Orient each edge low-rank -> high-rank by rank =
+        (deg, node) and RE-SLICE by the oriented source's bucket —
+        a source's out-edges start in the buckets of their CANONICAL
+        lo endpoints, so wedge generation needs this one extra
+        16 B/row exchange to see each source's complete adjacency."""
+        lo, hi = state
+        rn = [r[0] for r in replies if r is not None and len(r[0])]
+        rd_ = [r[1] for r in replies if r is not None and len(r[0])]
+        empty = [(np.empty(0, np.int64), np.empty(0, np.int64),
+                  np.empty(0, np.int64)) for _ in range(B)]
+        if not len(lo) or not rn:
+            return empty + [None] * (NR - B)
+        nodes = np.concatenate(rn)
+        degs = np.concatenate(rd_)
+        order = np.argsort(nodes)
+        nodes, degs = nodes[order], degs[order]
+        dlo = degs[np.searchsorted(nodes, lo)]
+        dhi = degs[np.searchsorted(nodes, hi)]
+        # rank(lo) < rank(hi) iff (dlo, lo) < (dhi, hi); lo != hi
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        src = np.where(lo_first, lo, hi)
+        dst = np.where(lo_first, hi, lo)
+        ddst = np.where(lo_first, dhi, dlo)
+        tb = bucket_of(src)
+        out = [(src[tb == c], dst[tb == c], ddst[tb == c])
+               for c in range(B)]
+        return out + [None] * (NR - B)
+
+    @ray.remote(num_returns=NR)
+    def wedges(*oslices):
+        """Generate every out-neighbor pair at each source (this
+        bucket now holds each of its sources' COMPLETE oriented
+        adjacency), slice by the closing edge's canonical bucket."""
+        parts = [s for s in oslices if s is not None and len(s[0])]
+        if not parts:
+            return ([(np.empty(0, np.int64), np.empty(0, np.int64),
+                      np.empty(0, np.int64)) for _ in range(B)]
+                    + [None] * (NR - B))
+        src = np.concatenate([p[0] for p in parts])
+        dst = np.concatenate([p[1] for p in parts])
+        ddst = np.concatenate([p[2] for p in parts])
+        # group by src; within a group order dsts by rank so the
+        # wedge (v, w) always has rank(v) < rank(w)
+        order = np.lexsort((dst, ddst, src))
+        src, dst = src[order], dst[order]
+        grp = np.r_[True, src[1:] != src[:-1]]
+        gid = np.cumsum(grp) - 1
+        counts = np.bincount(gid)
+        within = np.arange(len(src)) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        reps = counts[gid] - 1 - within
+        first = np.repeat(np.arange(len(src)), reps)
+        tot = int(reps.sum())
+        offs = np.arange(tot) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        second = first + 1 + offs
+        u = src[first]
+        v, w = dst[first], dst[second]
+        lo2 = np.minimum(v, w)
+        hi2 = np.maximum(v, w)
+        tb = bucket_of(lo2)
+        out = [(lo2[tb == c], hi2[tb == c], u[tb == c])
+               for c in range(B)]
+        return out + [None] * (NR - B)
+
+    @ray.remote(num_returns=NR)
+    def close(state, *wslices):
+        """Membership-check wedge closing edges against the pinned
+        slice; credit u, v, w of each hit as count partials."""
+        lo, hi = state
+        parts = [s for s in wslices if s is not None and len(s[0])]
+        empty = [(np.empty(0, np.int64), np.empty(0, np.int64))
+                 for _ in range(B)]
+        if not parts or not len(lo):
+            return empty + [None] * (NR - B)
+        qlo = np.concatenate([p[0] for p in parts])
+        qhi = np.concatenate([p[1] for p in parts])
+        qu = np.concatenate([p[2] for p in parts])
+        ek = _pairkey(lo, hi)
+        qk = _pairkey(qlo, qhi)
+        pos = np.searchsorted(ek, qk)
+        hit = pos < len(ek)
+        hit[hit] = ek[pos[hit]] == qk[hit]
+        if not hit.any():
+            return empty + [None] * (NR - B)
+        tris = np.concatenate([qu[hit], qlo[hit], qhi[hit]])
+        nodes, cnt = np.unique(tris, return_counts=True)
+        tb = bucket_of(nodes)
+        out = [(nodes[tb == c], cnt[tb == c].astype(np.int64))
+               for c in range(B)]
+        return out + [None] * (NR - B)
+
+    @ray.remote
+    def emit(home, *cparts) -> pa.Table:
+        nodes, deg = home
+        tri = np.zeros(len(nodes), np.int64)
+        for p in cparts:
+            if p is not None and len(p[0]):
+                np.add.at(tri, np.searchsorted(nodes, p[0]), p[1])
+        return pa.table({"node": pa.array(nodes),
+                         "d": pa.array(deg),
+                         "tri": pa.array(tri)})
+
+    states = [build_bucket.remote(c, *part_refs) for c in range(B)]
+    dslices = [push_deg.remote(s) for s in states]
+    homes = [fold_deg.remote(*[dslices[p][c] for p in range(B)])
+             for c in range(B)]
+    reqs = [req_nodes.remote(s) for s in states]
+    # replies[home][requester]
+    reps = [reply_deg.remote(homes[c],
+                             *[reqs[p][c] for p in range(B)])
+            for c in range(B)]
+    osl = [orient.remote(states[c],
+                         *[reps[p][c] for p in range(B)])
+           for c in range(B)]
+    wsl = [wedges.remote(*[osl[p][c] for p in range(B)])
+           for c in range(B)]
+    csl = [close.remote(states[c],
+                        *[wsl[p][c] for p in range(B)])
+           for c in range(B)]
+    return rd.from_arrow_refs(
+        [emit.remote(homes[c], *[csl[p][c] for p in range(B)])
+         for c in range(B)])
+
+
+def triangle_sql(pairs_sql: str, a_col: str = "a",
+                 b_col: str = "b") -> str:
+    """The exact DuckDB form: DISTINCT canonical edges, degree over
+    the symmetrized set, node-ordered triangle enumeration (each
+    triangle once), per-vertex crediting via UNION ALL."""
+    return (
+        f"WITH tc_pairs AS ({pairs_sql}), "
+        f"tc_e AS (SELECT DISTINCT LEAST({a_col}, {b_col}) AS lo, "
+        f"GREATEST({a_col}, {b_col}) AS hi FROM tc_pairs "
+        f"WHERE {a_col} <> {b_col}), "
+        "tc_deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM ("
+        "SELECT lo AS v FROM tc_e UNION ALL SELECT hi FROM tc_e"
+        ") GROUP BY v), "
+        "tc_tri AS (SELECT t1.lo AS x, t1.hi AS y, t2.hi AS z "
+        "FROM tc_e t1 "
+        "JOIN tc_e t2 ON t2.lo = t1.lo AND t2.hi > t1.hi "
+        "JOIN tc_e t3 ON t3.lo = t1.hi AND t3.hi = t2.hi), "
+        "tc_cnt AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS tri FROM ("
+        "SELECT x AS v FROM tc_tri UNION ALL SELECT y FROM tc_tri "
+        "UNION ALL SELECT z FROM tc_tri) GROUP BY v) "
+        "SELECT tc_deg.v AS node, tc_deg.d, "
+        "CAST(COALESCE(tc_cnt.tri, 0) AS BIGINT) AS tri "
+        "FROM tc_deg LEFT JOIN tc_cnt ON tc_cnt.v = tc_deg.v")
+
+
+def triangle_reference(pairs) -> dict[int, tuple[int, int]]:
+    """Independent sequential reference: {node: (deg, tri)} via
+    adjacency-set intersection — the pytest oracle."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for v, nb in adj.items():
+        for w in nb:
+            if w > v:
+                common = nb & adj[w]
+                for u in common:
+                    if u > w:
+                        tri[v] += 1
+                        tri[w] += 1
+                        tri[u] += 1
+    return {v: (len(nb), tri[v]) for v, nb in adj.items()}

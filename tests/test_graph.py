@@ -155,3 +155,72 @@ class TestBfs:
                          rng.integers(0, 100, 400).tolist()))
         seeds = [3, 55, 140]  # 140 isolated
         self._check(pairs, seeds, depths=(2, 5), buckets=(4, 9))
+
+
+class TestTriangles:
+    """triangle_counts vs the adjacency-set reference and the SQL
+    form (stages/graph.py)."""
+
+    def _run(self, pairs, num_buckets=4, n_blocks=1):
+        from boon_ray.stages.graph import triangle_counts
+        df = triangle_counts(_pairs_ds(pairs, n_blocks=n_blocks),
+                             num_buckets=num_buckets).to_pandas()
+        return {int(r.node): (int(r.d), int(r.tri))
+                for r in df.itertuples()}
+
+    def test_hand_case(self, ray_session):
+        # two triangles sharing edge (1, 2) + a pendant
+        pairs = [(1, 2), (1, 18), (2, 18), (1, 17), (2, 17), (17, 99)]
+        got = self._run(pairs)
+        assert got == {1: (3, 2), 2: (3, 2), 17: (3, 1),
+                       18: (2, 1), 99: (1, 0)}
+
+    def test_bridge_fixture(self, ray_session):
+        got = self._run(TRIANGLES_BRIDGE)
+        # two disjoint triangles joined by a bridge: every triangle
+        # vertex counts 1, the bridge adds no triangle
+        assert all(t == 1 for _, t in got.values())
+
+    def test_self_loops_and_duplicates_collapse(self, ray_session):
+        pairs = [(1, 1), (1, 2), (2, 1), (1, 2), (2, 3), (3, 1)]
+        got = self._run(pairs)
+        assert got == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+
+    def test_random_vs_reference_and_partitions(self, ray_session):
+        from boon_ray.stages.graph import triangle_reference
+        rng = np.random.RandomState(11)
+        pairs = [(int(a), int(b))
+                 for a, b in rng.randint(0, 40, (400, 2))]
+        want = triangle_reference(pairs)
+        for nb, bk in ((1, 2), (5, 8), (11, 16)):
+            assert self._run(pairs, num_buckets=bk,
+                             n_blocks=nb) == want, (nb, bk)
+
+    def test_sql_cross_check(self, ray_session):
+        import duckdb
+
+        from boon_ray.stages.graph import (triangle_reference,
+                                           triangle_sql)
+        rng = np.random.RandomState(23)
+        pairs = [(int(a), int(b))
+                 for a, b in rng.randint(0, 30, (150, 2))]
+        want = triangle_reference(pairs)
+        vals = ",".join(f"({a},{b})" for a, b in pairs)
+        sql = triangle_sql(f"SELECT * FROM (VALUES {vals}) AS t(a,b)")
+        df = duckdb.connect().execute(sql).df()
+        got = {int(r.node): (int(r.d), int(r.tri))
+               for r in df.itertuples()}
+        assert got == want
+        assert self._run(pairs, num_buckets=8) == want
+
+    def test_hub_skew_star_plus_clique(self, ray_session):
+        # a hub star (no triangles) plus a 6-clique: degree-ordered
+        # orientation keeps the hub's out-degree at 0 wedge pairs
+        from boon_ray.stages.graph import triangle_reference
+        pairs = [(0, i) for i in range(1, 30)]
+        clique = [(100 + i, 100 + j)
+                  for i in range(6) for j in range(i + 1, 6)]
+        got = self._run(pairs + clique, num_buckets=8)
+        assert got == triangle_reference(pairs + clique)
+        assert got[0] == (29, 0)
+        assert got[100] == (5, 10)  # C(5,2) triangles per clique node
