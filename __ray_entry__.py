@@ -1735,6 +1735,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "code_hygiene": _q_code_hygiene,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
+        "funnel_depths": _q_funnel_depths,
         "repo_scorecard": _q_repo_scorecard,
         "fork_pairs": _q_fork_pairs,
         "fork_canonical": _q_fork_canonical,
@@ -2046,6 +2047,29 @@ def _q_graph_pagerank(sf_dir: str):
     pairs = embedding_duplicate_pairs_exact(ds, "embedding", "vec_id",
                                             threshold=0.3)
     return pagerank(pairs.select_columns(["a", "b"]), iterations=5)
+
+
+def _q_funnel_depths(sf_dir: str):
+    """Ordered conversion funnel view -> click -> purchase over the
+    events table (stages/funnel.funnel_depths): per user the deepest
+    stage reached under greedy earliest-match with strict-> tie
+    semantics; the exchange carries only 20 B (user, stage, ts_us)
+    rows for the funnel's 3 of 5 event types."""
+    import ray.data as rd
+
+    from boon_ray.stages.funnel import funnel_depths
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    return funnel_depths(ds, ["view", "click", "purchase"],
+                         num_buckets=16)
+
+
+def _funnel_depths_sql() -> str:
+    from boon_ray.stages.funnel import funnel_sql
+
+    return funnel_sql("SELECT user_id, event_type, ts FROM events",
+                      ["view", "click", "purchase"])
 
 
 def _q_graph_triangles(sf_dir: str):
@@ -4390,6 +4414,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "code_hygiene": _code_hygiene_sql(),
         "graph_pagerank": _graph_pagerank_sql(),
         "graph_triangles": _graph_triangles_sql(),
+        "funnel_depths": _funnel_depths_sql(),
         "repo_scorecard": _repo_scorecard_sql(),
         "fork_pairs": _fork_pairs_sql(),
         "fork_canonical": _fork_canonical_sql(),

@@ -486,6 +486,40 @@ def q_graph_pagerank():
     return pagerank(pairs, iterations=5, num_buckets=32).count()
 
 
+def q_funnel_depths():
+    """Ordered view->click->purchase funnel over the events log
+    amplified 50x (5M events, synthetic distinct users per replica so
+    per-user event sets stay realistic): measures the stage-filtered
+    20 B/row user-keyed exchange + the k-pass vectorized greedy."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.funnel import funnel_depths
+
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["ts", "user_id", "event_type"])
+
+    def amplify(b: pa.Table) -> pa.Table:
+        reps = 50
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        users = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        n = len(ts)
+        offs = np.tile(np.arange(reps, dtype=np.int64) * 1_000_003, n)
+        return pa.table({
+            "ts": pa.array(np.repeat(ts, reps)),
+            "user_id": pa.array(np.repeat(users, reps) + offs),
+            "event_type": pa.array(np.repeat(et, reps)),
+        })
+
+    amped = ev.map_batches(amplify, batch_format="pyarrow",
+                           batch_size=None)
+    return funnel_depths(amped, ["view", "click", "purchase"],
+                         num_buckets=32).count()
+
+
 def q_graph_triangles():
     """Triangle counting over a deterministic ~500k-node sparse graph
     (ring + doubling edges plus planted 4-cliques every 1000 ids):
@@ -1138,6 +1172,7 @@ QUERIES = {
     "code_hygiene": q_code_hygiene,
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
+    "funnel_depths": q_funnel_depths,
     "shuffle_rank": q_shuffle_rank,
     "importance": q_importance,
     "semdedup": q_semdedup,

@@ -1,0 +1,178 @@
+"""Ordered conversion-funnel analysis over an event stream — per
+user, the deepest stage reached in a fixed stage sequence (view ->
+click -> purchase, signup -> first-job -> retained, ...), the
+product-analytics primitive behind conversion reporting and the
+event-sequencing analogue of the reference's if/then chained
+keyword semantics (boon evaluator.rs conditional family).
+
+Semantics (greedy earliest-match, exactly SQL-mirrorable): let
+``t_1`` = the user's earliest stage-1 event; ``t_i`` = the earliest
+stage-i event STRICTLY after ``t_{i-1}``. ``depth`` = the longest
+prefix matched; greedy earliest-match is optimal for ordered
+subsequence existence (matching any later stage-(i-1) event only
+shrinks the window for stage i). Equal timestamps do NOT advance the
+funnel (strict ``>``) — pinned by tests. Users with no stage-1 event
+emit no row. ``t_final`` = epoch-microseconds of the deepest matched
+event.
+
+Distributed plan: one streaming pass filters events to the funnel's
+stage types (at the READ — irrelevant event types never enter the
+exchange) and buckets 20 B (user, stage_idx, ts_us) rows by
+hash(user); each bucket task runs the k-stage greedy as k vectorized
+passes (np.minimum.reduceat per stage over the user-sorted slice).
+No pre-reduce exists for this operator — the greedy chain needs each
+user's full per-stage timestamp sets — so the exchange is honestly
+event-bounded but stage-filtered and fixed-width; at 100 TB the
+funnel over 3 of 40 event types ships ~7.5% of rows at 20 B each,
+and per-user state never exceeds one int64 per stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_INF = np.iinfo(np.int64).max
+
+
+def funnel_depths(events_ds, stages: list[str],
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts", num_buckets: int = 16):
+    """(user_id, depth, t_final) for every user with at least one
+    stage-1 event: depth in [1, len(stages)] per the greedy
+    earliest-match semantics above, t_final = int64 epoch-us of the
+    deepest matched event."""
+    import ray
+    import ray.data as rd
+
+    from boon_ray.stages.training import splitmix64
+
+    B = int(num_buckets)
+    stage_list = list(stages)
+
+    def explode(b: pa.Table) -> pa.Table:
+        et = b.column(type_col)
+        keep = pc.is_in(et, value_set=pa.array(stage_list))
+        t = b.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"bk": pa.array([], pa.int64()),
+                             "u": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.int64())})
+        u = t.column(user_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sidx = pc.index_in(t.column(type_col),
+                           value_set=pa.array(stage_list)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = pc.cast(t.column(ts_col), pa.timestamp("us")) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bk = (splitmix64(u.view(np.uint64))
+              % np.uint64(B)).astype(np.int64)
+        return pa.table({"bk": pa.array(bk), "u": pa.array(u),
+                         "s": pa.array(sidx), "ts": pa.array(ts)})
+
+    part_refs = events_ds.map_batches(
+        explode, batch_format="pyarrow",
+        batch_size=None).to_arrow_refs()
+
+    k = len(stage_list)
+
+    @ray.remote
+    def fold(bkt: int, *tables) -> pa.Table:
+        pieces = [t.filter(pc.equal(t.column("bk"), bkt))
+                  for t in tables if "bk" in t.schema.names]
+        pieces = [p for p in pieces if p.num_rows]
+        if not pieces:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "depth": pa.array([], pa.int64()),
+                             "t_final": pa.array([], pa.int64())})
+        t = pa.concat_tables(pieces)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        # user-sorted once; each stage pass reduces its own events
+        order = np.lexsort((ts, u))
+        u, s, ts = u[order], s[order], ts[order]
+        users = np.unique(u)
+        uidx = np.searchsorted(users, u)
+        # int64 sentinels (never float: epoch-us > 2^53 would round):
+        # int64.min = "stage 0, everything qualifies", int64.max =
+        # "blocked — no event can be strictly greater"
+        tprev = np.full(len(users), np.iinfo(np.int64).min)
+        depth = np.zeros(len(users), np.int64)
+        tfin = np.zeros(len(users), np.int64)
+        for i in range(k):
+            m = (s == i) & (ts > tprev[uidx])
+            ti = np.full(len(users), _INF, np.int64)
+            np.minimum.at(ti, uidx[m], ts[m])
+            hit = (ti != _INF) & (depth == i)
+            depth[hit] += 1
+            tfin[hit] = ti[hit]
+            tprev = np.where(hit, ti, _INF)
+        keep = depth >= 1
+        return pa.table({"user_id": pa.array(users[keep]),
+                         "depth": pa.array(depth[keep]),
+                         "t_final": pa.array(tfin[keep])})
+
+    return rd.from_arrow_refs(
+        [fold.remote(c, *part_refs) for c in range(B)])
+
+
+def funnel_sql(events_sql: str, stages: list[str],
+               user_col: str = "user_id", type_col: str = "event_type",
+               ts_col: str = "ts") -> str:
+    """The exact DuckDB form: chained earliest-match CTEs — f1 =
+    MIN(ts) of stage-1 events per user; f_i = MIN(ts) of stage-i
+    events strictly after f_{i-1}. Strict inequality mirrors the
+    tie rule."""
+    k = len(stages)
+    parts = [f"WITH fe AS (SELECT {user_col} AS u, {type_col} AS et, "
+             f"epoch_us({ts_col}) AS ts FROM ({events_sql})), "
+             f"f1 AS (SELECT u, MIN(ts) AS t FROM fe "
+             f"WHERE et = '{stages[0]}' GROUP BY u)"]
+    for i in range(2, k + 1):
+        parts.append(
+            f", f{i} AS (SELECT fe.u, MIN(fe.ts) AS t FROM fe "
+            f"JOIN f{i - 1} ON f{i - 1}.u = fe.u "
+            f"AND fe.ts > f{i - 1}.t "
+            f"WHERE fe.et = '{stages[i - 1]}' GROUP BY fe.u)")
+    depth = "CASE " + " ".join(
+        f"WHEN f{i}.t IS NOT NULL THEN {i}"
+        for i in range(k, 1, -1)) + " ELSE 1 END"
+    tfin = ("COALESCE(" + ", ".join(
+        f"f{i}.t" for i in range(k, 0, -1)) + ")"
+        if k > 1 else "f1.t")
+    joins = " ".join(f"LEFT JOIN f{i} ON f{i}.u = f1.u"
+                     for i in range(2, k + 1))
+    parts.append(
+        f" SELECT f1.u AS user_id, CAST({depth} AS BIGINT) AS depth, "
+        f"CAST({tfin} AS BIGINT) AS t_final FROM f1 {joins}")
+    return "".join(parts)
+
+
+def funnel_reference(events, stages: list[str]) -> dict[int, tuple]:
+    """Independent sequential reference: {user: (depth, t_final)}
+    from (user, event_type, ts_us) triples — the pytest oracle."""
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, et, ts in events:
+        if et in stages:
+            by_user.setdefault(int(u), []).append((int(ts), et))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        tprev = None
+        depth = 0
+        tfin = None
+        for st in stages:
+            cands = [t for t, e in evs
+                     if e == st and (tprev is None or t > tprev)]
+            if not cands:
+                break
+            tprev = min(cands)
+            depth += 1
+            tfin = tprev
+        if depth >= 1:
+            out[u] = (depth, tfin)
+    return out

@@ -1,0 +1,106 @@
+"""Ordered conversion-funnel analysis (stages/funnel.py) vs the
+independent sequential reference and the chained-CTE SQL form."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from boon_ray.stages.funnel import (
+    funnel_depths,
+    funnel_reference,
+    funnel_sql,
+)
+
+STAGES = ["view", "click", "purchase"]
+
+
+def _ds(events, n_blocks=1):
+    t = pa.table({
+        "user_id": pa.array([e[0] for e in events], pa.int64()),
+        "event_type": pa.array([e[1] for e in events]),
+        "ts": pa.array([e[2] for e in events], pa.timestamp("us")),
+    })
+    ds = rd.from_arrow(t)
+    return (ds.repartition(n_blocks) if n_blocks > 1 else ds), t
+
+
+def _run(events, stages=STAGES, num_buckets=4, n_blocks=1):
+    ds, _ = _ds(events, n_blocks)
+    df = funnel_depths(ds, stages, num_buckets=num_buckets) \
+        .to_pandas()
+    return {int(r.user_id): (int(r.depth), int(r.t_final))
+            for r in df.itertuples()}
+
+
+def test_hand_case(ray_session):
+    evs = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "view", 10), (2, "purchase", 5),   # purchase BEFORE view
+        (3, "click", 10), (3, "purchase", 20),  # never viewed
+        (4, "view", 40),
+    ]
+    got = _run(evs)
+    assert got == {1: (3, 30), 2: (1, 10), 4: (1, 40)}
+
+
+def test_equal_timestamps_do_not_advance(ray_session):
+    # click at the SAME instant as the first view: strict > blocks it
+    evs = [(1, "view", 10), (1, "click", 10), (1, "click", 11),
+           (2, "view", 10), (2, "click", 10)]
+    got = _run(evs)
+    assert got == {1: (2, 11), 2: (1, 10)}
+
+
+def test_greedy_earliest_is_optimal(ray_session):
+    # a later view would let the click match, but greedy takes the
+    # EARLIEST view — and the ordered subsequence still exists via
+    # the later click
+    evs = [(1, "view", 10), (1, "click", 5), (1, "view", 3),
+           (1, "click", 7)]
+    got = _run(evs)
+    # earliest view t=3, earliest click after 3 is t=5
+    assert got == {1: (2, 5)}
+
+
+def test_random_vs_reference_partitions_and_buckets(ray_session):
+    rng = np.random.RandomState(17)
+    evs = [(int(u), STAGES[int(s)] if s < 3 else "error",
+            int(t) * 1_000_000)
+           for u, s, t in zip(rng.randint(0, 50, 800),
+                              rng.randint(0, 5, 800),
+                              rng.randint(0, 40, 800))]
+    want = funnel_reference(evs, STAGES)
+    for nb, bk in ((1, 2), (4, 8), (9, 16)):
+        assert _run(evs, num_buckets=bk, n_blocks=nb) == want, (nb, bk)
+
+
+def test_sql_cross_check(ray_session):
+    import duckdb
+    rng = np.random.RandomState(29)
+    evs = [(int(u), STAGES[int(s)] if s < 3 else "signup",
+            int(t) * 1_000_000)
+           for u, s, t in zip(rng.randint(0, 30, 500),
+                              rng.randint(0, 4, 500),
+                              rng.randint(0, 25, 500))]
+    want = funnel_reference(evs, STAGES)
+    _, t = _ds(evs)
+    con = duckdb.connect()
+    con.register("ev", t)
+    df = con.execute(funnel_sql("SELECT * FROM ev", STAGES)).df()
+    got = {int(r.user_id): (int(r.depth), int(r.t_final))
+           for r in df.itertuples()}
+    assert got == want
+    assert _run(evs, num_buckets=8) == want
+
+
+def test_two_stage_and_single_stage_funnels(ray_session):
+    evs = [(1, "view", 10), (1, "click", 20), (2, "click", 5)]
+    assert _run(evs, stages=["view", "click"]) == {1: (2, 20)}
+    assert _run(evs, stages=["click"]) == {1: (1, 20), 2: (1, 5)}
+
+
+def test_no_stage1_users_emit_nothing(ray_session):
+    evs = [(1, "click", 10), (2, "purchase", 20)]
+    assert _run(evs) == {}
