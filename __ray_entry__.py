@@ -1735,6 +1735,7 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "code_hygiene": _q_code_hygiene,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
+        "graph_kcore": _q_graph_kcore,
         "funnel_depths": _q_funnel_depths,
         "repo_scorecard": _q_repo_scorecard,
         "fork_pairs": _q_fork_pairs,
@@ -2047,6 +2048,39 @@ def _q_graph_pagerank(sf_dir: str):
     pairs = embedding_duplicate_pairs_exact(ds, "embedding", "vec_id",
                                             threshold=0.3)
     return pagerank(pairs.select_columns(["a", "b"]), iterations=5)
+
+
+def _q_graph_kcore(sf_dir: str):
+    """3-core membership over the same embedding-similarity graph
+    (stages/graph.kcore_membership): delta-peeling over pinned
+    buckets to the FIXPOINT (convergence certificate — a round that
+    kills nobody), exchanges bounded by each round's death deltas.
+    The SQL oracle unrolls 16 peel rounds; the engine raising on
+    >64 rounds guarantees the unroll covers convergence here."""
+    import ray.data as rd
+
+    from boon_ray.stages.dedup import embedding_duplicate_pairs_exact
+    from boon_ray.stages.graph import kcore_membership
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds = ds.filter(expr="vec_id < 500")
+    pairs = embedding_duplicate_pairs_exact(ds, "embedding", "vec_id",
+                                            threshold=0.3)
+    return kcore_membership(pairs.select_columns(["a", "b"]),
+                            k=3, num_buckets=8, max_rounds=16)
+
+
+def _graph_kcore_sql() -> str:
+    from boon_ray.stages.graph import kcore_sql
+
+    pairs = ("SELECT a.vec_id AS a, b.vec_id AS b "
+             "FROM embeddings a CROSS JOIN embeddings b "
+             "WHERE a.vec_id < b.vec_id AND a.vec_id < 500 "
+             "AND b.vec_id < 500 AND "
+             "list_cosine_similarity(a.embedding, b.embedding) "
+             ">= 0.3")
+    return kcore_sql(pairs, k=3, rounds=16)
 
 
 def _q_funnel_depths(sf_dir: str):
@@ -4414,6 +4448,7 @@ def _base_oracle_sql() -> dict[str, str]:
         "code_hygiene": _code_hygiene_sql(),
         "graph_pagerank": _graph_pagerank_sql(),
         "graph_triangles": _graph_triangles_sql(),
+        "graph_kcore": _graph_kcore_sql(),
         "funnel_depths": _funnel_depths_sql(),
         "repo_scorecard": _repo_scorecard_sql(),
         "fork_pairs": _fork_pairs_sql(),

@@ -551,6 +551,35 @@ def q_graph_triangles():
     return triangle_counts(pairs, num_buckets=32).count()
 
 
+def q_graph_kcore():
+    """3-core fixpoint peel over the same deterministic ~500k-node
+    graph as q_graph_triangles: measures the delta-peeling rounds —
+    death-delta-bounded exchanges + B scalar convergence reads per
+    round."""
+    import pyarrow as pa
+
+    from boon_ray.stages.graph import kcore_membership
+
+    def edges(b: pa.Table) -> pa.Table:
+        import numpy as np
+        n = np.int64(500_000)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64) % n
+        a = np.concatenate([ids, ids])
+        bb = np.concatenate([(ids + 1) % n, (ids * 2 + 1) % n])
+        k = ids[ids % 1000 == 0]
+        ca = np.concatenate([k, k, k])
+        cb = np.concatenate([(k + 1000) % n, (k + 2000) % n,
+                             (k + 3000) % n])
+        return pa.table({"a": pa.array(np.concatenate([a, ca])),
+                         "b": pa.array(np.concatenate([bb, cb]))})
+
+    pairs = _corpus_ids().map_batches(edges, batch_format="pyarrow",
+                                      batch_size=None)
+    return kcore_membership(pairs, k=3, num_buckets=32,
+                            max_rounds=128).count()
+
+
 def q_code_hygiene():
     """All four code-hygiene passes (quality gates, license
     detection, secret scanning, comment stripping) over the amplified
@@ -1173,6 +1202,7 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_triangles": q_graph_triangles,
     "funnel_depths": q_funnel_depths,
+    "graph_kcore": q_graph_kcore,
     "shuffle_rank": q_shuffle_rank,
     "importance": q_importance,
     "semdedup": q_semdedup,

@@ -746,3 +746,199 @@ def triangle_reference(pairs) -> dict[int, tuple[int, int]]:
                         tri[w] += 1
                         tri[u] += 1
     return {v: (len(nb), tri[v]) for v, nb in adj.items()}
+
+
+def kcore_membership(pairs_ds, k: int = 3, num_buckets: int = 16,
+                     max_rounds: int = 64,
+                     a_col: str = "a", b_col: str = "b"):
+    """(node, in_core) for every node of the undirected pair graph:
+    in_core = 1 iff the node survives k-core peeling (repeatedly
+    delete nodes of degree < k in the remaining subgraph until
+    fixpoint) — the density-tier signal of a similarity graph
+    (Seidman 1983; Matula & Beck 1983 linear peeling).
+
+    Distributed plan (delta-peeling over pinned buckets): the
+    SYMMETRIZED deduped adjacency is hash-bucketed ONCE by source
+    node; each round, every bucket kills its alive nodes with
+    current degree < k and pushes pre-reduced (neighbor, lost-edges)
+    decrement partials (16 B/row) sliced to the neighbor's home
+    bucket — the exchange is DELTA-bounded (edges incident to this
+    round's deaths), never graph-bounded, and a quiet round moves
+    nothing. The driver loop reads only B per-round death counts
+    (scalar ints) and stops at the fixpoint — the convergence
+    CERTIFICATE: a round that kills nobody proves the remaining
+    subgraph is exactly the k-core, so the result is independent of
+    round count, bucketing and partitioning. Raises RuntimeError if
+    ``max_rounds`` passes without convergence (peeling terminates in
+    <= n rounds; 64 covers any real similarity graph — each round
+    must kill >= 1 node to continue).
+
+    SQL-parity contract (:func:`kcore_sql`): the R-round unrolled
+    peel equals the fixpoint whenever R >= rounds-to-converge
+    (peeling is monotone — extra rounds are no-ops), so the oracle
+    unrolls a fixed R and the entry query asserts the engine
+    converged within it.
+    """
+    import ray
+    import ray.data as rd
+
+    from boon_ray.stages.training import splitmix64
+
+    B = int(num_buckets)
+    NR = max(B, 2)
+    kk = int(k)
+
+    def bucket_of(x: np.ndarray) -> np.ndarray:
+        return (splitmix64(x.astype(np.int64).view(np.uint64))
+                % np.uint64(B)).astype(np.int64)
+
+    def explode(b: pa.Table) -> pa.Table:
+        a = b.column(a_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bb = b.column(b_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = a != bb
+        a, bb = a[keep], bb[keep]
+        src = np.concatenate([a, bb])
+        dst = np.concatenate([bb, a])
+        return pa.table({"bk": pa.array(bucket_of(src)),
+                         "src": pa.array(src),
+                         "dst": pa.array(dst)})
+
+    part_refs = pairs_ds.map_batches(
+        explode, batch_format="pyarrow",
+        batch_size=None).to_arrow_refs()
+
+    @ray.remote
+    def build_bucket(bkt: int, *tables):
+        """Pinned state: deduped directed slice sorted by src, home
+        node set (every node appears as src after symmetrization),
+        current degree, alive mask."""
+        pieces = [t.filter(pc.equal(t.column("bk"), bkt))
+                  for t in tables if "bk" in t.schema.names]
+        if pieces:
+            t = pa.concat_tables(pieces)
+            src = t.column("src").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            dst = t.column("dst").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            src = dst = np.empty(0, np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        if len(src):
+            first = np.r_[True, (src[1:] != src[:-1])
+                          | (dst[1:] != dst[:-1])]
+            src, dst = src[first], dst[first]
+        nodes, deg = np.unique(src, return_counts=True)
+        alive = np.ones(len(nodes), bool)
+        return src, dst, nodes, deg.astype(np.int64), alive
+
+    @ray.remote(num_returns=NR + 2)
+    def die(state):
+        """Kill alive nodes with deg < k; pre-reduce the lost-edge
+        decrements per surviving... per neighbor, sliced by its home
+        bucket. Edges from dead nodes are dropped from the pinned
+        slice so a later death never re-decrements through them."""
+        src, dst, nodes, deg, alive = state
+        newly = alive & (deg < kk)
+        n_new = int(newly.sum())
+        empty = [(np.empty(0, np.int64), np.empty(0, np.int64))
+                 for _ in range(B)]
+        if not n_new:
+            return [*empty, *([None] * (NR - B)), state, 0]
+        alive = alive.copy()
+        alive[newly] = False
+        dead_ids = nodes[newly]
+        emask = np.isin(src, dead_ids)
+        affected = dst[emask]
+        ud, cnt = np.unique(affected, return_counts=True)
+        # drop the dead nodes' out-edges from the pinned slice
+        src2, dst2 = src[~emask], dst[~emask]
+        state2 = (src2, dst2, nodes, deg, alive)
+        tb = bucket_of(ud)
+        out = [(ud[tb == c], cnt[tb == c].astype(np.int64))
+               for c in range(B)]
+        return [*out, *([None] * (NR - B)), state2, n_new]
+
+    @ray.remote
+    def absorb(state, *dparts):
+        """Apply neighbor-loss decrements to this bucket's degrees
+        (dead nodes keep decrementing harmlessly — they never
+        resurrect)."""
+        src, dst, nodes, deg, alive = state
+        deg = deg.copy()
+        for p in dparts:
+            if p is not None and len(p[0]):
+                deg[np.searchsorted(nodes, p[0])] -= p[1]
+        return src, dst, nodes, deg, alive
+
+    @ray.remote
+    def emit(state) -> pa.Table:
+        _src, _dst, nodes, _deg, alive = state
+        return pa.table({"node": pa.array(nodes),
+                         "in_core": pa.array(alive.astype(np.int64))})
+
+    states = [build_bucket.remote(c, *part_refs) for c in range(B)]
+    for _ in range(int(max_rounds)):
+        outs = [die.remote(s) for s in states]
+        counts = ray.get([o[NR + 1] for o in outs])
+        if sum(counts) == 0:
+            break
+        states = [
+            absorb.remote(outs[c][NR],
+                          *[outs[p][c] for p in range(B)])
+            for c in range(B)]
+    else:
+        raise RuntimeError(
+            f"k-core peel did not converge in {max_rounds} rounds")
+    return rd.from_arrow_refs([emit.remote(s) for s in states])
+
+
+def kcore_sql(pairs_sql: str, k: int = 3, rounds: int = 12,
+              a_col: str = "a", b_col: str = "b") -> str:
+    """The exact DuckDB form: ``rounds`` unrolled peel CTEs (alive_r
+    = alive_{r-1} nodes with >= k alive_{r-1} neighbors). Equals the
+    fixpoint whenever the peel converges within ``rounds`` — the Ray
+    side asserts that."""
+    parts = [
+        f"WITH kc_pairs AS ({pairs_sql}), "
+        f"kc_e AS (SELECT DISTINCT * FROM ("
+        f"SELECT {a_col} AS v, {b_col} AS w FROM kc_pairs "
+        f"WHERE {a_col} <> {b_col} "
+        f"UNION ALL SELECT {b_col}, {a_col} FROM kc_pairs "
+        f"WHERE {a_col} <> {b_col})), "
+        "kc_a0 AS (SELECT DISTINCT v FROM kc_e)"]
+    for r in range(1, int(rounds) + 1):
+        # MATERIALIZED: each round references the previous TWICE —
+        # default CTE inlining would grow the plan 2^rounds
+        parts.append(
+            f", kc_a{r} AS MATERIALIZED (SELECT e.v FROM kc_e e "
+            f"JOIN kc_a{r - 1} s ON s.v = e.v "
+            f"JOIN kc_a{r - 1} t ON t.v = e.w "
+            f"GROUP BY e.v HAVING COUNT(*) >= {int(k)})")
+    parts.append(
+        f" SELECT a0.v AS node, CAST(CASE WHEN fin.v IS NULL "
+        f"THEN 0 ELSE 1 END AS BIGINT) AS in_core "
+        f"FROM kc_a0 a0 LEFT JOIN kc_a{int(rounds)} fin "
+        f"ON fin.v = a0.v")
+    return "".join(parts)
+
+
+def kcore_reference(pairs, k: int = 3) -> dict[int, int]:
+    """Independent sequential fixpoint peel — the pytest oracle."""
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        dead = {v for v in alive
+                if len(adj[v] & alive) < k}
+        if not dead:
+            break
+        alive -= dead
+    return {v: (1 if v in alive else 0) for v in adj}

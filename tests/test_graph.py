@@ -224,3 +224,63 @@ class TestTriangles:
         assert got == triangle_reference(pairs + clique)
         assert got[0] == (29, 0)
         assert got[100] == (5, 10)  # C(5,2) triangles per clique node
+
+
+class TestKCore:
+    """kcore_membership vs the sequential fixpoint peel and the
+    unrolled-CTE SQL form (stages/graph.py)."""
+
+    def _run(self, pairs, k=3, num_buckets=4, n_blocks=1):
+        from boon_ray.stages.graph import kcore_membership
+        df = kcore_membership(_pairs_ds(pairs, n_blocks=n_blocks),
+                              k=k, num_buckets=num_buckets) \
+            .to_pandas()
+        return {int(r.node): int(r.in_core) for r in df.itertuples()}
+
+    def test_hand_case_cascade(self, ray_session):
+        # 4-clique + a tail 4-5-6: peeling the tail cascades (6 dies
+        # -> 5 drops below 2 -> dies -> 4 dies), clique survives k=2
+        clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        tail = [(3, 4), (4, 5), (5, 6)]
+        got = self._run(clique + tail, k=2)
+        assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0}
+
+    def test_whole_graph_dies(self, ray_session):
+        got = self._run(CHAIN, k=2)
+        assert set(got.values()) == {0}
+
+    def test_triangle_is_2core_not_3core(self, ray_session):
+        tri = [(0, 1), (1, 2), (2, 0)]
+        assert set(self._run(tri, k=2).values()) == {1}
+        assert set(self._run(tri, k=3).values()) == {0}
+
+    def test_self_loops_and_duplicates_collapse(self, ray_session):
+        pairs = [(1, 1), (1, 2), (2, 1), (1, 2), (2, 3), (3, 1)]
+        assert self._run(pairs, k=2) == {1: 1, 2: 1, 3: 1}
+
+    def test_random_vs_reference_and_partitions(self, ray_session):
+        from boon_ray.stages.graph import kcore_reference
+        rng = np.random.RandomState(31)
+        pairs = [(int(a), int(b))
+                 for a, b in rng.randint(0, 50, (350, 2))]
+        for k in (2, 3, 5):
+            want = kcore_reference(pairs, k=k)
+            for nb, bk in ((1, 2), (5, 8)):
+                assert self._run(pairs, k=k, num_buckets=bk,
+                                 n_blocks=nb) == want, (k, nb, bk)
+
+    def test_sql_cross_check(self, ray_session):
+        import duckdb
+
+        from boon_ray.stages.graph import kcore_reference, kcore_sql
+        rng = np.random.RandomState(37)
+        pairs = [(int(a), int(b))
+                 for a, b in rng.randint(0, 30, (160, 2))]
+        want = kcore_reference(pairs, k=3)
+        vals = ",".join(f"({a},{b})" for a, b in pairs)
+        sql = kcore_sql(f"SELECT * FROM (VALUES {vals}) AS t(a,b)",
+                        k=3, rounds=16)
+        df = duckdb.connect().execute(sql).df()
+        got = {int(r.node): int(r.in_core) for r in df.itertuples()}
+        assert got == want
+        assert self._run(pairs, k=3, num_buckets=8) == want
