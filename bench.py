@@ -1042,7 +1042,10 @@ def q_semdedup():
 def q_snapshot_delta():
     """Incremental-ingest diff: amplified corpus vs a mutated copy
     (drop/rewrite/add rules); one hash-bucket exchange + vectorized
-    per-bucket outer merge."""
+    per-bucket outer merge. r5: the stage's DEFAULT is now the
+    16 B/row digest exchange (raw text never crosses); compare with
+    snapshot_delta_digest (pre-hashed input) and the historical
+    full-text numbers in BENCH_r04."""
     import pyarrow as pa
 
     from boon_ray.stages.delta import snapshot_delta

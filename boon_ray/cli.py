@@ -91,6 +91,15 @@ def main(argv=None) -> int:
                    help="validate a parquet corpus instead of files")
     p.add_argument("--column", default="content",
                    help="JSON-bearing column for --corpus mode")
+    p.add_argument("--from-columns", metavar="COLS", default=None,
+                   help="--corpus mode: validate these flat columns as "
+                        "the instance record instead of parsing "
+                        "--column as JSON (comma-separated)")
+    p.add_argument("--out", metavar="DIR", default=None,
+                   help="--corpus mode: stream violation rows to "
+                        "partitioned parquet under DIR (the reference "
+                        "error-row contract) instead of only printing "
+                        "the summary")
     try:
         args = p.parse_args(argv)
     except SystemExit:
@@ -125,21 +134,70 @@ def main(argv=None) -> int:
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False
+        import pyarrow as pa
+        import pyarrow.parquet as pqm
         import ray.data as rd
 
         from boon_ray.stages.validate import validate_dataset
 
-        ds = rd.read_parquet(args.corpus)
-        key_cols = [c for c in ds.schema().names if c != args.column][:3]
-        out = validate_dataset(ds, spec, column=args.column,
-                               key_columns=key_cols or ("row",))
-        df = out.to_pandas()
-        # empty corpus file: empty-Dataset to_pandas has no columns
-        n_bad = int((~df["valid"]).sum()) if len(df) else 0
-        any_invalid = n_bad > 0
-        if not args.quiet:
-            print(json.dumps({"rows": len(df), "invalid": n_bad,
-                              "valid": not any_invalid}))
+        # prune at the read: only the validated columns + provenance
+        # keys leave storage (r5 — the unpruned read + full-result
+        # to_pandas was the one driver-shaped stage left in the repo)
+        names = pqm.ParquetDataset(args.corpus).schema.names
+        fcols = (args.from_columns.split(",")
+                 if args.from_columns else None)
+        if fcols:
+            key_cols = [c for c in ("repo", "path", "commit")
+                        if c in names]
+            if not key_cols:
+                key_cols = [c for c in names if c not in fcols][:3]
+            read_cols = list(dict.fromkeys(key_cols + fcols))
+        else:
+            key_cols = [c for c in names if c != args.column][:3]
+            read_cols = key_cols + [args.column]
+        ds = rd.read_parquet(args.corpus, columns=read_cols)
+
+        if args.out:
+            # violation rows can be corpus-scale: stream them straight
+            # to parquet (never the driver); counts come from the
+            # written file metadata + the input's parquet metadata
+            out = validate_dataset(
+                ds, spec, column=None if fcols else args.column,
+                from_columns=fcols, emit="violations",
+                key_columns=key_cols or ("row",))
+            out.write_parquet(args.out)
+            n_viol = rd.read_parquet(args.out).count()
+            n_rows = rd.read_parquet(
+                args.corpus, columns=read_cols[:1]).count()
+            any_invalid = n_viol > 0
+            if not args.quiet:
+                print(json.dumps({"rows": n_rows,
+                                  "violations": n_viol,
+                                  "valid": not any_invalid}))
+        else:
+            out = validate_dataset(
+                ds, spec, column=None if fcols else args.column,
+                from_columns=fcols, key_columns=key_cols or ("row",),
+                include_errors=False)
+
+            def counts(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                bad = b.num_rows - (pc.sum(pc.cast(
+                    b.column("valid"), pa.int64())).as_py() or 0)
+                return pa.table({
+                    "n": pa.array([b.num_rows], pa.int64()),
+                    "bad": pa.array([bad], pa.int64())})
+
+            # one (n, bad) row per batch into Ray's distributed sum —
+            # the driver sees two integers, not the verdict table
+            agg = out.map_batches(
+                counts, batch_format="pyarrow").sum(["n", "bad"])
+            n_rows = int(agg["sum(n)"]) if agg else 0
+            n_bad = int(agg["sum(bad)"]) if agg else 0
+            any_invalid = n_bad > 0
+            if not args.quiet:
+                print(json.dumps({"rows": n_rows, "invalid": n_bad,
+                                  "valid": not any_invalid}))
     else:
         ev = Evaluator(spec)
         for path in args.instances:

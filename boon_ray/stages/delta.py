@@ -10,11 +10,19 @@ dropped by default so the output is delta-sized, not corpus-sized.
 Shape: tag each side, ONE union + hash-bucket exchange of
 (id, cmp, side) rows, then a vectorized pandas outer-merge per
 bucket (the established bucket-join pattern of stages/joins.py — no
-per-id groups, no driver materialization).  At scale pass a DIGEST
-column as ``cmp_col`` (e.g. text.fingerprint_batch's 8-byte xor
-digest) so the exchange ships 16 B/row instead of documents; the
-oracle path compares raw text, which a FULL OUTER JOIN reproduces
-in SQL exactly.
+per-id groups, no driver materialization).
+
+r5 default: when ``cmp_col`` is a string/binary column the exchange
+ships an 8-byte hash64 DIGEST of it instead of the raw value, so a
+text diff moves 16 B/row rather than documents (measured sf0.1/32:
+3.4 s vs 4.7 s, identical deltas; docs/SCALE.md: ~24 TB vs ~300 TB
+exchanged at a 100 TB corpus).  Equality on the digest equals
+equality on the value up to 64-bit hash collisions (~n^2/2^64 — the
+standard content-hash contract; fingerprint/CDC dedup in this repo
+already rest on it).  Pass ``digest=False`` to compare raw values —
+the byte-exact opt-in for tiny inputs or adversarial corpora.
+Narrow (numeric) compare columns are never hashed; they already ship
+at digest width.
 
 Assumes ids are unique per side (the corpus key contract); a
 duplicated id joins many-to-many inside its bucket like any hash
@@ -28,17 +36,32 @@ import pandas as pd
 import pyarrow as pa
 
 
-
 def snapshot_delta(old_ds, new_ds, id_col: str = "doc_id",
                    cmp_col: str = "text", num_buckets: int = 64,
-                   include_unchanged: bool = False, batch_size=None):
+                   include_unchanged: bool = False, digest: bool = True,
+                   batch_size=None):
     """Diff two snapshots; returns a Dataset of (id_col, status)."""
+    from boon_ray.sketches import hash64
 
     def tag(side: int):
         def f(b: pa.Table) -> pa.Table:
+            cmp = b.column(cmp_col)
+            if digest and (pa.types.is_string(cmp.type)
+                           or pa.types.is_large_string(cmp.type)
+                           or pa.types.is_binary(cmp.type)
+                           or pa.types.is_large_binary(cmp.type)):
+                vals = cmp.to_pandas().to_numpy(dtype=object)
+                notna = ~pd.isna(vals)
+                h = np.zeros(len(vals), np.uint64)
+                h[notna] = hash64(vals[notna])
+                # nulls stay NULL so the classify pass's IS DISTINCT
+                # FROM semantics are unchanged under the digest
+                cmp = pa.array(
+                    np.ascontiguousarray(h.view(np.int64)), pa.int64(),
+                    mask=~notna)
             return pa.table({
                 id_col: b.column(id_col),
-                "_cmp": b.column(cmp_col),
+                "_cmp": cmp,
                 "_side": pa.array(
                     np.full(b.num_rows, side, dtype=np.int8), pa.int8()),
             })

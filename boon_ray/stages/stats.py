@@ -117,24 +117,17 @@ def column_stats(ds, group_key: str = "lang", column: str = "content",
         lambda g: _merge_stats(g, group_key, dc), batch_format="pandas")
 
 
-def heavy_hitters(ds, column: str, k: int = 100,
-                  split_words: bool = False, batch_size=None):
-    """Approximate top items of ``column`` under a hard memory bound:
-    per-batch Misra-Gries summaries (<= k+1 rows each on the wire,
-    whatever the vocabulary size), merged by summation + ONE global
-    trim — the Agarwal et al. mergeable-summaries reduction, so every
-    reported ``n_lo`` is a lower bound undercounting by at most
-    ``err_bound`` = n_total // (k+1), and any item with true
-    frequency above that bound is guaranteed present.
+def _merged_mg(ds, column: str, k: int, split_words: bool,
+               fanin: int, batch_size):
+    """ONE globally-merged Misra-Gries summary of ``column``: per-batch
+    MG summaries ship as O(k)-sized Arrow-IPC blobs and are tree-merged
+    by remote tasks over the partial block refs (the same off-driver
+    reduction as KLL's :func:`approx_quantiles`), so the driver decodes
+    <= ``fanin`` summaries of <= k rows each — never the O(k x batches)
+    partial table (at 10^12 rows / 10^5-row blocks that table is ~10^9
+    rows; the tree keeps driver memory O(fanin x k) at any scale)."""
+    import ray
 
-    The bounded complement to the exact ``word_counts``/``vocab_topk``
-    path: the exchange is O(k x batches) rows instead of vocab-sized.
-    ``split_words=True`` counts whitespace words of a text column
-    instead of whole cell values.
-
-    Returns a pyarrow Table (item, n_lo, err_bound, n_total),
-    heaviest first, ties by item.
-    """
     from boon_ray.sketches import MisraGries
 
     def partial(b: pa.Table) -> pa.Table:
@@ -146,31 +139,110 @@ def heavy_hitters(ds, column: str, k: int = 100,
         vc = s.value_counts()
         mg = MisraGries(k).add_values(vc.index.to_numpy(),
                                       vc.to_numpy(np.int64))
-        its = mg.items()
-        return pa.table({
-            "item": pa.array([i for i, _ in its] + [None]),
-            "n": pa.array([c for _, c in its] + [mg.n_total],
-                          pa.int64())})
+        return pa.table({"mg": pa.array([mg.to_bytes()], pa.binary())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow",
-                           batch_size=batch_size).to_pandas()
-    if len(parts) == 0:   # empty corpus: empty-Dataset to_pandas
-        return pa.table({"item": pa.array([], pa.string()),
-                         "n_lo": pa.array([], pa.int64()),
-                         "err_bound": pa.array([], pa.int64()),
-                         "n_total": pa.array([], pa.int64())})
-    total = int(parts.loc[parts["item"].isna(), "n"].sum())
-    merged = parts.dropna(subset=["item"]).groupby("item")["n"].sum()
-    mg = MisraGries(k, {str(i): int(c) for i, c in merged.items()},
-                    total)
-    mg._trim()
+    refs = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=batch_size).to_arrow_refs()
+
+    def _merge_tables(tables) -> bytes:
+        s = None
+        for t in tables:
+            t = t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+            if "mg" not in t.schema.names:  # empty-input block keeps
+                continue                     # the upstream schema
+            for b in t.column("mg"):
+                p = MisraGries.from_bytes(b.as_py())
+                s = p if s is None else s.merge(p)
+        return s.to_bytes() if s is not None else MisraGries(k).to_bytes()
+
+    if len(refs) > fanin:
+        merge_task = ray.remote(
+            lambda *ts: _merge_tables(ts)).options(num_returns=1)
+        groups = [refs[i::fanin] for i in range(min(fanin, len(refs)))]
+        merged = ray.get([merge_task.remote(*g) for g in groups])
+        mg = None
+        for b in merged:
+            p = MisraGries.from_bytes(b)
+            mg = p if mg is None else mg.merge(p)
+        return mg
+    return MisraGries.from_bytes(_merge_tables(ray.get(refs)))
+
+
+def heavy_hitters(ds, column: str, k: int = 100,
+                  split_words: bool = False, fanin: int = 32,
+                  batch_size=None):
+    """Approximate top items of ``column`` under a hard memory bound:
+    per-batch Misra-Gries summaries (<= k rows each on the wire,
+    whatever the vocabulary size), tree-merged OFF-DRIVER by summation
+    + trim — the Agarwal et al. mergeable-summaries reduction, so
+    every reported ``n_lo`` is a lower bound undercounting by at most
+    ``err_bound`` = n_total // (k+1), and any item with true
+    frequency above that bound is guaranteed present.
+
+    The bounded complement to the exact ``word_counts``/``vocab_topk``
+    path: the exchange is O(k x batches) blob bytes instead of
+    vocab-sized, and the driver touches only O(fanin x k) counters
+    (see :func:`_merged_mg`). ``split_words=True`` counts whitespace
+    words of a text column instead of whole cell values.
+
+    Returns a pyarrow Table (item, n_lo, err_bound, n_total),
+    heaviest first, ties by item.
+    """
+    mg = _merged_mg(ds, column, k, split_words, fanin, batch_size)
     its = mg.items()
     return pa.table({
         "item": pa.array([i for i, _ in its], pa.string()),
         "n_lo": pa.array([c for _, c in its], pa.int64()),
         "err_bound": pa.array([mg.error_bound()] * len(its),
                               pa.int64()),
-        "n_total": pa.array([total] * len(its), pa.int64())})
+        "n_total": pa.array([mg.n_total] * len(its), pa.int64())})
+
+
+def heavy_hitters_exact(ds, column: str, k: int = 100,
+                        split_words: bool = False, fanin: int = 32,
+                        batch_size=None):
+    """EXACT frequencies of every item with true count > n/(k+1) —
+    the classic two-pass heavy-hitters reduction: pass 1 is the
+    bounded MG summary (its candidate set is a guaranteed SUPERSET of
+    all items above the threshold, Misra-Gries' one-sided contract);
+    pass 2 broadcasts the <= k candidates and counts ONLY them exactly
+    (candidate-bounded partials into a driver-side fanin reduce —
+    <= k rows per block). Items at or below the threshold are dropped,
+    so the output is deterministic and SQL-expressible:
+    ``GROUP BY item HAVING COUNT(*) > total // (k+1)`` — the exact
+    driver oracle the approximate path cannot have.
+
+    Returns (item, n, threshold, n_total), heaviest first, ties by
+    item.
+    """
+    from boon_ray.stages.combine import combine_keyed_partials
+
+    mg = _merged_mg(ds, column, k, split_words, fanin, batch_size)
+    total = mg.n_total
+    thr = total // (k + 1)
+    cand = sorted(str(i) for i in mg.counts)
+
+    def count_cands(b: pa.Table) -> pa.Table:
+        s = b.column(column).to_pandas()
+        if split_words:
+            s = s.fillna("").str.split().explode().dropna()
+        else:
+            s = s.dropna().astype(str)
+        vc = s[s.isin(cand)].value_counts()
+        return pa.table({
+            "item": pa.array(vc.index.astype(str), pa.string()),
+            "n": pa.array(vc.to_numpy(np.int64), pa.int64())})
+
+    parts = ds.map_batches(count_cands, batch_format="pyarrow",
+                           batch_size=batch_size)
+    exact = combine_keyed_partials(parts, ["item"], ["n"], fanin=fanin)
+    exact = exact[exact["n"] > thr].sort_values(
+        ["n", "item"], ascending=[False, True], kind="stable")
+    return pa.table({
+        "item": pa.array(exact["item"].astype(str), pa.string()),
+        "n": pa.array(exact["n"].to_numpy(np.int64), pa.int64()),
+        "threshold": pa.array([thr] * len(exact), pa.int64()),
+        "n_total": pa.array([total] * len(exact), pa.int64())})
 
 
 def approx_quantiles(ds, column: str, qs=(0.01, 0.25, 0.5, 0.75, 0.99),

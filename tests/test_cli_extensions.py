@@ -269,3 +269,48 @@ def test_cli_http_ref_resolves_via_loader(tmp_path, capsys):
         capsys.readouterr()
     finally:
         stop()
+
+
+def test_cli_corpus_streams_violations_to_parquet(tmp_path, ray_session,
+                                                  duck, capsys):
+    """r5 contract for --corpus at scale: pruned read, violation rows
+    streamed to parquet (never the driver), summary printed. The
+    written rows must equal the keyword_violations DuckDB oracle over
+    the same sf0.001 corpus."""
+    import json as _json
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import __ray_entry__ as E
+    from boon_ray.pipelines.flagship import METADATA_SCHEMA
+    from boon_ray.sources.corpus import corpus_dataset
+
+    import pyarrow as pa
+
+    corpus_pq = tmp_path / "corpus.parquet"
+    df = corpus_dataset("/root/testdata/sf0.001").select_columns(
+        ["repo", "path", "commit", "lang", "content"]).to_pandas()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(corpus_pq))
+
+    schema_f = tmp_path / "meta_schema.json"
+    schema_f.write_text(_json.dumps(METADATA_SCHEMA))
+    out_dir = tmp_path / "violations"
+    rc = cli_main(["--corpus", str(corpus_pq),
+                   "--from-columns", "repo,path,commit,lang,content",
+                   "--out", str(out_dir), str(schema_f)])
+    assert rc == 2
+    summary = _json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 500 and not summary["valid"]
+
+    got = rd.read_parquet(str(out_dir)).to_pandas()[
+        ["repo", "path", "commit", "keyword"]]
+    want = duck.sql(E.oracle_sql()["keyword_violations"]).df()
+    key = ["repo", "path", "commit", "keyword"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True))
+    assert summary["violations"] == len(want)

@@ -274,6 +274,46 @@ def test_snapshot_delta_identity_is_empty(ray_session):
     assert len(out) == 0
 
 
+def test_snapshot_delta_digest_default_equals_fulltext(ray_session):
+    """r5: the default plan ships 16 B/row hash64 digests; the
+    opt-in byte-exact plan (digest=False) must produce the identical
+    delta on real mutated text, nulls included."""
+    import pyarrow as pa
+
+    from boon_ray.stages.delta import snapshot_delta
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def mutate(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pc.if_else(pa.array(ids % 5 == 0),
+                          pa.nulls(len(ids), pa.string()),
+                          b.column("text"))
+        text = pc.if_else(
+            pa.array(ids % 7 == 0),
+            pc.binary_join_element_wise(
+                pc.fill_null(pc.cast(text, pa.string()), ""),
+                pa.array(np.full(len(ids), "v2"), pa.string()), " "),
+            text)
+        keep = ids % 11 != 0
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "text": text.filter(pa.array(keep))})
+
+    new = ds.map_batches(mutate, batch_format="pyarrow",
+                         batch_size=None)
+    key = ["doc_id", "status"]
+    a = snapshot_delta(ds, new, num_buckets=4).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = snapshot_delta(ds, new, num_buckets=4,
+                       digest=False).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
 # --------------------------------------- chunk-level pretrain pipeline
 
 def test_pretrain_chunks_match_oracle(ray_session, oracle):

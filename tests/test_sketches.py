@@ -164,6 +164,58 @@ def test_heavy_hitters_split_words(ray_session):
     assert int(out["n_total"].iloc[0]) == 7
 
 
+def test_heavy_hitters_tree_merge_matches_flat(ray_session):
+    """fanin=2 over 8 blocks forces the off-driver tree path (r5:
+    the driver decodes <= fanin summaries, never the partial table);
+    guarantees are identical to the flat merge."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.stats import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    vals = [f"w{int(i)}" for i in rng.zipf(1.5, 4000) if i < 1000]
+    true = Counter(vals)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(8)
+    out = heavy_hitters(ds, "v", k=32, fanin=2).to_pandas()
+    b = int(out["err_bound"].iloc[0])
+    assert int(out["n_total"].iloc[0]) == len(vals)
+    est = dict(zip(out["item"], out["n_lo"]))
+    for it, e in est.items():
+        assert true[it] - b <= e <= true[it]
+    for it, n in true.items():
+        if n > b:
+            assert it in est
+
+
+def test_heavy_hitters_exact_matches_sql_semantics(ray_session):
+    """Two-pass exact heavy hitters == GROUP BY HAVING n > total//(k+1)
+    computed brute-force, across partitionings and fanins."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from boon_ray.stages.stats import heavy_hitters_exact
+
+    rng = np.random.default_rng(7)
+    vals = [f"dom{int(i)}" for i in rng.zipf(1.3, 6000) if i < 2000] \
+        + ["hot"] * 400
+    true = Counter(vals)
+    k = 48
+    thr = len(vals) // (k + 1)
+    want = sorted(((n, it) for it, n in true.items() if n > thr),
+                  key=lambda x: (-x[0], x[1]))
+    for nparts, fanin in ((1, 32), (7, 2)):
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals)})) \
+            .repartition(nparts)
+        out = heavy_hitters_exact(ds, "v", k=k, fanin=fanin).to_pandas()
+        assert list(out["threshold"]) == [thr] * len(out)
+        assert [(n, it) for it, n in zip(out["item"], out["n"])] == want
+
+
 def _kll_max_rank_err(sk, data):
     srt = np.sort(data)
     qs = np.linspace(0.01, 0.99, 99)
