@@ -969,8 +969,10 @@ def _q_bpe_pairs(sf_dir: str):
 def _q_bpe_merges(sf_dir: str):
     """First 20 BPE merges (Sennrich et al. 1508.07909): merge loop
     over the aggregated vocab table, deterministic (count desc, pair
-    asc) tie-break. Iterative + vocab-stateful, hence no SQL oracle;
-    the pytest oracle is a from-scratch naive trainer."""
+    asc) tie-break. r5: EXACT SQL oracle — the merge loop unrolled as
+    20 MATERIALIZED CTE rounds (stages/bpe.bpe_merges_sql, the
+    graph_kcore unroll technique); the pytest oracle remains the
+    from-scratch naive trainer."""
     import ray.data as rd
 
     from boon_ray.stages.bpe import bpe_merges
@@ -3969,6 +3971,7 @@ def _base_oracle_sql() -> dict[str, str]:
     from boon_ray.pipelines.flagship import (
         ALLOWED_LANGS, MAX_CONTENT_CHARS, MIN_CONTENT_CHARS,
     )
+    from boon_ray.stages.bpe import bpe_merges_sql
     from boon_ray.stages.lines import line_dedup_sql
 
     langs = "','".join(ALLOWED_LANGS)
@@ -4158,6 +4161,11 @@ def _base_oracle_sql() -> dict[str, str]:
             r"AS surprisal_sum "
             r"FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1) "
             r"GROUP BY doc_id",
+        # r5: the trainer's merge SEQUENCE gets an exact oracle — 20
+        # unrolled MATERIALIZED merge-round CTEs replaying the
+        # lowest-(count DESC, pair ASC) election + the greedy
+        # left-to-right non-overlapping rewrite (run-parity windows)
+        "bpe_merges": bpe_merges_sql(20),
         "bpe_pairs":
             r"WITH words AS (SELECT "
             r"unnest(regexp_split_to_array(trim(text), '\s+')) AS w "
@@ -4771,6 +4779,7 @@ def oracle_sql() -> dict[str, str]:
                   ["token", "df AS n", "postings"]),
         "pmi_pairs": b["pmi_pairs"],
         "bpe_pairs": b["bpe_pairs"],
+        "bpe_merges": b["bpe_merges"],
         "retrieval_topk":
             tag("method", "tfidf", b["tfidf_topk"],
                 ["doc_id", "score"])
@@ -4858,8 +4867,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(off % 4096 AS BIGINT) AS seq_pos, "
             "CAST((off + len - 1) // 4096 - off // 4096 + 1 AS BIGINT)"
             " AS n_seqs FROM o"),
-        # distinct_hll / neardup_pairs / bpe_merges / ivf_recall:
-        # approximate or iterative by design -> rows-only driver
-        # checks, pytest accuracy oracles in tests/.
+        # distinct_hll / neardup_pairs / ivf_recall: approximate by
+        # design -> rows-only driver checks, pytest accuracy oracles
+        # in tests/. (bpe_merges flipped to an exact unrolled-CTE
+        # oracle in r5.)
     }
     return out

@@ -276,6 +276,74 @@ def bpe_encode(ds, merges=None, num_merges: int = 200,
         batch_size=batch_size, concurrency=concurrency)
 
 
+def bpe_merges_sql(num_merges: int, docs_table: str = "documents",
+                   text_col: str = "text") -> str:
+    """EXACT DuckDB oracle for :func:`bpe_merges`: the merge loop
+    unrolled as ``num_merges`` MATERIALIZED CTE rounds (the
+    graph_kcore technique). Each round k holds the vocabulary as
+    (word, n, symbol-list) in ``v{k}``, re-derives pair counts, elects
+    the (count DESC, left ASC, right ASC) winner in ``b{k}``, and
+    applies the merge with the greedy LEFT-TO-RIGHT NON-OVERLAPPING
+    rule via run-parity window functions: among consecutive runs of
+    matching positions, the 1st/3rd/5th... position of each run
+    merges ('aaa' + (a,a) -> [aa, a], never [aa, aa]) — bit-identical
+    to train_bpe's sequential scan. Words never collide after merges
+    (symbol lists concatenate back to the distinct word), so the
+    vocabulary key stays the word itself and no regroup is needed.
+    """
+    parts = [f"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS w
+  FROM {docs_table} WHERE length(trim({text_col})) > 0),
+wc AS MATERIALIZED (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n FROM words
+  GROUP BY w),
+v0 AS MATERIALIZED (
+  SELECT word, n,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, i, 1)) AS s
+  FROM wc)"""]
+    for k in range(num_merges):
+        parts.append(f""",
+pos{k} AS MATERIALIZED (
+  SELECT word, n, s, unnest(range(1, len(s) + 1)) AS i FROM v{k}),
+p{k} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM pos{k} WHERE i < len(s) GROUP BY 1, 2),
+b{k} AS MATERIALIZED (
+  SELECT {k} AS rnk, l, r, cnt FROM p{k}
+  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+h{k} AS (
+  SELECT word, n, s, i,
+         coalesce(s[i] = (SELECT l FROM b{k})
+                  AND s[i + 1] = (SELECT r FROM b{k}), FALSE) AS hit
+  FROM pos{k}),
+g{k} AS (
+  SELECT word, n, s, i, hit,
+         CASE WHEN hit THEN i - ROW_NUMBER() OVER
+              (PARTITION BY word, hit ORDER BY i) END AS grp
+  FROM h{k}),
+m{k} AS (
+  SELECT word, n, s, i,
+         hit AND (ROW_NUMBER() OVER
+             (PARTITION BY word, grp ORDER BY i) % 2 = 1) AS do_merge
+  FROM g{k}),
+v{k + 1} AS MATERIALIZED (
+  SELECT word, any_value(n) AS n,
+         list(CASE WHEN do_merge THEN s[i] || s[i + 1]
+              ELSE s[i] END ORDER BY i) AS s
+  FROM (SELECT *, lag(do_merge) OVER
+            (PARTITION BY word ORDER BY i) AS prev_m
+        FROM m{k})
+  WHERE do_merge OR NOT coalesce(prev_m, FALSE)
+  GROUP BY word)""")
+    sel = " UNION ALL ".join(
+        f'SELECT rnk AS "rank", l AS "left", r AS "right", cnt AS n '
+        f"FROM b{k}" for k in range(num_merges))
+    parts.append(f"\n{sel}")
+    return "".join(parts)
+
+
 def bpe_merges(ds, num_merges: int = 20, column: str = "text",
                num_buckets: int = 64, batch_size=None):
     """End-to-end BPE training: one corpus pass for word counts,
