@@ -218,17 +218,126 @@ def _tagged_union(left, right, on, shared, num_buckets, suffix,
     return l.union(r), unified, left_names, right_names
 
 
+# per-worker-process cache of fetched skew plans (same amortization as
+# stages/taskcache — the plan is heavy-key-bounded, broadcast once)
+_SKEW_PLAN_CACHE: dict = {}
+
+
+def _fetch_skew_lookup(plan_ref, on):
+    import ray
+
+    key = (plan_ref.hex() if isinstance(plan_ref, ray.ObjectRef)
+           else id(plan_ref), tuple(on))
+    lk = _SKEW_PLAN_CACHE.get(key)
+    if lk is None:
+        plan = (ray.get(plan_ref)
+                if isinstance(plan_ref, ray.ObjectRef) else plan_ref)
+        if isinstance(plan, pa.Table):
+            plan = plan.to_pandas()
+        if len(on) == 1:
+            idx = pd.Index(plan[on[0]])
+        else:
+            idx = pd.MultiIndex.from_frame(plan[list(on)])
+        lk = (idx, plan["n_salts"].to_numpy(np.int64))
+        if len(_SKEW_PLAN_CACHE) >= 8:
+            _SKEW_PLAN_CACHE.pop(next(iter(_SKEW_PLAN_CACHE)))
+        _SKEW_PLAN_CACHE[key] = lk
+    return lk
+
+
+def _row_salt_counts(batch: pa.Table, on, plan_ref) -> np.ndarray:
+    """Per-row salt fanout from the broadcast heavy-key plan
+    (1 for keys not in the plan)."""
+    idx, fanout = _fetch_skew_lookup(plan_ref, on)
+    if len(on) == 1:
+        probe = pd.Index(batch.column(on[0]).to_pandas())
+    else:
+        probe = pd.MultiIndex.from_frame(
+            batch.select(list(on)).to_pandas())
+    pos = idx.get_indexer(probe)
+    n = np.ones(batch.num_rows, np.int64)
+    hit = pos >= 0
+    n[hit] = fanout[pos[hit]]
+    return n
+
+
+def _tag_side_salted(side_code: int, on, num_buckets: int,
+                     unified: pa.Schema, rename: dict, plan_ref):
+    """Skew-aware variant of _tag_side (north_rule: explicit
+    salt-based skew splitting). Keys listed in the broadcast
+    ``skew_plan`` (from stages/unique.skew_plan) route to
+    ``n_salts`` distinct buckets instead of one:
+
+    - probe side (left, side 0): each hot-key row picks ONE salt
+      (position mod n_salts — uniform within every batch), so the hot
+      key's rows spread over n_salts bucket tasks;
+    - build side (right, side 1): each hot-key row is REPLICATED to
+      every salt, so whichever salt a probe row landed on sees the
+      full set of matching build rows.
+
+    Light keys take salt 0 on both sides — no replication, one bucket,
+    exactly the unsalted exchange. Join semantics are unchanged for
+    inner/left/semi/anti: every left row exists in exactly one bucket;
+    right duplication never crosses buckets.
+    """
+    base = _tag_side(side_code, on, num_buckets, unified, rename)
+
+    def f(batch: pa.Table) -> pa.Table:
+        nsalts = _row_salt_counts(batch, on, plan_ref)
+        dedupe_rows = None
+        if side_code == 1 and (nsalts > 1).any():
+            idx = np.repeat(np.arange(batch.num_rows), nsalts)
+            starts = np.repeat(np.cumsum(nsalts) - nsalts, nsalts)
+            salt = (np.arange(len(idx)) - starts).astype(np.uint64)
+            batch = batch.take(pa.array(idx))
+            dedupe_rows = idx
+        elif side_code == 1:
+            salt = np.zeros(batch.num_rows, np.uint64)
+        else:
+            salt = (np.arange(batch.num_rows, dtype=np.uint64)
+                    % nsalts.astype(np.uint64))
+        h = _key_hash(batch, on)
+        # salt s -> bucket (h % B + s) % B: a hot key's salts occupy
+        # n_salts DISTINCT consecutive buckets (no salt-collision
+        # doubling while n_salts <= num_buckets), and salt 0 lands
+        # exactly where the unsalted path would
+        bucket = ((h % np.uint64(num_buckets) + salt)
+                  % np.uint64(num_buckets)).astype(np.int64)
+        if dedupe_rows is not None:
+            # two salts of one row can COLLIDE into the same bucket
+            # (mod num_buckets); keep one copy per (row, bucket) or an
+            # inner/left join would duplicate matches in that bucket
+            keep = ~pd.DataFrame(
+                {"i": dedupe_rows, "b": bucket}).duplicated().to_numpy()
+            if not keep.all():
+                batch = batch.filter(pa.array(keep))
+                bucket = bucket[keep]
+        out = base(batch)
+        i = out.schema.get_field_index("_bucket")
+        return out.set_column(i, "_bucket", pa.array(bucket))
+
+    return f
+
+
 def hash_join(left, right, on: Sequence[str], how: str = "inner",
               num_buckets: int = 32, suffix: str = "_r",
-              batch_size=None, left_schema=None, right_schema=None):
+              batch_size=None, left_schema=None, right_schema=None,
+              skew_plan=None):
     """Partitioned hash join of two Datasets (both sides large).
 
     Both sides are bucketed by key hash, unioned under one explicit
     Arrow schema with a side tag, and each bucket joins in one
-    map_groups task. ``num_buckets`` sets the shuffle parallelism; for
-    skewed keys widen it — a single hot KEY still lands in one bucket
-    (hash-join limit), so pre-split truly degenerate keys with a salt
-    column and re-aggregate after. how: inner | left | semi | anti.
+    map_groups task. ``num_buckets`` sets the shuffle parallelism.
+
+    ``skew_plan`` (r5): a heavy-key table from
+    ``stages/unique.skew_plan`` (columns ``on... , n_salts``). Listed
+    keys are salt-split — left rows spread over ``n_salts`` buckets,
+    right rows replicate to each — so a hot key's bucket task input
+    is capped near ``target_rows_per_task`` instead of the key's full
+    row count (north_rule: explicit salt-based skew splitting for
+    mega-repos; the same plan uniqueness consumes). Light keys are
+    untouched. Without a plan a single hot KEY still lands in one
+    bucket (hash-join limit).  how: inner | left | semi | anti.
 
     ``semi``/``anti`` emit LEFT rows only (right columns never leave
     the bucket task): semi keeps left rows whose key exists on the
@@ -240,10 +349,29 @@ def hash_join(left, right, on: Sequence[str], how: str = "inner",
         raise ValueError(
             f"hash_join supports inner|left|semi|anti, not {how!r}")
     on = list(on)
-    both, unified, left_names, right_names = _tagged_union(
-        left, right, on, shared=on, num_buckets=num_buckets,
-        suffix=suffix, batch_size=batch_size,
-        left_schema=left_schema, right_schema=right_schema)
+    if skew_plan is not None:
+        import ray
+
+        ls = left_schema or _arrow_schema(left)
+        rs = right_schema or _arrow_schema(right)
+        unified, left_names, right_names, rename = _plan_union(
+            ls, rs, on, suffix)
+        plan_ref = (skew_plan if isinstance(skew_plan, ray.ObjectRef)
+                    else ray.put(skew_plan))
+        l = left.map_batches(
+            _tag_side_salted(0, on, num_buckets, unified, rename,
+                             plan_ref),
+            batch_format="pyarrow", batch_size=batch_size)
+        r = right.map_batches(
+            _tag_side_salted(1, on, num_buckets, unified, rename,
+                             plan_ref),
+            batch_format="pyarrow", batch_size=batch_size)
+        both = l.union(r)
+    else:
+        both, unified, left_names, right_names = _tagged_union(
+            left, right, on, shared=on, num_buckets=num_buckets,
+            suffix=suffix, batch_size=batch_size,
+            left_schema=left_schema, right_schema=right_schema)
     if how in ("semi", "anti"):
         out_schema = pa.schema([unified.field(c) for c in left_names])
     else:

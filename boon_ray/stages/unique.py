@@ -318,9 +318,14 @@ def skew_plan(ds, key_col: str = "repo",
     from boon_ray.stages.combine import bucketed_groupby_sum
 
     def part(b: pa.Table) -> pa.Table:
+        key_type = b.schema.field(key_col).type
         vc = pd.Series(b.column(key_col).to_pandas()) \
             .value_counts(sort=False)
-        return pa.table({key_col: vc.index.astype(str),
+        # keep the key's Arrow dtype (r5: hash_join consumes the plan
+        # for salting — a stringified int key would never match)
+        keys = pa.array(vc.index.to_numpy(), from_pandas=True) \
+            .cast(key_type)
+        return pa.table({key_col: keys,
                          "n_rows": vc.to_numpy().astype("int64")})
 
     parts = ds.map_batches(part, batch_format="pyarrow",

@@ -1307,3 +1307,90 @@ class TestSemiAntiJoin:
                 "(SELECT 1 FROM r WHERE r.k = l.k) "
                 "ORDER BY k, v").df()
             assert got.astype(str).equals(want.astype(str)), how
+
+
+class TestSkewedHashJoin:
+    """r5: hash_join consumes a stages/unique.skew_plan — planted
+    30%-hot-key joins stay correct for every `how`, and the hot key's
+    bucket-task input is capped near target_rows_per_task instead of
+    the key's full row count."""
+
+    def _sides(self, n=3000, hot_frac=0.3):
+        rng = np.random.default_rng(3)
+        n_hot = int(n * hot_frac)
+        keys = np.r_[np.zeros(n_hot, np.int64),
+                     rng.integers(1, 500, n - n_hot)]
+        rng.shuffle(keys)
+        left = pa.table({"k": pa.array(keys, pa.int64()),
+                         "v": pa.array(np.arange(n), pa.int64())})
+        rkeys = np.arange(0, 400, dtype=np.int64)
+        right = pa.table({"k": pa.array(rkeys, pa.int64()),
+                          "w": pa.array(rkeys * 10, pa.int64())})
+        return left, right
+
+    def _plan(self, left, target):
+        from boon_ray.stages.unique import skew_plan
+        return skew_plan(rd.from_arrow(left), key_col="k",
+                         target_rows_per_task=target,
+                         num_buckets=4).to_pandas()
+
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+    def test_salted_join_matches_pandas(self, ray_session, how):
+        from boon_ray.stages.joins import hash_join
+
+        left, right = self._sides()
+        target = 128
+        plan = self._plan(left, target)
+        assert plan["k"].tolist() == [0] and plan["n_salts"].iloc[0] > 1
+        got = hash_join(rd.from_arrow(left).repartition(6),
+                        rd.from_arrow(right).repartition(2),
+                        on=["k"], how=how, num_buckets=16,
+                        skew_plan=plan).to_pandas()
+        ldf, rdf = left.to_pandas(), right.to_pandas()
+        if how in ("semi", "anti"):
+            hit = ldf["k"].isin(rdf["k"])
+            want = ldf[hit if how == "semi" else ~hit]
+        else:
+            want = ldf.merge(rdf, on="k", how=how)
+        key = list(got.columns)
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_hot_key_spreads_and_is_bounded(self, ray_session):
+        """The hot key's left rows land in > 1 bucket, each bucket
+        holding <= ceil(hot_n / n_salts) + batch slack — the per-task
+        cap the plan exists to enforce."""
+        import ray
+
+        from boon_ray.stages.joins import (
+            _plan_union, _tag_side_salted, _arrow_schema,
+        )
+
+        left, right = self._sides()
+        target = 128
+        plan = self._plan(left, target)
+        n_salts = int(plan["n_salts"].iloc[0])
+        unified, _, _, rename = _plan_union(
+            left.schema, right.schema, ["k"], "_r")
+        tag = _tag_side_salted(0, ["k"], 64, unified, rename,
+                               ray.put(plan))
+        hot_per_bucket: dict = {}
+        # several batches, as the executor would deliver them
+        for lo in range(0, left.num_rows, 512):
+            t = tag(left.slice(lo, 512))
+            df = t.select(["k", "_bucket"]).to_pandas()
+            for b, c in df[df["k"] == 0]["_bucket"] \
+                    .value_counts().items():
+                hot_per_bucket[b] = hot_per_bucket.get(b, 0) + c
+        hot_n = int((left.column("k").to_pandas() == 0).sum())
+        assert len(hot_per_bucket) > 1
+        per_salt_cap = -(-hot_n // n_salts) + 6 * 2  # 6 batches slack
+        assert max(hot_per_bucket.values()) <= per_salt_cap
+        # and the replicated build side covers every salted bucket
+        rtag = _tag_side_salted(1, ["k"], 64, unified, rename,
+                                ray.put(plan))
+        rt = rtag(right).select(["k", "_bucket"]).to_pandas()
+        rbuckets = set(rt[rt["k"] == 0]["_bucket"])
+        assert set(hot_per_bucket) <= rbuckets
+        assert len(rbuckets) == n_salts
