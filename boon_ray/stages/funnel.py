@@ -17,13 +17,16 @@ event.
 
 Distributed plan: one streaming pass filters events to the funnel's
 stage types (at the READ — irrelevant event types never enter the
-exchange) and buckets 20 B (user, stage_idx, ts_us) rows by
-hash(user); each bucket task runs the k-stage greedy as k vectorized
-passes (np.minimum.reduceat per stage over the user-sorted slice).
-No pre-reduce exists for this operator — the greedy chain needs each
-user's full per-stage timestamp sets — so the exchange is honestly
-event-bounded but stage-filtered and fixed-width; at 100 TB the
-funnel over 3 of 40 event types ships ~7.5% of rows at 20 B each,
+exchange), pre-reduces per batch (r5: stage-1 collapses to each
+user's batch-minimum — only the global minimum matters — and stages
+>= 2 dedupe exact (user, stage, ts) triples; see _prereduce_mask for
+why nothing stronger is locally provable), and buckets 20 B
+(user, stage_idx, ts_us) rows by hash(user); each bucket task runs
+the k-stage greedy as k vectorized passes (np.minimum.at per stage
+over the user-sorted slice). The residual exchange is still honestly
+bounded by DISTINCT (user, stage>=2, ts) events plus one stage-1 row
+per (user, batch); at 100 TB the funnel over 3 of 40 event types
+ships <= ~7.5% of rows at 20 B each (less under entry-stage skew),
 and per-user state never exceeds one int64 per stage.
 """
 
@@ -34,6 +37,32 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _INF = np.iinfo(np.int64).max
+
+
+def _prereduce_mask(u: np.ndarray, s: np.ndarray, ts: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """r5 per-batch funnel pre-reduce — the two PROVABLE prunes:
+
+    1. stage-1 keeps only each user's batch-minimum event (t_1 is the
+       GLOBAL minimum; min-of-batch-mins is exact under any
+       partitioning) — the funnel's entry stage is typically its most
+       frequent event type, so this is the big cut;
+    2. stages >= 2 dedupe exact (user, stage, ts) triples (equal
+       timestamps are interchangeable under the strict-> rule).
+
+    Nothing else is locally provable: for stage i >= 2 every DISTINCT
+    timestamp can be the earliest-after-t_{i-1} for some t_{i-1}, and
+    a batch cannot bound t_{i-1} (the global stage-1 minimum may live
+    in another batch). Returns (sort order, keep mask over the sorted
+    arrays)."""
+    order = np.lexsort((ts, s, u))
+    uu, ss, tt = u[order], s[order], ts[order]
+    new_us = np.ones(len(uu), bool)
+    new_us[1:] = (uu[1:] != uu[:-1]) | (ss[1:] != ss[:-1])
+    new_ust = new_us.copy()
+    new_ust[1:] |= tt[1:] != tt[:-1]
+    keep = np.where(ss == 0, new_us, new_ust)
+    return order, keep
 
 
 def funnel_depths(events_ds, stages: list[str],
@@ -68,6 +97,9 @@ def funnel_depths(events_ds, stages: list[str],
         ts = pc.cast(t.column(ts_col), pa.timestamp("us")) \
             .cast(pa.int64()).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        order, keep = _prereduce_mask(u, sidx, ts)
+        kept = order[keep]
+        u, sidx, ts = u[kept], sidx[kept], ts[kept]
         bk = (splitmix64(u.view(np.uint64))
               % np.uint64(B)).astype(np.int64)
         return pa.table({"bk": pa.array(bk), "u": pa.array(u),

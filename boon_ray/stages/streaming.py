@@ -629,6 +629,220 @@ def streaming_tumbling_counts(ds, ts_col: str, key_col: str,
         pass_bucket=True, preserve_order=True)
 
 
+def _watermark_session_actor_cls():
+    import ray
+
+    @ray.remote
+    class WatermarkSessionActor:
+        """Watermarked SESSION windows for one bucket of keys — the
+        r5 gap between the ordered-feed SessionActor (which REQUIRES
+        a ts-sorted feed) and the watermark model of WindowActor:
+        events arrive in PROCESS order, each key holds a set of
+        disjoint open session FRAGMENTS that gap-merge as disorder
+        fills in, the event-time watermark advances as
+        max(seen ts) - allowed_lateness, and a fragment is emitted
+        (and evicted) once ``end + gap <= watermark`` — no accepted
+        future event can extend it, because any extending event would
+        have ts <= end + gap < watermark and be late by definition.
+        Events older than the watermark go to the late side channel
+        (their session may already be emitted). Epoch-fenced like the
+        other streaming actors.
+
+        Emission is a lazy-deletion MIN-HEAP on fragment end: extend/
+        merge pushes a fresh entry and stales the old one (checked by
+        comparing the entry's end against the live fragment), so
+        advancing the watermark pops exactly the closed fragments —
+        never an O(open keys) scan per chunk. Memory: open fragments
+        only (bounded by keys active inside the gap + lateness
+        horizon) — closed sessions leave every drain."""
+
+        def __init__(self, gap_us: int, lateness_us: int):
+            self.gap_us = gap_us
+            self.lateness_us = lateness_us
+            self.frags: dict = {}    # fid -> [key, start, end, n, sum]
+            self.by_key: dict = {}   # key -> [fid, ...]
+            self.heap: list = []     # (end_us, fid) lazy-deletion
+            self.next_fid = 0
+            self.closed: list = []
+            self.n_late = 0
+            self.watermark = None
+            self.epoch = None
+
+        def reset(self, epoch) -> None:
+            _check_reset_order(self.epoch, epoch)
+            self.frags = {}
+            self.by_key = {}
+            self.heap = []
+            self.next_fid = 0
+            self.closed = []
+            self.n_late = 0
+            self.watermark = None
+            self.epoch = epoch
+
+        def _absorb(self, key, st, en, cnt, sm) -> None:
+            """Merge one in-chunk segment into the key's fragments —
+            a segment can bridge several (disorder filled a gap)."""
+            import heapq
+
+            fids = self.by_key.get(key, [])
+            hit = [f for f in fids
+                   if st - self.gap_us <= self.frags[f][2]
+                   and en + self.gap_us >= self.frags[f][1]]
+            for f in hit:
+                _, fst, fen, fn, fsm = self.frags.pop(f)
+                fids.remove(f)
+                st, en = min(st, fst), max(en, fen)
+                cnt, sm = cnt + fn, sm + fsm
+            fid = self.next_fid
+            self.next_fid += 1
+            self.frags[fid] = [key, st, en, cnt, sm]
+            fids.append(fid)
+            self.by_key[key] = fids
+            heapq.heappush(self.heap, (en, fid))
+
+        def feed(self, epoch, keys, ts_us, values) -> int:
+            import heapq
+
+            _check_epoch(self.epoch, epoch)
+            if len(keys) == 0:
+                return 0
+            k = np.asarray(keys)
+            t = np.asarray(ts_us, dtype=np.int64)
+            v = np.asarray(values)
+            if self.watermark is not None:
+                late = t < self.watermark
+                self.n_late += int(late.sum())
+                if late.all():
+                    return 0
+                k, t, v = k[~late], t[~late], v[~late]
+            new_wm_src = int(t.max())
+            # in-chunk sessionization (same segment pass as
+            # SessionActor._feed), then absorb segments into fragments
+            order = np.lexsort((t, k))
+            k, t, v = k[order], t[order], v[order]
+            newkey = np.empty(len(k), dtype=bool)
+            newkey[0] = True
+            newkey[1:] = k[1:] != k[:-1]
+            gap = np.empty(len(k), dtype=bool)
+            gap[0] = True
+            gap[1:] = (t[1:] - t[:-1]) > self.gap_us
+            starts = np.flatnonzero(newkey | gap)
+            ends = np.r_[starts[1:], len(k)] - 1
+            seg_n = np.diff(np.r_[starts, len(k)])
+            seg_sum = np.add.reduceat(v, starts)
+            for s in range(len(starts)):
+                self._absorb(k[starts[s]], int(t[starts[s]]),
+                             int(t[ends[s]]), int(seg_n[s]),
+                             seg_sum[s].item())
+            # advance watermark; pop exactly the fragments it closed
+            new_wm = new_wm_src - self.lateness_us
+            n_closed = 0
+            if self.watermark is None or new_wm > self.watermark:
+                self.watermark = new_wm
+                while self.heap and \
+                        self.heap[0][0] + self.gap_us <= new_wm:
+                    en, fid = heapq.heappop(self.heap)
+                    fr = self.frags.get(fid)
+                    if fr is None or fr[2] != en:
+                        continue            # stale (merged/extended)
+                    del self.frags[fid]
+                    self.by_key[fr[0]].remove(fid)
+                    self.closed.append(tuple(fr))
+                    n_closed += 1
+            return n_closed
+
+        def drain_closed(self, epoch) -> list:
+            _check_epoch(self.epoch, epoch)
+            out, self.closed = self.closed, []
+            return out
+
+        def flush(self, epoch) -> tuple:
+            """End-of-stream: emit every open fragment + this
+            bucket's late count."""
+            _check_epoch(self.epoch, epoch)
+            out = self.closed + [tuple(f) for f in
+                                 self.frags.values()]
+            self.frags = {}
+            self.by_key = {}
+            self.heap = []
+            self.closed = []
+            return out, self.n_late
+
+    return WatermarkSessionActor
+
+
+def streaming_sessionize_watermarked(ds, ts_col: str, key_col: str,
+                                     value_col: str, gap_s: int = 1800,
+                                     allowed_lateness_s: int = 0,
+                                     num_buckets: int = 8,
+                                     chunk_rows: int = 8192):
+    """Watermarked streaming session windows (r5): sessions gap-merge
+    incrementally from an ARRIVAL-ordered feed and are emitted as the
+    event-time watermark passes ``session_end + gap``; events older
+    than the watermark are counted to the late side channel instead
+    of corrupting an emitted session. Same raw-actor shape as
+    :func:`streaming_tumbling_counts` (per-bucket feed tasks, bounded
+    in-flight chunks, drain-per-chunk, reset + ordered-epoch fencing
+    on retry).
+
+    Returns a Dataset of (key, session_start, session_end, n_events,
+    sum_value, n_late_in_bucket). With an ordered feed or
+    ``allowed_lateness >= the feed's max disorder`` the session rows
+    equal windows.session_window_agg exactly and n_late = 0 (the
+    pytest oracle)."""
+    import ray
+
+    gap_us = gap_s * 1_000_000
+    late_us = allowed_lateness_s * 1_000_000
+    Actor = _watermark_session_actor_cls()
+    actors = [Actor.remote(gap_us, late_us) for _ in range(num_buckets)]
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b.column(key_col),
+            ts_col: pa.compute.cast(b.column(ts_col), pa.int64()),
+            value_col: b.column(value_col),
+        })
+
+    def feed_bucket(g: pd.DataFrame, bucket: int) -> pd.DataFrame:
+        if g.empty:
+            out = _sessions_frame([], key_col)
+            out["n_late_in_bucket"] = pd.Series([], dtype=np.int64)
+            return out
+        # NO sort: arrival order is the stream order under test
+        keys = g[key_col].to_numpy()
+        ts_us = g[ts_col].to_numpy(dtype=np.int64)
+        vals = g[value_col].to_numpy()
+        actor = actors[bucket]
+        epoch = _new_epoch()
+        ray.get(actor.reset.remote(epoch))
+        rows: list = []
+        pending: list = []
+        for i in range(0, len(g), chunk_rows):
+            if len(pending) >= 4:
+                done, pending = ray.wait(pending, num_returns=1)
+                ray.get(done)
+                rows.extend(ray.get(
+                    actor.drain_closed.remote(epoch)))
+            pending.append(actor.feed.remote(
+                epoch, keys[i:i + chunk_rows], ts_us[i:i + chunk_rows],
+                vals[i:i + chunk_rows]))
+        ray.get(pending)
+        tail, n_late = ray.get(actor.flush.remote(epoch))
+        rows.extend(tail)
+        out = _sessions_frame(rows, key_col)
+        out["n_late_in_bucket"] = np.int64(n_late)
+        return out
+
+    from boon_ray.stages.combine import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(project, batch_format="pyarrow",
+                       batch_size=None),
+        [key_col], feed_bucket, num_buckets=num_buckets,
+        pass_bucket=True, preserve_order=True)
+
+
 def streaming_sliding_counts(ds, ts_col: str, key_col: str,
                              value_col: str, size_s: int = 3600,
                              slide_s: int = 1800,

@@ -104,3 +104,44 @@ def test_two_stage_and_single_stage_funnels(ray_session):
 def test_no_stage1_users_emit_nothing(ray_session):
     evs = [(1, "click", 10), (2, "purchase", 20)]
     assert _run(evs) == {}
+
+
+def test_prereduce_mask_prunes_and_preserves_semantics(ray_session):
+    """r5 per-batch pre-reduce: stage-1 collapses to the per-user
+    batch min, stages >= 2 dedupe (u, s, ts); the funnel result is
+    unchanged under any partitioning while the planted skewed user's
+    exchange rows drop ~100x."""
+    from boon_ray.stages.funnel import _prereduce_mask
+
+    # hand case: u=1 stage-0 events 30,10,20 -> keep only 10;
+    # stage-1 duplicates at ts 15 -> keep one; distinct ts survive
+    u = np.array([1, 1, 1, 1, 1, 1, 2], np.int64)
+    s = np.array([0, 0, 0, 1, 1, 1, 0], np.int64)
+    ts = np.array([30, 10, 20, 15, 15, 16, 7], np.int64)
+    order, keep = _prereduce_mask(u, s, ts)
+    kept = sorted(zip(u[order][keep], s[order][keep], ts[order][keep]))
+    assert kept == [(1, 0, 10), (1, 1, 15), (1, 1, 16), (2, 0, 7)]
+
+    # planted skew: one power user with 3000 stage-1 events (mostly
+    # duplicate ticks) + background users
+    rng = np.random.RandomState(7)
+    evs = [(99, "view", int(t)) for t in rng.randint(0, 50, 3000)]
+    evs += [(99, "click", 40), (99, "purchase", 45)]
+    evs += [(int(uu), STAGES[int(ss)], int(tt))
+            for uu, ss, tt in zip(rng.randint(0, 20, 300),
+                                  rng.randint(0, 3, 300),
+                                  rng.randint(0, 50, 300))]
+    want = funnel_reference(
+        [(a, b, c * 1) for a, b, c in evs], STAGES)
+    for n_blocks in (1, 7):
+        assert _run(evs, n_blocks=n_blocks, num_buckets=8) == want
+    # exchange-volume evidence: the pre-reduce keeps one stage-1 row
+    # per (user, batch) -> the 3000-event user ships 1 stage-1 row
+    uu = np.array([e[0] for e in evs], np.int64)
+    ss = np.array([STAGES.index(e[1]) for e in evs], np.int64)
+    tt = np.array([e[2] for e in evs], np.int64)
+    order, keep = _prereduce_mask(uu, ss, tt)
+    hot_stage1_kept = int(((uu[order][keep] == 99)
+                           & (ss[order][keep] == 0)).sum())
+    assert hot_stage1_kept == 1
+    assert keep.sum() < len(evs) * 0.2

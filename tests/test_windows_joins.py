@@ -1394,3 +1394,140 @@ class TestSkewedHashJoin:
         rbuckets = set(rt[rt["k"] == 0]["_bucket"])
         assert set(hot_per_bucket) <= rbuckets
         assert len(rbuckets) == n_salts
+
+
+def test_streaming_session_watermarked_matches_batch_when_ordered(
+        ray_session):
+    """r5 watermarked session tier: ordered feed + zero lateness
+    equals the batch session operator exactly, zero late events."""
+    import numpy as np
+    import ray.data as rd
+
+    from boon_ray.stages.streaming import (
+        streaming_sessionize_watermarked,
+    )
+    from boon_ray.stages.windows import session_window_agg
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    ts = np.sort(rng.integers(0, 10**7, n)) * 1_000_000
+    df = pd.DataFrame({
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "cents": rng.integers(1, 50, n).astype(np.int64),
+    })
+    got = streaming_sessionize_watermarked(
+        rd.from_pandas(df).repartition(6), "ts", "user_id", "cents",
+        gap_s=1800, allowed_lateness_s=0, num_buckets=3,
+        chunk_rows=512).to_pandas()
+    assert (got["n_late_in_bucket"] == 0).all()
+    want = session_window_agg(
+        rd.from_pandas(df).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=None),
+        "ts", "user_id", "cents", gap_s=1800).to_pandas()
+    key = ["user_id", "session_start", "session_end"]
+    g = got[key + ["n_events", "sum_value"]].sort_values(key) \
+        .reset_index(drop=True)
+    w = want[key + ["n_events", "sum_value"]].sort_values(key) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w.astype(g.dtypes.to_dict()))
+
+
+def test_streaming_session_watermarked_disorder_within_lateness(
+        ray_session):
+    """A shuffled feed with disorder bounded by allowed_lateness
+    still equals the batch operator (fragments gap-merge as late-but-
+    allowed events fill in), zero late drops."""
+    import numpy as np
+    import ray.data as rd
+
+    from boon_ray.stages.streaming import (
+        streaming_sessionize_watermarked,
+    )
+    from boon_ray.stages.windows import session_window_agg
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    base = np.sort(rng.integers(0, 10**6, n))
+    jitter = rng.integers(0, 120, n)          # disorder <= 120 s
+    ts = ((base + jitter) * 1_000_000).astype(np.int64)
+    df = pd.DataFrame({
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": rng.integers(0, 15, n).astype(np.int64),
+        "cents": rng.integers(1, 50, n).astype(np.int64),
+    })
+    got = streaming_sessionize_watermarked(
+        rd.from_pandas(df), "ts", "user_id", "cents",
+        gap_s=300, allowed_lateness_s=150, num_buckets=2,
+        chunk_rows=256).to_pandas()
+    assert (got["n_late_in_bucket"] == 0).all()
+    want = session_window_agg(
+        rd.from_pandas(df).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=None),
+        "ts", "user_id", "cents", gap_s=300).to_pandas()
+    key = ["user_id", "session_start", "session_end"]
+    g = got[key + ["n_events", "sum_value"]].sort_values(key) \
+        .reset_index(drop=True)
+    w = want[key + ["n_events", "sum_value"]].sort_values(key) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w.astype(g.dtypes.to_dict()))
+
+
+def test_streaming_session_watermarked_late_side_channel(ray_session):
+    """A planted event arriving after the watermark passed its
+    session goes to the late channel and must NOT reopen or mutate
+    the emitted session."""
+    import ray
+
+    from boon_ray.stages.streaming import _watermark_session_actor_cls
+    from boon_ray.stages.streaming import _new_epoch
+
+    Actor = _watermark_session_actor_cls()
+    a = Actor.remote(10 * 1_000_000, 0)       # gap 10 s, no lateness
+    ep = _new_epoch()
+    ray.get(a.reset.remote(ep))
+    M = 1_000_000
+    # session A: ts 0..5 s; then the stream jumps to 100 s -> the
+    # watermark (100 s) closes A (end 5 + gap 10 <= 100)
+    ray.get(a.feed.remote(ep, np.array([1, 1]),
+                          np.array([0, 5 * M]), np.array([1, 2])))
+    ray.get(a.feed.remote(ep, np.array([1]),
+                          np.array([100 * M]), np.array([4])))
+    closed = ray.get(a.drain_closed.remote(ep))
+    assert [(c[0], c[1], c[2], c[3], c[4]) for c in closed] == [
+        (1, 0, 5 * M, 2, 3)]
+    # late event at ts 3 s (< watermark 100 s): side channel, no new
+    # session, emitted session untouched
+    ray.get(a.feed.remote(ep, np.array([1]),
+                          np.array([3 * M]), np.array([9])))
+    tail, n_late = ray.get(a.flush.remote(ep))
+    assert n_late == 1
+    assert [(t[0], t[1], t[2], t[3], t[4]) for t in tail] == [
+        (1, 100 * M, 100 * M, 1, 4)]
+
+
+def test_streaming_session_watermarked_bridging_merge(ray_session):
+    """Disorder that lands a MIDDLE event last bridges two open
+    fragments into one session (the gap-merge contract)."""
+    import ray
+
+    from boon_ray.stages.streaming import _watermark_session_actor_cls
+    from boon_ray.stages.streaming import _new_epoch
+
+    Actor = _watermark_session_actor_cls()
+    M = 1_000_000
+    a = Actor.remote(10 * M, 1000 * M)   # lateness huge: nothing late
+    ep = _new_epoch()
+    ray.get(a.reset.remote(ep))
+    # fragments [0..2] and [20..22] (gap 18 > 10), then ts=11 bridges
+    ray.get(a.feed.remote(ep, np.array([7, 7]),
+                          np.array([0, 2 * M]), np.array([1, 1])))
+    ray.get(a.feed.remote(ep, np.array([7, 7]),
+                          np.array([20 * M, 22 * M]),
+                          np.array([1, 1])))
+    ray.get(a.feed.remote(ep, np.array([7]),
+                          np.array([11 * M]), np.array([1])))
+    tail, n_late = ray.get(a.flush.remote(ep))
+    assert n_late == 0
+    assert [(t[0], t[1], t[2], t[3], t[4]) for t in tail] == [
+        (7, 0, 22 * M, 5, 5)]
