@@ -1593,59 +1593,303 @@ def _q_hourly_profile(sf_dir: str):
 
 def _q_session_windows(sf_dir: str):
     """Folds `session_events` (Dataset map_groups tier) +
-    `streaming_sessions` (raw-actor incremental tier): BOTH paths run
-    and must agree row-for-row (the fold's own cross-check), then the
-    windows-stage result is returned for the SQL compare."""
+    `streaming_sessions` (raw-actor ordered-feed tier) + the r5
+    WATERMARKED session tier (arrival-ordered feed, lateness sized to
+    the feed's max disorder): ALL THREE paths run and must agree
+    row-for-row (the fold's own cross-check), then the windows-stage
+    result is returned for the SQL compare."""
     import pandas as pd
+
+    from boon_ray.stages.streaming import (
+        streaming_sessionize_watermarked,
+    )
 
     batch = _q_session_events(sf_dir).to_pandas()
     stream = _q_streaming_sessions(sf_dir).to_pandas()
+    # watermarked tier: the events table arrives in block order, so
+    # lateness must cover the feed's full disorder (a block can hold
+    # any timestamp) — a day-scale horizon makes nothing late and the
+    # emitted sessions must equal the batch operator exactly
+    wm = streaming_sessionize_watermarked(
+        _events_with_cents(sf_dir), "ts", "user_id", "cents",
+        gap_s=1800, allowed_lateness_s=10**9,
+        num_buckets=4).to_pandas()
+    if int(wm["n_late_in_bucket"].sum()) != 0:
+        raise RuntimeError("watermarked tier dropped events late")
     key = ["user_id", "session_start", "session_end", "n_events",
            "sum_value"]
     a = batch.sort_values(key).reset_index(drop=True)[key]
-    b = stream.sort_values(key).reset_index(drop=True)[key]
-    if not a.equals(b.astype(a.dtypes.to_dict())):
-        raise RuntimeError("session tiers disagree")
+    for name, other in (("streaming", stream), ("watermarked", wm)):
+        b = other.sort_values(key).reset_index(drop=True)[key]
+        if not a.equals(b.astype(a.dtypes.to_dict())):
+            raise RuntimeError(f"session tiers disagree: {name}")
     import pyarrow as pa
 
     return pa.Table.from_pandas(a, preserve_index=False)
+
+
+# ---------------------------------------------- r5 rotation folds
+#
+# Round 5 rotates the 50-entry driver gate so every round-4 operator
+# family gets a CORRECTNESS row (VERDICT r4 task 1). Same-grain
+# families fold exactly as r4 folded the text family; displaced r1-r3
+# entries move to unregistered_queries() and stay oracle-verified in
+# tests/test_entry_contract.py. Mapping in docs/REGISTRY.md.
+
+
+def _q_graph_analytics(sf_dir: str):
+    """Folds `graph_pagerank` + `graph_triangles` + `graph_kcore` —
+    the three whole-graph analytics over the SAME exact
+    embedding-similarity graph — into one (part, node, a, b) table:
+    pagerank rows carry (degree, rank), triangle rows (degree,
+    triangles), kcore rows (in_core, -1)."""
+    import pyarrow as pa
+
+    p = _proj(_q_graph_pagerank(sf_dir), [
+        ("part", pa.string(), ("lit", "pagerank")),
+        ("node", pa.int64(), "node"),
+        ("a", pa.int64(), "d"), ("b", pa.int64(), "rank")])
+    t = _proj(_q_graph_triangles(sf_dir), [
+        ("part", pa.string(), ("lit", "triangles")),
+        ("node", pa.int64(), "node"),
+        ("a", pa.int64(), "d"), ("b", pa.int64(), "tri")])
+    k = _proj(_q_graph_kcore(sf_dir), [
+        ("part", pa.string(), ("lit", "kcore")),
+        ("node", pa.int64(), "node"),
+        ("a", pa.int64(), "in_core"), ("b", pa.int64(), ("lit", -1))])
+    return _union_all([p, t, k])
+
+
+def _q_fork_analysis(sf_dir: str):
+    """Folds `fork_pairs` + `fork_canonical` (the fork-detection
+    pipeline and its cluster election over the same planted corpus)
+    into one (part, s1, s2, s3, i1..i5) table."""
+    import pyarrow as pa
+
+    p = _proj(_q_fork_pairs(sf_dir), [
+        ("part", pa.string(), ("lit", "pair")),
+        ("s1", pa.string(), "repo_a"), ("s2", pa.string(), "repo_b"),
+        ("s3", pa.string(), ("lit", None)),
+        ("i1", pa.int64(), "n_shared"), ("i2", pa.int64(), "n_a"),
+        ("i3", pa.int64(), "n_b"),
+        ("i4", pa.int64(), "jaccard_pct"),
+        ("i5", pa.int64(), "is_fork")])
+    c = _proj(_q_fork_canonical(sf_dir), [
+        ("part", pa.string(), ("lit", "canonical")),
+        ("s1", pa.string(), "repo"), ("s2", pa.string(), "cluster"),
+        ("s3", pa.string(), "canonical"),
+        ("i1", pa.int64(), "is_canonical"),
+        ("i2", pa.int64(), ("lit", -1)), ("i3", pa.int64(), ("lit", -1)),
+        ("i4", pa.int64(), ("lit", -1)),
+        ("i5", pa.int64(), ("lit", -1))])
+    return _union_all([p, c])
+
+
+def _q_fn_clone_groups(sf_dir: str):
+    """Folds `fn_clones` (exact-text TYPE-1) + `fn_clones_t2`
+    (identifier/literal-normalized TYPE-2) clone groups into one
+    (kind, sig, n_lines, n_copies, n_repos, n_variants) table
+    (T1 has no variant concept -> -1)."""
+    import pyarrow as pa
+
+    t1 = _proj(_q_fn_clones(sf_dir), [
+        ("kind", pa.string(), ("lit", "t1")),
+        ("sig", pa.string(), "sig"),
+        ("n_lines", pa.int64(), "n_lines"),
+        ("n_copies", pa.int64(), "n_copies"),
+        ("n_repos", pa.int64(), "n_repos"),
+        ("n_variants", pa.int64(), ("lit", -1))])
+    t2 = _proj(_q_fn_clones_t2(sf_dir), [
+        ("kind", pa.string(), ("lit", "t2")),
+        ("sig", pa.string(), "sig"),
+        ("n_lines", pa.int64(), "n_lines"),
+        ("n_copies", pa.int64(), "n_copies"),
+        ("n_repos", pa.int64(), "n_repos"),
+        ("n_variants", pa.int64(), "n_variants")])
+    return _union_all([t1, t2])
+
+
+def _q_dead_code(sf_dir: str):
+    """Folds `dead_functions` (directly-unreferenced) +
+    `call_reachability` (transitively-unreachable via the whole-
+    program call-graph BFS) into one (kind, repo, fn_name, n_defs)
+    table — the two tiers of corpus-scale dead-code detection."""
+    import pyarrow as pa
+
+    def tag(ds, kind):
+        return _proj(ds, [("kind", pa.string(), ("lit", kind)),
+                          ("repo", pa.string(), "repo"),
+                          ("fn_name", pa.string(), "fn_name"),
+                          ("n_defs", pa.int64(), "n_defs")])
+
+    return _union_all([tag(_q_dead_functions(sf_dir), "direct"),
+                       tag(_q_call_reachability(sf_dir),
+                           "transitive")])
+
+
+def _q_corpus_olap(sf_dir: str):
+    """Folds the OLAP grouping family: `corpus_rollup` (GROUP BY
+    ROLLUP) + `corpus_cube` (GROUP BY CUBE) over (lang, source) +
+    `dominant_lang` (per-repo MODE election) into one
+    (part, k1, k2, n1, n2) table."""
+    import pyarrow as pa
+
+    r = _proj(_q_corpus_rollup(sf_dir), [
+        ("part", pa.string(), ("lit", "rollup")),
+        ("k1", pa.string(), "lang"), ("k2", pa.string(), "source"),
+        ("n1", pa.int64(), "n_rows"),
+        ("n2", pa.int64(), "sum_n_chars")])
+    c = _proj(_q_corpus_cube(sf_dir), [
+        ("part", pa.string(), ("lit", "cube")),
+        ("k1", pa.string(), "lang"), ("k2", pa.string(), "source"),
+        ("n1", pa.int64(), "n_rows"),
+        ("n2", pa.int64(), "sum_n_chars")])
+    m = _proj(_q_dominant_lang(sf_dir), [
+        ("part", pa.string(), ("lit", "mode")),
+        ("k1", pa.string(), "repo"), ("k2", pa.string(), "mode"),
+        ("n1", pa.int64(), "mode_n"),
+        ("n2", pa.int64(), "n_values")])
+    return _union_all([r, c, m])
+
+
+def _q_cdc_profile(sf_dir: str):
+    """Folds `cdc_chunks` + `cdc_dedup_ratio` (the CDC chunk table
+    and its storage-dedup accounting) into one (part, a..e) table.
+    Rows-only by nature (modular p^j rolling-hash arithmetic has no
+    ANSI-SQL form); the pytest oracles are the independent O(n*w)
+    reimplementation + shift invariance + the pandas dedup fold."""
+    import pyarrow as pa
+
+    ch = _proj(_q_cdc_chunks(sf_dir), [
+        ("part", pa.string(), ("lit", "chunk")),
+        ("a", pa.int64(), "doc_id"), ("b", pa.int64(), "chunk_id"),
+        ("c", pa.int64(), "start"), ("d", pa.int64(), "length"),
+        ("e", pa.int64(), "chunk_hash")])
+    ra = _proj(_q_cdc_dedup_ratio(sf_dir), [
+        ("part", pa.string(), ("lit", "ratio")),
+        ("a", pa.int64(), "n_chunks"), ("b", pa.int64(), "n_distinct"),
+        ("c", pa.int64(), "total_bytes"),
+        ("d", pa.int64(), "unique_bytes"),
+        ("e", pa.int64(), ("lit", -1))])
+    return _union_all([ch, ra])
+
+
+def _q_heavy_hitters_exact(sf_dir: str):
+    """EXACT heavy hitters (stages/stats.heavy_hitters_exact, r5):
+    pass 1 = off-driver tree-merged Misra-Gries summary (candidate
+    superset guarantee), pass 2 = exact counts of the <= k broadcast
+    candidates; output = every word with true count > n_total/(k+1)
+    — deterministic and SQL-expressible (GROUP BY HAVING), unlike the
+    approximate `heavy_hitters` lower-bound table (which stays
+    pytest-bounded in the unregistered tier)."""
+    import ray.data as rd
+
+    from boon_ray.stages.stats import heavy_hitters_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return heavy_hitters_exact(ds, "text", k=100, split_words=True)
+
+
+def _heavy_hitters_exact_sql(k: int = 100) -> str:
+    return rf"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM words)
+SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST((SELECT n FROM tot) // {k + 1} AS BIGINT) AS threshold,
+       (SELECT n FROM tot) AS n_total
+FROM words GROUP BY w
+HAVING COUNT(*) > (SELECT n FROM tot) // {k + 1}"""
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """EXACTLY 50 registered queries (the driver gate's budget; see
     the folded-queries banner above), ordered by measured sf0.01 cost
     ASCENDING so a prefix-budgeted gate checks the maximum number of
-    queries before any cutoff. Folded names carry several pre-r4
-    queries each — mapping in docs/REGISTRY.md."""
+    queries before any cutoff. r5 rotates the gate: every round-4
+    operator family now holds a driver row; displaced r1-r3 entries
+    moved to unregistered_queries() (still pytest-oracled). Folded
+    names carry several standalone queries each — mapping in
+    docs/REGISTRY.md."""
     return {
         "multimodal_decode": _q_multimodal_decode,
-        "ann_topk": _q_ann_topk,
         "corpus": _q_corpus,
-        "embedding_neardup": _q_embedding_neardup,
+        "structural_balance": _q_structural_balance,
         "keyword_violations": _q_keyword_violations,
+        "ann_topk": _q_ann_topk,
+        "events_props_valid": _q_events_props_valid,
+        "approx_quantiles": _q_approx_quantiles,
+        "funnel_depths": _q_funnel_depths,
+        "embedding_gram": _q_embedding_gram,
+        "schema_verdicts": _q_schema_verdicts_folded,
+        "gopher_verdicts": _q_gopher_verdicts_folded,
+        "skew_plan": _q_skew_plan,
+        "decontaminate": _q_decontaminate,
+        "pq_codes": _q_pq_codes,
+        "heavy_hitters_exact": _q_heavy_hitters_exact,
+        "q1_lineitem": _q_q1_lineitem,
+        "range_scan": _q_range_scan,
+        "fn_metrics": _q_fn_metrics,
+        "bpe_merges": _q_bpe_merges,
+        "repo_tree_profile": _q_repo_tree_profile,
+        "repo_scorecard": _q_repo_scorecard,
+        "snapshot_delta": _q_snapshot_delta,
+        "semdedup_keep": _q_semdedup_keep,
+        "packed_sequences": _q_packed_sequences,
+        "pretrain_chunks": _q_pretrain_chunks,
+        "bpe_encode": _q_bpe_encode,
+        "cdc_profile": _q_cdc_profile,
+        "dep_centrality": _q_dep_centrality,
+        "repo_deps": _q_repo_deps,
+        "customers_no_orders": _q_customers_no_orders,
+        "code_hygiene": _q_code_hygiene,
+        "kmeans_coreset": _q_kmeans_coreset,
+        "oov_rates": _q_oov_rates,
+        "merge_roundtrip": _q_merge_roundtrip,
+        "head_snapshot": _q_head_snapshot,
+        "span_scrub": _q_span_scrub,
+        "fn_clone_groups": _q_fn_clone_groups,
+        "q5_region_revenue": _q_q5_region_revenue,
+        "sources_roundtrip": _q_sources_roundtrip,
+        "incremental_reval": _q_incremental_reval,
+        "text_features": _q_text_features,
+        "license_contamination": _q_license_contamination,
+        "line_dedup": _q_line_dedup,
+        "graph_analytics": _q_graph_analytics,
+        "user_windows": _q_user_windows,
+        "corpus_olap": _q_corpus_olap,
+        "session_windows": _q_session_windows,
+        "dead_code": _q_dead_code,
+        "dedup_docs": _q_dedup_docs,
+        "fork_analysis": _q_fork_analysis,
+    }
+
+
+def unregistered_queries() -> dict[str, Callable[[str], Any]]:
+    """Standalone queries whose operators live in folded registry
+    entries or were rotated out of the 50-entry gate in r5 (their
+    r1-r4 CORRECTNESS rows stand as driver evidence). NOT
+    driver-registered — kept oracle-verified in pytest
+    (tests/test_entry_contract.py, against _all_oracle_sql) so the
+    per-operator evidence never degrades; rows-only entries get a
+    schema/run check + their accuracy suites."""
+    return {
+        # --- displaced from the registry in the r5 rotation
+        "embedding_neardup": _q_embedding_neardup,
         "embedding_centroids": _q_embedding_centroids,
         "embedding_dim_stats": _q_embedding_dim_stats,
-        "events_props_valid": _q_events_props_valid,
         "probe_moments": _q_probe_moments,
         "top_docs_per_lang": _q_top_docs_per_lang,
-        "bpe_merges": _q_bpe_merges,
-        "decontaminate": _q_decontaminate,
         "distinct_hll": _q_distinct_hll,
-        "packed_sequences": _q_packed_sequences,
-        "gopher_verdicts": _q_gopher_verdicts_folded,
-        "schema_verdicts": _q_schema_verdicts_folded,
-        "q1_lineitem": _q_q1_lineitem,
         "rarity_scores": _q_rarity_scores,
         "importance_scores": _q_importance_scores,
         "partition_verdicts": _q_partition_verdicts,
-        "semdedup_keep": _q_semdedup_keep,
-        "snapshot_delta": _q_snapshot_delta,
         "lang_profile": _q_lang_profile,
-        "pq_codes": _q_pq_codes,
         "asof_signup": _q_asof_signup,
         "bpe_pairs": _q_bpe_pairs,
         "integrity_violations": _q_integrity_violations,
-        "pretrain_chunks": _q_pretrain_chunks,
         "retrieval_topk": _q_retrieval_topk,
         "bigram_scores": _q_bigram_scores,
         "curated_train_set": _q_curated_train_set,
@@ -1653,31 +1897,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_first_seen": _q_streaming_first_seen,
         "hourly_profile": _q_hourly_profile,
         "ivf_recall": _q_ivf_recall,
-        "user_windows": _q_user_windows,
         "vocab_index": _q_vocab_index,
-        "kmeans_coreset": _q_kmeans_coreset,
         "corpus_lang_profile": _q_corpus_lang_profile,
         "q3_shipping": _q_q3_shipping,
-        "q5_region_revenue": _q_q5_region_revenue,
         "span_dedup": _q_span_dedup,
         "selection_flags": _q_selection_flags,
-        "session_windows": _q_session_windows,
         "doc_ranks": _q_doc_ranks,
         "events_in_session": _q_events_in_session,
         "neardup_pairs": _q_neardup_pairs,
-        "text_features": _q_text_features,
-        "sources_roundtrip": _q_sources_roundtrip,
-        "dedup_docs": _q_dedup_docs,
-    }
-
-
-def unregistered_queries() -> dict[str, Callable[[str], Any]]:
-    """Pre-r4 standalone queries whose operators now live in folded
-    registry entries (or are covered by another registered query).
-    NOT driver-registered — kept oracle-verified in pytest
-    (tests/test_entry_contract.py) so the per-operator evidence
-    never degrades."""
-    return {
+        # --- components of r5-registered folds + pre-r5 standbys
         "uniqueness_violations": _q_uniqueness,
         "referential_orphans": _q_referential,
         "conditional_verdicts": _q_conditional_verdicts,
@@ -1728,41 +1956,20 @@ def unregistered_queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": _q_distinct_langs,
         "customers_per_region": _q_customers_per_region,
         "doc_chunks": _q_doc_chunks,
-        "span_scrub": _q_span_scrub,
-        "bpe_encode": _q_bpe_encode,
-        "range_scan": _q_range_scan,
         "heavy_hitters": _q_heavy_hitters,
-        "approx_quantiles": _q_approx_quantiles,
-        "line_dedup": _q_line_dedup,
-        "code_hygiene": _q_code_hygiene,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
         "graph_kcore": _q_graph_kcore,
-        "funnel_depths": _q_funnel_depths,
-        "repo_scorecard": _q_repo_scorecard,
         "fork_pairs": _q_fork_pairs,
         "fork_canonical": _q_fork_canonical,
-        "repo_deps": _q_repo_deps,
-        "dep_centrality": _q_dep_centrality,
-        "license_contamination": _q_license_contamination,
         "fn_clones": _q_fn_clones,
         "dead_functions": _q_dead_functions,
         "corpus_rollup": _q_corpus_rollup,
-        "merge_roundtrip": _q_merge_roundtrip,
         "fn_clones_t2": _q_fn_clones_t2,
         "call_reachability": _q_call_reachability,
-        "fn_metrics": _q_fn_metrics,
-        "structural_balance": _q_structural_balance,
-        "repo_tree_profile": _q_repo_tree_profile,
-        "incremental_reval": _q_incremental_reval,
-        "head_snapshot": _q_head_snapshot,
-        "skew_plan": _q_skew_plan,
         "corpus_cube": _q_corpus_cube,
         "dominant_lang": _q_dominant_lang,
-        "oov_rates": _q_oov_rates,
-        "embedding_gram": _q_embedding_gram,
         "cdc_chunks": _q_cdc_chunks,
-        "customers_no_orders": _q_customers_no_orders,
         "cdc_dedup_ratio": _q_cdc_dedup_ratio,
     }
 
@@ -4672,12 +4879,16 @@ def _base_oracle_sql() -> dict[str, str]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
-    """Driver-facing oracles for the 50-query registry: folded-query
-    SQL is composed mechanically from the per-operator oracles in
-    _base_oracle_sql (each fold branch wraps the ORIGINAL oracle as a
-    subquery — DuckDB supports CTEs inside subqueries), so the values
-    verified per operator are bit-identical to the pre-r4 gate."""
+def _all_oracle_sql() -> dict[str, str]:
+    """EVERY oracle the repo owns — per-operator oracles plus every
+    fold composition, registered or not. Folded-query SQL is composed
+    mechanically from the per-operator oracles in _base_oracle_sql
+    (each fold branch wraps the ORIGINAL oracle as a subquery —
+    DuckDB supports CTEs inside subqueries), so the values verified
+    per operator are bit-identical whichever side of the r5 rotation
+    a name sits on: oracle_sql() serves the registered slice to the
+    driver; tests/test_entry_contract.py verifies the unregistered
+    slice from this same dict."""
     b = _base_oracle_sql()
     cte = CORPUS_CTE.strip()
 
@@ -4867,9 +5078,98 @@ def oracle_sql() -> dict[str, str]:
             "CAST(off % 4096 AS BIGINT) AS seq_pos, "
             "CAST((off + len - 1) // 4096 - off // 4096 + 1 AS BIGINT)"
             " AS n_seqs FROM o"),
-        # distinct_hll / neardup_pairs / ivf_recall: approximate by
-        # design -> rows-only driver checks, pytest accuracy oracles
-        # in tests/. (bpe_merges flipped to an exact unrolled-CTE
-        # oracle in r5.)
+        # ---- r5 rotation: per-operator oracles for the newly
+        # registered standalone entries (already single-sourced in
+        # _base_oracle_sql)
+        "funnel_depths": b["funnel_depths"],
+        "skew_plan": b["skew_plan"],
+        "head_snapshot": b["head_snapshot"],
+        "oov_rates": b["oov_rates"],
+        "embedding_gram": b["embedding_gram"],
+        "customers_no_orders": b["customers_no_orders"],
+        "range_scan": b["range_scan"],
+        "merge_roundtrip": b["merge_roundtrip"],
+        "line_dedup": b["line_dedup"],
+        "span_scrub": b["span_scrub"],
+        "structural_balance": b["structural_balance"],
+        "repo_tree_profile": b["repo_tree_profile"],
+        "repo_scorecard": b["repo_scorecard"],
+        "code_hygiene": b["code_hygiene"],
+        "repo_deps": b["repo_deps"],
+        "dep_centrality": b["dep_centrality"],
+        "license_contamination": b["license_contamination"],
+        "fn_metrics": b["fn_metrics"],
+        "incremental_reval": b["incremental_reval"],
+        "heavy_hitters_exact": _heavy_hitters_exact_sql(),
+        # ---- r5 rotation: fold compositions (same tag() mechanics
+        # as the r4 folds)
+        "graph_analytics":
+            tag("part", "pagerank", b["graph_pagerank"],
+                ["node", "d AS a", '"rank" AS b'])
+            + " UNION ALL "
+            + tag("part", "triangles", b["graph_triangles"],
+                  ["node", "d AS a", "tri AS b"])
+            + " UNION ALL "
+            + tag("part", "kcore", b["graph_kcore"],
+                  ["node", "in_core AS a",
+                   "CAST(-1 AS BIGINT) AS b"]),
+        "fork_analysis":
+            tag("part", "pair", b["fork_pairs"],
+                ["repo_a AS s1", "repo_b AS s2",
+                 "CAST(NULL AS VARCHAR) AS s3",
+                 "n_shared AS i1", "n_a AS i2", "n_b AS i3",
+                 "jaccard_pct AS i4", "is_fork AS i5"])
+            + " UNION ALL "
+            + tag("part", "canonical", b["fork_canonical"],
+                  ["repo AS s1", "cluster AS s2", "canonical AS s3",
+                   "is_canonical AS i1",
+                   "CAST(-1 AS BIGINT) AS i2",
+                   "CAST(-1 AS BIGINT) AS i3",
+                   "CAST(-1 AS BIGINT) AS i4",
+                   "CAST(-1 AS BIGINT) AS i5"]),
+        "fn_clone_groups":
+            tag("kind", "t1", b["fn_clones"],
+                ["sig", "n_lines", "n_copies", "n_repos",
+                 "CAST(-1 AS BIGINT) AS n_variants"])
+            + " UNION ALL "
+            + tag("kind", "t2", b["fn_clones_t2"],
+                  ["sig", "n_lines", "n_copies", "n_repos",
+                   "n_variants"]),
+        "dead_code":
+            tag("kind", "direct", b["dead_functions"],
+                ["repo", "fn_name", "n_defs"])
+            + " UNION ALL "
+            + tag("kind", "transitive", b["call_reachability"],
+                  ["repo", "fn_name", "n_defs"]),
+        "corpus_olap":
+            tag("part", "rollup", b["corpus_rollup"],
+                ["lang AS k1", "source AS k2", "n_rows AS n1",
+                 "sum_n_chars AS n2"])
+            + " UNION ALL "
+            + tag("part", "cube", b["corpus_cube"],
+                  ["lang AS k1", "source AS k2", "n_rows AS n1",
+                   "sum_n_chars AS n2"])
+            + " UNION ALL "
+            + tag("part", "mode", b["dominant_lang"],
+                  ["repo AS k1", "mode AS k2", "mode_n AS n1",
+                   "n_values AS n2"]),
+        # distinct_hll / neardup_pairs / ivf_recall / heavy_hitters /
+        # approx_quantiles / bpe_encode / cdc_*: approximate or
+        # iterative by design -> rows-only checks, pytest accuracy
+        # oracles in tests/. (bpe_merges flipped to an exact
+        # unrolled-CTE oracle in r5.)
     }
-    return out
+    # base oracles underneath, fold compositions on top (a folded
+    # name like schema_verdicts resolves to its fold; every
+    # per-operator base name stays reachable for the unregistered
+    # pytest gate)
+    return {**b, **out}
+
+
+def oracle_sql() -> dict[str, str]:
+    """Driver-facing oracles: the registered slice of
+    _all_oracle_sql (registered queries with no entry there are
+    rows-only by design)."""
+    all_sql = _all_oracle_sql()
+    return {name: all_sql[name] for name in queries()
+            if name in all_sql}

@@ -37,7 +37,9 @@ def _norm(df: pd.DataFrame):
 _ORACLE_KEYS = sorted(E.oracle_sql().keys())
 _ROWS_ONLY = sorted(set(E.queries()) - set(_ORACLE_KEYS))
 _UNREGISTERED = sorted(set(E.unregistered_queries())
-                       & set(E._base_oracle_sql()))
+                       & set(E._all_oracle_sql()))
+_UNREG_ROWS_ONLY = sorted(set(E.unregistered_queries())
+                          - set(E._all_oracle_sql()))
 
 
 def test_registry_fits_driver_budget():
@@ -68,13 +70,24 @@ def test_query_matches_oracle(name, ray_session, oracle_con):
 @pytest.mark.parametrize("name", _UNREGISTERED)
 def test_unregistered_query_matches_oracle(name, ray_session,
                                            oracle_con):
-    """Pre-r4 standalone queries folded into (or covered by) the
+    """Standalone queries folded into (or rotated out of) the
     50-entry registry keep their own oracle check here, so
     per-operator evidence never degrades."""
     res = E.unregistered_queries()[name](SF)
     df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
-    odf = oracle_con.sql(E._base_oracle_sql()[name]).df()
+    odf = oracle_con.sql(E._all_oracle_sql()[name]).df()
     assert _norm(df) == _norm(odf), name
+
+
+@pytest.mark.parametrize("name", _UNREG_ROWS_ONLY)
+def test_unregistered_rows_only_query_runs(name, ray_session):
+    """Approximate-by-design unregistered queries (no SQL form) still
+    run with a stable schema; their accuracy oracles live in the
+    per-operator pytest suites."""
+    res = E.unregistered_queries()[name](SF)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    assert len(df) >= 0
+    assert len(df.columns) > 0
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
