@@ -1101,6 +1101,96 @@ def q_snapshot_delta_digest():
                           num_buckets=64).count()
 
 
+def q_heavy_hitters():
+    """r5 off-driver heavy hitters: per-batch Misra-Gries blobs
+    tree-merged by remote tasks over 500k amplified docs (driver
+    decodes <= fanin summaries, never the O(k x batches) partial
+    table the r4 shape pulled home)."""
+    from boon_ray.stages.stats import heavy_hitters
+
+    return heavy_hitters(_corpus_ids(), "text", k=100,
+                         split_words=True).num_rows
+
+
+def q_streaming_sessions_wm():
+    """r5 watermarked SESSION windows over the same 5M-event
+    arrival-ordered amplified feed as q_streaming_windows: per-key
+    fragments gap-merge incrementally, the lazy-deletion heap emits
+    as the watermark passes end + gap."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from boon_ray.stages.streaming import (
+        streaming_sessionize_watermarked,
+    )
+
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["ts", "user_id", "value"])
+
+    def amplify(b: pa.Table) -> pa.Table:
+        reps = 50
+        ts = pc.cast(b.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        users = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        offs = np.tile(np.arange(reps, dtype=np.int64) * 1_000_003, n)
+        return pa.table({
+            "ts": pa.array(np.repeat(ts, reps), pa.int64()),
+            "user_id": pa.array(np.repeat(users, reps) + offs,
+                                pa.int64()),
+            "cents": pa.array(np.repeat(cents, reps), pa.int64()),
+        })
+
+    ds = ev.repartition(32).map_batches(amplify, batch_format="pyarrow",
+                                        batch_size=None)
+    return streaming_sessionize_watermarked(
+        ds, "ts", "user_id", "cents", gap_s=1800,
+        num_buckets=8).count()
+
+
+def q_hash_join_skew():
+    """r5 skew-salted large-large hash join: the amplified corpus
+    (org0/repo0 = ~30% of 500k rows) inner-joined repo-keyed against
+    a per-repo dimension, with stages/unique.skew_plan splitting the
+    mega-repo across ceil(n/target) buckets — the join the unsalted
+    plan serializes on one bucket task."""
+    import pyarrow as pa
+
+    from boon_ray.stages.joins import hash_join
+    from boon_ray.stages.unique import skew_plan
+
+    import numpy as np
+    import ray.data as rd
+
+    from boon_ray.stages.combine import combine_keyed_partials
+
+    corpus = _corpus().map_batches(
+        lambda b: pa.table({"repo": b.column("repo"),
+                            "path": b.column("path")}),
+        batch_format="pyarrow", batch_size=None)
+    target = max(2048, (REPLICAS * 5000) // 16)
+    plan = skew_plan(corpus, key_col="repo",
+                     target_rows_per_task=target).to_pandas()
+    # per-repo dimension (repo, n_files): repo-table-sized build
+    parts = corpus.map_batches(
+        lambda b: pa.table({
+            "repo": b.column("repo").unique(),
+            "n": pa.array(
+                np.ones(len(b.column("repo").unique()), np.int64))}),
+        batch_format="pyarrow", batch_size=None)
+    dim_df = combine_keyed_partials(parts, ["repo"], ["n"])
+    dim = rd.from_arrow(pa.table({
+        "repo": pa.array(dim_df["repo"].astype(str)),
+        "n_blocks": pa.array(dim_df["n"].to_numpy(np.int64))}))
+    return hash_join(corpus, dim, on=["repo"], how="inner",
+                     num_buckets=32, skew_plan=plan).count()
+
+
 def q_pretrain_chunks():
     """Composed chunk pipeline over sf documents (not the amplified
     corpus: the rank's count pass re-executes upstream, so this
@@ -1211,6 +1301,9 @@ QUERIES = {
     "semdedup": q_semdedup,
     "snapshot_delta": q_snapshot_delta,
     "snapshot_delta_digest": q_snapshot_delta_digest,
+    "heavy_hitters": q_heavy_hitters,
+    "streaming_sessions_wm": q_streaming_sessions_wm,
+    "hash_join_skew": q_hash_join_skew,
     "pretrain_chunks": q_pretrain_chunks,
     # actor-pool queries last (pool teardown overlaps the next query)
     "decontaminate": q_decontaminate,

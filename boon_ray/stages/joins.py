@@ -234,6 +234,13 @@ def _fetch_skew_lookup(plan_ref, on):
                 if isinstance(plan_ref, ray.ObjectRef) else plan_ref)
         if isinstance(plan, pa.Table):
             plan = plan.to_pandas()
+        if len(plan) == 0 or "n_salts" not in plan.columns:
+            # empty plan (no heavy keys): an empty-Dataset to_pandas
+            # can drop the schema entirely — behave as "salt nothing"
+            plan = pd.DataFrame({c: pd.Series([], dtype=object)
+                                 for c in on}
+                                | {"n_salts": pd.Series([],
+                                                        dtype=np.int64)})
         if len(on) == 1:
             idx = pd.Index(plan[on[0]])
         else:
