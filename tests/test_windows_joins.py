@@ -1493,17 +1493,20 @@ def test_streaming_session_watermarked_late_side_channel(ray_session):
                           np.array([0, 5 * M]), np.array([1, 2])))
     ray.get(a.feed.remote(ep, np.array([1]),
                           np.array([100 * M]), np.array([4])))
-    closed = ray.get(a.drain_closed.remote(ep))
-    assert [(c[0], c[1], c[2], c[3], c[4]) for c in closed] == [
-        (1, 0, 5 * M, 2, 3)]
+
+    def rows(quints):
+        return [tuple(int(x) for x in r)
+                for q in quints for r in zip(*q)]
+
+    closed = rows(ray.get(a.drain_closed.remote(ep)))
+    assert closed == [(1, 0, 5 * M, 2, 3)]
     # late event at ts 3 s (< watermark 100 s): side channel, no new
     # session, emitted session untouched
     ray.get(a.feed.remote(ep, np.array([1]),
                           np.array([3 * M]), np.array([9])))
     tail, n_late = ray.get(a.flush.remote(ep))
     assert n_late == 1
-    assert [(t[0], t[1], t[2], t[3], t[4]) for t in tail] == [
-        (1, 100 * M, 100 * M, 1, 4)]
+    assert rows(tail) == [(1, 100 * M, 100 * M, 1, 4)]
 
 
 def test_streaming_session_watermarked_bridging_merge(ray_session):
@@ -1529,5 +1532,5 @@ def test_streaming_session_watermarked_bridging_merge(ray_session):
                           np.array([11 * M]), np.array([1])))
     tail, n_late = ray.get(a.flush.remote(ep))
     assert n_late == 0
-    assert [(t[0], t[1], t[2], t[3], t[4]) for t in tail] == [
-        (7, 0, 22 * M, 5, 5)]
+    assert [tuple(int(x) for x in r)
+            for q in tail for r in zip(*q)] == [(7, 0, 22 * M, 5, 5)]
