@@ -125,6 +125,59 @@ def test_draft7_location_independent_id_in_remote():
     assert not ev.is_valid("a")
 
 
+def test_dynamic_ref_into_remote_resolves_through_dynamic_scope():
+    """The generic-extension pattern across documents: the REMOTE
+    declares $dynamicAnchor T and $dynamicRef's it; the compiling
+    root OVERRIDES T in its own resource. Evaluation enters the root
+    resource first, so the remote's $dynamicRef '#T' must land on the
+    root's override (integer), not the remote's own fallback."""
+    _REMOTES["http://localhost:1234/extensible.json"] = {
+        "$dynamicAnchor": "T",
+        "properties": {"x": {"$dynamicRef": "#T"}},
+    }
+    try:
+        ev = _compile({
+            "$ref": "http://localhost:1234/extensible.json",
+            "$defs": {"mine": {"$dynamicAnchor": "T",
+                               "type": "integer"}},
+        })
+        assert ev.is_valid({"x": 3})
+        assert not ev.is_valid({"x": "s"})
+        # without an override in the entered resource, the remote's
+        # own anchor is outermost -> anything passes
+        ev2 = _compile(
+            {"$ref": "http://localhost:1234/extensible.json"})
+        assert ev2.is_valid({"x": "s"})
+    finally:
+        del _REMOTES["http://localhost:1234/extensible.json"]
+
+
+def test_recursive_ref_through_remote_lands_on_entry_root():
+    """Draft 2019: a remote with $recursiveAnchor true whose
+    $recursiveRef '#' must recurse to the ENTRY root (which also sets
+    $recursiveAnchor true), so the root's extra property constraints
+    apply at every depth."""
+    _REMOTES["http://localhost:1234/r19.json"] = {
+        "$schema": "https://json-schema.org/draft/2019-09/schema",
+        "$recursiveAnchor": True,
+        "type": "object",
+        "properties": {"child": {"$recursiveRef": "#"}},
+    }
+    try:
+        ev = _compile({
+            "$schema": "https://json-schema.org/draft/2019-09/schema",
+            "$recursiveAnchor": True,
+            "$ref": "http://localhost:1234/r19.json",
+            "properties": {"name": {"type": "string"}},
+        }, draft=2019)
+        assert ev.is_valid({"name": "a", "child": {"name": "b"}})
+        # the nested name violates the ROOT's constraint — only
+        # reachable if the remote's recursion re-entered the root
+        assert not ev.is_valid({"name": "a", "child": {"name": 1}})
+    finally:
+        del _REMOTES["http://localhost:1234/r19.json"]
+
+
 def test_remote_ref_missing_document_is_compile_error():
     from boon_ray.compiler import CompileError
 
