@@ -1644,16 +1644,33 @@ def _q_graph_analytics(sf_dir: str):
     pagerank rows carry (degree, rank), triangle rows (degree,
     triangles), kcore rows (in_core, -1)."""
     import pyarrow as pa
+    import ray.data as rd
 
-    p = _proj(_q_graph_pagerank(sf_dir), [
+    from boon_ray.stages.dedup import embedding_duplicate_pairs_exact
+    from boon_ray.stages.graph import (kcore_membership, pagerank,
+                                       triangle_counts)
+
+    # the similarity-pair scan is the dominant cost and is shared by
+    # all three analytics — materialized ONCE (edge-bounded: pairs
+    # among 500 nodes), since Ray Data unions concatenate plans and
+    # would re-run it per branch (same reasoning as kmeans_coreset)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]) \
+        .filter(expr="vec_id < 500")
+    pairs = embedding_duplicate_pairs_exact(
+        ds, "embedding", "vec_id", threshold=0.3) \
+        .select_columns(["a", "b"]).materialize()
+
+    p = _proj(pagerank(pairs, iterations=5), [
         ("part", pa.string(), ("lit", "pagerank")),
         ("node", pa.int64(), "node"),
         ("a", pa.int64(), "d"), ("b", pa.int64(), "rank")])
-    t = _proj(_q_graph_triangles(sf_dir), [
+    t = _proj(triangle_counts(pairs, num_buckets=8), [
         ("part", pa.string(), ("lit", "triangles")),
         ("node", pa.int64(), "node"),
         ("a", pa.int64(), "d"), ("b", pa.int64(), "tri")])
-    k = _proj(_q_graph_kcore(sf_dir), [
+    k = _proj(kcore_membership(pairs, k=3, num_buckets=8,
+                               max_rounds=16), [
         ("part", pa.string(), ("lit", "kcore")),
         ("node", pa.int64(), "node"),
         ("a", pa.int64(), "in_core"), ("b", pa.int64(), ("lit", -1))])
@@ -1666,7 +1683,12 @@ def _q_fork_analysis(sf_dir: str):
     into one (part, s1, s2, s3, i1..i5) table."""
     import pyarrow as pa
 
-    p = _proj(_q_fork_pairs(sf_dir), [
+    from boon_ray.stages.forks import elect_canonical_repos
+
+    # fork detection runs ONCE (pair-table-bounded materialize); the
+    # election branch reuses it instead of re-deriving the corpus
+    pairs = _q_fork_pairs(sf_dir).materialize()
+    p = _proj(pairs, [
         ("part", pa.string(), ("lit", "pair")),
         ("s1", pa.string(), "repo_a"), ("s2", pa.string(), "repo_b"),
         ("s3", pa.string(), ("lit", None)),
@@ -1674,7 +1696,7 @@ def _q_fork_analysis(sf_dir: str):
         ("i3", pa.int64(), "n_b"),
         ("i4", pa.int64(), "jaccard_pct"),
         ("i5", pa.int64(), "is_fork")])
-    c = _proj(_q_fork_canonical(sf_dir), [
+    c = _proj(elect_canonical_repos(pairs), [
         ("part", pa.string(), ("lit", "canonical")),
         ("s1", pa.string(), "repo"), ("s2", pa.string(), "cluster"),
         ("s3", pa.string(), "canonical"),

@@ -1177,12 +1177,13 @@ def q_hash_join_skew():
     plan = skew_plan(corpus, key_col="repo",
                      target_rows_per_task=target).to_pandas()
     # per-repo dimension (repo, n_files): repo-table-sized build
-    parts = corpus.map_batches(
-        lambda b: pa.table({
-            "repo": b.column("repo").unique(),
-            "n": pa.array(
-                np.ones(len(b.column("repo").unique()), np.int64))}),
-        batch_format="pyarrow", batch_size=None)
+    def distinct_repos(b: pa.Table) -> pa.Table:
+        u = b.column("repo").unique()
+        return pa.table({"repo": u,
+                         "n": pa.array(np.ones(len(u), np.int64))})
+
+    parts = corpus.map_batches(distinct_repos, batch_format="pyarrow",
+                               batch_size=None)
     dim_df = combine_keyed_partials(parts, ["repo"], ["n"])
     dim = rd.from_arrow(pa.table({
         "repo": pa.array(dim_df["repo"].astype(str)),
