@@ -641,9 +641,11 @@ def _watermark_session_actor_cls():
         disjoint open session FRAGMENTS that gap-merge as disorder
         fills in, the event-time watermark advances as
         max(seen ts) - allowed_lateness, and a fragment is emitted
-        (and evicted) once ``end + gap <= watermark`` — no accepted
-        future event can extend it, because any extending event would
-        have ts <= end + gap < watermark and be late by definition.
+        (and evicted) once ``end + gap < watermark`` (STRICT — an
+        accepted event may sit exactly at the watermark and
+        ts == end + gap still gap-merges) — no accepted future event
+        can extend it, because any extending event would have
+        ts <= end + gap < watermark and be late by definition.
         Events older than the watermark go to the late side channel
         (their session may already be emitted). Epoch-fenced like the
         other streaming actors.
@@ -784,8 +786,11 @@ def _watermark_session_actor_cls():
             if self.watermark is None or new_wm > self.watermark:
                 self.watermark = new_wm
                 ck, cs, ce, cn, cv = [], [], [], [], []
+                # STRICT <: an accepted event may sit exactly at the
+                # watermark, and ts == end + gap still gap-merges —
+                # a fragment is only safe once end + gap < wm
                 while self.heap and \
-                        self.heap[0][0] + self.gap_us <= new_wm:
+                        self.heap[0][0] + self.gap_us < new_wm:
                     en, fid = heapq.heappop(self.heap)
                     fr = self.frags.get(fid)
                     if fr is None or fr[2] != en:

@@ -1534,3 +1534,77 @@ def test_streaming_session_watermarked_bridging_merge(ray_session):
     assert n_late == 0
     assert [tuple(int(x) for x in r)
             for q in tail for r in zip(*q)] == [(7, 0, 22 * M, 5, 5)]
+
+
+def test_streaming_session_watermarked_fuzz_vs_reference(ray_session):
+    """Randomized feeds (disorder, duplicate ts, varying chunk sizes,
+    gaps and lateness) vs an independent sequential reference that
+    replays the EXACT acceptance rule (late iff ts < the pre-chunk
+    watermark; watermark = max accepted ts - lateness, monotonic) and
+    then gap-merges the accepted events per key."""
+    import ray
+
+    from boon_ray.stages.streaming import (
+        _new_epoch,
+        _watermark_session_actor_cls,
+    )
+
+    Actor = _watermark_session_actor_cls()
+
+    def reference(chunks, gap, late):
+        wm = None
+        n_late = 0
+        acc: dict = {}
+        for k, t, v in chunks:
+            kept_ts = []
+            for kk, tt, vv in zip(k, t, v):
+                if wm is not None and tt < wm:
+                    n_late += 1
+                    continue
+                acc.setdefault(kk, []).append((tt, vv))
+                kept_ts.append(tt)
+            if kept_ts:
+                new_wm = max(kept_ts) - late
+                if wm is None or new_wm > wm:
+                    wm = new_wm
+        sessions = []
+        for kk, evs in acc.items():
+            evs.sort()
+            st, en, n, sm = evs[0][0], evs[0][0], 0, 0
+            n, sm = 1, evs[0][1]
+            for tt, vv in evs[1:]:
+                if tt - en > gap:
+                    sessions.append((kk, st, en, n, sm))
+                    st, en, n, sm = tt, tt, 1, vv
+                else:
+                    en, n, sm = tt, n + 1, sm + vv
+            sessions.append((kk, st, en, n, sm))
+        return sorted(sessions), n_late
+
+    rng = np.random.default_rng(23)
+    for trial in range(6):
+        n = int(rng.integers(50, 400))
+        gap = int(rng.integers(5, 40))
+        late = int(rng.integers(0, 60))
+        chunk = int(rng.integers(7, 80))
+        keys = rng.integers(0, 8, n).astype(np.int64)
+        base = np.sort(rng.integers(0, 300, n))
+        ts = base + rng.integers(0, 50, n)   # bounded disorder
+        vals = rng.integers(1, 10, n).astype(np.int64)
+        chunks = [(keys[i:i + chunk], ts[i:i + chunk],
+                   vals[i:i + chunk])
+                  for i in range(0, n, chunk)]
+        a = Actor.remote(gap, late)
+        ep = _new_epoch()
+        ray.get(a.reset.remote(ep))
+        quints = []
+        for k, t, v in chunks:
+            ray.get(a.feed.remote(ep, k, t, v))
+            quints.extend(ray.get(a.drain_closed.remote(ep)))
+        tail, n_late = ray.get(a.flush.remote(ep))
+        quints.extend(tail)
+        got = sorted(tuple(int(x) for x in r)
+                     for q in quints for r in zip(*q))
+        want, want_late = reference(chunks, gap, late)
+        assert got == want, (trial, gap, late, chunk)
+        assert n_late == want_late, (trial, gap, late, chunk)
