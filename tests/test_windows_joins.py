@@ -1608,3 +1608,51 @@ def test_streaming_session_watermarked_fuzz_vs_reference(ray_session):
         want, want_late = reference(chunks, gap, late)
         assert got == want, (trial, gap, late, chunk)
         assert n_late == want_late, (trial, gap, late, chunk)
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _skeys = st.lists(st.integers(min_value=0, max_value=6),
+                      min_size=0, max_size=14)
+    _plans = st.dictionaries(st.integers(0, 6), st.integers(2, 5),
+                             max_size=3)
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(lk=_skeys, rk=_skeys,
+           how=st.sampled_from(["inner", "left", "semi", "anti"]),
+           buckets=st.sampled_from([2, 5]), plan=_plans)
+    def test_hash_join_salted_fuzz_matches_pandas(ray_session, lk, rk,
+                                                  how, buckets, plan):
+        """r5: salted hash_join must agree with pandas for ANY
+        arbitrary skew plan (keys that do/don't exist, fanouts beyond
+        num_buckets, dup keys on both sides, all four hows)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from boon_ray.stages.joins import hash_join
+
+        lt = pa.table({"k": pa.array(lk, pa.int64()),
+                       "lv": pa.array(range(len(lk)), pa.int64())})
+        rt = pa.table({"k": pa.array(rk, pa.int64()),
+                       "rv": pa.array([x * 10 for x in range(len(rk))],
+                                      pa.int64())})
+        pdf = pd.DataFrame({
+            "k": pd.array(sorted(plan), dtype="int64"),
+            "n_salts": pd.array([plan[k] for k in sorted(plan)],
+                                dtype="int64")})
+        got = hash_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                        on=["k"], how=how, num_buckets=buckets,
+                        skew_plan=pdf).to_pandas()
+        ldf, rdf = lt.to_pandas(), rt.to_pandas()
+        if how in ("semi", "anti"):
+            hit = ldf["k"].isin(rdf["k"])
+            want = ldf[hit if how == "semi" else ~hit]
+        else:
+            want = ldf.merge(rdf, on="k", how=how)
+        assert _join_rows(got) == _join_rows(want[got.columns]
+                                             if len(want) else want)
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
