@@ -79,6 +79,12 @@ def funnel_depths(events_ds, stages: list[str],
 
     B = int(num_buckets)
     stage_list = list(stages)
+    if len(set(stage_list)) != len(stage_list):
+        # index_in maps every event to its FIRST stage index, so a
+        # repeated stage name could never match at its later position
+        # (and the stage-1 pre-reduce assumes one index per type) —
+        # refuse loudly instead of silently under-counting depth
+        raise ValueError("funnel stages must be distinct event types")
 
     def explode(b: pa.Table) -> pa.Table:
         et = b.column(type_col)

@@ -145,3 +145,10 @@ def test_prereduce_mask_prunes_and_preserves_semantics(ray_session):
                            & (ss[order][keep] == 0)).sum())
     assert hot_stage1_kept == 1
     assert keep.sum() < len(evs) * 0.2
+
+
+def test_duplicate_stage_names_rejected(ray_session):
+    import pytest
+
+    with pytest.raises(ValueError, match="distinct"):
+        _run([(1, "click", 5)], stages=["click", "click"])
